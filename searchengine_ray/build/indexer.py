@@ -1,0 +1,247 @@
+"""The index build pipeline — Ray-Data-first.
+
+Reference lifecycle being replaced (SURVEY.md §3.1): corpus walk →
+``addDocument`` analyze/accumulate → flush every 1000 docs → pairwise
+segment merges (``IcsSearchEngine.java:38-59``,
+``InvertedIndexManager.java:321-452``). Here the LSM machinery disappears
+into a two-phase streaming pipeline:
+
+Phase "analyze" (stateless read + actor-pool map):
+    ``read_parquet(corpus, columns=pruned)``
+    → ``map_batches(AnalyzeStage, batch_format="pyarrow")``
+    → ``analyzed/`` Parquet (doc_id, dl, terms, tfs, positions)
+    [+ ``docstats/`` doc_id→dl, + ``docs/`` doc store for fetch joins]
+
+Phase "postings" (the wide step):
+    ``read_parquet(analyzed/)``
+    → ``map_batches(explode → (shard, term, doc_id, tf, dl, positions))``
+    → ``groupby("shard").map_groups(PostingShardWriter)``
+    → ``postings/shard=NNNNN.parquet`` + lineage rows
+
+Checkpoint/resume: each phase records completion in ``manifest.json``;
+within the postings phase every shard file is written atomically and a
+rerun skips shards that already exist. Global stats (N, avgdl) are
+computed once at build and stored in the manifest, so ranked queries do
+NOT need the reference's per-query pass-1 over all segments
+(``InvertedIndexManager.java:587-598``).
+
+Scale notes: the only all-to-all exchange is the ``groupby(shard)``; head
+terms are split into fixed-size blocks inside the shard reducer (skew
+handling); the analyze stage is an actor pool sized via ``concurrency``;
+batch format is Arrow end-to-end.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis.batch import PUNCT_PORTER
+from ..stages.postings import PostingShardWriter, explode_batch
+from ..stages.tokenize import AnalyzeStage
+from .manifest import IndexManifest
+
+
+def build_index(
+    corpus_path: str | list[str],
+    index_dir: str | Path,
+    *,
+    analyzer_mode: str = PUNCT_PORTER,
+    positional: bool = True,
+    num_shards: int = 16,
+    block_size: int = 128,
+    text_column: str = "text",
+    html_column: str | None = None,
+    url_column: str = "url",
+    doc_id_column: str | None = None,
+    doc_id_mode: str = "hash",
+    validate_extraction: bool = False,
+    store_docs: bool = True,
+    analyze_concurrency: int | None = None,
+    analyze_batch_size: int = 512,
+    bm25_k1: float = 1.2,
+    bm25_b: float = 0.75,
+    resume: bool = True,
+    generation: str = "postings",
+) -> IndexManifest:
+    """Build (or resume building) an index at ``index_dir``.
+
+    Returns the saved manifest. Ray must already be initialised by the
+    caller (driver/bench/test fixture own the session).
+    """
+    import ray.data as rd
+
+    index_dir = Path(index_dir)
+    index_dir.mkdir(parents=True, exist_ok=True)
+
+    if resume and IndexManifest.exists(index_dir):
+        manifest = IndexManifest.load(index_dir)
+    else:
+        manifest = IndexManifest(
+            analyzer_mode=analyzer_mode,
+            positional=positional,
+            block_size=block_size,
+            num_shards=num_shards,
+            doc_id_mode=doc_id_mode if doc_id_column is None else f"column:{doc_id_column}",
+            bm25_k1=bm25_k1,
+            bm25_b=bm25_b,
+        )
+
+    analyzed_dir = index_dir / "analyzed"
+    docstats_dir = index_dir / "docstats"
+    docs_dir = index_dir / "docs"
+    postings_dir = index_dir / generation
+
+    # ---------- phase A: analyze ----------
+    if not manifest.phase_complete("analyze"):
+        t0 = time.perf_counter()
+        columns = [text_column] if text_column else []
+        if html_column:
+            columns.append(html_column)
+        if doc_id_column:
+            columns.append(doc_id_column)
+        if url_column and (doc_id_column is None or store_docs):
+            columns.append(url_column)
+        columns = list(dict.fromkeys(columns))
+        ds = rd.read_parquet(corpus_path, columns=columns)
+
+        # actor pool: term-mapper state (stemmer memo / dictionaries) built
+        # once per actor in __init__, not per batch (SURVEY.md §2.3 T1/T4)
+        analyzed = ds.map_batches(
+            AnalyzeStage,
+            fn_constructor_kwargs=dict(
+                mode=analyzer_mode,
+                positional=positional,
+                text_column=text_column,
+                html_column=html_column,
+                doc_id_column=doc_id_column,
+                doc_id_mode=doc_id_mode,
+                url_column=url_column,
+                validate_extraction=validate_extraction,
+            ),
+            batch_format="pyarrow",
+            batch_size=analyze_batch_size,
+            concurrency=analyze_concurrency if analyze_concurrency else (1, 8),
+        )
+        _write_parquet_atomic(analyzed, analyzed_dir)
+
+        # doc store (url/text for fetch joins) — separate pruned pass so the
+        # analyzed table stays narrow
+        if store_docs:
+            doc_cols = [c for c in {url_column, text_column, doc_id_column} if c]
+            docs_ds = rd.read_parquet(corpus_path, columns=list(doc_cols))
+
+            def _with_ids(batch: pa.Table) -> pa.Table:
+                if doc_id_column:
+                    ids = batch[doc_id_column].cast(pa.uint64())
+                    batch = batch.drop_columns([doc_id_column])
+                else:
+                    from ..stages.tokenize import doc_ids_from_urls
+
+                    ids = pa.array(
+                        doc_ids_from_urls(batch[url_column].to_pylist(), doc_id_mode),
+                        pa.uint64(),
+                    )
+                return batch.append_column("doc_id", ids)
+
+            _write_parquet_atomic(
+                docs_ds.map_batches(_with_ids, batch_format="pyarrow"), docs_dir
+            )
+
+        # docstats + global stats from the (narrow) analyzed output
+        stats_ds = rd.read_parquet(str(analyzed_dir), columns=["doc_id", "dl"])
+        _write_parquet_atomic(stats_ds, docstats_dir)
+        stats_tbl = pq.read_table(str(docstats_dir), columns=["dl"])
+        n_docs = stats_tbl.num_rows
+        total_tokens = int(pa.compute.sum(stats_tbl["dl"]).as_py() or 0)
+        manifest.n_docs = n_docs
+        manifest.total_tokens = total_tokens
+        manifest.avgdl = (total_tokens / n_docs) if n_docs else 0.0
+        manifest.record_phase(
+            "analyze", n_docs=n_docs, total_tokens=total_tokens,
+            seconds=time.perf_counter() - t0,
+        )
+        manifest.save(index_dir)
+
+    # ---------- phase B: postings shuffle ----------
+    if not manifest.phase_complete(generation):
+        t0 = time.perf_counter()
+        postings_dir.mkdir(parents=True, exist_ok=True)
+        analyzed_ds = rd.read_parquet(str(analyzed_dir))
+        exploded = analyzed_ds.map_batches(
+            lambda b: explode_batch(b, manifest.num_shards, manifest.positional),
+            batch_format="pyarrow",
+        )
+        writer = PostingShardWriter(
+            str(postings_dir),
+            block_size=manifest.block_size,
+            avgdl=manifest.avgdl or 1.0,
+            k1=manifest.bm25_k1,
+            b=manifest.bm25_b,
+            positional=manifest.positional,
+            resume=resume,
+        )
+        def write_shard(group: pa.Table) -> pa.Table:
+            return writer(group)
+
+        lineage = exploded.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
+        rows = lineage.take_all()  # small: one row per shard
+        manifest.record_phase(
+            generation,
+            seconds=time.perf_counter() - t0,
+            shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
+        )
+        manifest.save(index_dir)
+
+    return manifest
+
+
+def _write_parquet_atomic(ds, out_dir: Path) -> None:
+    """Write a Dataset to a directory atomically (tmp + rename) so phase
+    completion is all-or-nothing."""
+    import shutil
+
+    out_dir = Path(out_dir)
+    tmp = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    ds.write_parquet(str(tmp))
+    tmp.rename(out_dir)
+
+
+def dump_postings(index_dir: str | Path, generation: str = "postings") -> dict:
+    """Structural dump oracle (reference test pattern: whole-segment maps,
+    ``InvertedIndexManager.getIndexSegment``/``getIndexSegmentPositional``,
+    ``InvertedIndexManager.java:725-746, 271-295``): returns
+    ``{term: [(doc_id, tf, positions|None), ...]}`` across all shards."""
+    import numpy as np
+
+    from ..codec import varbyte_decode
+    from ..stages.postings import grouped_delta_decode
+
+    out: dict[str, list] = {}
+    pdir = Path(index_dir) / generation
+    for f in sorted(pdir.glob("shard=*.parquet")):
+        t = pq.read_table(f)
+        for row in t.to_pylist():
+            ids = np.cumsum(varbyte_decode(row["doc_ids"]))
+            tfs = varbyte_decode(row["tfs"])
+            if row["positions"] is not None:
+                pos_all = grouped_delta_decode(row["positions"], tfs)
+                bounds = np.cumsum(tfs)
+                pos_lists = [
+                    pos_all[e - c : e].tolist() for e, c in zip(bounds, tfs)
+                ]
+            else:
+                pos_lists = [None] * len(ids)
+            out.setdefault(row["term"], []).extend(
+                (int(d), int(tf), p) for d, tf, p in zip(ids, tfs, pos_lists)
+            )
+    for term in out:
+        out[term].sort(key=lambda x: x[0])
+    return out

@@ -1,0 +1,23 @@
+"""Ray Data stages: analyze (actor pool), explode, posting-shard reduce."""
+
+from .postings import (
+    POSTINGS_SCHEMA,
+    PostingShardWriter,
+    build_shard_blocks,
+    explode_batch,
+    grouped_delta_decode,
+    term_shard,
+)
+from .tokenize import AnalyzeStage, WordBreakStage, doc_ids_from_urls
+
+__all__ = [
+    "AnalyzeStage",
+    "WordBreakStage",
+    "doc_ids_from_urls",
+    "explode_batch",
+    "build_shard_blocks",
+    "PostingShardWriter",
+    "POSTINGS_SCHEMA",
+    "grouped_delta_decode",
+    "term_shard",
+]

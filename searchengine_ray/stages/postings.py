@@ -1,0 +1,263 @@
+"""Postings construction: explode per-doc term vectors into posting rows and
+reduce each hash shard into sorted, delta+varbyte-compressed posting blocks
+with block-max metadata.
+
+This is the Ray-native replacement for the reference's in-memory
+``TreeMap`` accumulation + LSM flush/merge machinery
+(``InvertedIndex.java:1129-1143`` accumulate, ``:816-975`` flush,
+``:567-626`` merge): the ``groupby(shard)`` shuffle IS the accumulation and
+the merge (SURVEY.md §3.1 "Ray-native restructuring").
+
+Layout per shard (``postings/shard=NNNNN.parquet``), one row per posting
+block (head terms split into blocks of ``block_size`` docs — explicit skew
+handling, north_rule):
+
+    term:string, block_id:int32, df:int64, n:int32,
+    doc_id_min:uint64, doc_id_max:uint64,
+    doc_ids:binary (delta+varbyte), tfs:binary (varbyte),
+    dls:binary (varbyte, per-doc analyzed lengths for BM25),
+    block_max_tf:int32, block_max_w:float64 (exact BM25 tf/dl partial
+    upper bound for block-max WAND),
+    positions:binary|null (per-doc delta chains, concatenated;
+    boundaries recoverable from tfs).
+"""
+
+from __future__ import annotations
+
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codec import varbyte_decode, varbyte_encode
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("block_id", pa.int32()),
+        ("df", pa.int64()),
+        ("n", pa.int32()),
+        ("doc_id_min", pa.uint64()),
+        ("doc_id_max", pa.uint64()),
+        ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("block_max_tf", pa.int32()),
+        ("block_max_w", pa.float64()),
+        ("positions", pa.binary()),
+    ]
+)
+
+
+def term_shard(terms: np.ndarray, num_shards: int) -> np.ndarray:
+    """Stable term → shard hash (crc32; independent of Python hash seed)."""
+    return np.fromiter(
+        (zlib.crc32(t.encode()) % num_shards for t in terms),
+        dtype=np.int32,
+        count=len(terms),
+    )
+
+
+def explode_batch(batch: pa.Table, num_shards: int, positional: bool) -> pa.Table:
+    """Per-doc term vectors → posting rows (shard, term, doc_id, tf, dl
+    [, positions])."""
+    terms_col = batch["terms"].combine_chunks()
+    runs_per_doc = terms_col.value_lengths().to_numpy(zero_copy_only=False)
+    terms_flat = terms_col.flatten()
+    tfs_flat = batch["tfs"].combine_chunks().flatten()
+    doc_rep = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), runs_per_doc)
+    dl_rep = np.repeat(batch["dl"].to_numpy(zero_copy_only=False), runs_per_doc)
+
+    # shard per unique term only (vocab << postings)
+    import pandas as pd
+
+    tcodes, tuniq = pd.factorize(terms_flat.to_numpy(zero_copy_only=False))
+    shard_uniq = term_shard(np.asarray(tuniq, dtype=object), num_shards)
+    shards = shard_uniq[tcodes] if len(tcodes) else np.empty(0, np.int32)
+
+    cols = {
+        "shard": pa.array(shards, pa.int32()),
+        "term": terms_flat,
+        "doc_id": pa.array(doc_rep, pa.uint64()),
+        "tf": tfs_flat,
+        "dl": pa.array(dl_rep, pa.int32()),
+    }
+    if positional and "positions" in batch.column_names:
+        cols["positions"] = batch["positions"].combine_chunks().flatten()
+    return pa.table(cols)
+
+
+def _delta_encode_grouped(values: np.ndarray, starts_mask: np.ndarray) -> np.ndarray:
+    """Delta encode with the chain restarting where ``starts_mask`` is True."""
+    d = values.astype(np.int64).copy()
+    d[1:] -= values[:-1]
+    d[starts_mask] = values[starts_mask]
+    return d
+
+
+def grouped_delta_decode(stream: bytes | np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Decode concatenated per-group delta chains (counts = group sizes)."""
+    vals = varbyte_decode(stream)
+    if len(vals) == 0:
+        return vals
+    acc = np.cumsum(vals)
+    starts = np.cumsum(counts) - counts
+    base = acc[starts] - vals[starts]
+    return acc - np.repeat(base, counts)
+
+
+def build_shard_blocks(
+    group: pa.Table,
+    *,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    positional: bool,
+) -> pa.Table:
+    """Reduce one shard's posting rows into encoded posting-block rows."""
+    order_tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    terms = order_tbl["term"].combine_chunks()
+    doc_ids = order_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = order_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = order_tbl["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if positional:
+        pos_col = order_tbl["positions"].combine_chunks()
+        pos_values = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_counts = pos_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_offsets = np.cumsum(pos_counts) - pos_counts
+    n_rows = len(doc_ids)
+
+    # term run boundaries (terms sorted)
+    import pandas as pd
+
+    tcodes, tuniq = pd.factorize(terms.to_numpy(zero_copy_only=False))
+    if n_rows:
+        new_term = np.empty(n_rows, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = tcodes[1:] != tcodes[:-1]
+        term_starts = np.flatnonzero(new_term)
+        term_lens = np.diff(np.append(term_starts, n_rows))
+    else:
+        term_starts = np.empty(0, np.int64)
+        term_lens = np.empty(0, np.int64)
+
+    # BM25 partial weight per posting (exact; idf applied at query time)
+    w = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+
+    out = {name: [] for name in POSTINGS_SCHEMA.names}
+    for t_idx, (t0, tl) in enumerate(zip(term_starts, term_lens)):
+        term_str = tuniq[tcodes[t0]]
+        df = int(tl)
+        n_blocks = (df + block_size - 1) // block_size
+        for blk in range(n_blocks):
+            lo = t0 + blk * block_size
+            hi = min(t0 + (blk + 1) * block_size, t0 + tl)
+            ids = doc_ids[lo:hi]
+            btfs = tfs[lo:hi]
+            bdls = dls[lo:hi]
+            out["term"].append(term_str)
+            out["block_id"].append(blk)
+            out["df"].append(df)
+            out["n"].append(hi - lo)
+            out["doc_id_min"].append(int(ids[0]))
+            out["doc_id_max"].append(int(ids[-1]))
+            out["doc_ids"].append(varbyte_encode(_delta(ids)))
+            out["tfs"].append(varbyte_encode(btfs))
+            out["dls"].append(varbyte_encode(bdls))
+            out["block_max_tf"].append(int(btfs.max()))
+            out["block_max_w"].append(float(w[lo:hi].max()))
+            if positional:
+                sel_counts = pos_counts[lo:hi]
+                idx = _gather_ranges(pos_offsets[lo:hi], sel_counts)
+                pvals = pos_values[idx]
+                starts_mask = np.zeros(len(pvals), dtype=bool)
+                starts_mask[np.cumsum(sel_counts) - sel_counts] = True
+                out["positions"].append(varbyte_encode(_delta_encode_grouped(pvals, starts_mask)))
+            else:
+                out["positions"].append(None)
+    return pa.table(
+        {name: pa.array(out[name], POSTINGS_SCHEMA.field(name).type) for name in POSTINGS_SCHEMA.names}
+    )
+
+
+def _delta(sorted_vals: np.ndarray) -> np.ndarray:
+    d = sorted_vals.copy()
+    d[1:] -= sorted_vals[:-1]
+    return d
+
+
+def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Indices covering [starts[i], starts[i]+counts[i]) concatenated."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep_starts = np.repeat(starts, counts)
+    ends = np.cumsum(counts)
+    within = np.arange(total) - np.repeat(ends - counts, counts)
+    return rep_starts + within
+
+
+class PostingShardWriter:
+    """``groupby("shard").map_groups`` reducer: writes one shard file
+    atomically and returns a lineage row (per-partition checkpoint unit —
+    a rerun skips shards whose file already exists)."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        block_size: int,
+        avgdl: float,
+        k1: float,
+        b: float,
+        positional: bool,
+        resume: bool = True,
+    ):
+        self.out_dir = Path(out_dir)
+        self.block_size = block_size
+        self.avgdl = avgdl
+        self.k1 = k1
+        self.b = b
+        self.positional = positional
+        self.resume = resume
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import time
+
+        t0 = time.perf_counter()
+        shard = int(group["shard"][0].as_py())
+        path = self.out_dir / f"shard={shard:05d}.parquet"
+        if self.resume and path.exists():
+            meta = pq.read_metadata(path)
+            return _lineage_row(shard, meta.num_rows, 0, path.stat().st_size, 0.0, True)
+        blocks = build_shard_blocks(
+            group,
+            block_size=self.block_size,
+            avgdl=self.avgdl,
+            k1=self.k1,
+            b=self.b,
+            positional=self.positional,
+        )
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(blocks, tmp)
+        tmp.rename(path)
+        return _lineage_row(
+            shard, blocks.num_rows, group.num_rows, path.stat().st_size,
+            time.perf_counter() - t0, False,
+        )
+
+
+def _lineage_row(shard, n_blocks, n_postings, nbytes, secs, skipped) -> pa.Table:
+    return pa.table(
+        {
+            "shard": pa.array([shard], pa.int32()),
+            "n_blocks": pa.array([n_blocks], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "bytes": pa.array([nbytes], pa.int64()),
+            "seconds": pa.array([secs], pa.float64()),
+            "skipped": pa.array([skipped], pa.bool_()),
+        }
+    )

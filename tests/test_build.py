@@ -1,0 +1,164 @@
+"""Index-build tests: structural dump vs a brute-force oracle (reference
+test pattern #2, SURVEY.md §5), flush/doc-id goldens (Team18FlushTest),
+determinism, resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray.analysis import default_analyzer
+from searchengine_ray.build import IndexManifest, build_index, dump_postings
+from searchengine_ray.sources import generate_corpus
+
+
+def oracle_postings(docs: dict[int, str], analyzer=None) -> dict:
+    """Brute-force positional postings: {term: [(doc_id, tf, positions)]}"""
+    analyzer = analyzer or default_analyzer()
+    out: dict[str, dict[int, list[int]]] = {}
+    for doc_id in sorted(docs):
+        for pos, term in enumerate(analyzer.analyze(docs[doc_id])):
+            out.setdefault(term, {}).setdefault(doc_id, []).append(pos)
+    return {
+        t: [(d, len(ps), ps) for d, ps in sorted(m.items())] for t, m in out.items()
+    }
+
+
+def write_docs_parquet(path, docs: dict[int, str]):
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array([f"https://x/{i}.html" for i in ids], pa.string()),
+                "text": pa.array([docs[i] for i in ids], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    docs = {
+        0: "cat Dog cat bird. the cat;",
+        1: "dog fish! cow cow cow cow",
+        2: "bird bird cat? summer pizza house",
+        3: "pizza house is closed now, open in summer",
+        4: "",
+        5: "running runs ran runner",
+    }
+    write_docs_parquet(d / "docs.parquet", docs)
+    return d, docs
+
+
+class TestBuildStructure:
+    def test_postings_match_oracle(self, ray_session, small_corpus, tmp_path):
+        corpus, docs = small_corpus
+        idx = tmp_path / "idx"
+        m = build_index(
+            str(corpus / "docs.parquet"), idx,
+            doc_id_column="doc_id", num_shards=4, block_size=3,
+        )
+        assert m.n_docs == 6
+        dump = dump_postings(idx)
+        oracle = oracle_postings(docs)
+        assert set(dump) == set(oracle)
+        for term in oracle:
+            assert dump[term] == oracle[term], term
+
+    def test_flush_golden_doc_ids(self, ray_session, tmp_path):
+        # golden: Team18FlushTest.java:27-56 — docs "kitten, bunny" / "bunny"
+        # → postings {stem(kitten):[0], stem(bunny):[0,1]}
+        corpus = tmp_path / "c"
+        corpus.mkdir()
+        docs = {0: "kitten, bunny", 1: "bunny"}
+        write_docs_parquet(corpus / "d.parquet", docs)
+        idx = tmp_path / "idx"
+        build_index(str(corpus / "d.parquet"), idx, doc_id_column="doc_id", num_shards=2)
+        dump = dump_postings(idx)
+        ana = default_analyzer()
+        kitten, bunny = ana.analyze("kitten")[0], ana.analyze("bunny")[0]
+        assert [d for d, _, _ in dump[kitten]] == [0]
+        assert [d for d, _, _ in dump[bunny]] == [0, 1]
+
+    def test_block_splitting_and_blockmax(self, ray_session, tmp_path):
+        corpus = tmp_path / "c"
+        corpus.mkdir()
+        docs = {i: "spam " * (i + 1) for i in range(10)}  # df=10, tf=i+1
+        write_docs_parquet(corpus / "d.parquet", docs)
+        idx = tmp_path / "idx"
+        build_index(
+            str(corpus / "d.parquet"), idx,
+            doc_id_column="doc_id", num_shards=1, block_size=4,
+        )
+        rows = pq.read_table(str(idx / "postings")).to_pylist()
+        spam_rows = sorted([r for r in rows if r["term"] == "spam"], key=lambda r: r["block_id"])
+        assert [r["block_id"] for r in spam_rows] == [0, 1, 2]
+        assert [r["n"] for r in spam_rows] == [4, 4, 2]
+        assert all(r["df"] == 10 for r in spam_rows)
+        assert spam_rows[0]["block_max_tf"] == 4
+        assert spam_rows[2]["block_max_tf"] == 10
+        assert spam_rows[0]["doc_id_min"] == 0 and spam_rows[0]["doc_id_max"] == 3
+        # block_max_w increases with tf here (same dl growth keeps it monotone)
+        ws = [r["block_max_w"] for r in spam_rows]
+        assert ws == sorted(ws)
+
+    def test_manifest_stats(self, ray_session, small_corpus, tmp_path):
+        corpus, docs = small_corpus
+        idx = tmp_path / "idx2"
+        m = build_index(str(corpus / "docs.parquet"), idx, doc_id_column="doc_id")
+        ana = default_analyzer()
+        total = sum(len(ana.analyze(t)) for t in docs.values())
+        assert m.total_tokens == total
+        assert m.avgdl == pytest.approx(total / len(docs))
+        m2 = IndexManifest.load(idx)
+        assert m2.n_docs == m.n_docs
+        assert m2.phase_complete("analyze") and m2.phase_complete("postings")
+
+    def test_resume_skips_completed(self, ray_session, small_corpus, tmp_path):
+        corpus, _ = small_corpus
+        idx = tmp_path / "idx3"
+        build_index(str(corpus / "docs.parquet"), idx, doc_id_column="doc_id")
+        before = {p.name: p.stat().st_mtime_ns for p in (idx / "postings").glob("*.parquet")}
+        m = build_index(str(corpus / "docs.parquet"), idx, doc_id_column="doc_id")
+        after = {p.name: p.stat().st_mtime_ns for p in (idx / "postings").glob("*.parquet")}
+        assert before == after  # phase checkpoints skipped everything
+        assert m.phase_complete("postings")
+
+    def test_docstats_and_docstore(self, ray_session, small_corpus, tmp_path):
+        corpus, docs = small_corpus
+        idx = tmp_path / "idx4"
+        build_index(str(corpus / "docs.parquet"), idx, doc_id_column="doc_id")
+        stats = pq.read_table(str(idx / "docstats")).to_pylist()
+        ana = default_analyzer()
+        expect = {i: len(ana.analyze(t)) for i, t in docs.items()}
+        assert {r["doc_id"]: r["dl"] for r in stats} == expect
+        store = pq.read_table(str(idx / "docs")).to_pylist()
+        assert {r["doc_id"]: r["text"] for r in store} == docs
+
+
+class TestBuildOnSyntheticCorpus:
+    def test_end_to_end_webpages(self, ray_session, tmp_path):
+        corpus = generate_corpus(tmp_path / "web", n_docs=300)
+        idx = tmp_path / "webidx"
+        m = build_index(
+            str(corpus), idx,
+            html_column="html", validate_extraction=True,
+            doc_id_mode="url_index", num_shards=8,
+        )
+        assert m.n_docs == 300
+        dump = dump_postings(idx)
+        # oracle over the corpus texts
+        tbl = pq.read_table(str(corpus), columns=["url", "text"])
+        docs = {
+            int(u.rsplit("/", 1)[1].split(".")[0]): t
+            for u, t in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist())
+        }
+        oracle = oracle_postings(docs)
+        assert set(dump) == set(oracle)
+        for term in list(oracle):
+            assert dump[term] == oracle[term], term
