@@ -1,0 +1,6 @@
+"""Query engine (boolean / phrase / TF-IDF / BM25+WAND) and oracle."""
+
+from .engine import QueryEngineStage, SearchEngine, TermPostings
+from .oracle import FullScanOracle
+
+__all__ = ["SearchEngine", "QueryEngineStage", "TermPostings", "FullScanOracle"]

@@ -1,0 +1,491 @@
+"""Query engine over the posting-shard index.
+
+Implements the reference's query surface (``InvertedIndexManager.java``):
+
+- keyword / boolean AND / boolean OR (``:476-546``; dedup keywords, analyze
+  with the index's chain, per-term posting intersection/union,
+  ``InvertedIndex.java:1208-1259``),
+- phrase search over positions (``InvertedIndex.java:1261-1345`` —
+  consecutive positions p, p+1, …, p+k),
+- TF-IDF cosine top-k with the reference's exact formula
+  (``idf = log10(N/df + 1)`` with the ``+1`` OUTSIDE the division,
+  ``InvertedIndexManager.java:607-611``; per-doc score =
+  ``dot/sqrt(len)``, ``InvertedIndex.java:1052-1085``; ``topK=None`` →
+  all matches, ``topK=0`` → empty, ``:602-606``),
+- BM25 (k1=1.2, b=0.75, ``idf = ln((N-df+0.5)/(df+0.5)+1)``) top-k, both
+  exhaustive and block-max WAND pruned (north_rule),
+- delete-by-keyword tombstones filtered from every search
+  (``InvertedIndexManager.java:677-715``).
+
+Determinism spec (SURVEY.md §7.4): scores accumulate in ascending doc_id
+order; ties order by (-score, doc_id). Global stats (N, df, avgdl) come
+from the build manifest — no per-query pass over segments.
+
+Reads prune aggressively: a term lookup touches only the term's hash
+shard file, filtered on ``term`` (Parquet row-group pruning via the
+sorted term column). Decoded term postings are LRU-cached (reference
+cache pattern: ``InvertedIndex.java:25-97``).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..analysis.batch import TermMapper, analyze_texts_rowwise
+from ..build.manifest import IndexManifest
+from ..codec import varbyte_decode
+from ..stages.postings import grouped_delta_decode, term_shard
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    doc_ids: np.ndarray  # int64, sorted ascending (concatenated blocks)
+    tfs: np.ndarray
+    dls: np.ndarray
+    block_bounds: np.ndarray  # prefix offsets per block into doc_ids
+    block_max_w: np.ndarray  # float64 per block
+    block_doc_max: np.ndarray  # int64 per block (doc_id_max)
+    positions_enc: list[bytes | None]  # per block
+
+    def positions_for(self, idx: int) -> np.ndarray:
+        """Positions of the posting at global index ``idx``."""
+        blk = int(np.searchsorted(self.block_bounds, idx, side="right") - 1)
+        lo = int(self.block_bounds[blk])
+        hi = int(self.block_bounds[blk + 1])
+        enc = self.positions_enc[blk]
+        if enc is None:
+            raise ValueError("index built without positions (positional=False)")
+        counts = self.tfs[lo:hi]
+        pos_all = grouped_delta_decode(enc, counts)
+        ends = np.cumsum(counts)
+        k = idx - lo
+        return pos_all[ends[k] - counts[k] : ends[k]]
+
+
+class SearchEngine:
+    """Driver-side (or per-actor) query engine over one index directory."""
+
+    def __init__(self, index_dir: str | Path, cache_terms: int = 50_000, generation: str = "postings"):
+        self.index_dir = Path(index_dir)
+        self.manifest = IndexManifest.load(self.index_dir)
+        self.mapper = TermMapper(self.manifest.analyzer_mode)
+        self.postings_dir = self.index_dir / generation
+        self._cache: OrderedDict[str, TermPostings | None] = OrderedDict()
+        self._cache_cap = cache_terms
+        self._tombstones = np.array(sorted(self.manifest.tombstones), dtype=np.int64)
+
+    # ---------- analysis ----------
+
+    def analyze(self, text: str) -> list[str]:
+        return analyze_texts_rowwise(text, self.mapper)
+
+    def _analyze_keywords(self, keywords: list[str], dedup: bool) -> list[str]:
+        """Reference: dedup raw keywords (HashSet), join with spaces,
+        analyze (``InvertedIndexManager.java:490-495``)."""
+        kws = list(dict.fromkeys(keywords)) if dedup else list(keywords)
+        return self.analyze(" ".join(kws))
+
+    # ---------- posting access ----------
+
+    def num_docs(self) -> int:
+        return self.manifest.n_docs
+
+    def doc_frequency(self, term: str) -> int:
+        p = self._term(term)
+        return p.df if p is not None else 0
+
+    def _term(self, term: str) -> TermPostings | None:
+        if term in self._cache:
+            self._cache.move_to_end(term)
+            return self._cache[term]
+        result = self._load_terms([term]).get(term)
+        self._put_cache(term, result)
+        return result
+
+    def _put_cache(self, term: str, val: TermPostings | None) -> None:
+        self._cache[term] = val
+        if len(self._cache) > self._cache_cap:
+            self._cache.popitem(last=False)
+
+    def _lookup(self, terms: list[str]) -> dict[str, TermPostings]:
+        missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
+        if missing:
+            loaded = self._load_terms(missing)
+            for t in missing:
+                self._put_cache(t, loaded.get(t))
+        return {t: self._cache[t] for t in dict.fromkeys(terms) if self._cache.get(t) is not None}
+
+    def _load_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        by_shard: dict[int, list[str]] = {}
+        shards = term_shard(np.asarray(terms, dtype=object), self.manifest.num_shards)
+        for t, s in zip(terms, shards):
+            by_shard.setdefault(int(s), []).append(t)
+        out: dict[str, TermPostings] = {}
+        for shard, ts in by_shard.items():
+            path = self.postings_dir / f"shard={shard:05d}.parquet"
+            if not path.exists():
+                continue
+            tbl = pq.read_table(
+                path,
+                filters=pc.field("term").isin(ts),
+            )
+            if tbl.num_rows == 0:
+                continue
+            for t in ts:
+                rows = tbl.filter(pc.equal(tbl["term"], t))
+                if rows.num_rows == 0:
+                    continue
+                rows = rows.sort_by([("block_id", "ascending")])
+                ids_parts, tf_parts, dl_parts = [], [], []
+                bounds = [0]
+                for r in range(rows.num_rows):
+                    ids_parts.append(np.cumsum(varbyte_decode(rows["doc_ids"][r].as_py())))
+                    tf_parts.append(varbyte_decode(rows["tfs"][r].as_py()))
+                    dl_parts.append(varbyte_decode(rows["dls"][r].as_py()))
+                    bounds.append(bounds[-1] + len(ids_parts[-1]))
+                out[t] = TermPostings(
+                    term=t,
+                    df=int(rows["df"][0].as_py()),
+                    doc_ids=np.concatenate(ids_parts),
+                    tfs=np.concatenate(tf_parts),
+                    dls=np.concatenate(dl_parts),
+                    block_bounds=np.asarray(bounds, dtype=np.int64),
+                    block_max_w=rows["block_max_w"].to_numpy(zero_copy_only=False),
+                    block_doc_max=rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    positions_enc=rows["positions"].to_pylist(),
+                )
+        return out
+
+    def _remove_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
+        if len(self._tombstones) == 0 or len(doc_ids) == 0:
+            return doc_ids
+        return doc_ids[~np.isin(doc_ids, self._tombstones, assume_unique=False)]
+
+    # ---------- boolean search ----------
+
+    def search_keyword(self, keyword: str) -> np.ndarray:
+        """Single-keyword search (reference ``searchQuery(String)`` → AND of
+        its analyzed tokens)."""
+        return self.search_and([keyword])
+
+    def search_and(self, keywords: list[str]) -> np.ndarray:
+        tokens = self._analyze_keywords(keywords, dedup=True)
+        if not tokens:
+            return np.empty(0, dtype=np.int64)
+        posts = self._lookup(tokens)
+        if len(posts) < len(set(tokens)):
+            return np.empty(0, dtype=np.int64)  # a term with no postings
+        acc: np.ndarray | None = None
+        for t in dict.fromkeys(tokens):
+            ids = posts[t].doc_ids
+            acc = ids if acc is None else acc[np.isin(acc, ids, assume_unique=True)]
+            if len(acc) == 0:
+                break
+        return self._remove_tombstones(acc)
+
+    def search_or(self, keywords: list[str]) -> np.ndarray:
+        tokens = self._analyze_keywords(keywords, dedup=True)
+        if not tokens:
+            return np.empty(0, dtype=np.int64)
+        posts = self._lookup(tokens)
+        if not posts:
+            return np.empty(0, dtype=np.int64)
+        acc = np.unique(np.concatenate([p.doc_ids for p in posts.values()]))
+        return self._remove_tombstones(acc)
+
+    # ---------- phrase search ----------
+
+    def search_phrase(self, phrase: str | list[str]) -> np.ndarray:
+        """Docs containing the analyzed tokens at consecutive positions
+        (reference ``InvertedIndex.searchPhrase``; requires positional
+        index, ``InvertedIndexManager.java:233-259``)."""
+        if not self.manifest.positional:
+            raise RuntimeError("phrase search requires a positional index")
+        text = phrase if isinstance(phrase, str) else " ".join(phrase)
+        tokens = self.analyze(text)
+        if not tokens:
+            return np.empty(0, dtype=np.int64)
+        posts = self._lookup(tokens)
+        if len(posts) < len(set(tokens)):
+            return np.empty(0, dtype=np.int64)
+        # candidates: docs containing every token
+        cand: np.ndarray | None = None
+        for t in dict.fromkeys(tokens):
+            ids = posts[t].doc_ids
+            cand = ids if cand is None else cand[np.isin(cand, ids, assume_unique=True)]
+        cand = self._remove_tombstones(cand)
+        hits = []
+        for doc in cand:
+            base: np.ndarray | None = None
+            for j, t in enumerate(tokens):
+                p = posts[t]
+                idx = int(np.searchsorted(p.doc_ids, doc))
+                pos = p.positions_for(idx) - j
+                base = pos if base is None else base[np.isin(base, pos, assume_unique=True)]
+                if len(base) == 0:
+                    break
+            if base is not None and len(base) > 0:
+                hits.append(doc)
+        return np.asarray(hits, dtype=np.int64)
+
+    # ---------- TF-IDF (reference formula) ----------
+
+    def search_tfidf(self, keywords: list[str], topk: int | None) -> list[tuple[int, float]]:
+        """Reference ``searchTfIdf`` (``InvertedIndexManager.java:578-645``):
+        cosine against an un-normalized query tf-idf vector. Returns
+        (doc_id, score) sorted by (-score, doc_id)."""
+        tokens = self.analyze(" ".join(keywords))
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        n = self.num_docs()
+        # global idf; terms absent everywhere are skipped in scoring
+        idf = {
+            t: math.log10(n / posts[t].df + 1) for t in posts
+        }
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        dot: dict[int, float] = {}
+        length: dict[int, float] = {}
+        for t in dict.fromkeys(tokens):
+            p = posts.get(t)
+            if p is None:
+                continue
+            w_q = qtf[t] * idf[t]
+            tfidf = p.tfs * idf[t]
+            contrib = tfidf * w_q
+            sq = tfidf * tfidf
+            for doc, c, s in zip(p.doc_ids.tolist(), contrib.tolist(), sq.tolist()):
+                dot[doc] = dot.get(doc, 0.0) + c
+                length[doc] = length.get(doc, 0.0) + s
+        scores = [
+            (doc, dot[doc] / math.sqrt(length[doc]))
+            for doc in sorted(length)
+            if length[doc] > 0 and not self._is_tombstone(doc)
+        ]
+        scores.sort(key=lambda x: (-x[1], x[0]))
+        return scores if topk is None else scores[:topk]
+
+    def _is_tombstone(self, doc: int) -> bool:
+        if len(self._tombstones) == 0:
+            return False
+        i = int(np.searchsorted(self._tombstones, doc))
+        return i < len(self._tombstones) and self._tombstones[i] == doc
+
+    # ---------- BM25 ----------
+
+    def bm25_idf(self, df: int) -> float:
+        n = self.num_docs()
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def search_bm25(
+        self, query: str | list[str], topk: int | None = 10, method: str = "wand"
+    ) -> list[tuple[int, float]]:
+        """BM25 top-k (k1/b from the manifest). ``method``: "wand" =
+        block-max WAND pruning; "exhaustive" = score every candidate.
+        Identical results by construction (verified in tests)."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        if not posts:
+            return []
+        if topk is None or method == "exhaustive":
+            return self._bm25_exhaustive(tokens, posts, topk)
+        return self._bm25_wand(tokens, posts, topk)
+
+    def _bm25_weights(self, posts: dict[str, TermPostings], qtf: dict[str, int]):
+        k1, b = self.manifest.bm25_k1, self.manifest.bm25_b
+        avgdl = self.manifest.avgdl or 1.0
+        out = {}
+        for t, p in posts.items():
+            idf = self.bm25_idf(p.df)
+            w = p.tfs / (p.tfs + k1 * (1.0 - b + b * p.dls / avgdl))
+            out[t] = (k1 + 1.0) * idf * w * qtf.get(t, 1)
+        return out
+
+    def _bm25_exhaustive(self, tokens, posts, topk):
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        weights = self._bm25_weights(posts, qtf)
+        scores: dict[int, float] = {}
+        for t in dict.fromkeys(tokens):
+            if t not in posts:
+                continue
+            p = posts[t]
+            w = weights[t]
+            for doc, s in zip(p.doc_ids.tolist(), w.tolist()):
+                scores[doc] = scores.get(doc, 0.0) + s
+        items = [
+            (doc, s) for doc, s in scores.items() if not self._is_tombstone(doc)
+        ]
+        items.sort(key=lambda x: (-x[1], x[0]))
+        return items if topk is None else items[:topk]
+
+    def _bm25_wand(self, tokens, posts, topk):
+        """Block-max WAND over the per-term block metadata.
+
+        Upper bound per (term, block): ``(k1+1)·idf·qtf·block_max_w`` where
+        ``block_max_w`` is the exact max of the tf/dl partial stored at
+        build time. Standard pivot-based WAND with per-block skipping."""
+        import heapq
+
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        k1 = self.manifest.bm25_k1
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        weights = self._bm25_weights(posts, qtf)
+        # per-term cursors
+        cur = {t: 0 for t in terms}  # index into posting arrays
+        n_post = {t: len(posts[t].doc_ids) for t in terms}
+        ub_term = {
+            t: float((k1 + 1.0) * self.bm25_idf(posts[t].df) * qtf[t] * posts[t].block_max_w.max())
+            for t in terms
+        }
+        heap: list[tuple[float, int]] = []  # min-heap of (score, doc)
+        theta = float("-inf")
+
+        def block_ub(t: str, idx: int) -> float:
+            p = posts[t]
+            blk = int(np.searchsorted(p.block_bounds, idx, side="right") - 1)
+            return float((k1 + 1.0) * self.bm25_idf(p.df) * qtf[t] * p.block_max_w[blk])
+
+        while True:
+            live = [t for t in terms if cur[t] < n_post[t]]
+            if not live:
+                break
+            live.sort(key=lambda t: posts[t].doc_ids[cur[t]])
+            # find pivot: smallest prefix whose ub sum exceeds theta
+            acc = 0.0
+            pivot_i = -1
+            for i, t in enumerate(live):
+                acc += ub_term[t]
+                if acc > theta or len(heap) < topk:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break
+            pivot_doc = int(posts[live[pivot_i]].doc_ids[cur[live[pivot_i]]])
+            first_doc = int(posts[live[0]].doc_ids[cur[live[0]]])
+            if first_doc == pivot_doc:
+                # refine with block maxima before full evaluation
+                bub = sum(
+                    block_ub(t, cur[t])
+                    for t in live
+                    if posts[t].doc_ids[cur[t]] == pivot_doc
+                )
+                score = 0.0
+                if len(heap) < topk or bub > theta:
+                    for t in live:
+                        i = cur[t]
+                        if i < n_post[t] and posts[t].doc_ids[i] == pivot_doc:
+                            score += float(weights[t][i])
+                if not self._is_tombstone(pivot_doc) and score > 0.0:
+                    if len(heap) < topk:
+                        heapq.heappush(heap, (score, -pivot_doc))
+                    elif (score, -pivot_doc) > heap[0]:
+                        heapq.heapreplace(heap, (score, -pivot_doc))
+                    if len(heap) == topk:
+                        theta = heap[0][0]
+                for t in live:
+                    i = cur[t]
+                    if i < n_post[t] and posts[t].doc_ids[i] == pivot_doc:
+                        cur[t] = i + 1
+            else:
+                # advance all lists before the pivot up to pivot_doc
+                for t in live[:pivot_i]:
+                    p = posts[t]
+                    cur[t] = int(np.searchsorted(p.doc_ids, pivot_doc, side="left"))
+        out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
+        return [(d, s) for d, s in out]
+
+    # ---------- deletion ----------
+
+    def delete_by_keyword(self, keyword: str) -> int:
+        """Tombstone every doc whose postings contain the analyzed keyword
+        (reference ``deleteDocuments``, ``InvertedIndexManager.java:677-715``).
+        Persists to the manifest; physical removal happens at compaction."""
+        ids = self.search_and([keyword])
+        if len(ids) == 0:
+            return 0
+        tomb = set(self.manifest.tombstones) | set(int(i) for i in ids)
+        self.manifest.tombstones = sorted(tomb)
+        self.manifest.save(self.index_dir)
+        self._tombstones = np.array(self.manifest.tombstones, dtype=np.int64)
+        return len(ids)
+
+    # ---------- document fetch ----------
+
+    def fetch_docs(self, doc_ids: np.ndarray | list[int]) -> dict[int, str]:
+        """doc_id → text point lookups against the docs table (reference
+        MapDB point reads, ``InvertedIndex.java:1367-1389``)."""
+        ids = [int(i) for i in doc_ids]
+        if not ids:
+            return {}
+        dset = pads.dataset(str(self.index_dir / "docs"))
+        tbl = dset.to_table(filter=pc.field("doc_id").isin(ids), columns=["doc_id", "text"])
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+
+class QueryEngineStage:
+    """Actor-pool stage for batch query workloads: the engine (shard
+    caches) loads once per actor; each batch of query rows is answered
+    vectorized (SURVEY.md §3.2 "Ray-native" query path)."""
+
+    def __init__(self, index_dir: str, kind: str = "bm25", topk: int = 10):
+        self.engine = SearchEngine(index_dir)
+        self.kind = kind
+        self.topk = topk
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        queries = batch["query"].to_pylist()
+        qids = batch["qid"].to_pylist() if "qid" in batch.column_names else list(range(len(queries)))
+        out_qid, out_rank, out_doc, out_score = [], [], [], []
+        for qid, q in zip(qids, queries):
+            if self.kind == "bm25":
+                res = self.engine.search_bm25(q, topk=self.topk)
+            elif self.kind == "tfidf":
+                res = self.engine.search_tfidf(q.split(), topk=self.topk)
+            elif self.kind == "and":
+                res = [(int(d), 1.0) for d in self.engine.search_and(q.split())]
+            elif self.kind == "or":
+                res = [(int(d), 1.0) for d in self.engine.search_or(q.split())]
+            elif self.kind == "phrase":
+                res = [(int(d), 1.0) for d in self.engine.search_phrase(q)]
+            else:
+                raise ValueError(self.kind)
+            for rank, (doc, score) in enumerate(res):
+                out_qid.append(qid)
+                out_rank.append(rank)
+                out_doc.append(doc)
+                out_score.append(score)
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "qid": pa.array(out_qid),
+                "rank": pa.array(out_rank, pa.int32()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "score": pa.array(out_score, pa.float64()),
+            }
+        )

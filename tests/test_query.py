@@ -1,0 +1,185 @@
+"""Query-engine tests: boolean/phrase semantics, deletion tombstones,
+TF-IDF + BM25 rank- and score-identity vs the full-scan oracle, and
+WAND == exhaustive equivalence (reference test patterns #3/#4, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_ray.build import build_index
+from searchengine_ray.query.engine import SearchEngine
+from searchengine_ray.query.oracle import FullScanOracle
+from searchengine_ray.sources import generate_corpus
+from tests.test_build import write_docs_parquet
+
+DOCS = {
+    0: "cat dog toy",
+    1: "cat Dog dog",
+    2: "toy pig cat",
+    3: "dog pig toy house",
+    4: "cat cat cat",
+    5: "pig is not a toy dog",
+    6: "Summer Pizza House is closed in winter",
+    7: "pizza in summer pizza house is great",
+    8: "the summer house has pizza and dogs",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qcorpus")
+    write_docs_parquet(d / "docs.parquet", DOCS)
+    idx = tmp_path_factory.mktemp("qindex")
+    build_index(
+        str(d / "docs.parquet"), idx, doc_id_column="doc_id",
+        num_shards=4, block_size=2,
+    )
+    return SearchEngine(idx)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return FullScanOracle(DOCS)
+
+
+class TestBoolean:
+    def test_keyword(self, engine, oracle):
+        for kw in ("cat", "dog", "pizza", "zebra", "toy"):
+            assert engine.search_keyword(kw).tolist() == oracle.search_and([kw]), kw
+
+    def test_and(self, engine, oracle):
+        for q in (["cat", "dog"], ["dog", "toy"], ["cat", "zebra"], ["summer", "pizza"]):
+            assert engine.search_and(q).tolist() == oracle.search_and(q), q
+
+    def test_or(self, engine, oracle):
+        for q in (["cat", "pig"], ["zebra", "pizza"], ["zebra"], ["cat", "dog", "toy"]):
+            assert engine.search_or(q).tolist() == oracle.search_or(q), q
+
+    def test_duplicate_keywords_dedup(self, engine, oracle):
+        assert engine.search_and(["cat", "cat"]).tolist() == oracle.search_and(["cat"])
+
+    def test_stopword_only_query_empty(self, engine):
+        assert engine.search_and(["the", "is"]).tolist() == []
+        assert engine.search_or(["the"]).tolist() == []
+
+    def test_case_insensitive(self, engine, oracle):
+        assert engine.search_and(["CAT"]).tolist() == oracle.search_and(["cat"])
+
+
+class TestPhrase:
+    # mirrors Team11PhraseSearchTest's "Summer Pizza House" pattern
+    def test_phrase_hits(self, engine, oracle):
+        for phrase in ("summer pizza house", "pizza house", "cat dog", "dog toy"):
+            assert engine.search_phrase(phrase).tolist() == oracle.search_phrase(phrase), phrase
+
+    def test_phrase_crossing_stopwords(self, engine, oracle):
+        # analysis removes stopwords, so "pizza and dogs" → [pizza, dog] adjacency
+        phrase = "pizza and dogs"
+        assert engine.search_phrase(phrase).tolist() == oracle.search_phrase(phrase)
+
+    def test_absent_phrase(self, engine, oracle):
+        assert engine.search_phrase("pizza cat").tolist() == []
+
+    def test_single_token_phrase(self, engine, oracle):
+        assert engine.search_phrase("pizza").tolist() == oracle.search_phrase("pizza")
+
+
+class TestTfIdf:
+    @pytest.mark.parametrize(
+        "query,topk",
+        [
+            (["cat"], 3), (["cat", "dog"], 5), (["pizza", "house"], None),
+            (["summer", "pizza", "house"], 4), (["zebra"], 5),
+            (["cat", "cat", "dog"], None), (["toy"], 0),
+        ],
+    )
+    def test_rank_and_score_identity(self, engine, oracle, query, topk):
+        got = engine.search_tfidf(query, topk)
+        want = oracle.search_tfidf(query, topk)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=0, atol=0
+        )
+
+
+class TestBM25:
+    QUERIES = [
+        "cat", "cat dog", "summer pizza house", "pig toy", "dog house",
+        "zebra", "cat cat dog", "the cat",
+    ]
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_exhaustive_matches_oracle(self, engine, oracle, query):
+        got = engine.search_bm25(query, topk=None)
+        want = oracle.search_bm25(query, topk=None)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=0, atol=0)
+
+    @pytest.mark.parametrize("query", QUERIES)
+    @pytest.mark.parametrize("topk", [1, 3, 10])
+    def test_wand_equals_exhaustive(self, engine, query, topk):
+        wand = engine.search_bm25(query, topk=topk, method="wand")
+        ex = engine.search_bm25(query, topk=topk, method="exhaustive")
+        assert wand == ex
+
+    def test_topk_zero(self, engine):
+        assert engine.search_bm25("cat", topk=0) == []
+
+
+class TestDeletion:
+    def test_delete_by_keyword(self, ray_session, tmp_path):
+        # mirrors InvertedIndexDeletionTest cat/dog/pig semantics
+        d = tmp_path / "c"
+        d.mkdir()
+        write_docs_parquet(d / "docs.parquet", DOCS)
+        idx = tmp_path / "idx"
+        build_index(str(d / "docs.parquet"), idx, doc_id_column="doc_id", num_shards=2)
+        eng = SearchEngine(idx)
+        n = eng.delete_by_keyword("pig")
+        assert n == 3  # docs 2, 3, 5
+        assert eng.search_keyword("pig").tolist() == []
+        assert eng.search_keyword("toy").tolist() == [0]
+        assert eng.search_or(["cat", "pig"]).tolist() == [0, 1, 4]
+        # ranked searches exclude tombstones too
+        assert all(d not in (2, 3, 5) for d, _ in eng.search_bm25("toy pig", topk=None))
+        # reload persists tombstones
+        eng2 = SearchEngine(idx)
+        assert eng2.search_keyword("pig").tolist() == []
+
+    def test_fetch_docs(self, engine):
+        got = engine.fetch_docs([0, 6])
+        assert got == {0: DOCS[0], 6: DOCS[6]}
+
+
+class TestLargerCorpusIdentity:
+    def test_synthetic_corpus_rank_identity(self, ray_session, tmp_path):
+        corpus = generate_corpus(tmp_path / "web", n_docs=400)
+        idx = tmp_path / "idx"
+        build_index(
+            str(corpus), idx, html_column="html", doc_id_mode="url_index",
+            num_shards=8, block_size=32,
+        )
+        eng = SearchEngine(idx)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(str(corpus), columns=["url", "text"])
+        docs = {
+            int(u.rsplit("/", 1)[1].split(".")[0]): t
+            for u, t in zip(tbl["url"].to_pylist(), tbl["text"].to_pylist())
+        }
+        oracle = FullScanOracle(docs)
+        queries = [
+            "search engine", "wiki", "pizza summer", "token stems",
+            "crawling the web pages", "bright green garden", "zebra missing",
+        ]
+        for q in queries:
+            got = eng.search_bm25(q, topk=10)
+            want = oracle.search_bm25(q, topk=10)
+            assert got == [(d, pytest.approx(s, rel=0, abs=0)) for d, s in want], q
+            gt = eng.search_tfidf(q.split(), 10)
+            wt = oracle.search_tfidf(q.split(), 10)
+            assert [d for d, _ in gt] == [d for d, _ in wt], q
+            np.testing.assert_allclose([s for _, s in gt], [s for _, s in wt], rtol=0, atol=0)
+            assert eng.search_and(q.split()).tolist() == oracle.search_and(q.split()), q
+            assert eng.search_or(q.split()).tolist() == oracle.search_or(q.split()), q
