@@ -1,0 +1,122 @@
+"""PageRank with the reference's exact semantics
+(``search/IcsSearchEngine.java:66-150``):
+
+- column-stochastic-ish matrix ``A[dst, src] = 1/outdeg(src)`` (dangling
+  nodes contribute nothing — their column is zero, score mass is lost,
+  faithfully reproduced),
+- ``x`` initialised to 1.0 (NOT 1/N), ``y = (1-α)·e``, per iteration
+  ``y = α·A·x + (1-α)·e`` then swap,
+- α = 0.85, stop when L1(x, y) < 1e-5 or after ``num_iterations``.
+
+Two implementations with identical results:
+
+- :func:`pagerank_numpy` — driver-side CSR power iteration (small graphs,
+  and the oracle for tests),
+- :func:`pagerank_ray` — Ray-Data-native: the edge list stays a
+  ``Dataset``; each iteration broadcasts the rank vector via ``ray.put``
+  (classic broadcast join, no shuffle of the big side) and pre-aggregates
+  per-destination contributions inside ``map_batches`` (partial combine)
+  before a small ``groupby(dst).sum`` — SURVEY.md §2.5 A7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ALPHA = 0.85
+TOL = 1e-5
+
+
+def _outdeg(edges: np.ndarray, n: int) -> np.ndarray:
+    return np.bincount(edges[:, 0], minlength=n).astype(np.float64)
+
+
+def pagerank_numpy(edges: np.ndarray, n: int, num_iterations: int = 100) -> np.ndarray:
+    """edges: int array (m, 2) of [src, dst] rows; returns score vector."""
+    edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    outdeg = _outdeg(edges, n)
+    inv = np.zeros(n)
+    nz = outdeg > 0
+    inv[nz] = 1.0 / outdeg[nz]
+    src, dst = edges[:, 0], edges[:, 1]
+    w = inv[src]
+    x = np.ones(n)
+    beta = 1.0 - ALPHA
+    for _ in range(num_iterations):
+        contrib = np.bincount(dst, weights=ALPHA * w * x[src], minlength=n)
+        y = beta + contrib
+        diff = np.abs(x - y).sum()
+        x = y
+        if diff < TOL:
+            break
+    return x
+
+
+def pagerank_ray(edges_ds, n: int, num_iterations: int = 100) -> np.ndarray:
+    """Ray-Data-native power iteration over an edges Dataset with columns
+    ``src:int64, dst:int64``. Ray must already be initialised."""
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Sum
+
+    # out-degree: one aggregation over the edge list
+    deg_rows = (
+        edges_ds.map_batches(_batch_outdeg, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("cnt", alias_name="outdeg"))
+        .take_all()
+    )
+    outdeg = np.zeros(n)
+    for r in deg_rows:
+        outdeg[int(r["src"])] = float(r["outdeg"])
+    inv = np.zeros(n)
+    nz = outdeg > 0
+    inv[nz] = 1.0 / outdeg[nz]
+
+    x = np.ones(n)
+    beta = 1.0 - ALPHA
+    edges_ds = edges_ds.materialize()  # reused every iteration; edge list only
+    for _ in range(num_iterations):
+        state_ref = ray.put({"x": x, "inv": inv})
+
+        def contrib_batch(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            state = ray.get(_ref)
+            xs, invs = state["x"], state["inv"]
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            vals = ALPHA * invs[src] * xs[src]
+            # partial combine inside the batch → tiny shuffle
+            u, idx = np.unique(dst, return_inverse=True)
+            sums = np.bincount(idx, weights=vals)
+            return pa.table({"dst": pa.array(u, pa.int64()), "c": pa.array(sums, pa.float64())})
+
+        rows = (
+            edges_ds.map_batches(contrib_batch, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="contrib"))
+            .take_all()
+        )
+        y = np.full(n, beta)
+        for r in rows:
+            y[int(r["dst"])] += float(r["contrib"])
+        diff = np.abs(x - y).sum()
+        x = y
+        if diff < TOL:
+            break
+    return x
+
+
+def _batch_outdeg(batch):
+    import pyarrow as pa
+
+    src = batch["src"].to_numpy(zero_copy_only=False)
+    u, counts = np.unique(src, return_counts=True)
+    return pa.table({"src": pa.array(u, pa.int64()), "cnt": pa.array(counts, pa.int64())})
+
+
+def pagerank_scores_sorted(scores: np.ndarray) -> list[tuple[int, float]]:
+    """All (doc_id, score) sorted by score descending (reference
+    ``getPageRankScores``, ``IcsSearchEngine.java:157-168``; stable on
+    ties → ascending id)."""
+    order = np.lexsort((np.arange(len(scores)), -scores))
+    return [(int(i), float(scores[i])) for i in order]
