@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded / feature-extracted in actor-pool ``map_batches`` stages.
+
+The image/audio libraries are not available in this environment, so the
+actual pixel/sample decode is STUBBED (`NotImplementedError` behind a
+try-import) and replaced by a deterministic fake container format — the
+Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is real and tested:
+
+Fake container format (``FAKEIMG`` / ``FAKEAUD``):
+``magic:7s | width:u16 | height:u16 | payload bytes`` — payload length is
+``width*height`` (image) or ``width*256`` (audio frames)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC_IMG = b"FAKEIMG"
+MAGIC_AUD = b"FAKEAUD"
+
+
+def synth_payload(doc_id: int, kind: str = "img") -> bytes:
+    """Deterministic fake payload for a doc id."""
+    w = 8 + (doc_id % 9)
+    h = 8 + (doc_id % 7)
+    n = w * h if kind == "img" else w * 256
+    rng = np.random.default_rng((1234, doc_id))
+    body = rng.integers(0, 256, n, dtype=np.int64).astype(np.uint8).tobytes()
+    magic = MAGIC_IMG if kind == "img" else MAGIC_AUD
+    return magic + struct.pack("<HH", w, h) + body
+
+
+def add_payload_batch(batch: pa.Table, kind: str = "img", id_column: str = "doc_id") -> pa.Table:
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    payloads = [synth_payload(int(i), kind) for i in ids]
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+def _real_image_decode(payload: bytes):  # pragma: no cover - env has no PIL
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decode requires PIL; this environment ships none — "
+            "use the deterministic FAKEIMG container instead"
+        ) from e
+
+
+class DecodeStage:
+    """Actor-pool stage: parse the payload container → typed metadata +
+    byte-histogram features. ``concurrency=N`` in map_batches makes this
+    a real actor pool; per-actor state is the (here trivial) decoder
+    setup. Batch sizes must stay small for wide binary rows
+    (ray_guide: memory-aware batch sizing)."""
+
+    def __init__(self, n_bins: int = 16, payload_column: str = "payload"):
+        self.n_bins = n_bins
+        self.payload_column = payload_column
+        self.edges = np.linspace(0, 256, n_bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_column].to_pylist()
+        widths = np.empty(len(payloads), np.int32)
+        heights = np.empty(len(payloads), np.int32)
+        kinds, hists = [], []
+        for i, p in enumerate(payloads):
+            magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
+            if magic not in (MAGIC_IMG, MAGIC_AUD):
+                _real_image_decode(p)  # raises NotImplementedError
+            kinds.append("image" if magic == MAGIC_IMG else "audio")
+            widths[i], heights[i] = w, h
+            body = np.frombuffer(p[11:], dtype=np.uint8)
+            hist, _ = np.histogram(body, bins=self.edges)
+            hists.append((hist / max(len(body), 1)).tolist())
+        out = batch.drop_columns([self.payload_column])
+        out = out.append_column("kind", pa.array(kinds, pa.string()))
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("features", pa.array(hists, pa.list_(pa.float64())))
+        return out
+
+
+class ResizeStage:
+    """Fake 2× downsample: halves dims, subsamples payload bytes —
+    stands in for a real resize kernel with identical plumbing."""
+
+    def __init__(self, payload_column: str = "payload"):
+        self.payload_column = payload_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_column].to_pylist()
+        out = []
+        for p in payloads:
+            magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
+            body = np.frombuffer(p[11:], dtype=np.uint8)
+            if magic == MAGIC_IMG:
+                nw, nh = max(1, w // 2), max(1, h // 2)
+                img = body[: w * h].reshape(h, w)
+                small = img[::2, ::2][:nh, :nw]
+                out.append(magic + struct.pack("<HH", nw, nh) + small.tobytes())
+            else:
+                out.append(p)
+        idx = batch.column_names.index(self.payload_column)
+        return batch.set_column(idx, self.payload_column, pa.array(out, pa.binary()))

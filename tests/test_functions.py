@@ -1,0 +1,194 @@
+"""Tests for the training-data ops: dedup family vs brute-force oracles,
+similarity recall, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from searchengine_ray.functions import dedup, multimodal, similarity, textstats
+
+
+def docs_ds(docs: dict[int, str]):
+    import ray.data as rd
+
+    ids = sorted(docs)
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array([docs[i] for i in ids])}
+        )
+    )
+
+
+NEAR_DUP_DOCS = {
+    0: "the quick brown fox jumps over the lazy dog near the river bank today",
+    1: "the quick brown fox jumps over the lazy dog near the river bank tonight",  # near-dup of 0
+    2: "completely different content about database query engines and shuffles",
+    3: "the quick brown fox jumps over the lazy dog near the river bank today",  # exact dup of 0
+    4: "another unrelated document discussing tokenizers stemmers and indexes",
+    5: "completely different content about database query engines and shuffling",  # near-dup of 2
+}
+
+
+class TestExactDedup:
+    def test_exact(self, ray_session):
+        out = dedup.exact_dedup(docs_ds(NEAR_DUP_DOCS)).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        # 0 and 3 identical → survivor 0 with 2 copies
+        assert out[out["doc_id"] == 0]["n_dups"].iloc[0] == 2
+        assert 3 not in set(out["doc_id"])
+        assert len(out) == 5
+
+
+class TestMinHash:
+    def test_signature_similarity_approximates_jaccard(self):
+        h = dedup.MinHasher(256)
+        a = dedup._hash_shingles([f"s{i}" for i in range(100)])
+        b = dedup._hash_shingles([f"s{i}" for i in range(50, 150)])
+        sim = (h.signature(a) == h.signature(b)).mean()
+        true_j = 50 / 150
+        assert abs(sim - true_j) < 0.12
+
+    def test_pairs_match_bruteforce(self, ray_session):
+        got = dedup.minhash_dedup_pairs(docs_ds(NEAR_DUP_DOCS), threshold=0.5)
+        got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+        # brute-force oracle
+        toks = {
+            d: textstats._token_lists(pd.Series([t])).iloc[0]
+            for d, t in NEAR_DUP_DOCS.items()
+        }
+        want = set()
+        for a in NEAR_DUP_DOCS:
+            for b in NEAR_DUP_DOCS:
+                if a < b and dedup.jaccard(toks[a], toks[b]) >= 0.5:
+                    want.add((a, b))
+        assert got_pairs == want
+        assert (0, 3) in got_pairs  # exact dup found
+        assert (0, 1) in got_pairs  # near dup found
+
+
+class TestSimHash:
+    def test_near_dups_blocked_and_found(self, ray_session):
+        pairs = dedup.simhash_pairs(docs_ds(NEAR_DUP_DOCS), max_hamming=12)
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 3) in got  # identical → hamming 0
+        assert pairs[(pairs.doc_a == 0) & (pairs.doc_b == 3)]["hamming"].iloc[0] == 0
+        assert (0, 1) in got
+        # unrelated docs don't pair at small hamming
+        strict = dedup.simhash_pairs(docs_ds(NEAR_DUP_DOCS), max_hamming=3)
+        sg = set(zip(strict["doc_a"], strict["doc_b"]))
+        assert (0, 4) not in sg and (2, 4) not in sg
+
+
+class TestEmbeddingOps:
+    @pytest.fixture(scope="class")
+    def emb_ds(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((40, 16))
+        base[7] = base[3] + rng.standard_normal(16) * 0.01  # near-dup pair (3, 7)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float32())),
+                }
+            )
+        ), base
+
+    def test_neardup_pairs(self, emb_ds):
+        ds, base = emb_ds
+        pairs = dedup.embedding_neardup_pairs(ds, threshold=0.97)
+        assert (3, 7) in set(zip(pairs["vec_a"], pairs["vec_b"]))
+
+    def test_cosine_topk_matches_numpy(self, emb_ds):
+        ds, base = emb_ds
+        f32 = base.astype(np.float32).astype(np.float64)
+        q = f32[5]
+        got = similarity.cosine_topk(ds, q, k=5, ndigits=None)
+        mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+        sims = mat @ (q / np.linalg.norm(q))
+        order = np.lexsort((np.arange(40), -sims))[:5]
+        assert got["vec_id"].tolist() == order.tolist()
+        np.testing.assert_allclose(got["cosine"].to_numpy(), sims[order], rtol=1e-12)
+
+    def test_lsh_recall(self, emb_ds):
+        ds, base = emb_ds
+        idx = similarity.LshIndex(dim=16, n_planes=6)
+        idx.build(ds)
+        f32 = base.astype(np.float32).astype(np.float64)
+        mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+        hits = 0
+        for qi in range(10):
+            got = [i for i, _ in idx.query(f32[qi], k=5, n_probe=6)]
+            sims = mat @ mat[qi]
+            want = set(np.lexsort((np.arange(40), -sims))[:5].tolist())
+            hits += len(set(got) & want)
+        assert hits / 50 >= 0.5  # approximate, but far better than chance
+
+
+class TestTextStats:
+    def test_token_stats(self):
+        batch = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["The cat, the hat."]})
+        out = textstats.token_stats_batch(batch)
+        assert out["n_tokens"][0].as_py() == 4
+        assert out["n_stop"][0].as_py() == 2
+        assert out["n_distinct"][0].as_py() == 3
+
+    def test_quality_and_langid(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "the cat and the dog are in the house with a toy",
+                    "zxqv wvut qqqq",
+                    "東京 の 天気",
+                ],
+            }
+        )
+        q = textstats.quality_score_batch(batch)
+        assert q["stop_ratio"][0].as_py() > q["stop_ratio"][1].as_py()
+        lang = textstats.lang_id_batch(batch)
+        assert lang["lang_pred"].to_pylist() == ["en", "other", "ja"]
+
+    def test_fingerprints_deterministic(self):
+        batch = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["hello world"]})
+        a = textstats.fingerprint_batch(batch)
+        b = textstats.fingerprint_batch(batch)
+        assert a.equals(b)
+        assert a["md5"][0].as_py() == "5eb63bbbe01eeed093cb22bb8f5acdc3"
+        assert textstats.rolling_hash("abc") != textstats.rolling_hash("acb")
+
+
+class TestMultimodal:
+    def test_decode_stage_plumbing(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+        with_payload = ds.map_batches(
+            lambda b: multimodal.add_payload_batch(b), batch_format="pyarrow"
+        )
+        out = with_payload.map_batches(
+            multimodal.DecodeStage, batch_format="pyarrow", batch_size=4, concurrency=2
+        ).to_pandas()
+        assert len(out) == 20
+        assert set(out["kind"]) == {"image"}
+        assert all(len(f) == 16 for f in out["features"])
+        assert all(abs(sum(f) - 1.0) < 1e-9 for f in out["features"])
+
+    def test_resize_halves_dims(self):
+        batch = pa.table({"doc_id": pa.array([10], pa.int64())})
+        batch = multimodal.add_payload_batch(batch)
+        resized = multimodal.ResizeStage()(batch)
+        out = multimodal.DecodeStage()(resized).to_pylist()[0]
+        import struct
+
+        w, h = struct.unpack("<HH", multimodal.synth_payload(10)[7:11])
+        assert out["width"] == w // 2 and out["height"] == h // 2
+
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError, match="PIL"):
+            multimodal._real_image_decode(b"JFIF....")
