@@ -282,16 +282,16 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_column="vec_id", emb
 
     full = ds.select_columns([id_column, emb_column]).to_pandas()
     ids = full[id_column].to_numpy(np.int64)
-    mat = np.stack(full[emb_column].to_numpy())
+    mat = np.stack(full[emb_column].to_numpy()).astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat.astype(np.float64)))
+    ref = ray.put((ids, mat))
 
     def score(batch: pa.Table, _ref=ref) -> pa.Table:
         all_ids, all_mat = ray.get(_ref)
         b_ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-        b_mat = np.stack(batch[emb_column].to_pandas().to_numpy())
+        b_mat = np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64)
         b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
-        sims = b_mat.astype(np.float64) @ all_mat.T
+        sims = b_mat @ all_mat.T
         rows_a, rows_b, vals = [], [], []
         for r in range(len(b_ids)):
             hit = np.flatnonzero(sims[r] >= threshold)
@@ -309,4 +309,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_column="vec_id", emb
         )
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}
+        )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

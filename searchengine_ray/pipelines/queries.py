@@ -1,0 +1,689 @@
+"""Query registry for ``__ray_entry__``: one entry per implemented
+operator/pipeline (SURVEY.md §2), each with a DuckDB oracle where the
+semantics are SQL-expressible (driver correctness gate).
+
+Conventions:
+- every callable takes ``sf_dir`` and returns a pandas DataFrame /
+  pyarrow Table / Ray Dataset,
+- column names match the oracle SQL exactly,
+- floats are rounded to 6 digits on BOTH sides,
+- doc ids are int64 on both sides,
+- search-engine entries run against indexes built once per (sf_dir,
+  mode) into a /tmp cache (rebuilt when missing).
+
+The SQL tokenizer mirrors ``analysis.batch`` mode ``punct`` exactly:
+lower → ``[,.;?!]``→space → split ``[ \\t\\n\\x0b\\f\\r]+`` → drop empty
+→ drop stop words (the reference PunctuationTokenizer,
+``analysis/PunctuationTokenizer.java:31-53``; Porter stemming is not
+SQL-expressible — stemmed variants are verified in pytest against the
+full-scan oracle instead)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..analysis.stopwords import EN_STOP_WORDS, STOP_WORDS
+
+CACHE_ROOT = Path("/tmp/searchengine_ray_cache")
+
+SQL_TOKENS_CTE = r"""
+toks AS (
+    SELECT doc_id, t AS term, count(*) AS tf
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents
+    )
+    WHERE t <> '' AND t NOT IN ({stoplist})
+    GROUP BY doc_id, t
+)
+"""
+
+
+def _stoplist_sql() -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(STOP_WORDS))
+
+
+def sql_tokens_cte() -> str:
+    return SQL_TOKENS_CTE.format(stoplist=_stoplist_sql())
+
+
+# ---------------------------------------------------------------- index cache
+
+
+def _index_dir(sf_dir: str, mode: str) -> Path:
+    key = hashlib.md5(f"{sf_dir}|{mode}|v1".encode()).hexdigest()[:16]
+    return CACHE_ROOT / f"idx-{key}-{mode}"
+
+
+def documents_index(sf_dir: str, mode: str = "punct") -> Path:
+    """Build (or reuse) an index over ``documents.parquet`` in ``mode``."""
+    from ..build import build_index
+
+    idx = _index_dir(sf_dir, mode)
+    marker = idx / "manifest.json"
+    if not marker.exists():
+        build_index(
+            f"{sf_dir}/documents.parquet",
+            idx,
+            analyzer_mode=mode,
+            doc_id_column="doc_id",
+            url_column=None,
+            num_shards=8,
+            block_size=128,
+        )
+    return idx
+
+
+def _engine(sf_dir: str, mode: str = "punct"):
+    from ..query import SearchEngine
+
+    return SearchEngine(documents_index(sf_dir, mode))
+
+
+# ---------------------------------------------------------------- entries
+
+
+def q_term_stats(sf_dir: str) -> pd.DataFrame:
+    """A1/A2/A3: the postings groupby — df and total tf per term."""
+    import ray.data as rd
+
+    from ..stages.postings import explode_batch
+
+    idx = documents_index(sf_dir, "punct")
+    analyzed = rd.read_parquet(str(idx / "analyzed"))
+    exploded = analyzed.map_batches(
+        lambda b: explode_batch(b, 1, False), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        exploded.groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="total_tf"))
+        .to_pandas()
+    )
+    return out[["term", "df", "total_tf"]].astype({"df": "int64", "total_tf": "int64"})
+
+
+def sql_term_stats() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM toks GROUP BY term
+"""
+
+
+def q_doc_lengths(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    idx = documents_index(sf_dir, "punct")
+    t = pq.read_table(str(idx / "docstats"))
+    df = t.to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["dl"] = df["dl"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_doc_lengths() -> str:
+    # docs that analyze to zero tokens keep dl=0 via left join
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT d.doc_id, CAST(coalesce(sum(toks.tf), 0) AS BIGINT) AS dl
+FROM documents d LEFT JOIN toks ON d.doc_id = toks.doc_id
+GROUP BY d.doc_id
+"""
+
+
+KEYWORD = "join"
+AND_TERMS = ["join", "window", "merge"]
+OR_TERMS = ["merge", "zebra"]
+PHRASE = "table hash"
+DELETE_KW, SEARCH_KW = "slow", "fast"
+TFIDF_TERMS = ["join", "window", "query"]
+BM25_QUERY = "window merge query"
+
+
+def q_keyword_search(sf_dir: str) -> pd.DataFrame:
+    ids = _engine(sf_dir).search_keyword(KEYWORD)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_keyword_search() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT DISTINCT doc_id FROM toks WHERE term = '{KEYWORD}'
+"""
+
+
+def q_and_search(sf_dir: str) -> pd.DataFrame:
+    ids = _engine(sf_dir).search_and(AND_TERMS)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_and_search() -> str:
+    conds = " INTERSECT ".join(
+        f"SELECT doc_id FROM toks WHERE term = '{t}'" for t in AND_TERMS
+    )
+    return f"WITH {sql_tokens_cte()} {conds}"
+
+
+def q_or_search(sf_dir: str) -> pd.DataFrame:
+    ids = _engine(sf_dir).search_or(OR_TERMS)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_or_search() -> str:
+    lst = ", ".join(f"'{t}'" for t in OR_TERMS)
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT DISTINCT doc_id FROM toks WHERE term IN ({lst})
+"""
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Phrase adjacency on the NAIVE index (no stopword removal), so the
+    oracle is a word-boundary regex on the raw text."""
+    ids = _engine(sf_dir, "naive").search_phrase(PHRASE)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_phrase_search() -> str:
+    return f"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '(^| ){PHRASE}( |$)')
+"""
+
+
+def q_delete_search(sf_dir: str, tmp_suffix: str = "del") -> pd.DataFrame:
+    """D3: delete-by-keyword tombstones, then keyword search."""
+    import shutil
+
+    from ..query import SearchEngine
+
+    src = documents_index(sf_dir, "punct")
+    scratch = CACHE_ROOT / f"{src.name}-{tmp_suffix}"
+    if scratch.exists():
+        shutil.rmtree(scratch)
+    shutil.copytree(src, scratch)
+    eng = SearchEngine(scratch)
+    eng.delete_by_keyword(DELETE_KW)
+    ids = eng.search_keyword(SEARCH_KW)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_delete_search() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT DISTINCT doc_id FROM toks WHERE term = '{SEARCH_KW}'
+AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = '{DELETE_KW}')
+"""
+
+
+def q_tfidf_all(sf_dir: str) -> pd.DataFrame:
+    """A4-A6/K2: TF-IDF cosine over all matches, reference formula."""
+    res = _engine(sf_dir).search_tfidf(TFIDF_TERMS, None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_tfidf_all() -> str:
+    qterms = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+idf AS (
+    SELECT qtf.term, qtf.qn, log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS idf
+    FROM qtf JOIN stats USING (term) CROSS JOIN n
+),
+scored AS (
+    SELECT toks.doc_id,
+           sum((toks.tf * idf.idf) * (idf.qn * idf.idf)) AS dot,
+           sum((toks.tf * idf.idf) * (toks.tf * idf.idf)) AS len
+    FROM toks JOIN idf USING (term)
+    GROUP BY toks.doc_id
+)
+SELECT doc_id, round(dot / sqrt(len), 6) AS score FROM scored WHERE len > 0
+"""
+
+
+def q_bm25_all(sf_dir: str) -> pd.DataFrame:
+    res = _engine(sf_dir).search_bm25(BM25_QUERY, topk=None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_bm25_all() -> str:
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY.split())
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+scored AS (
+    SELECT toks.doc_id,
+           sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))
+               * qtf.qn) AS score
+    FROM toks
+    JOIN qtf USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    GROUP BY toks.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """A7: PageRank over a deterministic synthetic edge set derived from
+    doc ids (Ray-Data power iteration; numpy == ray verified in pytest).
+    Non-SQL (iterative) → rows-only driver check."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..rank import pagerank_ray
+    from ..sources.links import links_table
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    scores = pagerank_ray(rd.from_arrow(links_table(edges)), n, num_iterations=50)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "score": pd.Series(np.round(scores, 6), dtype="float64"),
+        }
+    )
+
+
+# ------------------------------------------------------- training-data ops
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out.astype({"doc_id": "int64", "n_dups": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_dedup_exact() -> str:
+    return "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text"
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.dedup import minhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.dedup import simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.45)
+
+
+def sql_embedding_neardup() -> str:
+    return """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_similarity_topk(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import cosine_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, qvec, k=10)
+    return out[["vec_id", "cosine"]].astype({"vec_id": "int64"})
+
+
+def pa_eq(t, col, val):
+    import pyarrow.compute as pc
+
+    return pc.equal(t[col], val)
+
+
+def sql_similarity_topk() -> str:
+    return """
+SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def q_token_stats(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.textstats import token_stats_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow").to_pandas()
+
+
+def sql_token_stats() -> str:
+    stoplist_en = ", ".join("'" + w + "'" for w in sorted(EN_STOP_WORDS))
+    return rf"""
+WITH raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents
+)
+SELECT d.doc_id,
+       coalesce(count(r.t), 0) AS n_tokens,
+       CAST(coalesce(sum(CASE WHEN r.t IN ({stoplist_en}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stop,
+       coalesce(count(DISTINCT r.t), 0) AS n_distinct
+FROM documents d LEFT JOIN (SELECT * FROM raw WHERE t <> '') r USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+_RAW_TOKENS_CTE = r"""
+raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents
+),
+per_doc AS (
+    SELECT d.doc_id,
+           CAST(coalesce(count(r.t), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(CASE WHEN r.t IN ({stoplist_en}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_stop,
+           CAST(coalesce(sum(length(r.t)), 0) AS BIGINT) AS tok_chars
+    FROM documents d LEFT JOIN (SELECT * FROM raw WHERE t <> '') r USING (doc_id)
+    GROUP BY d.doc_id
+)
+"""
+
+
+def _raw_tokens_cte() -> str:
+    return _RAW_TOKENS_CTE.format(
+        stoplist_en=", ".join("'" + w + "'" for w in sorted(EN_STOP_WORDS))
+    )
+
+
+def sql_quality_scores() -> str:
+    return f"""
+WITH {_raw_tokens_cte()}
+SELECT p.doc_id,
+       round(p.n_stop / greatest(p.n_tokens, 1.0), 6) AS stop_ratio,
+       round((length(d.text) - length(regexp_replace(d.text, '[,.;?!]', '', 'g')))
+             / greatest(length(d.text), 1.0), 6) AS punct_ratio,
+       round(p.tok_chars / greatest(p.n_tokens, 1.0), 6) AS mean_token_len,
+       round(0.4 * (p.n_stop / greatest(p.n_tokens, 1.0))
+             + 0.4 * least(1.0, p.n_tokens / 100.0)
+             + 0.2 * (1.0 - (length(d.text) - length(regexp_replace(d.text, '[,.;?!]', '', 'g')))
+                            / greatest(length(d.text), 1.0)), 6) AS quality
+FROM per_doc p JOIN documents d USING (doc_id)
+"""
+
+
+def sql_lang_id() -> str:
+    return f"""
+WITH {_raw_tokens_cte()}
+SELECT p.doc_id,
+       CASE WHEN regexp_matches(d.text, '[ぁ-ヿ一-鿿]') THEN 'ja'
+            WHEN p.n_stop / greatest(p.n_tokens, 1.0) >= 0.05 THEN 'en'
+            ELSE 'other' END AS lang_pred
+FROM per_doc p JOIN documents d USING (doc_id)
+"""
+
+
+def q_quality_scores(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.textstats import quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow").to_pandas()
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.textstats import lang_id_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow").to_pandas()
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.textstats import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    return out[["doc_id", "md5"]]
+
+
+def sql_fingerprint() -> str:
+    return "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+def q_multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from ..functions.multimodal import DecodeStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b), batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "kind", "width", "height"]]
+    return out.astype({"doc_id": "int64", "width": "int64", "height": "int64"})
+
+
+def sql_multimodal_decode() -> str:
+    # closed form of the deterministic FAKEIMG container dims
+    return """
+SELECT doc_id, 'image' AS kind,
+       8 + doc_id % 9 AS width, 8 + doc_id % 7 AS height
+FROM documents
+"""
+
+
+# ------------------------------------------------------- generic relational
+
+
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """Generic grouped aggregation (pre-aggregation pattern demo)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out["sum_revenue"] = out["sum_revenue"].round(4)
+    out["avg_disc"] = out["avg_disc"].round(6)
+    return out.astype({"n_rows": "int64"})
+
+
+def sql_tpch_q1() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: nation (small) into customer (big) via ray.put —
+    the J5-style lookup pattern (no shuffle)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    lut = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(lut)
+
+    def add_nation(batch, _ref=ref):
+        import pyarrow as pa
+
+        lut = ray.get(_ref)
+        keys = batch["c_nationkey"].to_pylist()
+        return batch.append_column(
+            "n_name", pa.array([lut.get(k) for k in keys], pa.string())
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    out = (
+        ds.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    return out.astype({"n_customers": "int64"})
+
+
+def sql_broadcast_join() -> str:
+    return """
+SELECT n.n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Stream-shaped: tumbling 1h window count+sum per event_type
+    (groupby over a derived window key — ray_guide streaming section)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def add_window(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        epoch = pc.cast(batch["ts"], pa.int64())  # microseconds
+        win = pc.divide(epoch, 3_600_000_000)
+        return batch.append_column("window", pc.cast(win, pa.int64()))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["window", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.astype({"window": "int64", "n_events": "int64"})
+
+
+def sql_events_window() -> str:
+    return """
+SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+
+def registry() -> dict[str, tuple]:
+    """name → (callable, oracle_sql | None)"""
+    return {
+        "term_stats": (q_term_stats, sql_term_stats()),
+        "doc_lengths": (q_doc_lengths, sql_doc_lengths()),
+        "keyword_search": (q_keyword_search, sql_keyword_search()),
+        "and_search": (q_and_search, sql_and_search()),
+        "or_search": (q_or_search, sql_or_search()),
+        "phrase_search": (q_phrase_search, sql_phrase_search()),
+        "delete_search": (q_delete_search, sql_delete_search()),
+        "tfidf_all": (q_tfidf_all, sql_tfidf_all()),
+        "bm25_all": (q_bm25_all, sql_bm25_all()),
+        "pagerank": (q_pagerank, None),
+        "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+        "dedup_minhash": (q_dedup_minhash, None),
+        "dedup_simhash": (q_dedup_simhash, None),
+        "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
+        "similarity_topk": (q_similarity_topk, sql_similarity_topk()),
+        "token_stats": (q_token_stats, sql_token_stats()),
+        "quality_scores": (q_quality_scores, sql_quality_scores()),
+        "lang_id": (q_lang_id, sql_lang_id()),
+        "fingerprint": (q_fingerprint, sql_fingerprint()),
+        "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
+        "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
+        "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
+        "events_window": (q_events_window, sql_events_window()),
+    }
