@@ -66,6 +66,7 @@ def build_index(
     bm25_b: float = 0.75,
     resume: bool = True,
     generation: str = "postings",
+    codec: str = "delta_varbyte",
 ) -> IndexManifest:
     """Build (or resume building) an index at ``index_dir``.
 
@@ -74,6 +75,9 @@ def build_index(
     """
     import ray.data as rd
 
+    from ..codec.posting import get_posting_codec
+
+    get_posting_codec(codec)  # fail fast, before any phase runs
     index_dir = Path(index_dir)
     index_dir.mkdir(parents=True, exist_ok=True)
 
@@ -88,6 +92,7 @@ def build_index(
             doc_id_mode=doc_id_mode if doc_id_column is None else f"column:{doc_id_column}",
             bm25_k1=bm25_k1,
             bm25_b=bm25_b,
+            codec=codec,
         )
 
     analyzed_dir = index_dir / "analyzed"
@@ -183,6 +188,7 @@ def build_index(
             b=manifest.bm25_b,
             positional=manifest.positional,
             resume=resume,
+            codec=manifest.codec,
         )
         def write_shard(group: pa.Table) -> pa.Table:
             return writer(group)
@@ -221,18 +227,18 @@ def dump_postings(index_dir: str | Path, generation: str = "postings") -> dict:
     ``{term: [(doc_id, tf, positions|None), ...]}`` across all shards."""
     import numpy as np
 
-    from ..codec import varbyte_decode
-    from ..stages.postings import grouped_delta_decode
+    from ..codec.posting import get_posting_codec
 
+    cod = get_posting_codec(IndexManifest.load(index_dir).codec)
     out: dict[str, list] = {}
     pdir = Path(index_dir) / generation
     for f in sorted(pdir.glob("shard=*.parquet")):
         t = pq.read_table(f)
         for row in t.to_pylist():
-            ids = np.cumsum(varbyte_decode(row["doc_ids"]))
-            tfs = varbyte_decode(row["tfs"])
+            ids = cod.dec_sorted(row["doc_ids"])
+            tfs = cod.dec_plain(row["tfs"])
             if row["positions"] is not None:
-                pos_all = grouped_delta_decode(row["positions"], tfs)
+                pos_all = cod.dec_grouped(row["positions"], tfs)
                 bounds = np.cumsum(tfs)
                 pos_lists = [
                     pos_all[e - c : e].tolist() for e, c in zip(bounds, tfs)

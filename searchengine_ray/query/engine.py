@@ -41,8 +41,8 @@ import pyarrow.parquet as pq
 
 from ..analysis.batch import TermMapper, analyze_texts_rowwise
 from ..build.manifest import IndexManifest
-from ..codec import varbyte_decode
-from ..stages.postings import grouped_delta_decode, term_shard
+from ..codec.posting import get_posting_codec
+from ..stages.postings import term_shard
 
 
 @dataclass
@@ -56,6 +56,7 @@ class TermPostings:
     block_max_w: np.ndarray  # float64 per block
     block_doc_max: np.ndarray  # int64 per block (doc_id_max)
     positions_enc: list[bytes | None]  # per block
+    codec: object = None  # posting-block codec (set by the engine)
 
     def positions_for(self, idx: int) -> np.ndarray:
         """Positions of the posting at global index ``idx``."""
@@ -66,7 +67,7 @@ class TermPostings:
         if enc is None:
             raise ValueError("index built without positions (positional=False)")
         counts = self.tfs[lo:hi]
-        pos_all = grouped_delta_decode(enc, counts)
+        pos_all = self.codec.dec_grouped(enc, counts)
         ends = np.cumsum(counts)
         k = idx - lo
         return pos_all[ends[k] - counts[k] : ends[k]]
@@ -82,6 +83,7 @@ class SearchEngine:
         self.postings_dir = self.index_dir / generation
         self._cache: OrderedDict[str, TermPostings | None] = OrderedDict()
         self._cache_cap = cache_terms
+        self._codec = get_posting_codec(self.manifest.codec)
         self._tombstones = np.array(sorted(self.manifest.tombstones), dtype=np.int64)
 
     # ---------- analysis ----------
@@ -126,45 +128,123 @@ class SearchEngine:
         return {t: self._cache[t] for t in dict.fromkeys(terms) if self._cache.get(t) is not None}
 
     def _load_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Decode term postings across all index generations.
+
+        Single generation: stored block layout + block-max metadata used
+        as-is. Multiple generations (incremental builds,
+        ``build/merge.py``): the per-generation sorted runs are k-way
+        merged by doc_id and block maxima recomputed exactly with the
+        *current* avgdl — keeps block-max WAND bounds sound even when
+        avgdl drifted since a generation was built."""
         by_shard: dict[int, list[str]] = {}
         shards = term_shard(np.asarray(terms, dtype=object), self.manifest.num_shards)
         for t, s in zip(terms, shards):
             by_shard.setdefault(int(s), []).append(t)
+        gens = list(self.manifest.generations)
         out: dict[str, TermPostings] = {}
         for shard, ts in by_shard.items():
-            path = self.postings_dir / f"shard={shard:05d}.parquet"
-            if not path.exists():
-                continue
-            tbl = pq.read_table(
-                path,
-                filters=pc.field("term").isin(ts),
-            )
-            if tbl.num_rows == 0:
-                continue
-            for t in ts:
-                rows = tbl.filter(pc.equal(tbl["term"], t))
-                if rows.num_rows == 0:
+            per_term_rows: dict[str, list[pq.Table]] = {}
+            for gen in gens:
+                path = self.index_dir / gen / f"shard={shard:05d}.parquet"
+                if not path.exists():
                     continue
-                rows = rows.sort_by([("block_id", "ascending")])
-                ids_parts, tf_parts, dl_parts = [], [], []
-                bounds = [0]
-                for r in range(rows.num_rows):
-                    ids_parts.append(np.cumsum(varbyte_decode(rows["doc_ids"][r].as_py())))
-                    tf_parts.append(varbyte_decode(rows["tfs"][r].as_py()))
-                    dl_parts.append(varbyte_decode(rows["dls"][r].as_py()))
-                    bounds.append(bounds[-1] + len(ids_parts[-1]))
-                out[t] = TermPostings(
-                    term=t,
-                    df=int(rows["df"][0].as_py()),
-                    doc_ids=np.concatenate(ids_parts),
-                    tfs=np.concatenate(tf_parts),
-                    dls=np.concatenate(dl_parts),
-                    block_bounds=np.asarray(bounds, dtype=np.int64),
-                    block_max_w=rows["block_max_w"].to_numpy(zero_copy_only=False),
-                    block_doc_max=rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    positions_enc=rows["positions"].to_pylist(),
-                )
+                tbl = pq.read_table(path, filters=pc.field("term").isin(ts))
+                if tbl.num_rows == 0:
+                    continue
+                for t in ts:
+                    rows = tbl.filter(pc.equal(tbl["term"], t))
+                    if rows.num_rows:
+                        per_term_rows.setdefault(t, []).append(
+                            rows.sort_by([("block_id", "ascending")])
+                        )
+            for t, gen_rows in per_term_rows.items():
+                out[t] = self._assemble_term(t, gen_rows)
         return out
+
+    def _assemble_term(self, t: str, gen_rows: list) -> TermPostings:
+        ids_parts, tf_parts, dl_parts = [], [], []
+        bounds = [0]
+        bmw_parts, bdm_parts, pos_parts = [], [], []
+        cod = self._codec
+        for rows in gen_rows:
+            for r in range(rows.num_rows):
+                ids_parts.append(cod.dec_sorted(rows["doc_ids"][r].as_py()))
+                tf_parts.append(cod.dec_plain(rows["tfs"][r].as_py()))
+                dl_parts.append(cod.dec_plain(rows["dls"][r].as_py()))
+                bounds.append(bounds[-1] + len(ids_parts[-1]))
+            bmw_parts.append(rows["block_max_w"].to_numpy(zero_copy_only=False))
+            bdm_parts.append(rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64))
+            pos_parts.extend(rows["positions"].to_pylist())
+        doc_ids = np.concatenate(ids_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        if len(gen_rows) == 1:
+            return TermPostings(
+                term=t,
+                df=int(gen_rows[0]["df"][0].as_py()),
+                doc_ids=doc_ids,
+                tfs=tfs,
+                dls=dls,
+                block_bounds=np.asarray(bounds, dtype=np.int64),
+                block_max_w=bmw_parts[0],
+                block_doc_max=bdm_parts[0],
+                positions_enc=pos_parts,
+                codec=cod,
+            )
+        # multi-generation: decode positions now, merge-sort by doc_id,
+        # re-block with exact maxima under the current avgdl
+        pos_lists: list[np.ndarray | None] = []
+        k = 0
+        for part_idx, tf_part in enumerate(tf_parts):
+            enc = pos_parts[part_idx] if part_idx < len(pos_parts) else None
+            if enc is None:
+                pos_lists.extend([None] * len(tf_part))
+            else:
+                pos_all = cod.dec_grouped(enc, tf_part)
+                ends = np.cumsum(tf_part)
+                for e, c in zip(ends, tf_part):
+                    pos_lists.append(pos_all[e - c : e])
+            k += len(tf_part)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        pos_lists = [pos_lists[i] for i in order]
+        bs = self.manifest.block_size
+        k1, b = self.manifest.bm25_k1, self.manifest.bm25_b
+        avgdl = self.manifest.avgdl or 1.0
+        w = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        n = len(doc_ids)
+        n_blocks = (n + bs - 1) // bs
+        block_bounds = np.minimum(np.arange(n_blocks + 1) * bs, n)
+        block_max_w = np.array(
+            [w[block_bounds[i] : block_bounds[i + 1]].max() for i in range(n_blocks)]
+        )
+        block_doc_max = doc_ids[np.minimum(block_bounds[1:] - 1, n - 1)]
+        # re-encode positions per block so positions_for() sees one enc/block
+        pos_enc: list[bytes | None] = []
+        for i in range(n_blocks):
+            lo, hi = block_bounds[i], block_bounds[i + 1]
+            chunk = pos_lists[lo:hi]
+            if any(p is None for p in chunk):
+                pos_enc.append(None)
+                continue
+            vals = np.concatenate(chunk) if chunk else np.empty(0, np.int64)
+            counts = np.asarray([len(p) for p in chunk], dtype=np.int64)
+            starts_mask = np.zeros(len(vals), dtype=bool)
+            if len(vals):
+                starts_mask[np.cumsum(counts) - counts] = True
+            pos_enc.append(cod.enc_grouped(vals, starts_mask))
+        return TermPostings(
+            term=t,
+            df=n,
+            doc_ids=doc_ids,
+            tfs=tfs,
+            dls=dls,
+            block_bounds=block_bounds.astype(np.int64),
+            block_max_w=block_max_w,
+            block_doc_max=block_doc_max.astype(np.int64),
+            positions_enc=pos_enc,
+            codec=cod,
+        )
 
     def _remove_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
         if len(self._tombstones) == 0 or len(doc_ids) == 0:

@@ -116,8 +116,12 @@ def build_shard_blocks(
     k1: float,
     b: float,
     positional: bool,
+    codec: str = "delta_varbyte",
 ) -> pa.Table:
     """Reduce one shard's posting rows into encoded posting-block rows."""
+    from ..codec.posting import get_posting_codec
+
+    cod = get_posting_codec(codec)
     order_tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
     terms = order_tbl["term"].combine_chunks()
     doc_ids = order_tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -164,9 +168,9 @@ def build_shard_blocks(
             out["n"].append(hi - lo)
             out["doc_id_min"].append(int(ids[0]))
             out["doc_id_max"].append(int(ids[-1]))
-            out["doc_ids"].append(varbyte_encode(_delta(ids)))
-            out["tfs"].append(varbyte_encode(btfs))
-            out["dls"].append(varbyte_encode(bdls))
+            out["doc_ids"].append(cod.enc_sorted(ids))
+            out["tfs"].append(cod.enc_plain(btfs))
+            out["dls"].append(cod.enc_plain(bdls))
             out["block_max_tf"].append(int(btfs.max()))
             out["block_max_w"].append(float(w[lo:hi].max()))
             if positional:
@@ -175,7 +179,7 @@ def build_shard_blocks(
                 pvals = pos_values[idx]
                 starts_mask = np.zeros(len(pvals), dtype=bool)
                 starts_mask[np.cumsum(sel_counts) - sel_counts] = True
-                out["positions"].append(varbyte_encode(_delta_encode_grouped(pvals, starts_mask)))
+                out["positions"].append(cod.enc_grouped(pvals, starts_mask))
             else:
                 out["positions"].append(None)
     return pa.table(
@@ -215,6 +219,7 @@ class PostingShardWriter:
         b: float,
         positional: bool,
         resume: bool = True,
+        codec: str = "delta_varbyte",
     ):
         self.out_dir = Path(out_dir)
         self.block_size = block_size
@@ -223,6 +228,7 @@ class PostingShardWriter:
         self.b = b
         self.positional = positional
         self.resume = resume
+        self.codec = codec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import time
@@ -240,9 +246,12 @@ class PostingShardWriter:
             k1=self.k1,
             b=self.b,
             positional=self.positional,
+            codec=self.codec,
         )
         tmp = path.with_suffix(".tmp")
-        pq.write_table(blocks, tmp)
+        # small row groups: term-sorted blocks + min/max stats → query-side
+        # `term isin` reads skip row groups instead of the whole shard
+        pq.write_table(blocks, tmp, row_group_size=1024)
         tmp.rename(path)
         return _lineage_row(
             shard, blocks.num_rows, group.num_rows, path.stat().st_size,

@@ -1,0 +1,120 @@
+"""Incremental-generation + compaction tests: an index grown by
+``build_increment`` must answer every query identically to a full rebuild
+over the union corpus (the reference's merge-correctness invariant,
+``Team12MergeTest`` pattern), and ``compact`` must preserve results while
+physically dropping tombstones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from searchengine_ray.build import build_index, dump_postings
+from searchengine_ray.build.merge import attach_generation, build_increment, compact
+from searchengine_ray.query import SearchEngine
+from tests.test_build import write_docs_parquet
+
+DOCS_A = {
+    0: "cat dog toy", 1: "cat Dog dog", 2: "toy pig cat",
+    3: "dog pig toy house", 4: "cat cat cat",
+}
+DOCS_B = {
+    5: "pig is not a toy dog", 6: "Summer Pizza House is closed in winter",
+    7: "pizza in summer pizza house is great", 8: "the summer house has pizza and dogs",
+}
+ALL_DOCS = {**DOCS_A, **DOCS_B}
+
+QUERIES = ["cat", "dog toy", "pizza summer", "house", "pig cat dog"]
+
+
+@pytest.fixture()
+def grown_index(ray_session, tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    write_docs_parquet(a / "d.parquet", DOCS_A)
+    write_docs_parquet(b / "d.parquet", DOCS_B)
+    idx = tmp_path / "idx"
+    build_index(str(a / "d.parquet"), idx, doc_id_column="doc_id", num_shards=4, block_size=3)
+    build_increment(
+        str(b / "d.parquet"), idx, tmp_path / "delta", doc_id_column="doc_id"
+    )
+    full = tmp_path / "full"
+    allp = tmp_path / "all"
+    allp.mkdir()
+    write_docs_parquet(allp / "d.parquet", ALL_DOCS)
+    build_index(str(allp / "d.parquet"), full, doc_id_column="doc_id", num_shards=4, block_size=3)
+    return idx, full
+
+
+def assert_same_results(eng_a: SearchEngine, eng_b: SearchEngine):
+    for q in QUERIES:
+        assert eng_a.search_and(q.split()).tolist() == eng_b.search_and(q.split()).tolist(), q
+        assert eng_a.search_or(q.split()).tolist() == eng_b.search_or(q.split()).tolist(), q
+        got, want = eng_a.search_bm25(q, topk=None), eng_b.search_bm25(q, topk=None)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+        gw = eng_a.search_bm25(q, topk=3, method="wand")
+        assert gw == eng_a.search_bm25(q, topk=3, method="exhaustive"), q
+    for ph in ("pizza house", "cat dog", "dog toy"):
+        assert eng_a.search_phrase(ph).tolist() == eng_b.search_phrase(ph).tolist(), ph
+    t_a = eng_a.search_tfidf(["pizza", "house"], None)
+    t_b = eng_b.search_tfidf(["pizza", "house"], None)
+    assert [d for d, _ in t_a] == [d for d, _ in t_b]
+    np.testing.assert_allclose([s for _, s in t_a], [s for _, s in t_b], rtol=1e-12)
+
+
+class TestIncrement:
+    def test_generation_attached(self, grown_index):
+        idx, _ = grown_index
+        eng = SearchEngine(idx)
+        assert eng.manifest.generations == ["postings", "gen-1"]
+        assert eng.num_docs() == len(ALL_DOCS)
+
+    def test_grown_equals_full_rebuild(self, grown_index):
+        idx, full = grown_index
+        assert_same_results(SearchEngine(idx), SearchEngine(full))
+
+    def test_mismatched_params_rejected(self, ray_session, tmp_path):
+        a = tmp_path / "a"
+        a.mkdir()
+        write_docs_parquet(a / "d.parquet", DOCS_A)
+        main = tmp_path / "m"
+        delta = tmp_path / "d2"
+        build_index(str(a / "d.parquet"), main, doc_id_column="doc_id", num_shards=4)
+        build_index(str(a / "d.parquet"), delta, doc_id_column="doc_id", num_shards=8)
+        with pytest.raises(ValueError, match="parameters"):
+            attach_generation(main, delta)
+
+
+class TestCompact:
+    def test_compact_preserves_results(self, grown_index):
+        idx, full = grown_index
+        before = dump_postings(idx, "postings")
+        m = compact(idx)
+        assert m.generations == ["postings"]
+        assert_same_results(SearchEngine(idx), SearchEngine(full))
+        # structural: merged dump equals full-rebuild dump
+        assert dump_postings(idx) == dump_postings(full)
+
+    def test_compact_drops_tombstones(self, grown_index):
+        idx, _ = grown_index
+        eng = SearchEngine(idx)
+        eng.delete_by_keyword("pig")  # docs 2, 3, 5
+        m = compact(idx)
+        assert m.tombstones == []
+        eng2 = SearchEngine(idx)
+        assert eng2.search_keyword("pig").tolist() == []
+        assert eng2.num_docs() == len(ALL_DOCS) - 3
+        dump = dump_postings(idx)
+        for term, posts in dump.items():
+            assert all(d not in (2, 3, 5) for d, _, _ in posts), term
+        # BM25 stats reflect the shrunken corpus (N, avgdl recomputed)
+        from searchengine_ray.query.oracle import FullScanOracle
+
+        live = {d: t for d, t in ALL_DOCS.items() if d not in (2, 3, 5)}
+        oracle = FullScanOracle(live)
+        for q in ("cat", "toy house", "pizza"):
+            got = eng2.search_bm25(q, topk=None)
+            want = oracle.search_bm25(q, topk=None)
+            assert [d for d, _ in got] == [d for d, _ in want], q
+            np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
