@@ -10,7 +10,8 @@ Phase "analyze" (stateless read + actor-pool map):
     ``read_parquet(corpus, columns=pruned)``
     → ``map_batches(AnalyzeStage, batch_format="pyarrow")``
     → ``analyzed/`` Parquet (doc_id, dl, terms, tfs, positions)
-    [+ ``docstats/`` doc_id→dl, + ``docs/`` doc store for fetch joins]
+    [+ ``docs/`` doc store for fetch joins; per-doc lengths are columns
+    of analyzed/]
 
 Phase "postings" (the wide step):
     ``read_parquet(analyzed/)``
@@ -40,7 +41,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..analysis.batch import PUNCT_PORTER
-from ..stages.postings import PostingShardWriter, explode_batch
+from ..stages.postings import PostingShardWriter, explode_batch, explode_partials
 from ..stages.tokenize import AnalyzeStage
 from .manifest import IndexManifest
 
@@ -61,7 +62,7 @@ def build_index(
     validate_extraction: bool = False,
     store_docs: bool = True,
     analyze_concurrency: int | None = None,
-    analyze_batch_size: int = 512,
+    analyze_batch_size: int = 2048,
     bm25_k1: float = 1.2,
     bm25_b: float = 0.75,
     resume: bool = True,
@@ -96,7 +97,6 @@ def build_index(
         )
 
     analyzed_dir = index_dir / "analyzed"
-    docstats_dir = index_dir / "docstats"
     docs_dir = index_dir / "docs"
     postings_dir = index_dir / generation
 
@@ -113,25 +113,42 @@ def build_index(
         columns = list(dict.fromkeys(columns))
         ds = rd.read_parquet(corpus_path, columns=columns)
 
-        # actor pool: term-mapper state (stemmer memo / dictionaries) built
-        # once per actor in __init__, not per batch (SURVEY.md §2.3 T1/T4)
-        analyzed = ds.map_batches(
-            AnalyzeStage,
-            fn_constructor_kwargs=dict(
-                mode=analyzer_mode,
-                positional=positional,
-                text_column=text_column,
-                html_column=html_column,
-                doc_id_column=doc_id_column,
-                doc_id_mode=doc_id_mode,
-                url_column=url_column,
-                validate_extraction=validate_extraction,
-            ),
-            batch_format="pyarrow",
-            batch_size=analyze_batch_size,
-            concurrency=analyze_concurrency if analyze_concurrency else (1, 8),
+        # Stateful analysis WITHOUT an actor pool: tasks + a per-worker
+        # stage cache (stages.tokenize._WORKER_STAGES) give the same
+        # state amortization (stemmer memo built once per worker process,
+        # SURVEY.md §2.3 T1/T4) while avoiding both actor-pool failure
+        # modes measured here: autoscaling pools upscale too slowly, and
+        # fixed pools either starve the read/write operators (size=CPUs)
+        # or pay multi-second spin-up per pipeline (30 actors ≈ 5-6 s).
+        stage_kwargs = dict(
+            mode=analyzer_mode,
+            positional=positional,
+            text_column=text_column,
+            html_column=html_column,
+            doc_id_column=doc_id_column,
+            doc_id_mode=doc_id_mode,
+            url_column=url_column,
+            validate_extraction=validate_extraction,
         )
+        from ..stages.tokenize import make_analyze_fn
+
+        if analyze_concurrency is not None:
+            # explicit actor pool (e.g. heavyweight word-break dictionaries)
+            analyzed = ds.map_batches(
+                AnalyzeStage,
+                fn_constructor_kwargs=stage_kwargs,
+                batch_format="pyarrow",
+                batch_size=analyze_batch_size,
+                concurrency=analyze_concurrency,
+            )
+        else:
+            analyzed = ds.map_batches(
+                make_analyze_fn(**stage_kwargs),
+                batch_format="pyarrow",
+                batch_size=analyze_batch_size,
+            )
         _write_parquet_atomic(analyzed, analyzed_dir)
+        t_map_done = time.perf_counter()
 
         # doc store (url/text for fetch joins) — separate pruned pass so the
         # analyzed table stays narrow
@@ -156,18 +173,25 @@ def build_index(
                 docs_ds.map_batches(_with_ids, batch_format="pyarrow"), docs_dir
             )
 
-        # docstats + global stats from the (narrow) analyzed output
-        stats_ds = rd.read_parquet(str(analyzed_dir), columns=["doc_id", "dl"])
-        _write_parquet_atomic(stats_ds, docstats_dir)
-        stats_tbl = pq.read_table(str(docstats_dir), columns=["dl"])
-        n_docs = stats_tbl.num_rows
-        total_tokens = int(pa.compute.sum(stats_tbl["dl"]).as_py() or 0)
+        # global stats in ONE aggregate pipeline over the (narrow) analyzed
+        # output; per-doc lengths live in analyzed/ (column-pruned reads),
+        # no separate docstats copy
+        from ray.data.aggregate import Count, Sum
+
+        stats_row = (
+            rd.read_parquet(str(analyzed_dir), columns=["dl"])
+            .aggregate(Count(alias_name="n"), Sum("dl", alias_name="total"))
+        )
+        n_docs = int(stats_row["n"] or 0)
+        total_tokens = int(stats_row["total"] or 0)
         manifest.n_docs = n_docs
         manifest.total_tokens = total_tokens
         manifest.avgdl = (total_tokens / n_docs) if n_docs else 0.0
         manifest.record_phase(
             "analyze", n_docs=n_docs, total_tokens=total_tokens,
             seconds=time.perf_counter() - t0,
+            map_seconds=t_map_done - t0,
+            stats_seconds=time.perf_counter() - t_map_done,
         )
         manifest.save(index_dir)
 
@@ -175,9 +199,22 @@ def build_index(
     if not manifest.phase_complete(generation):
         t0 = time.perf_counter()
         postings_dir.mkdir(parents=True, exist_ok=True)
+        # push-based sort shuffle: measurably faster for this wide
+        # groupby(shard) exchange (8.3s vs 12.4s pull-based / 62s hash at
+        # 120k docs, 32 cpus) and the strategy built for multi-node scale
+        ctx = rd.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        try:
+            from ray.data.context import ShuffleStrategy
+
+            ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        except ImportError:
+            pass
         analyzed_ds = rd.read_parquet(str(analyzed_dir))
+        # combiner: pre-group postings per (term, batch) so the shuffle
+        # sorts ~vocab×batches list-rows instead of one row per posting
         exploded = analyzed_ds.map_batches(
-            lambda b: explode_batch(b, manifest.num_shards, manifest.positional),
+            lambda b: explode_partials(b, manifest.num_shards, manifest.positional),
             batch_format="pyarrow",
         )
         writer = PostingShardWriter(
@@ -195,6 +232,7 @@ def build_index(
 
         lineage = exploded.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
         rows = lineage.take_all()  # small: one row per shard
+        ctx.shuffle_strategy = prev_strategy
         manifest.record_phase(
             generation,
             seconds=time.perf_counter() - t0,

@@ -49,7 +49,7 @@ def attach_generation(index_dir: str | Path, delta_dir: str | Path) -> IndexMani
         shutil.rmtree(gen_dir)
     shutil.copytree(delta_dir / "postings", gen_dir)
 
-    for sub in ("docstats", "docs"):
+    for sub in ("analyzed", "docs"):
         src = delta_dir / sub
         dst = index_dir / sub
         if src.exists() and dst.exists():
@@ -130,7 +130,7 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
 
     # post-compaction global stats FIRST, so block-max metadata is encoded
     # against the avgdl queries will actually use (WAND soundness)
-    stats_dir = index_dir / "docstats"
+    stats_dir = index_dir / "analyzed"
     stats_tbl = None
     if stats_dir.exists():
         stats_tbl = pq.read_table(str(stats_dir))
@@ -145,6 +145,7 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
         m.n_docs = stats_tbl.num_rows
         m.total_tokens = int(pa.compute.sum(stats_tbl["dl"]).as_py() or 0)
         m.avgdl = m.total_tokens / m.n_docs if m.n_docs else 0.0
+
 
     gen_dirs = [index_dir / g for g in m.generations]
     args = [
@@ -168,11 +169,11 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
         shutil.rmtree(index_dir / g, ignore_errors=True)
     out_dir.rename(index_dir / "postings")
 
-    # rewrite docstats minus tombstones
+    # rewrite analyzed/ minus tombstones (it is the per-doc-length source)
     if stats_tbl is not None:
         shutil.rmtree(stats_dir)
         stats_dir.mkdir()
-        pq.write_table(stats_tbl, stats_dir / "docstats-00000.parquet")
+        pq.write_table(stats_tbl, stats_dir / "analyzed-00000.parquet")
 
     m.generations = ["postings"]
     m.tombstones = []

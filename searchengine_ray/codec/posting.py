@@ -16,7 +16,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from .varbyte import varbyte_decode, varbyte_encode
+from .varbyte import varbyte_decode, varbyte_encode, varbyte_encode_with_widths
+
+
+def _slice_stream(stream: bytes, widths: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+    """Split an encoded stream at value-index ``bounds`` (len = n_blocks+1)
+    using per-value byte widths."""
+    byte_ends = np.concatenate(([0], np.cumsum(widths)))
+    return [
+        stream[int(byte_ends[bounds[i]]) : int(byte_ends[bounds[i + 1]])]
+        for i in range(len(bounds) - 1)
+    ]
 
 
 class DeltaVarbytePostingCodec:
@@ -58,6 +68,36 @@ class DeltaVarbytePostingCodec:
         base = acc[starts] - vals[starts]
         return acc - np.repeat(base, counts)
 
+    # --- per-term batched encode, sliced at block boundaries (one numpy
+    # pass per term instead of one per 128-doc block → head-term skew path)
+
+    @staticmethod
+    def enc_sorted_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+        v = np.asarray(vals, dtype=np.int64)
+        d = v.copy()
+        if len(d):
+            d[1:] -= v[:-1]
+            d[bounds[:-1]] = v[bounds[:-1]]  # fresh delta chain per block
+        stream, widths = varbyte_encode_with_widths(d)
+        return _slice_stream(stream, widths, bounds)
+
+    @staticmethod
+    def enc_plain_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+        stream, widths = varbyte_encode_with_widths(np.asarray(vals, dtype=np.int64))
+        return _slice_stream(stream, widths, bounds)
+
+    @staticmethod
+    def enc_grouped_blocks(
+        vals: np.ndarray, starts_mask: np.ndarray, bounds: np.ndarray
+    ) -> list[bytes]:
+        v = np.asarray(vals, dtype=np.int64)
+        d = v.copy()
+        if len(d):
+            d[1:] -= v[:-1]
+            d[starts_mask] = v[starts_mask]
+        stream, widths = varbyte_encode_with_widths(d)
+        return _slice_stream(stream, widths, bounds)
+
 
 class NaivePostingCodec:
     name = "naive"
@@ -82,6 +122,23 @@ class NaivePostingCodec:
     @staticmethod
     def dec_grouped(buf: bytes, counts: np.ndarray) -> np.ndarray:
         return np.frombuffer(buf, dtype=">i8").astype(np.int64)
+
+    @staticmethod
+    def _fixed_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
+        stream = np.asarray(vals, dtype=">i8").tobytes()
+        return [stream[int(bounds[i]) * 8 : int(bounds[i + 1]) * 8] for i in range(len(bounds) - 1)]
+
+    @classmethod
+    def enc_sorted_blocks(cls, vals, bounds):
+        return cls._fixed_blocks(vals, bounds)
+
+    @classmethod
+    def enc_plain_blocks(cls, vals, bounds):
+        return cls._fixed_blocks(vals, bounds)
+
+    @classmethod
+    def enc_grouped_blocks(cls, vals, starts_mask, bounds):
+        return cls._fixed_blocks(vals, bounds)
 
 
 _CODECS = {c.name: c for c in (DeltaVarbytePostingCodec, NaivePostingCodec)}

@@ -42,12 +42,13 @@ def delta_encode(values: np.ndarray) -> np.ndarray:
     return d
 
 
-def varbyte_encode(deltas: np.ndarray) -> bytes:
-    """Vectorized varbyte encode of non-negative int64 values."""
+def varbyte_encode_with_widths(deltas: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized varbyte encode; also returns per-value byte widths so a
+    caller can slice the stream at value boundaries (block splitting)."""
     d = np.asarray(deltas, dtype=np.int64)
     n = len(d)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     if (d < 0).any():
         raise ValueError("varbyte requires non-negative values")
     widths = np.searchsorted(_THRESHOLDS, d, side="right") + 1
@@ -63,7 +64,12 @@ def varbyte_encode(deltas: np.ndarray) -> bytes:
         if g > 0:
             vals |= 0x80  # continuation bit on all but the last (LSB) group
         out[ends[mask] - 1 - g] = vals.astype(np.uint8)
-    return out.tobytes()
+    return out.tobytes(), widths
+
+
+def varbyte_encode(deltas: np.ndarray) -> bytes:
+    """Vectorized varbyte encode of non-negative int64 values."""
+    return varbyte_encode_with_widths(deltas)[0]
 
 
 def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:

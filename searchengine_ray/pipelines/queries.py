@@ -122,7 +122,7 @@ def q_doc_lengths(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     idx = documents_index(sf_dir, "punct")
-    t = pq.read_table(str(idx / "docstats"))
+    t = pq.read_table(str(idx / "analyzed"), columns=["doc_id", "dl"])
     df = t.to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
     df["dl"] = df["dl"].astype("int64")
@@ -312,7 +312,16 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         ]
     )
     edges = edges[edges[:, 0] != edges[:, 1]]
-    scores = pagerank_ray(rd.from_arrow(links_table(edges)), n, num_iterations=50)
+    if n >= 100_000:
+        # distributed path: broadcast rank vector + pre-aggregated
+        # groupby(dst) per iteration (pagerank_ray == pagerank_numpy is
+        # pytest-verified); below that the driver-side CSR iteration is
+        # the right engineering — per-iteration Dataset overhead dominates
+        scores = pagerank_ray(rd.from_arrow(links_table(edges)), n, num_iterations=50)
+    else:
+        from ..rank import pagerank_numpy
+
+        scores = pagerank_numpy(edges, n, num_iterations=50)
     return pd.DataFrame(
         {
             "doc_id": pd.Series(ids, dtype="int64"),

@@ -85,6 +85,12 @@ class SearchEngine:
         self._cache_cap = cache_terms
         self._codec = get_posting_codec(self.manifest.codec)
         self._tombstones = np.array(sorted(self.manifest.tombstones), dtype=np.int64)
+        # shard-table LRU: small shard files are cached whole so terms
+        # hitting the same shard skip the parquet read (cap by file size —
+        # big shards at scale fall back to row-group-pruned reads)
+        self._shard_cache: OrderedDict[tuple[str, int], object] = OrderedDict()
+        self._shard_cache_cap = 64
+        self._shard_cache_max_bytes = 32 << 20
 
     # ---------- analysis ----------
 
@@ -148,8 +154,8 @@ class SearchEngine:
                 path = self.index_dir / gen / f"shard={shard:05d}.parquet"
                 if not path.exists():
                     continue
-                tbl = pq.read_table(path, filters=pc.field("term").isin(ts))
-                if tbl.num_rows == 0:
+                tbl = self._read_shard(gen, shard, path, ts)
+                if tbl is None or tbl.num_rows == 0:
                     continue
                 for t in ts:
                     rows = tbl.filter(pc.equal(tbl["term"], t))
@@ -160,6 +166,20 @@ class SearchEngine:
             for t, gen_rows in per_term_rows.items():
                 out[t] = self._assemble_term(t, gen_rows)
         return out
+
+    def _read_shard(self, gen: str, shard: int, path, terms: list[str]):
+        key = (gen, shard)
+        cached = self._shard_cache.get(key)
+        if cached is not None:
+            self._shard_cache.move_to_end(key)
+            return cached.filter(pc.field("term").isin(terms))
+        if path.stat().st_size <= self._shard_cache_max_bytes:
+            tbl = pq.read_table(path)
+            self._shard_cache[key] = tbl
+            if len(self._shard_cache) > self._shard_cache_cap:
+                self._shard_cache.popitem(last=False)
+            return tbl.filter(pc.field("term").isin(terms))
+        return pq.read_table(path, filters=pc.field("term").isin(terms))
 
     def _assemble_term(self, t: str, gen_rows: list) -> TermPostings:
         ids_parts, tf_parts, dl_parts = [], [], []
@@ -372,11 +392,12 @@ class SearchEngine:
         return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
 
     def search_bm25(
-        self, query: str | list[str], topk: int | None = 10, method: str = "wand"
+        self, query: str | list[str], topk: int | None = 10, method: str = "auto"
     ) -> list[tuple[int, float]]:
         """BM25 top-k (k1/b from the manifest). ``method``: "wand" =
-        block-max WAND pruning; "exhaustive" = score every candidate.
-        Identical results by construction (verified in tests)."""
+        block-max WAND pruning; "exhaustive" = vectorized full scoring;
+        "auto" picks by candidate volume. Identical results by
+        construction (verified in tests)."""
         text = query if isinstance(query, str) else " ".join(query)
         tokens = self.analyze(text)
         if topk is not None and topk == 0:
@@ -386,6 +407,11 @@ class SearchEngine:
         posts = self._lookup(tokens)
         if not posts:
             return []
+        if method == "auto":
+            # WAND's pruning only pays once candidate sets are big; below
+            # the threshold the vectorized exhaustive scorer wins outright
+            total = sum(len(p.doc_ids) for p in posts.values())
+            method = "wand" if (topk is not None and total > 2_000_000) else "exhaustive"
         if topk is None or method == "exhaustive":
             return self._bm25_exhaustive(tokens, posts, topk)
         return self._bm25_wand(tokens, posts, topk)
@@ -401,23 +427,28 @@ class SearchEngine:
         return out
 
     def _bm25_exhaustive(self, tokens, posts, topk):
+        """Vectorized: one np.add.at accumulation over the concatenated
+        posting lists. Addition order per doc equals the per-term loop's
+        (terms in query order), so scores are bit-identical to the oracle."""
         qtf: dict[str, int] = {}
         for t in tokens:
             qtf[t] = qtf.get(t, 0) + 1
         weights = self._bm25_weights(posts, qtf)
-        scores: dict[int, float] = {}
-        for t in dict.fromkeys(tokens):
-            if t not in posts:
-                continue
-            p = posts[t]
-            w = weights[t]
-            for doc, s in zip(p.doc_ids.tolist(), w.tolist()):
-                scores[doc] = scores.get(doc, 0.0) + s
-        items = [
-            (doc, s) for doc, s in scores.items() if not self._is_tombstone(doc)
-        ]
-        items.sort(key=lambda x: (-x[1], x[0]))
-        return items if topk is None else items[:topk]
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms:
+            return []
+        all_ids = np.concatenate([posts[t].doc_ids for t in terms])
+        all_w = np.concatenate([weights[t] for t in terms])
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(len(uids))
+        np.add.at(scores, inv, all_w)
+        if len(self._tombstones):
+            keep = ~np.isin(uids, self._tombstones)
+            uids, scores = uids[keep], scores[keep]
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
 
     def _bm25_wand(self, tokens, posts, topk):
         """Block-max WAND over the per-term block metadata.

@@ -5,6 +5,7 @@ from .postings import (
     PostingShardWriter,
     build_shard_blocks,
     explode_batch,
+    explode_partials,
     grouped_delta_decode,
     term_shard,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "WordBreakStage",
     "doc_ids_from_urls",
     "explode_batch",
+    "explode_partials",
     "build_shard_blocks",
     "PostingShardWriter",
     "POSTINGS_SCHEMA",

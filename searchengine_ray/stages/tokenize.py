@@ -100,6 +100,26 @@ class AnalyzeStage:
         return analyze_docs(text.to_pandas(), doc_ids, self.mapper, positional=self.positional)
 
 
+# per-worker stage cache: Ray worker processes are long-lived, so a plain
+# TASK-based map_batches reuses the same AnalyzeStage (stemmer memo) across
+# tasks in a worker — actor-pool state amortization without paying the
+# multi-second actor-pool spin-up per pipeline.
+_WORKER_STAGES: dict[tuple, "AnalyzeStage"] = {}
+
+
+def make_analyze_fn(**kwargs):
+    key = tuple(sorted(kwargs.items()))
+
+    def analyze_fn(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGES.get(key)
+        if stage is None:
+            stage = AnalyzeStage(**kwargs)
+            _WORKER_STAGES[key] = stage
+        return stage(batch)
+
+    return analyze_fn
+
+
 class WordBreakStage:
     """Actor-pool stage for dictionary word-break tokenization of space-less
     text (reference ``WordBreakTokenizer.java`` / ``WordBreakCJKTokenizer``).

@@ -133,7 +133,7 @@ class TestBuildStructure:
         corpus, docs = small_corpus
         idx = tmp_path / "idx4"
         build_index(str(corpus / "docs.parquet"), idx, doc_id_column="doc_id")
-        stats = pq.read_table(str(idx / "docstats")).to_pylist()
+        stats = pq.read_table(str(idx / "analyzed"), columns=["doc_id", "dl"]).to_pylist()
         ana = default_analyzer()
         expect = {i: len(ana.analyze(t)) for i, t in docs.items()}
         assert {r["doc_id"]: r["dl"] for r in stats} == expect
