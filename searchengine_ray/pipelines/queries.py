@@ -330,6 +330,161 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_combined_search(sf_dir: str) -> pd.DataFrame:
+    """K3/A7+J5: TF-IDF combined with PageRank (reference
+    ``IcsSearchEngine.searchQuery``: score = tfidf + w·pagerank[doc]).
+    PageRank over the same synthetic doc-id graph as q_pagerank.
+    Iterative + rank formula → rows-only driver check (pytest holds the
+    rank-identity oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..rank import WebSearchEngine, pagerank_numpy
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    web = WebSearchEngine(documents_index(sf_dir, "punct"))
+    web.pagerank = pagerank_numpy(edges, n, num_iterations=50)
+    res = web.search_query(TFIDF_TERMS, 20, pagerank_weight=1.0)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def q_wordbreak(sf_dir: str) -> pd.DataFrame:
+    """M6/T1: dictionary word-break of space-less text via an actor-pool
+    stage holding the frequency dictionary (loaded once per actor).
+    Input: each doc's first 8 tokens concatenated without spaces;
+    dictionary: corpus token frequencies. Non-SQL → rows-only."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.tokenize import WordBreakStage
+
+    stats = q_term_stats(sf_dir)  # corpus frequencies (cached index)
+    word_dict = dict(zip(stats["term"], stats["total_tf"].astype(float)))
+
+    def squash(batch: pa.Table) -> pa.Table:
+        from ..analysis.stopwords import STOP_WORDS
+        from ..functions.textstats import _token_lists
+
+        toks = _token_lists(batch["text"].to_pandas())
+        # dict terms come from the stopword-filtered index, so filter here too
+        joined = ["".join([w for w in t if w not in STOP_WORDS][:8]) for t in toks]
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "text": pa.array(joined)}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(squash, batch_format="pyarrow")
+        .map_batches(
+            WordBreakStage,
+            fn_constructor_kwargs=dict(dict_path_or_mapping=word_dict),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out["n_tokens"] = out["tokens"].map(len).astype("int64")
+    out["retokenized"] = out["tokens"].map(" ".join)
+    return out[["doc_id", "n_tokens", "retokenized"]].astype({"doc_id": "int64"})
+
+
+def q_fetch_topk(sf_dir: str) -> pd.DataFrame:
+    """J4: doc_id → document fetch join for the BM25 top-5."""
+    eng = _engine(sf_dir)
+    top = eng.search_bm25(BM25_QUERY, topk=5)
+    texts = eng.fetch_docs([d for d, _ in top])
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in top], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in top], dtype="float64"),
+            "text": [texts[d] for d, _ in top],
+        }
+    )
+
+
+def sql_fetch_topk() -> str:
+    inner = sql_bm25_all().strip().rstrip()
+    return f"""
+WITH ranked AS ({inner})
+SELECT r.doc_id, r.score, d.text
+FROM ranked r JOIN documents d USING (doc_id)
+ORDER BY r.score DESC, r.doc_id LIMIT 5
+"""
+
+
+def q_batch_queries(sf_dir: str) -> pd.DataFrame:
+    """§3.2 Ray-native batch query path: queries Dataset →
+    actor-pool QueryEngineStage (engine state loaded once per actor)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..query import QueryEngineStage
+
+    idx = documents_index(sf_dir, "punct")
+    tbl = pa.table(
+        {
+            "qid": pa.array([0, 1, 2], pa.int64()),
+            "query": pa.array([BM25_QUERY, "fast scan", "customer join line"]),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            QueryEngineStage,
+            fn_constructor_kwargs=dict(index_dir=str(idx), kind="bm25", topk=5),
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(6)
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64"})
+
+
+def q_orders_topk(sf_dir: str) -> pd.DataFrame:
+    """K2/K4 as Dataset ops: global sort + limit."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20).to_pandas()
+    return out.astype({"o_orderkey": "int64"})
+
+
+def sql_orders_topk() -> str:
+    # ties on o_totalprice would make LIMIT ambiguous; synthetic prices are distinct
+    return """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """D-ops: Dataset.unique (distinct shuffle)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": pd.Series(vals, dtype="object")})
+
+
+def sql_distinct_segments() -> str:
+    return "SELECT DISTINCT c_mktsegment FROM customer"
+
+
 # ------------------------------------------------------- training-data ops
 
 
@@ -682,6 +837,12 @@ def registry() -> dict[str, tuple]:
         "tfidf_all": (q_tfidf_all, sql_tfidf_all()),
         "bm25_all": (q_bm25_all, sql_bm25_all()),
         "pagerank": (q_pagerank, None),
+        "combined_search": (q_combined_search, None),
+        "wordbreak": (q_wordbreak, None),
+        "fetch_topk": (q_fetch_topk, sql_fetch_topk()),
+        "batch_queries": (q_batch_queries, None),
+        "orders_topk": (q_orders_topk, sql_orders_topk()),
+        "distinct_segments": (q_distinct_segments, sql_distinct_segments()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "dedup_minhash": (q_dedup_minhash, None),
         "dedup_simhash": (q_dedup_simhash, None),
