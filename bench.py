@@ -176,7 +176,7 @@ def scaling() -> None:
             BENCH_SKIP_REGISTRY="1",
             # corpus big enough that parallel work dominates the ~5 s of
             # fixed per-run overhead (actor spin-up, phase boundaries)
-            BENCH_DOCS=os.environ.get("BENCH_DOCS", "120000"),
+            BENCH_DOCS=os.environ.get("BENCH_DOCS", "400000"),
         )
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
