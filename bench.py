@@ -86,6 +86,7 @@ def run_headline(num_cpus: int) -> dict:
         analyze_batch_size=2048,
         store_docs=False,
         resume=False,
+        salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", "1000000")),
     )
     index_sec = time.perf_counter() - t0
     ray.shutdown() if False else None

@@ -68,6 +68,8 @@ def build_index(
     resume: bool = True,
     generation: str = "postings",
     codec: str = "delta_varbyte",
+    salt_target_postings: int = 1_000_000,
+    salt_max: int = 16,
 ) -> IndexManifest:
     """Build (or resume building) an index at ``index_dir``.
 
@@ -210,11 +212,30 @@ def build_index(
             ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         except ImportError:
             pass
+        # head-term salting (SURVEY.md §4 skew): a cheap df pre-aggregation
+        # finds terms whose posting list would dominate one reducer; their
+        # postings are split across ceil(df/target) salt shards and k-way
+        # merged by the query engine (manifest.salted_terms)
+        # df ≤ n_docs, so the pre-aggregation can be skipped entirely when
+        # no term can possibly exceed the target
+        if (
+            salt_target_postings
+            and manifest.n_docs > salt_target_postings
+            and not manifest.salted_terms
+        ):
+            manifest.salted_terms = _find_hot_terms(
+                rd, str(analyzed_dir), salt_target_postings, salt_max
+            )
+            manifest.save(index_dir)
+        salted = dict(manifest.salted_terms)
+
         analyzed_ds = rd.read_parquet(str(analyzed_dir))
         # combiner: pre-group postings per (term, batch) so the shuffle
         # sorts ~vocab×batches list-rows instead of one row per posting
         exploded = analyzed_ds.map_batches(
-            lambda b: explode_partials(b, manifest.num_shards, manifest.positional),
+            lambda b: explode_partials(
+                b, manifest.num_shards, manifest.positional, salted
+            ),
             batch_format="pyarrow",
         )
         writer = PostingShardWriter(
@@ -241,6 +262,40 @@ def build_index(
         manifest.save(index_dir)
 
     return manifest
+
+
+def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[str, int]:
+    """Exact global df per term (partial counts per batch → small groupby)
+    → {term: n_salts} for terms with df > target."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        terms_col = batch["terms"].combine_chunks()
+        flat = terms_col.flatten()
+        import pandas as pd
+
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        counts = pa.array(
+            __import__("numpy").bincount(codes, minlength=len(uniq)).astype("int64")
+        )
+        return pa.table({"term": pa.array(list(uniq), pa.string()), "c": counts})
+
+    rows = (
+        rd.read_parquet(analyzed_dir, columns=["terms"])
+        .map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="df"))
+        .map_batches(
+            lambda t: t.filter(pa.compute.greater(t["df"], target)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    return {
+        r["term"]: min(salt_max, math.ceil(r["df"] / target)) for r in rows
+    }
 
 
 def _write_parquet_atomic(ds, out_dir: Path) -> None:

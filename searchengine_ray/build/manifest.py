@@ -37,6 +37,9 @@ class IndexManifest:
     tombstones: list[int] = field(default_factory=list)
     phases: dict[str, Any] = field(default_factory=dict)
     generations: list[str] = field(default_factory=lambda: ["postings"])
+    # head-term skew: term → n_salts (postings split across that many
+    # reducer shards; query engine k-way merges the subsets)
+    salted_terms: dict[str, int] = field(default_factory=dict)
 
     # --- persistence ---
 

@@ -57,6 +57,8 @@ def attach_generation(index_dir: str | Path, delta_dir: str | Path) -> IndexMani
                 shutil.copy(f, dst / f"{gen_name}-{i:05d}.parquet")
 
     main.generations = list(main.generations) + [gen_name]
+    for t, n in delta.salted_terms.items():
+        main.salted_terms[t] = max(main.salted_terms.get(t, 0), n)
     main.n_docs += delta.n_docs
     main.total_tokens += delta.total_tokens
     main.avgdl = main.total_tokens / main.n_docs if main.n_docs else 0.0

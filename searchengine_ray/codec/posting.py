@@ -19,6 +19,17 @@ import numpy as np
 from .varbyte import varbyte_decode, varbyte_encode, varbyte_encode_with_widths
 
 
+def _native_int(vals: np.ndarray) -> np.ndarray:
+    """No-copy signed view of the input (uint64 → int64 view; values are
+    < 2^63 by construction); widening copies only for non-integer input."""
+    v = np.asarray(vals)
+    if v.dtype == np.uint64:
+        return v.view(np.int64)
+    if not np.issubdtype(v.dtype, np.integer):
+        return v.astype(np.int64)
+    return v
+
+
 def _slice_stream(stream: bytes, widths: np.ndarray, bounds: np.ndarray) -> list[bytes]:
     """Split an encoded stream at value-index ``bounds`` (len = n_blocks+1)
     using per-value byte widths."""
@@ -34,8 +45,9 @@ class DeltaVarbytePostingCodec:
 
     @staticmethod
     def enc_sorted(vals: np.ndarray) -> bytes:
-        d = np.asarray(vals, dtype=np.int64).copy()
-        d[1:] -= np.asarray(vals)[:-1]
+        v = _native_int(vals)
+        d = v.copy()
+        d[1:] -= v[:-1]
         return varbyte_encode(d)
 
     @staticmethod
@@ -44,7 +56,7 @@ class DeltaVarbytePostingCodec:
 
     @staticmethod
     def enc_plain(vals: np.ndarray) -> bytes:
-        return varbyte_encode(np.asarray(vals, dtype=np.int64))
+        return varbyte_encode(_native_int(vals))
 
     @staticmethod
     def dec_plain(buf: bytes) -> np.ndarray:
@@ -52,10 +64,11 @@ class DeltaVarbytePostingCodec:
 
     @staticmethod
     def enc_grouped(vals: np.ndarray, starts_mask: np.ndarray) -> bytes:
-        d = np.asarray(vals, dtype=np.int64).copy()
+        v = _native_int(vals)
+        d = v.copy()
         if len(d):
-            d[1:] -= np.asarray(vals)[:-1]
-            d[starts_mask] = np.asarray(vals)[starts_mask]
+            d[1:] -= v[:-1]
+            d[starts_mask] = v[starts_mask]
         return varbyte_encode(d)
 
     @staticmethod
@@ -73,7 +86,7 @@ class DeltaVarbytePostingCodec:
 
     @staticmethod
     def enc_sorted_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
-        v = np.asarray(vals, dtype=np.int64)
+        v = _native_int(vals)
         d = v.copy()
         if len(d):
             d[1:] -= v[:-1]
@@ -83,14 +96,14 @@ class DeltaVarbytePostingCodec:
 
     @staticmethod
     def enc_plain_blocks(vals: np.ndarray, bounds: np.ndarray) -> list[bytes]:
-        stream, widths = varbyte_encode_with_widths(np.asarray(vals, dtype=np.int64))
+        stream, widths = varbyte_encode_with_widths(_native_int(vals))
         return _slice_stream(stream, widths, bounds)
 
     @staticmethod
     def enc_grouped_blocks(
         vals: np.ndarray, starts_mask: np.ndarray, bounds: np.ndarray
     ) -> list[bytes]:
-        v = np.asarray(vals, dtype=np.int64)
+        v = _native_int(vals)
         d = v.copy()
         if len(d):
             d[1:] -= v[:-1]

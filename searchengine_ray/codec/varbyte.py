@@ -45,7 +45,13 @@ def delta_encode(values: np.ndarray) -> np.ndarray:
 def varbyte_encode_with_widths(deltas: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Vectorized varbyte encode; also returns per-value byte widths so a
     caller can slice the stream at value boundaries (block splitting)."""
-    d = np.asarray(deltas, dtype=np.int64)
+    # keep the input dtype (int32/uint64 pass through without a widening
+    # copy — memory bandwidth, not CPU, bounds the encode at scale)
+    d = np.asarray(deltas)
+    if d.dtype == np.uint64:
+        d = d.view(np.int64)  # values < 2^63 by construction; zero-copy
+    elif not np.issubdtype(d.dtype, np.integer):
+        d = d.astype(np.int64)
     n = len(d)
     if n == 0:
         return b"", np.empty(0, dtype=np.int64)

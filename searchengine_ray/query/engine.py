@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..analysis.batch import TermMapper, analyze_texts_rowwise
 from ..build.manifest import IndexManifest
 from ..codec.posting import get_posting_codec
-from ..stages.postings import term_shard
+from ..stages.postings import salt_shard, term_shard
 
 
 @dataclass
@@ -143,13 +143,19 @@ class SearchEngine:
         *current* avgdl — keeps block-max WAND bounds sound even when
         avgdl drifted since a generation was built."""
         by_shard: dict[int, list[str]] = {}
-        shards = term_shard(np.asarray(terms, dtype=object), self.manifest.num_shards)
+        num_shards = self.manifest.num_shards
+        salted = self.manifest.salted_terms
+        shards = term_shard(np.asarray(terms, dtype=object), num_shards)
         for t, s in zip(terms, shards):
             by_shard.setdefault(int(s), []).append(t)
+            for salt in range(salted.get(t, 0)):
+                by_shard.setdefault(salt_shard(t, salt, num_shards), []).append(t)
         gens = list(self.manifest.generations)
-        out: dict[str, TermPostings] = {}
+        # accumulate rows per term across ALL probed shards (salted terms
+        # span several) and generations, then assemble once
+        per_term_rows: dict[str, list[pq.Table]] = {}
         for shard, ts in by_shard.items():
-            per_term_rows: dict[str, list[pq.Table]] = {}
+            ts = list(dict.fromkeys(ts))  # salt shard may collide with base
             for gen in gens:
                 path = self.index_dir / gen / f"shard={shard:05d}.parquet"
                 if not path.exists():
@@ -163,9 +169,7 @@ class SearchEngine:
                         per_term_rows.setdefault(t, []).append(
                             rows.sort_by([("block_id", "ascending")])
                         )
-            for t, gen_rows in per_term_rows.items():
-                out[t] = self._assemble_term(t, gen_rows)
-        return out
+        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
 
     def _read_shard(self, gen: str, shard: int, path, terms: list[str]):
         key = (gen, shard)
@@ -198,7 +202,9 @@ class SearchEngine:
         doc_ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
-        if len(gen_rows) == 1:
+        # fast path only when all rows came from one source AND the term
+        # isn't salted (salted subsets need the merge + df recompute)
+        if len(gen_rows) == 1 and t not in self.manifest.salted_terms:
             return TermPostings(
                 term=t,
                 df=int(gen_rows[0]["df"][0].as_py()),

@@ -60,6 +60,12 @@ def term_shard(terms: np.ndarray, num_shards: int) -> np.ndarray:
     )
 
 
+def salt_shard(term: str, salt: int, num_shards: int) -> int:
+    """Shard of a salted head-term subset (subset s = docs with
+    ``doc_id % n_salts == s``)."""
+    return zlib.crc32(f"{term}#{salt}".encode()) % num_shards
+
+
 def explode_batch(batch: pa.Table, num_shards: int, positional: bool) -> pa.Table:
     """Per-doc term vectors → posting rows (shard, term, doc_id, tf, dl
     [, positions])."""
@@ -89,7 +95,12 @@ def explode_batch(batch: pa.Table, num_shards: int, positional: bool) -> pa.Tabl
     return pa.table(cols)
 
 
-def explode_partials(batch: pa.Table, num_shards: int, positional: bool) -> pa.Table:
+def explode_partials(
+    batch: pa.Table,
+    num_shards: int,
+    positional: bool,
+    salted: dict[str, int] | None = None,
+) -> pa.Table:
     """Per-doc term vectors → per-(shard, term) PARTIAL posting rows.
 
     The combiner pattern (ray_guide "Aggregation at scale"): instead of
@@ -99,20 +110,32 @@ def explode_partials(batch: pa.Table, num_shards: int, positional: bool) -> pa.T
     equal payload bytes. Doc ids within a partial are ascending (batch
     order); the shard reducer merge-sorts partials.
 
+    ``salted``: head-term skew handling (SURVEY.md §4) — terms in the map
+    have their postings split into ``n_salts`` deterministic doc-id
+    subsets (``doc_id % n_salts``), each routed to its own reducer shard
+    (``salt_shard``), so one giant posting list encodes in parallel. The
+    query engine k-way merges the subsets at load (``manifest.salted_terms``).
+
     Schema: ``shard:int32, term:string, doc_ids:list<uint64>,
     tfs:list<int32>, dls:list<int32>[, positions:list<list<int32>>]``.
     """
     exploded = explode_batch(batch, num_shards, positional)
+    if salted:
+        exploded = _resalt_exploded(exploded, num_shards, salted)
     n = exploded.num_rows
     import pandas as pd
 
     tcodes, tuniq = pd.factorize(exploded["term"].to_numpy(zero_copy_only=False))
-    order = np.argsort(tcodes, kind="stable")  # group by term, keep doc order
+    shards_arr = exploded["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # group by (term, shard) — salted terms span several shards per batch
+    key = tcodes.astype(np.int64) * num_shards + shards_arr
+    order = np.argsort(key, kind="stable")  # keep doc order within group
     t_s = tcodes[order]
+    k_s = key[order]
     if n:
         new_run = np.empty(n, dtype=bool)
         new_run[0] = True
-        new_run[1:] = t_s[1:] != t_s[:-1]
+        new_run[1:] = k_s[1:] != k_s[:-1]
         run_starts = np.flatnonzero(new_run)
         run_lens = np.diff(np.append(run_starts, n))
     else:
@@ -141,6 +164,30 @@ def explode_partials(batch: pa.Table, num_shards: int, positional: bool) -> pa.T
     return pa.table(cols)
 
 
+def _resalt_exploded(
+    exploded: pa.Table, num_shards: int, salted: dict[str, int]
+) -> pa.Table:
+    """Reassign shard for salted head terms: subset ``doc_id % n_salts``
+    → ``salt_shard(term, salt)``."""
+    import pandas as pd
+
+    tcodes, tuniq = pd.factorize(exploded["term"].to_numpy(zero_copy_only=False))
+    n_salts_uniq = np.asarray([salted.get(t, 0) for t in tuniq], dtype=np.int64)
+    if not (n_salts_uniq > 0).any():
+        return exploded
+    shards = exploded["shard"].to_numpy(zero_copy_only=False).astype(np.int32).copy()
+    docs = exploded["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for u_idx in np.flatnonzero(n_salts_uniq > 0):
+        mask = tcodes == u_idx
+        ns = int(n_salts_uniq[u_idx])
+        lut = np.asarray(
+            [salt_shard(tuniq[u_idx], s, num_shards) for s in range(ns)], dtype=np.int32
+        )
+        shards[mask] = lut[(docs[mask] % ns).astype(np.int64)]
+    idx = exploded.column_names.index("shard")
+    return exploded.set_column(idx, "shard", pa.array(shards, pa.int32()))
+
+
 def _arrays_from_partials(group: pa.Table, positional: bool):
     """Flatten partial rows back to exploded arrays, sorted by
     (term-alphabetical, doc_id)."""
@@ -148,10 +195,12 @@ def _arrays_from_partials(group: pa.Table, positional: bool):
 
     tcodes, tuniq = pd.factorize(group["term"].to_numpy(zero_copy_only=False))
     ids_col = group["doc_ids"].combine_chunks()
-    counts = ids_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_flat = ids_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    tf_flat = group["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-    dl_flat = group["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    # native dtypes throughout (uint64 ids, int32 tf/dl/positions): the
+    # encode path is memory-bandwidth bound, widening copies dominate
+    counts = ids_col.value_lengths().to_numpy(zero_copy_only=False)
+    doc_flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+    tf_flat = group["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dl_flat = group["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     tcode_flat = np.repeat(tcodes, counts)
 
     # alphabetical term rank for deterministic output order
@@ -168,8 +217,8 @@ def _arrays_from_partials(group: pa.Table, positional: bool):
 
     if positional and "positions" in group.column_names:
         pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per (doc,term)
-        pos_counts_all = pos_outer.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_values_all = pos_outer.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_counts_all = pos_outer.value_lengths().to_numpy(zero_copy_only=False)
+        pos_values_all = pos_outer.flatten().to_numpy(zero_copy_only=False)
         pos_offsets_all = np.cumsum(pos_counts_all) - pos_counts_all
         idx = _gather_ranges(pos_offsets_all[order], pos_counts_all[order])
         pos_values = pos_values_all[idx]
