@@ -57,6 +57,7 @@ class TermPostings:
     block_doc_max: np.ndarray  # int64 per block (doc_id_max)
     positions_enc: list[bytes | None]  # per block
     codec: object = None  # posting-block codec (set by the engine)
+    has_positions: bool = False  # False when loaded column-pruned (BM25 path)
 
     def positions_for(self, idx: int) -> np.ndarray:
         """Positions of the posting at global index ``idx``."""
@@ -125,15 +126,20 @@ class SearchEngine:
         if len(self._cache) > self._cache_cap:
             self._cache.popitem(last=False)
 
-    def _lookup(self, terms: list[str]) -> dict[str, TermPostings]:
-        missing = [t for t in dict.fromkeys(terms) if t not in self._cache]
+    def _lookup(self, terms: list[str], positions: bool = False) -> dict[str, TermPostings]:
+        missing = [
+            t
+            for t in dict.fromkeys(terms)
+            if t not in self._cache
+            or (positions and self._cache[t] is not None and not self._cache[t].has_positions)
+        ]
         if missing:
-            loaded = self._load_terms(missing)
+            loaded = self._load_terms(missing, positions=positions)
             for t in missing:
                 self._put_cache(t, loaded.get(t))
         return {t: self._cache[t] for t in dict.fromkeys(terms) if self._cache.get(t) is not None}
 
-    def _load_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+    def _load_terms(self, terms: list[str], positions: bool = False) -> dict[str, TermPostings]:
         """Decode term postings across all index generations.
 
         Single generation: stored block layout + block-max metadata used
@@ -160,7 +166,7 @@ class SearchEngine:
                 path = self.index_dir / gen / f"shard={shard:05d}.parquet"
                 if not path.exists():
                     continue
-                tbl = self._read_shard(gen, shard, path, ts)
+                tbl = self._read_shard(gen, shard, path, ts, positions)
                 if tbl is None or tbl.num_rows == 0:
                     continue
                 for t in ts:
@@ -171,7 +177,7 @@ class SearchEngine:
                         )
         return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
 
-    def _read_shard(self, gen: str, shard: int, path, terms: list[str]):
+    def _read_shard(self, gen: str, shard: int, path, terms: list[str], positions: bool):
         key = (gen, shard)
         cached = self._shard_cache.get(key)
         if cached is not None:
@@ -183,7 +189,13 @@ class SearchEngine:
             if len(self._shard_cache) > self._shard_cache_cap:
                 self._shard_cache.popitem(last=False)
             return tbl.filter(pc.field("term").isin(terms))
-        return pq.read_table(path, filters=pc.field("term").isin(terms))
+        # big shard, uncached: prune the (dominant) positions column when
+        # only scoring is needed — SURVEY.md §7.4 "BM25-only scans don't
+        # pay for positions"
+        cols = None if positions else [
+            f.name for f in pq.read_schema(path) if f.name != "positions"
+        ]
+        return pq.read_table(path, filters=pc.field("term").isin(terms), columns=cols)
 
     def _assemble_term(self, t: str, gen_rows: list) -> TermPostings:
         ids_parts, tf_parts, dl_parts = [], [], []
@@ -198,7 +210,10 @@ class SearchEngine:
                 bounds.append(bounds[-1] + len(ids_parts[-1]))
             bmw_parts.append(rows["block_max_w"].to_numpy(zero_copy_only=False))
             bdm_parts.append(rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64))
-            pos_parts.extend(rows["positions"].to_pylist())
+            if "positions" in rows.column_names:
+                pos_parts.extend(rows["positions"].to_pylist())
+            else:
+                pos_parts.extend([None] * rows.num_rows)
         doc_ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
@@ -216,6 +231,7 @@ class SearchEngine:
                 block_doc_max=bdm_parts[0],
                 positions_enc=pos_parts,
                 codec=cod,
+                has_positions=any(p is not None for p in pos_parts),
             )
         # multi-generation: decode positions now, merge-sort by doc_id,
         # re-block with exact maxima under the current avgdl
@@ -270,6 +286,7 @@ class SearchEngine:
             block_doc_max=block_doc_max.astype(np.int64),
             positions_enc=pos_enc,
             codec=cod,
+            has_positions=any(p is not None for p in pos_enc),
         )
 
     def _remove_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:
@@ -321,7 +338,7 @@ class SearchEngine:
         tokens = self.analyze(text)
         if not tokens:
             return np.empty(0, dtype=np.int64)
-        posts = self._lookup(tokens)
+        posts = self._lookup(tokens, positions=True)
         if len(posts) < len(set(tokens)):
             return np.empty(0, dtype=np.int64)
         # candidates: docs containing every token
