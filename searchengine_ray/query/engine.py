@@ -381,26 +381,34 @@ class SearchEngine:
         qtf: dict[str, int] = {}
         for t in tokens:
             qtf[t] = qtf.get(t, 0) + 1
-        dot: dict[int, float] = {}
-        length: dict[int, float] = {}
-        for t in dict.fromkeys(tokens):
-            p = posts.get(t)
-            if p is None:
-                continue
+        # vectorized accumulation; per-doc addition order equals the
+        # reference's (query-token order), so scores are bit-identical
+        terms_present = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms_present:
+            return []
+        all_ids, all_contrib, all_sq = [], [], []
+        for t in terms_present:
+            p = posts[t]
             w_q = qtf[t] * idf[t]
             tfidf = p.tfs * idf[t]
-            contrib = tfidf * w_q
-            sq = tfidf * tfidf
-            for doc, c, s in zip(p.doc_ids.tolist(), contrib.tolist(), sq.tolist()):
-                dot[doc] = dot.get(doc, 0.0) + c
-                length[doc] = length.get(doc, 0.0) + s
-        scores = [
-            (doc, dot[doc] / math.sqrt(length[doc]))
-            for doc in sorted(length)
-            if length[doc] > 0 and not self._is_tombstone(doc)
-        ]
-        scores.sort(key=lambda x: (-x[1], x[0]))
-        return scores if topk is None else scores[:topk]
+            all_ids.append(p.doc_ids)
+            all_contrib.append(tfidf * w_q)
+            all_sq.append(tfidf * tfidf)
+        ids = np.concatenate(all_ids)
+        uids, inv = np.unique(ids, return_inverse=True)
+        dot = np.zeros(len(uids))
+        length = np.zeros(len(uids))
+        np.add.at(dot, inv, np.concatenate(all_contrib))
+        np.add.at(length, inv, np.concatenate(all_sq))
+        keep = length > 0
+        if len(self._tombstones):
+            keep &= ~np.isin(uids, self._tombstones)
+        uids, dot, length = uids[keep], dot[keep], length[keep]
+        score_vals = dot / np.sqrt(length)
+        order = np.lexsort((uids, -score_vals))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(score_vals[i])) for i in order]
 
     def _is_tombstone(self, doc: int) -> bool:
         if len(self._tombstones) == 0:
