@@ -439,10 +439,13 @@ class SearchEngine:
         if not posts:
             return []
         if method == "auto":
-            # WAND's pruning only pays once candidate sets are big; below
-            # the threshold the vectorized exhaustive scorer wins outright
-            total = sum(len(p.doc_ids) for p in posts.values())
-            method = "wand" if (topk is not None and total > 2_000_000) else "exhaustive"
+            # The loader decodes whole term postings (then caches), so the
+            # vectorized exhaustive scorer beats pivot-based WAND at every
+            # size measured (up to 400k-doc indexes; WAND's per-doc Python
+            # loop loses to one np.add.at). WAND stays available explicitly
+            # — its pruning pays once block decode is lazy (true
+            # larger-than-memory posting lists), the round-2 path.
+            method = "exhaustive"
         if topk is None or method == "exhaustive":
             return self._bm25_exhaustive(tokens, posts, topk)
         return self._bm25_wand(tokens, posts, topk)
