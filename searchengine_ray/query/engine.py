@@ -73,6 +73,94 @@ class TermPostings:
         k = idx - lo
         return pos_all[ends[k] - counts[k] : ends[k]]
 
+    def block_ids(self, blk: int) -> np.ndarray:
+        lo, hi = int(self.block_bounds[blk]), int(self.block_bounds[blk + 1])
+        return self.doc_ids[lo:hi]
+
+    def block_tf_dl(self, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        lo, hi = int(self.block_bounds[blk]), int(self.block_bounds[blk + 1])
+        return self.tfs[lo:hi], self.dls[lo:hi]
+
+
+class LazyTermPostings:
+    """Block-lazy postings for a single-source, unsalted term: nothing is
+    decoded until touched, and WAND's block skipping never decodes pruned
+    blocks (the true block-max value; north_rule). Materializes into flat
+    arrays transparently when a caller touches ``doc_ids``/``tfs``/``dls``
+    (boolean / exhaustive / phrase paths)."""
+
+    __slots__ = (
+        "term", "df", "block_bounds", "block_max_w", "block_doc_max",
+        "positions_enc", "codec", "has_positions", "_ids_enc", "_tfs_enc",
+        "_dls_enc", "_blk_ids", "_blk_tfdl", "_mat",
+    )
+
+    def __init__(self, term: str, rows, codec):
+        self.term = term
+        self.codec = codec
+        self.df = int(rows["df"][0].as_py())
+        n = rows["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.block_bounds = np.concatenate(([0], np.cumsum(n)))
+        self.block_max_w = rows["block_max_w"].to_numpy(zero_copy_only=False)
+        self.block_doc_max = rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self._ids_enc = rows["doc_ids"].to_pylist()
+        self._tfs_enc = rows["tfs"].to_pylist()
+        self._dls_enc = rows["dls"].to_pylist()
+        self.positions_enc = (
+            rows["positions"].to_pylist()
+            if "positions" in rows.column_names
+            else [None] * len(n)
+        )
+        self.has_positions = any(p is not None for p in self.positions_enc)
+        self._blk_ids: dict[int, np.ndarray] = {}
+        self._blk_tfdl: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._mat: tuple | None = None
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_doc_max)
+
+    def block_ids(self, blk: int) -> np.ndarray:
+        ids = self._blk_ids.get(blk)
+        if ids is None:
+            ids = self.codec.dec_sorted(self._ids_enc[blk])
+            self._blk_ids[blk] = ids
+        return ids
+
+    def block_tf_dl(self, blk: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._blk_tfdl.get(blk)
+        if got is None:
+            got = (
+                self.codec.dec_plain(self._tfs_enc[blk]),
+                self.codec.dec_plain(self._dls_enc[blk]),
+            )
+            self._blk_tfdl[blk] = got
+        return got
+
+    def _materialize(self):
+        if self._mat is None:
+            ids = np.concatenate([self.block_ids(b) for b in range(self.n_blocks)]) \
+                if self.n_blocks else np.empty(0, np.int64)
+            tfdl = [self.block_tf_dl(b) for b in range(self.n_blocks)]
+            tfs = np.concatenate([t for t, _ in tfdl]) if tfdl else np.empty(0, np.int64)
+            dls = np.concatenate([d for _, d in tfdl]) if tfdl else np.empty(0, np.int64)
+            self._mat = (ids, tfs, dls)
+        return self._mat
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        return self._materialize()[0]
+
+    @property
+    def tfs(self) -> np.ndarray:
+        return self._materialize()[1]
+
+    @property
+    def dls(self) -> np.ndarray:
+        return self._materialize()[2]
+
+    positions_for = TermPostings.positions_for
+
 
 class SearchEngine:
     """Driver-side (or per-actor) query engine over one index directory."""
@@ -197,11 +285,15 @@ class SearchEngine:
         ]
         return pq.read_table(path, filters=pc.field("term").isin(terms), columns=cols)
 
-    def _assemble_term(self, t: str, gen_rows: list) -> TermPostings:
+    def _assemble_term(self, t: str, gen_rows: list):
+        cod = self._codec
+        # fast path: one source, unsalted → block-lazy postings (nothing
+        # decoded until a scorer touches it; WAND skips pruned blocks)
+        if len(gen_rows) == 1 and t not in self.manifest.salted_terms:
+            return LazyTermPostings(t, gen_rows[0], cod)
         ids_parts, tf_parts, dl_parts = [], [], []
         bounds = [0]
         bmw_parts, bdm_parts, pos_parts = [], [], []
-        cod = self._codec
         for rows in gen_rows:
             for r in range(rows.num_rows):
                 ids_parts.append(cod.dec_sorted(rows["doc_ids"][r].as_py()))
@@ -217,22 +309,6 @@ class SearchEngine:
         doc_ids = np.concatenate(ids_parts)
         tfs = np.concatenate(tf_parts)
         dls = np.concatenate(dl_parts)
-        # fast path only when all rows came from one source AND the term
-        # isn't salted (salted subsets need the merge + df recompute)
-        if len(gen_rows) == 1 and t not in self.manifest.salted_terms:
-            return TermPostings(
-                term=t,
-                df=int(gen_rows[0]["df"][0].as_py()),
-                doc_ids=doc_ids,
-                tfs=tfs,
-                dls=dls,
-                block_bounds=np.asarray(bounds, dtype=np.int64),
-                block_max_w=bmw_parts[0],
-                block_doc_max=bdm_parts[0],
-                positions_enc=pos_parts,
-                codec=cod,
-                has_positions=any(p is not None for p in pos_parts),
-            )
         # multi-generation: decode positions now, merge-sort by doc_id,
         # re-block with exact maxima under the current avgdl
         pos_lists: list[np.ndarray | None] = []
@@ -485,40 +561,71 @@ class SearchEngine:
         return [(int(uids[i]), float(scores[i])) for i in order]
 
     def _bm25_wand(self, tokens, posts, topk):
-        """Block-max WAND over the per-term block metadata.
+        """Block-max WAND with LAZY block decode.
 
-        Upper bound per (term, block): ``(k1+1)·idf·qtf·block_max_w`` where
-        ``block_max_w`` is the exact max of the tf/dl partial stored at
-        build time. Standard pivot-based WAND with per-block skipping."""
+        Cursors navigate block metadata (``block_doc_max`` /
+        ``block_max_w``); a block's postings are decoded only when the
+        pivot lands in it, so skipped blocks are never decoded at all
+        (north_rule: "block-max WAND pruning over a min-heap"). Scores
+        are computed with the exact float-op order of the vectorized
+        scorer — results are bit-identical (tests assert equality)."""
         import heapq
 
         qtf: dict[str, int] = {}
         for t in tokens:
             qtf[t] = qtf.get(t, 0) + 1
-        k1 = self.manifest.bm25_k1
+        k1, b = self.manifest.bm25_k1, self.manifest.bm25_b
+        avgdl = self.manifest.avgdl or 1.0
         terms = [t for t in dict.fromkeys(tokens) if t in posts]
-        weights = self._bm25_weights(posts, qtf)
-        # per-term cursors
-        cur = {t: 0 for t in terms}  # index into posting arrays
-        n_post = {t: len(posts[t].doc_ids) for t in terms}
+        # coef chain mirrors _bm25_weights' evaluation order exactly
+        coef1 = {t: (k1 + 1.0) * self.bm25_idf(posts[t].df) for t in terms}
+        cur = {t: 0 for t in terms}  # global posting index per term
+        n_post = {t: int(posts[t].block_bounds[-1]) for t in terms}
         ub_term = {
-            t: float((k1 + 1.0) * self.bm25_idf(posts[t].df) * qtf[t] * posts[t].block_max_w.max())
-            for t in terms
+            t: float(coef1[t] * posts[t].block_max_w.max() * qtf[t]) for t in terms
         }
-        heap: list[tuple[float, int]] = []  # min-heap of (score, doc)
+        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc)
         theta = float("-inf")
+
+        def block_of(p, idx: int) -> int:
+            return int(np.searchsorted(p.block_bounds, idx, side="right") - 1)
+
+        def doc_at(t: str, idx: int) -> int:
+            p = posts[t]
+            blk = block_of(p, idx)
+            return int(p.block_ids(blk)[idx - int(p.block_bounds[blk])])
+
+        def weight_at(t: str, idx: int) -> float:
+            p = posts[t]
+            blk = block_of(p, idx)
+            k = idx - int(p.block_bounds[blk])
+            tfs, dls = p.block_tf_dl(blk)
+            tf = float(tfs[k])
+            dl = float(dls[k])
+            w = tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            return coef1[t] * w * qtf[t]
 
         def block_ub(t: str, idx: int) -> float:
             p = posts[t]
-            blk = int(np.searchsorted(p.block_bounds, idx, side="right") - 1)
-            return float((k1 + 1.0) * self.bm25_idf(p.df) * qtf[t] * p.block_max_w[blk])
+            return float(coef1[t] * p.block_max_w[block_of(p, idx)] * qtf[t])
+
+        def advance_to(t: str, target: int) -> int:
+            """First posting index >= cur[t] whose doc >= target — skipping
+            (and never decoding) blocks whose doc_id_max < target."""
+            p = posts[t]
+            blk = int(np.searchsorted(p.block_doc_max, target, side="left"))
+            if blk >= len(p.block_doc_max):
+                return n_post[t]
+            lo = int(p.block_bounds[blk])
+            ids = p.block_ids(blk)
+            idx = lo + int(np.searchsorted(ids, target, side="left"))
+            return max(idx, cur[t])
 
         while True:
             live = [t for t in terms if cur[t] < n_post[t]]
             if not live:
                 break
-            live.sort(key=lambda t: posts[t].doc_ids[cur[t]])
-            # find pivot: smallest prefix whose ub sum exceeds theta
+            live.sort(key=lambda t: doc_at(t, cur[t]))
             acc = 0.0
             pivot_i = -1
             for i, t in enumerate(live):
@@ -528,21 +635,19 @@ class SearchEngine:
                     break
             if pivot_i < 0:
                 break
-            pivot_doc = int(posts[live[pivot_i]].doc_ids[cur[live[pivot_i]]])
-            first_doc = int(posts[live[0]].doc_ids[cur[live[0]]])
+            pivot_doc = doc_at(live[pivot_i], cur[live[pivot_i]])
+            first_doc = doc_at(live[0], cur[live[0]])
             if first_doc == pivot_doc:
-                # refine with block maxima before full evaluation
-                bub = sum(
-                    block_ub(t, cur[t])
-                    for t in live
-                    if posts[t].doc_ids[cur[t]] == pivot_doc
-                )
+                matching = [
+                    t for t in live
+                    if cur[t] < n_post[t] and doc_at(t, cur[t]) == pivot_doc
+                ]
+                # refine with block maxima before decoding tf/dl
+                bub = sum(block_ub(t, cur[t]) for t in matching)
                 score = 0.0
                 if len(heap) < topk or bub > theta:
-                    for t in live:
-                        i = cur[t]
-                        if i < n_post[t] and posts[t].doc_ids[i] == pivot_doc:
-                            score += float(weights[t][i])
+                    for t in matching:
+                        score += weight_at(t, cur[t])
                 if not self._is_tombstone(pivot_doc) and score > 0.0:
                     if len(heap) < topk:
                         heapq.heappush(heap, (score, -pivot_doc))
@@ -550,15 +655,11 @@ class SearchEngine:
                         heapq.heapreplace(heap, (score, -pivot_doc))
                     if len(heap) == topk:
                         theta = heap[0][0]
-                for t in live:
-                    i = cur[t]
-                    if i < n_post[t] and posts[t].doc_ids[i] == pivot_doc:
-                        cur[t] = i + 1
+                for t in matching:
+                    cur[t] += 1
             else:
-                # advance all lists before the pivot up to pivot_doc
                 for t in live[:pivot_i]:
-                    p = posts[t]
-                    cur[t] = int(np.searchsorted(p.doc_ids, pivot_doc, side="left"))
+                    cur[t] = advance_to(t, pivot_doc)
         out = sorted(((-d, s) for s, d in heap), key=lambda x: (-x[1], x[0]))
         return [(d, s) for d, s in out]
 
