@@ -485,6 +485,50 @@ def sql_distinct_segments() -> str:
     return "SELECT DISTINCT c_mktsegment FROM customer"
 
 
+def q_increment_compact(sf_dir: str) -> pd.DataFrame:
+    """D1/D2: incremental generation + compaction — build over the first
+    half of ``documents``, attach the second half as a generation,
+    delete-by-keyword, compact, then keyword-search. SQL-oracle-able
+    because the end state equals a plain filtered search."""
+    import shutil
+
+    import duckdb
+
+    from ..build import build_index
+    from ..build.merge import build_increment, compact
+    from ..query import SearchEngine
+
+    work = CACHE_ROOT / f"inc-{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if work.exists():
+        shutil.rmtree(work)
+    work.mkdir(parents=True)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    half = n // 2
+    for name, cond in (("a", f"doc_id < {half}"), ("b", f"doc_id >= {half}")):
+        con.execute(
+            f"COPY (SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE {cond}) TO '{work}/{name}.parquet' (FORMAT PARQUET)"
+        )
+    idx = work / "idx"
+    build_index(str(work / "a.parquet"), idx, analyzer_mode="punct",
+                doc_id_column="doc_id", url_column=None, num_shards=8)
+    build_increment(str(work / "b.parquet"), idx, work / "delta",
+                    doc_id_column="doc_id", url_column=None)
+    eng = SearchEngine(idx)
+    eng.delete_by_keyword(DELETE_KW)
+    compact(idx)
+    ids = SearchEngine(idx).search_keyword(SEARCH_KW)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_increment_compact() -> str:
+    # end state == delete_search semantics over the full corpus
+    return sql_delete_search()
+
+
 # ------------------------------------------------------- training-data ops
 
 
@@ -841,6 +885,7 @@ def registry() -> dict[str, tuple]:
         "wordbreak": (q_wordbreak, None),
         "fetch_topk": (q_fetch_topk, sql_fetch_topk()),
         "batch_queries": (q_batch_queries, None),
+        "increment_compact": (q_increment_compact, sql_increment_compact()),
         "orders_topk": (q_orders_topk, sql_orders_topk()),
         "distinct_segments": (q_distinct_segments, sql_distinct_segments()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
