@@ -32,7 +32,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "120000"))
 CORPUS_DIR = Path(f"/tmp/searchengine_bench/webpages-{BENCH_DOCS}")
 
 BM25_QUERIES = [
