@@ -33,7 +33,9 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "120000"))
-CORPUS_DIR = Path(f"/tmp/searchengine_bench/webpages-{BENCH_DOCS}")
+# v2: realistic Zipf vocabulary (12k-word tail) — new dir so stale
+# small-vocab corpora are never reused
+CORPUS_DIR = Path(f"/tmp/searchengine_bench/webpages-v2-{BENCH_DOCS}")
 
 BM25_QUERIES = [
     "search engine index", "pagerank links graph", "pizza summer house",
@@ -83,7 +85,7 @@ def run_headline(num_cpus: int) -> dict:
         num_shards=64,
         block_size=128,
         analyze_concurrency=max(1, num_cpus - 2),
-        analyze_batch_size=2048,
+        analyze_batch_size=4096,
         store_docs=False,
         resume=False,
         salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", "1000000")),

@@ -62,7 +62,7 @@ def build_index(
     validate_extraction: bool = False,
     store_docs: bool = True,
     analyze_concurrency: int | None = None,
-    analyze_batch_size: int = 2048,
+    analyze_batch_size: int = 4096,
     bm25_k1: float = 1.2,
     bm25_b: float = 0.75,
     resume: bool = True,

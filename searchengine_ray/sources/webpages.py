@@ -65,6 +65,9 @@ _JA_SENTENCES = [
 ]
 
 
+N_TAIL_WORDS = 12_000  # Zipf tail of rare synthetic words (FIXTURES.md F1)
+
+
 def build_vocab() -> list[str]:
     vocab: list[str] = []
     for root in _ROOTS:
@@ -74,7 +77,17 @@ def build_vocab() -> list[str]:
                 w = root[:-1] + suf
             vocab.append(w)
     vocab.extend(_ENTITY_TOKENS)
-    return sorted(set(vocab))
+    head = sorted(set(vocab))
+    # rare-word tail: realistic vocabulary size so df spans 5 orders of
+    # magnitude (head terms with df≈N down to hapax legomena) — without
+    # this, every term is a "head term" and selective queries don't exist
+    syllables = ["ba", "co", "du", "fi", "ga", "hy", "ji", "ka", "lo", "mu",
+                 "ne", "po", "qua", "ri", "su", "ta", "ve", "wo", "xy", "ze"]
+    tail = []
+    for k in range(N_TAIL_WORDS):
+        parts = [syllables[(k // (20 ** i)) % 20] for i in range(3)]
+        tail.append("".join(parts) + str(k % 7))
+    return head + tail
 
 
 _VOCAB = build_vocab()
@@ -84,11 +97,13 @@ def _chunk_arrays(chunk_id: int, n_in_chunk: int, seed: int) -> dict[str, list]:
     rng = np.random.default_rng((seed, chunk_id))
     vocab = _VOCAB
     nv = len(vocab)
-    # Zipf ranks over the vocab, fixed permutation per seed for stability
+    # Zipf ranks over the vocab, fixed permutation per seed for stability;
+    # inverse-CDF sampling (searchsorted) so cost is O(dl log nv), not O(nv)
     perm = np.random.default_rng(seed).permutation(nv)
     ranks = np.arange(1, nv + 1, dtype=np.float64)
     probs = (1.0 / ranks ** 1.1)
     probs /= probs.sum()
+    cum = np.cumsum(probs)
 
     urls, texts, langs = [], [], []
     for row in range(n_in_chunk):
@@ -102,7 +117,8 @@ def _chunk_arrays(chunk_id: int, n_in_chunk: int, seed: int) -> dict[str, list]:
             toks = toks[:dl]
             lang = "ja"
         else:
-            idx = perm[rng.choice(nv, size=dl, p=probs)]
+            draws = np.searchsorted(cum, rng.random(dl))
+            idx = perm[np.minimum(draws, nv - 1)]
             toks = [vocab[k] for k in idx]
             # splice in stopwords, punctuation, head terms
             n_extra = max(1, dl // 6)
