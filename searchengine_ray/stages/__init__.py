@@ -6,7 +6,6 @@ from .postings import (
     build_shard_blocks,
     explode_batch,
     explode_partials,
-    grouped_delta_decode,
     term_shard,
 )
 from .tokenize import AnalyzeStage, WordBreakStage, doc_ids_from_urls
@@ -20,6 +19,5 @@ __all__ = [
     "build_shard_blocks",
     "PostingShardWriter",
     "POSTINGS_SCHEMA",
-    "grouped_delta_decode",
     "term_shard",
 ]

@@ -31,7 +31,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codec import varbyte_decode, varbyte_encode
 
 POSTINGS_SCHEMA = pa.schema(
     [
@@ -228,25 +227,6 @@ def _arrays_from_partials(group: pa.Table, positional: bool):
     return trank_s, tuniq_sorted, doc_s, tf_s, dl_s, pos_values, pos_counts
 
 
-def _delta_encode_grouped(values: np.ndarray, starts_mask: np.ndarray) -> np.ndarray:
-    """Delta encode with the chain restarting where ``starts_mask`` is True."""
-    d = values.astype(np.int64).copy()
-    d[1:] -= values[:-1]
-    d[starts_mask] = values[starts_mask]
-    return d
-
-
-def grouped_delta_decode(stream: bytes | np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Decode concatenated per-group delta chains (counts = group sizes)."""
-    vals = varbyte_decode(stream)
-    if len(vals) == 0:
-        return vals
-    acc = np.cumsum(vals)
-    starts = np.cumsum(counts) - counts
-    base = acc[starts] - vals[starts]
-    return acc - np.repeat(base, counts)
-
-
 def build_shard_blocks(
     group: pa.Table,
     *,
@@ -345,12 +325,6 @@ def build_shard_blocks(
     return pa.table(
         {name: pa.array(out[name], POSTINGS_SCHEMA.field(name).type) for name in POSTINGS_SCHEMA.names}
     )
-
-
-def _delta(sorted_vals: np.ndarray) -> np.ndarray:
-    d = sorted_vals.copy()
-    d[1:] -= sorted_vals[:-1]
-    return d
 
 
 def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
