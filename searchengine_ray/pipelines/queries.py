@@ -744,6 +744,66 @@ FROM documents
 """
 
 
+def q_curation(sf_dir: str) -> pd.DataFrame:
+    """Composite training-data curation pipeline: quality-filter +
+    language-filter + exact-dedup in ONE streaming pass + one groupby —
+    the canonical use of the functions/ ops chained as Dataset stages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.dedup import add_content_hash
+    from ..functions.textstats import lang_id_batch, quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        q = quality_score_batch(batch)
+        lang = lang_id_batch(batch)
+        out = add_content_hash(batch)
+        out = out.append_column("quality", q["quality"])
+        return out.append_column("lang_pred", lang["lang_pred"])
+
+    import pyarrow.compute as pc
+
+    filtered = ds.map_batches(annotate, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["quality"], 0.5), pc.equal(t["lang_pred"], "en"))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(group["doc_id"].min())]})
+
+    out = (
+        filtered.groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_curation() -> str:
+    return f"""
+WITH {_raw_tokens_cte()},
+scored AS (
+    SELECT p.doc_id,
+           round(0.4 * (p.n_stop / greatest(p.n_tokens, 1.0))
+                 + 0.4 * least(1.0, p.n_tokens / 100.0)
+                 + 0.2 * (1.0 - (length(d.text) - length(regexp_replace(d.text, '[,.;?!]', '', 'g')))
+                                / greatest(length(d.text), 1.0)), 6) AS quality,
+           CASE WHEN regexp_matches(d.text, '[ぁ-ヿ一-鿿]') THEN 'ja'
+                WHEN p.n_stop / greatest(p.n_tokens, 1.0) >= 0.05 THEN 'en'
+                ELSE 'other' END AS lang_pred,
+           d.text
+    FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT min(doc_id) AS doc_id FROM scored
+WHERE quality >= 0.5 AND lang_pred = 'en'
+GROUP BY text
+"""
+
+
 # ------------------------------------------------------- generic relational
 
 
@@ -897,6 +957,7 @@ def registry() -> dict[str, tuple]:
         "quality_scores": (q_quality_scores, sql_quality_scores()),
         "lang_id": (q_lang_id, sql_lang_id()),
         "fingerprint": (q_fingerprint, sql_fingerprint()),
+        "curation": (q_curation, sql_curation()),
         "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
