@@ -218,53 +218,55 @@ def build_index(
         # merged by the query engine (manifest.salted_terms)
         # df ≤ n_docs, so the pre-aggregation can be skipped entirely when
         # no term can possibly exceed the target
-        if (
-            salt_target_postings
-            and manifest.n_docs > salt_target_postings
-            and not manifest.salted_terms
-        ):
-            manifest.salted_terms = _find_hot_terms(
-                rd, str(analyzed_dir), salt_target_postings, salt_max
+        try:
+            if (
+                salt_target_postings
+                and manifest.n_docs > salt_target_postings
+                and not manifest.salted_terms
+            ):
+                manifest.salted_terms = _find_hot_terms(
+                    rd, str(analyzed_dir), salt_target_postings, salt_max
+                )
+                manifest.save(index_dir)
+            salted = dict(manifest.salted_terms)
+
+            analyzed_ds = rd.read_parquet(str(analyzed_dir))
+            # combiner: pre-group postings per (term, batch) so the shuffle
+            # sorts ~vocab×batches list-rows instead of one row per posting
+            exploded = analyzed_ds.map_batches(
+                lambda b: explode_partials(
+                    b, manifest.num_shards, manifest.positional, salted
+                ),
+                batch_format="pyarrow",
             )
-            manifest.save(index_dir)
-        salted = dict(manifest.salted_terms)
+            writer = PostingShardWriter(
+                str(postings_dir),
+                block_size=manifest.block_size,
+                avgdl=manifest.avgdl or 1.0,
+                k1=manifest.bm25_k1,
+                b=manifest.bm25_b,
+                positional=manifest.positional,
+                resume=resume,
+                codec=manifest.codec,
+            )
+            def write_shard(group: pa.Table) -> pa.Table:
+                return writer(group)
 
-        analyzed_ds = rd.read_parquet(str(analyzed_dir))
-        # combiner: pre-group postings per (term, batch) so the shuffle
-        # sorts ~vocab×batches list-rows instead of one row per posting
-        exploded = analyzed_ds.map_batches(
-            lambda b: explode_partials(
-                b, manifest.num_shards, manifest.positional, salted
-            ),
-            batch_format="pyarrow",
-        )
-        writer = PostingShardWriter(
-            str(postings_dir),
-            block_size=manifest.block_size,
-            avgdl=manifest.avgdl or 1.0,
-            k1=manifest.bm25_k1,
-            b=manifest.bm25_b,
-            positional=manifest.positional,
-            resume=resume,
-            codec=manifest.codec,
-        )
-        def write_shard(group: pa.Table) -> pa.Table:
-            return writer(group)
+            # The encode is memory-bandwidth bound: at high core counts,
+            # halving concurrent reducers (num_cpus=2) beats full fan-out
+            # (measured 24 s vs 78 s at 400k docs / 32 cpus); at low core
+            # counts bandwidth isn't contended and full fan-out wins.
+            import ray
 
-        # The encode is memory-bandwidth bound: at high core counts,
-        # halving concurrent reducers (num_cpus=2) beats full fan-out
-        # (measured 24 s vs 78 s at 400k docs / 32 cpus); at low core
-        # counts bandwidth isn't contended and full fan-out wins.
-        import ray
-
-        cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
-        lineage = exploded.groupby("shard").map_groups(
-            write_shard,
-            batch_format="pyarrow",
-            num_cpus=2 if cluster_cpus >= 16 else 1,
-        )
-        rows = lineage.take_all()  # small: one row per shard
-        ctx.shuffle_strategy = prev_strategy
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            lineage = exploded.groupby("shard").map_groups(
+                write_shard,
+                batch_format="pyarrow",
+                num_cpus=2 if cluster_cpus >= 16 else 1,
+            )
+            rows = lineage.take_all()  # small: one row per shard
+        finally:
+            ctx.shuffle_strategy = prev_strategy
         manifest.record_phase(
             generation,
             seconds=time.perf_counter() - t0,

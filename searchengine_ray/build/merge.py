@@ -28,20 +28,57 @@ from ..stages.postings import build_shard_blocks
 from .manifest import IndexManifest
 
 
-def attach_generation(index_dir: str | Path, delta_dir: str | Path) -> IndexManifest:
+def _check_disjoint_doc_ids(main_analyzed: Path, delta_analyzed: Path) -> None:
+    """Doc ids across generations MUST be disjoint (they derive from data,
+    never renumbered); a re-indexed id would double-count n_docs/df and
+    break the engine's ``assume_unique`` intersections. Vectorized scan:
+    the delta id set (small side) held in memory, main side streamed one
+    column per file."""
+    if not (main_analyzed.exists() and delta_analyzed.exists()):
+        return
+    delta_ids = np.concatenate([
+        pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+        for f in sorted(delta_analyzed.glob("*.parquet"))
+    ] or [np.empty(0, np.uint64)])
+    if not len(delta_ids):
+        return
+    delta_ids = np.unique(delta_ids)
+    for f in sorted(main_analyzed.glob("*.parquet")):
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(zero_copy_only=False)
+        hit = ids[np.isin(ids, delta_ids)]
+        if len(hit):
+            raise ValueError(
+                f"delta re-indexes {len(hit)} doc id(s) already present in the "
+                f"main index (e.g. {int(hit[0])}); generations must hold "
+                "disjoint doc ids — compact + rebuild, or drop the dupes"
+            )
+
+
+def attach_generation(
+    index_dir: str | Path, delta_dir: str | Path, validate_disjoint: bool = True
+) -> IndexManifest:
     """Attach a separately built delta index as a new generation.
 
     Copies the delta's posting shards in as ``gen-<k>`` and appends its
     docstats/docs files; updates global stats (n_docs, avgdl) in the
     manifest. BM25 scores then reflect the merged corpus exactly as a
-    full rebuild would (verified in tests)."""
+    full rebuild would (verified in tests). ``validate_disjoint`` scans
+    the main docstats id column once — disable for huge indexes where
+    the caller guarantees disjointness."""
     index_dir, delta_dir = Path(index_dir), Path(delta_dir)
     main = IndexManifest.load(index_dir)
     delta = IndexManifest.load(delta_dir)
-    if (main.analyzer_mode, main.positional, main.num_shards, main.block_size) != (
-        delta.analyzer_mode, delta.positional, delta.num_shards, delta.block_size
+    if (
+        main.analyzer_mode, main.positional, main.num_shards, main.block_size,
+        main.codec, main.bm25_k1, main.bm25_b,
+    ) != (
+        delta.analyzer_mode, delta.positional, delta.num_shards, delta.block_size,
+        delta.codec, delta.bm25_k1, delta.bm25_b,
     ):
         raise ValueError("delta index build parameters do not match the main index")
+
+    if validate_disjoint:
+        _check_disjoint_doc_ids(index_dir / "analyzed", delta_dir / "analyzed")
 
     gen_name = f"gen-{len(main.generations)}"
     gen_dir = index_dir / gen_name
@@ -55,6 +92,14 @@ def attach_generation(index_dir: str | Path, delta_dir: str | Path) -> IndexMani
         if src.exists() and dst.exists():
             for i, f in enumerate(sorted(src.glob("*.parquet"))):
                 shutil.copy(f, dst / f"{gen_name}-{i:05d}.parquet")
+
+    # stored block_max_w in each generation's shards was encoded against
+    # that generation's build-time avgdl; the engine rescales bounds when
+    # the manifest avgdl has drifted since (WAND soundness) — record the
+    # base generations' build avgdl before it moves
+    for g in main.generations:
+        ph = main.phases.setdefault(g, {"completed": True})
+        ph.setdefault("built_avgdl", main.avgdl)
 
     main.generations = list(main.generations) + [gen_name]
     for t, n in delta.salted_terms.items():
@@ -83,6 +128,9 @@ def build_increment(
     build_kwargs.setdefault("positional", main.positional)
     build_kwargs.setdefault("num_shards", main.num_shards)
     build_kwargs.setdefault("block_size", main.block_size)
+    build_kwargs.setdefault("codec", main.codec)
+    build_kwargs.setdefault("bm25_k1", main.bm25_k1)
+    build_kwargs.setdefault("bm25_b", main.bm25_b)
     build_index(corpus_path, scratch_dir, resume=False, **build_kwargs)
     return attach_generation(index_dir, scratch_dir)
 
@@ -177,8 +225,12 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
         stats_dir.mkdir()
         pq.write_table(stats_tbl, stats_dir / "analyzed-00000.parquet")
 
+    for g in m.generations:
+        m.phases.pop(g, None)
     m.generations = ["postings"]
     m.tombstones = []
+    # compacted shards were encoded against the fresh post-compaction avgdl
+    m.phases["postings"] = {"completed": True, "built_avgdl": m.avgdl}
     m.phases["compaction"] = {"completed": True}
     m.save(index_dir)
     return m

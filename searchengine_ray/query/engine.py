@@ -95,13 +95,20 @@ class LazyTermPostings:
         "_dls_enc", "_blk_ids", "_blk_tfdl", "_mat",
     )
 
-    def __init__(self, term: str, rows, codec):
+    def __init__(self, term: str, rows, codec, bmw_scale: float = 1.0):
         self.term = term
         self.codec = codec
         self.df = int(rows["df"][0].as_py())
         n = rows["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         self.block_bounds = np.concatenate(([0], np.cumsum(n)))
         self.block_max_w = rows["block_max_w"].to_numpy(zero_copy_only=False)
+        if bmw_scale != 1.0:
+            # stored maxima were computed with the generation's build-time
+            # avgdl; w = tf/(tf + C + D/avgdl) grows at most by
+            # avgdl_new/avgdl_old when avgdl rises (denominator shrinks by
+            # at most that factor) and never exceeds 1 — rescaled maxima
+            # stay sound upper bounds, so WAND stays exact under drift
+            self.block_max_w = np.minimum(1.0, self.block_max_w * bmw_scale)
         self.block_doc_max = rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64)
         self._ids_enc = rows["doc_ids"].to_pylist()
         self._tfs_enc = rows["tfs"].to_pylist()
@@ -261,9 +268,19 @@ class SearchEngine:
                     rows = tbl.filter(pc.equal(tbl["term"], t))
                     if rows.num_rows:
                         per_term_rows.setdefault(t, []).append(
-                            rows.sort_by([("block_id", "ascending")])
+                            (gen, rows.sort_by([("block_id", "ascending")]))
                         )
         return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
+
+    def _gen_bmw_scale(self, gen: str) -> float:
+        """Upper-bound rescale for a generation's stored block maxima when
+        the manifest avgdl drifted past the generation's build-time avgdl
+        (incremental attach, ``build/merge.py``)."""
+        built = self.manifest.phases.get(gen, {}).get("built_avgdl")
+        if not built:
+            return 1.0
+        cur = self.manifest.avgdl or 1.0
+        return max(1.0, cur / float(built))
 
     def _read_shard(self, gen: str, shard: int, path, terms: list[str], positions: bool):
         key = (gen, shard)
@@ -288,20 +305,21 @@ class SearchEngine:
     def _assemble_term(self, t: str, gen_rows: list):
         cod = self._codec
         # fast path: one source, unsalted → block-lazy postings (nothing
-        # decoded until a scorer touches it; WAND skips pruned blocks)
+        # decoded until a scorer touches it; WAND skips pruned blocks).
+        # Stored block maxima are rescaled if avgdl drifted since this
+        # generation was built (attach_generation) — bounds stay sound.
         if len(gen_rows) == 1 and t not in self.manifest.salted_terms:
-            return LazyTermPostings(t, gen_rows[0], cod)
+            gen, rows = gen_rows[0]
+            return LazyTermPostings(t, rows, cod, bmw_scale=self._gen_bmw_scale(gen))
         ids_parts, tf_parts, dl_parts = [], [], []
         bounds = [0]
-        bmw_parts, bdm_parts, pos_parts = [], [], []
-        for rows in gen_rows:
+        pos_parts = []
+        for _gen, rows in gen_rows:
             for r in range(rows.num_rows):
                 ids_parts.append(cod.dec_sorted(rows["doc_ids"][r].as_py()))
                 tf_parts.append(cod.dec_plain(rows["tfs"][r].as_py()))
                 dl_parts.append(cod.dec_plain(rows["dls"][r].as_py()))
                 bounds.append(bounds[-1] + len(ids_parts[-1]))
-            bmw_parts.append(rows["block_max_w"].to_numpy(zero_copy_only=False))
-            bdm_parts.append(rows["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.int64))
             if "positions" in rows.column_names:
                 pos_parts.extend(rows["positions"].to_pylist())
             else:

@@ -391,23 +391,19 @@ class PostingShardWriter:
         # `term isin` reads skip row groups instead of the whole shard
         pq.write_table(blocks, tmp, row_group_size=1024)
         tmp.rename(path)
-        row = _lineage_row(
+        return _lineage_row(
             shard, blocks.num_rows, group.num_rows, path.stat().st_size,
             time.perf_counter() - t0, False,
-        )
-        return row.append_column(
-            "detail",
-            pa.array(
-                [
-                    f"chunks={n_chunks} comb={t_comb - t0:.2f} "
-                    f"enc={t_enc - t_comb:.2f} write={time.perf_counter() - t_enc:.2f}"
-                ],
-                pa.string(),
+            detail=(
+                f"chunks={n_chunks} comb={t_comb - t0:.2f} "
+                f"enc={t_enc - t_comb:.2f} write={time.perf_counter() - t_enc:.2f}"
             ),
         )
 
 
-def _lineage_row(shard, n_blocks, n_postings, nbytes, secs, skipped) -> pa.Table:
+def _lineage_row(shard, n_blocks, n_postings, nbytes, secs, skipped, detail="") -> pa.Table:
+    # one fixed schema for fresh AND resume-skipped shards — a map_groups
+    # operator must not emit mixed schemas
     return pa.table(
         {
             "shard": pa.array([shard], pa.int32()),
@@ -416,5 +412,6 @@ def _lineage_row(shard, n_blocks, n_postings, nbytes, secs, skipped) -> pa.Table
             "bytes": pa.array([nbytes], pa.int64()),
             "seconds": pa.array([secs], pa.float64()),
             "skipped": pa.array([skipped], pa.bool_()),
+            "detail": pa.array([detail], pa.string()),
         }
     )

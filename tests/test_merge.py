@@ -118,3 +118,98 @@ class TestCompact:
             want = oracle.search_bm25(q, topk=None)
             assert [d for d, _ in got] == [d for d, _ in want], q
             np.testing.assert_allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+
+class TestAvgdlDrift:
+    """ADVICE r1 (high): stored block maxima were encoded with a
+    generation's build-time avgdl; after an attach raises the manifest
+    avgdl, WAND must rescale bounds or it prunes true top scorers."""
+
+    @pytest.fixture()
+    def drifted_index(self, ray_session, tmp_path):
+        # main: 30 short docs (avgdl ~3), "cat" at varying tf
+        main_docs = {
+            i: ("cat " * (1 + i % 4)) + f"fill{i}a fill{i}b" for i in range(30)
+        }
+        # delta: 10 long docs (60 unique tokens each) WITHOUT "cat", so the
+        # term stays single-generation (the lazy fast path) while avgdl ~6x
+        delta_docs = {
+            1000 + j: " ".join(f"lw{j}x{k}" for k in range(60)) for j in range(10)
+        }
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        write_docs_parquet(a / "d.parquet", main_docs)
+        write_docs_parquet(b / "d.parquet", delta_docs)
+        idx = tmp_path / "idx"
+        build_index(
+            str(a / "d.parquet"), idx, doc_id_column="doc_id",
+            num_shards=2, block_size=3,
+        )
+        build_increment(str(b / "d.parquet"), idx, tmp_path / "delta", doc_id_column="doc_id")
+        return idx, {**main_docs, **delta_docs}
+
+    def test_wand_exact_under_drift(self, drifted_index):
+        from searchengine_ray.query.oracle import FullScanOracle
+
+        idx, union = drifted_index
+        eng = SearchEngine(idx)
+        built = eng.manifest.phases["postings"]["built_avgdl"]
+        assert eng.manifest.avgdl > 2 * built  # the drift is real
+        oracle = FullScanOracle(union)
+        for topk in (1, 2, 3, 5, 10):
+            ex = eng.search_bm25("cat", topk=topk, method="exhaustive")
+            wd = eng.search_bm25("cat", topk=topk, method="wand")
+            assert wd == ex, topk
+            want = oracle.search_bm25("cat", topk=topk)
+            assert [d for d, _ in wd] == [d for d, _ in want], topk
+            np.testing.assert_allclose(
+                [s for _, s in wd], [s for _, s in want], rtol=1e-12
+            )
+
+    def test_compact_resets_built_avgdl(self, drifted_index):
+        idx, _ = drifted_index
+        m = compact(idx)
+        assert m.phases["postings"]["built_avgdl"] == pytest.approx(m.avgdl)
+
+
+class TestAttachValidation:
+    def test_attach_rejects_overlapping_doc_ids(self, ray_session, tmp_path):
+        a = tmp_path / "a"
+        a.mkdir()
+        write_docs_parquet(a / "d.parquet", DOCS_A)
+        main, delta = tmp_path / "m", tmp_path / "d2"
+        build_index(str(a / "d.parquet"), main, doc_id_column="doc_id", num_shards=4)
+        build_index(str(a / "d.parquet"), delta, doc_id_column="doc_id", num_shards=4)
+        with pytest.raises(ValueError, match="disjoint"):
+            attach_generation(main, delta)
+
+    def test_mismatched_codec_rejected(self, ray_session, tmp_path):
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        write_docs_parquet(a / "d.parquet", DOCS_A)
+        write_docs_parquet(b / "d.parquet", DOCS_B)
+        main, delta = tmp_path / "m", tmp_path / "d2"
+        build_index(str(a / "d.parquet"), main, doc_id_column="doc_id",
+                    num_shards=4, codec="naive")
+        build_index(str(b / "d.parquet"), delta, doc_id_column="doc_id",
+                    num_shards=4, codec="delta_varbyte")
+        with pytest.raises(ValueError, match="parameters"):
+            attach_generation(main, delta)
+
+    def test_increment_inherits_codec(self, ray_session, tmp_path):
+        """build_increment must default codec/k1/b from the main manifest
+        (ADVICE r1: a naive-codec index grown incrementally silently got a
+        delta_varbyte delta before)."""
+        a, b, allp = tmp_path / "a", tmp_path / "b", tmp_path / "all"
+        a.mkdir(), b.mkdir(), allp.mkdir()
+        write_docs_parquet(a / "d.parquet", DOCS_A)
+        write_docs_parquet(b / "d.parquet", DOCS_B)
+        write_docs_parquet(allp / "d.parquet", ALL_DOCS)
+        idx, full = tmp_path / "idx", tmp_path / "full"
+        build_index(str(a / "d.parquet"), idx, doc_id_column="doc_id",
+                    num_shards=4, block_size=3, codec="naive", bm25_k1=1.6)
+        build_increment(str(b / "d.parquet"), idx, tmp_path / "delta",
+                        doc_id_column="doc_id")
+        build_index(str(allp / "d.parquet"), full, doc_id_column="doc_id",
+                    num_shards=4, block_size=3, codec="naive", bm25_k1=1.6)
+        assert_same_results(SearchEngine(idx), SearchEngine(full))
