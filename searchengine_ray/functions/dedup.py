@@ -39,24 +39,35 @@ def add_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
 
 def exact_dedup(ds, text_column: str = "text"):
     """Survivors (min doc_id per distinct text) + duplicate count.
-    Returns a Dataset with columns ``doc_id, n_dups``."""
+    Returns a Dataset with columns ``doc_id, n_dups``.
+
+    Native ``Min``/``Count`` aggregates (partials combined inside map
+    tasks before the shuffle) instead of a 1-row-per-group
+    ``map_groups`` — same hashes, aggregate-speed."""
+    from ray.data.aggregate import Count, Min
+
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_column), batch_format="pyarrow"
     )
+    agg = hashed.groupby("content_hash").aggregate(Min("doc_id"), Count())
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [int(group["doc_id"].min())], "n_dups": [len(group)]}
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["min(doc_id)"].cast(pa.int64()),
+                "n_dups": b["count()"].cast(pa.int64()),
+            }
         )
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return agg.map_batches(rename, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- minhash
 
 
 def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of string shingles."""
+    """Stable 64-bit hashes of string shingles (reference/oracle path —
+    the hot pipelines use the vectorized token-hash route below)."""
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
         out[i] = int.from_bytes(
@@ -69,6 +80,42 @@ def word_shingles(tokens: list[str], k: int) -> list[str]:
     if len(tokens) < k:
         return [" ".join(tokens)] if tokens else []
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hash_lists(toks: pd.Series) -> list[np.ndarray]:
+    """Stable 64-bit hash per token, vectorized across the whole batch
+    (one ``pd.util.hash_array`` call over the flattened token list) —
+    replaces per-shingle ``blake2b`` Python loops in the hot path."""
+    lens = [len(ts) for ts in toks]
+    flat = [t for ts in toks for t in ts]
+    if not flat:
+        return [np.empty(0, np.uint64) for _ in lens]
+    h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+    out, off = [], 0
+    for n in lens:
+        out.append(h[off : off + n])
+        off += n
+    return out
+
+
+def _shingle_hash_set(tok_h: np.ndarray, k: int) -> np.ndarray:
+    """Sorted unique polynomial window-hashes over consecutive token
+    hashes — the vectorized equivalent of ``set(word_shingles(...))``
+    (docs shorter than k collapse to one whole-doc shingle, matching
+    ``word_shingles``). uint64 arithmetic wraps mod 2^64."""
+    n = len(tok_h)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    k = min(k, n)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    m = np.uint64(1)
+    for j in range(k):
+        acc += tok_h[j : n - k + 1 + j] * m
+        m = m * _SHINGLE_MULT
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -95,7 +142,8 @@ def minhash_signature_batch(
     texts = batch[text_column].to_pandas()
     toks = _token_lists(texts)
     sigs = [
-        hasher.signature(_hash_shingles(word_shingles(t, shingle_k))) for t in toks
+        hasher.signature(_shingle_hash_set(th, shingle_k))
+        for th in _token_hash_lists(toks)
     ]
     return pa.table(
         {
@@ -105,53 +153,98 @@ def minhash_signature_batch(
     )
 
 
-def explode_bands(batch: pa.Table, n_bands: int) -> pa.Table:
-    """Signature → (band_id, band_key, doc_id) rows for the LSH groupby."""
+def _npartitions(n_rows: int, target_rows: int = 100_000, floor: int = 64) -> int:
+    """Coarse partition count for the partition-bucket pattern: grouping
+    millions of tiny LSH buckets directly pays Python per-group overhead
+    per *bucket*; hashing buckets into ~``n_rows/target_rows`` partitions
+    and doing the per-bucket work vectorized inside each partition group
+    pays it per *partition* instead."""
+    return max(floor, -(-int(n_rows) // max(target_rows, 1)))
+
+
+def explode_bands(batch: pa.Table, n_bands: int, n_parts: int) -> pa.Table:
+    """Signature → (part, band_id, band_key, doc_id) rows. Band keys are
+    vectorized polynomial hashes of the band's signature slice (equal
+    slices → equal keys; collisions only add candidates, which the exact
+    verify filters)."""
     sigs = batch["sig"].combine_chunks()
     n_docs = batch.num_rows
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     flat = sigs.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     n_perm = len(flat) // max(n_docs, 1) if n_docs else 0
-    rows_per_band = n_perm // n_bands
+    rows_per_band = max(n_perm // n_bands, 1)
     band_ids, band_keys, out_docs = [], [], []
     if n_docs:
         mat = flat.reshape(n_docs, n_perm)
         for band in range(n_bands):
             chunk = mat[:, band * rows_per_band : (band + 1) * rows_per_band]
-            keys = [hashlib.blake2b(c.tobytes(), digest_size=8).hexdigest() for c in chunk]
-            band_ids.extend([band] * n_docs)
-            band_keys.extend(keys)
-            out_docs.extend(doc_ids.tolist())
+            key = np.full(n_docs, np.uint64(band) + np.uint64(1), np.uint64)
+            m = np.uint64(1)
+            for j in range(chunk.shape[1]):
+                key += chunk[:, j] * m
+                m = m * _SHINGLE_MULT
+            band_ids.append(np.full(n_docs, band, np.int32))
+            band_keys.append(key.astype(np.int64))
+            out_docs.append(doc_ids)
+    band_keys_all = np.concatenate(band_keys) if band_keys else np.empty(0, np.int64)
     return pa.table(
         {
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_key": pa.array(band_keys, pa.string()),
-            "doc_id": pa.array(out_docs, pa.int64()),
+            "part": pa.array(
+                band_keys_all.astype(np.uint64) % np.uint64(n_parts), pa.int32()
+            ),
+            "band_id": pa.array(
+                np.concatenate(band_ids) if band_ids else np.empty(0, np.int32), pa.int32()
+            ),
+            "band_key": pa.array(band_keys_all, pa.int64()),
+            "doc_id": pa.array(
+                np.concatenate(out_docs) if out_docs else np.empty(0, np.int64), pa.int64()
+            ),
         }
     )
 
 
-def minhash_candidates(ds, n_perm=128, n_bands=16, shingle_k=3, text_column="text"):
-    """Dataset of candidate pairs ``doc_a < doc_b`` from LSH buckets."""
+_EMPTY_PAIRS_PD = pd.DataFrame(
+    {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+)
+
+
+def minhash_candidates(ds, n_perm=128, n_bands=16, shingle_k=3, text_column="text", n_parts=None):
+    """Dataset of candidate pairs ``doc_a < doc_b`` from LSH buckets (a
+    pair recurs once per agreeing band — callers dedup downstream).
+
+    One coarse ``groupby(part)`` instead of one group per bucket; inside
+    a partition, singleton buckets are dropped vectorized and only real
+    collision buckets (the near-dup clusters) are looped."""
     hasher = MinHasher(n_perm)
+    if n_parts is None:
+        n_parts = _npartitions(ds.count() * n_bands)
     sigs = ds.map_batches(
         lambda b: minhash_signature_batch(b, hasher, shingle_k, text_column),
         batch_format="pyarrow",
     )
-    bands = sigs.map_batches(lambda b: explode_bands(b, n_bands), batch_format="pyarrow")
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
-    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    bands = sigs.map_batches(
+        lambda b: explode_bands(b, n_bands, n_parts), batch_format="pyarrow"
     )
-    return pairs
+
+    def bucket_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group.duplicated(["band_id", "band_key"], keep=False)]
+        if g.empty:
+            return _EMPTY_PAIRS_PD.copy()
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return _EMPTY_PAIRS_PD.copy()
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return bands.groupby("part").map_groups(bucket_pairs_bulk, batch_format="pandas")
 
 
 def jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
@@ -161,36 +254,179 @@ def jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, text_column="text") -> pd.DataFrame:
-    """End-to-end near-dup pairs: LSH candidates verified by exact Jaccard.
+def shingle_set_batch(batch: pa.Table, shingle_k: int, text_column: str) -> pa.Table:
+    """doc_id → sorted unique 64-bit shingle-hash set (the exact-Jaccard
+    carrier; string sets and 64-bit hash sets give the same Jaccard up to
+    negligible collision probability)."""
+    texts = batch[text_column].to_pandas()
+    toks = _token_lists(texts)
+    sets = [_shingle_hash_set(th, shingle_k) for th in _token_hash_lists(toks)]
+    n = len(sets)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "doc_a": pa.array([-1] * n, pa.int64()),
+            "doc_b": pa.array([-1] * n, pa.int64()),
+            "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
+        }
+    )
 
-    The verify step broadcasts only candidate docs' texts (semi-join via
-    the candidate id set), never the full corpus."""
-    pairs_ds = minhash_candidates(ds, n_perm, n_bands, shingle_k, text_column)
-    pairs = pairs_ds.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if pairs.empty:
+
+def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, text_column="text") -> pd.DataFrame:
+    """End-to-end near-dup pairs: LSH candidates verified by exact Jaccard,
+    fully distributed (nothing corpus-sized touches the driver):
+
+    1. candidate pairs from banded LSH buckets (a pair recurs per
+       agreeing band — deduped at verify, trading a shuffle for a few
+       duplicate pair-rows);
+    2. each pair splits into two half-requests keyed by doc_id, unioned
+       with the per-doc shingle sets and co-grouped by doc_id partition —
+       a repartition join that ships a doc's shingles only to its own
+       candidate pairs;
+    3. halves regroup by pair partition; exact Jaccard is one
+       ``np.intersect1d`` over the two sorted hash sets per pair.
+
+    Only the final verified pair list (small) is collected."""
+    n_docs = ds.count()
+    n_parts = _npartitions(n_docs)
+    pairs_ds = minhash_candidates(
+        ds, n_perm, n_bands, shingle_k, text_column, n_parts=_npartitions(n_docs * n_bands)
+    )
+
+    def half_requests(b: pa.Table) -> pa.Table:
+        da = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([da, db])
+        return pa.table(
+            {
+                "part": pa.array(doc.astype(np.uint64) % np.uint64(n_parts), pa.int32()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "doc_a": pa.array(np.concatenate([da, da]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([db, db]), pa.int64()),
+                "shingles": pa.array([None] * (2 * len(da)), pa.list_(pa.uint64())),
+            }
+        )
+
+    requests = pairs_ds.map_batches(half_requests, batch_format="pyarrow")
+
+    def shingles_with_part(b: pa.Table) -> pa.Table:
+        t = shingle_set_batch(b, shingle_k, text_column)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.add_column(
+            0, "part", pa.array(doc.astype(np.uint64) % np.uint64(n_parts), pa.int32())
+        )
+
+    shingles = ds.map_batches(shingles_with_part, batch_format="pyarrow")
+
+    _EMPTY_HALF = pa.table(
+        {
+            "ppart": pa.array([], pa.int32()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "side_doc": pa.array([], pa.int64()),
+            "shingles": pa.array([], pa.list_(pa.uint64())),
+        }
+    )
+
+    def attach_bulk(group: pa.Table) -> pa.Table:
+        """Join request halves to their doc's shingle set, vectorized:
+        sorted own-ids + searchsorted + one list-column take."""
+        group = group.combine_chunks()
+        da = group["doc_a"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        own_idx = np.flatnonzero(da == -1)
+        req_idx = np.flatnonzero(da != -1)
+        if not len(req_idx) or not len(own_idx):
+            return _EMPTY_HALF
+        own_ids = doc[own_idx]
+        order = np.argsort(own_ids)
+        own_ids_sorted = own_ids[order]
+        req_ids = doc[req_idx]
+        pos = np.searchsorted(own_ids_sorted, req_ids)
+        pos = np.clip(pos, 0, len(own_ids_sorted) - 1)
+        found = own_ids_sorted[pos] == req_ids
+        req_idx = req_idx[found]
+        req_ids = req_ids[found]
+        sh_rows = own_idx[order][pos[found]]
+        a = group["doc_a"].to_numpy(zero_copy_only=False)[req_idx]
+        b = group["doc_b"].to_numpy(zero_copy_only=False)[req_idx]
+        ppart = ((a.astype(np.uint64) * _SHINGLE_MULT) ^ b.astype(np.uint64)) % np.uint64(n_parts)
+        return pa.table(
+            {
+                "ppart": pa.array(ppart, pa.int32()),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "side_doc": pa.array(req_ids, pa.int64()),
+                "shingles": group["shingles"].take(sh_rows),
+            }
+        )
+
+    halves = requests.union(shingles).groupby("part").map_groups(
+        attach_bulk, batch_format="pyarrow"
+    )
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def verify_bulk(group: pa.Table) -> pa.Table:
+        """Dedup (pair, side) rows, then one exact-Jaccard per pair."""
+        group = group.combine_chunks()
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        side = group["side_doc"].to_numpy(zero_copy_only=False)
+        key = np.stack([a, b, side], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        first = np.sort(first)
+        a, b, side = a[first], b[first], side[first]
+        sh = group["shingles"].take(first)
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        sh = sh.take(order.tolist())
+        out_a, out_b, out_j = [], [], []
+        i = 0
+        offs = sh.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+        flat = sh.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        while i + 1 < len(a):
+            if a[i] == a[i + 1] and b[i] == b[i + 1]:
+                sa = flat[offs[i] : offs[i + 1]]
+                sb = flat[offs[i + 1] : offs[i + 2]]
+                if not len(sa) and not len(sb):
+                    j = 1.0
+                else:
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    out_a.append(int(a[i]))
+                    out_b.append(int(b[i]))
+                    out_j.append(round(j, 6))
+                i += 2
+            else:
+                i += 1  # orphan half (shouldn't happen)
+        if not out_a:
+            return _EMPTY_OUT
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    out = (
+        halves.groupby("ppart")
+        .map_groups(verify_bulk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
-    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
-
-    def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch["doc_id"].cast(pa.int64()), pa.array(sorted(cand_ids), pa.int64()))
-        sel = batch.filter(mask)
-        return pa.table({"doc_id": sel["doc_id"].cast(pa.int64()), "text": sel[text_column]})
-
-    texts = {
-        r["doc_id"]: r["text"] for r in ds.map_batches(project, batch_format="pyarrow").take_all()
-    }
-    toks = {d: _token_lists(pd.Series([t])).iloc[0] for d, t in texts.items()}
-    out = []
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        j = jaccard(toks[int(a)], toks[int(b)], shingle_k)
-        if j >= threshold:
-            out.append((int(a), int(b), round(j, 6)))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]).sort_values(
+    return out.astype({"doc_a": "int64", "doc_b": "int64"}).sort_values(
         ["doc_a", "doc_b"]
     ).reset_index(drop=True)
 
@@ -198,26 +434,38 @@ def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, 
 # -------------------------------------------------------------- simhash
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """64-bit SimHash over the token multiset (weight = tf)."""
+    """64-bit SimHash over the token multiset (weight = tf), vectorized:
+    one hash_array call per batch, one (n_unique, 64) bit-matrix matvec
+    per doc."""
     texts = batch[text_column].to_pandas()
     toks = _token_lists(texts)
-    out = np.empty(len(toks), dtype=np.int64)
-    for i, ts in enumerate(toks):
-        acc = np.zeros(64, dtype=np.int64)
-        for t, tf in pd.Series(ts, dtype="object").value_counts().items():
-            h = np.uint64(
-                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, tf, -tf)
-        sig = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                sig |= 1 << bit
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+    tok_hashes = _token_hash_lists(toks)
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
+    out = np.empty(len(tok_hashes), dtype=np.uint64)
+    for i, th in enumerate(tok_hashes):
+        if not len(th):
+            out[i] = np.uint64(0)
+            continue
+        uniq, tf = np.unique(th, return_counts=True)
+        bits = ((uniq[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((bits * 2 - 1) * tf[:, None].astype(np.int64)).sum(axis=0)
+        out[i] = (powers[acc > 0]).sum(dtype=np.uint64)
     return pa.table(
-        {"doc_id": batch["doc_id"].cast(pa.int64()), "simhash": pa.array(out, pa.int64())}
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "simhash": pa.array(out.astype(np.int64), pa.int64()),
+        }
     )
 
 
@@ -253,7 +501,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text") -> pd.Dat
         rows = []
         for i in range(len(ids)):
             x = np.bitwise_xor(sigs[i + 1 :], sigs[i])
-            ham = np.array([bin(int(v)).count("1") for v in x])
+            ham = _popcount64(x)
             for j in np.flatnonzero(ham <= max_hamming):
                 rows.append((ids[i], ids[i + 1 + j], int(ham[j])))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) if rows else pd.DataFrame(
@@ -273,12 +521,42 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text") -> pd.Dat
 # -------------------------------------------------- embedding near-dup
 
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, id_column="vec_id", emb_column="embedding") -> pd.DataFrame:
-    """Cosine ≥ threshold pairs. Blocked matmul: each batch scores against
-    the full normalized matrix (broadcast once via ray.put). O(n·B) per
-    batch — the brute-force baseline; LSH bucketing is the scale path
-    (see similarity.lsh_buckets)."""
+_EMPTY_COS_PAIRS = pd.DataFrame(
+    {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64"),
+     "cosine": pd.Series([], dtype="float64")}
+)
+
+
+def embedding_neardup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_column="vec_id",
+    emb_column="embedding",
+    mode: str = "auto",
+    brute_max_rows: int = 200_000,
+    n_planes: int = 12,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Cosine ≥ threshold pairs.
+
+    ``mode="brute"``: exact — each batch does one matmul against the full
+    normalized matrix (broadcast once via ``ray.put``). O(n²) work and
+    O(n) driver memory; the baseline, and the oracle-exact path.
+    ``mode="lsh"``: scale path — banded random-hyperplane bucketing, exact
+    cosine only within buckets (``groupby``), pairs deduped with a native
+    aggregate. Approximate (recall < 1 for low thresholds); nothing
+    corpus-sized on the driver. ``mode="auto"`` picks brute below
+    ``brute_max_rows`` rows, LSH above."""
     import ray
+
+    if mode == "auto":
+        mode = "brute" if ds.count() <= brute_max_rows else "lsh"
+
+    if mode == "lsh":
+        return _embedding_neardup_lsh(
+            ds, threshold, id_column, emb_column, n_planes, n_bands, seed
+        )
 
     full = ds.select_columns([id_column, emb_column]).to_pandas()
     ids = full[id_column].to_numpy(np.int64)
@@ -292,26 +570,94 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, id_column="vec_id", emb
         b_mat = np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64)
         b_mat = b_mat / np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
         sims = b_mat @ all_mat.T
-        rows_a, rows_b, vals = [], [], []
-        for r in range(len(b_ids)):
-            hit = np.flatnonzero(sims[r] >= threshold)
-            for c in hit:
-                if b_ids[r] < all_ids[c]:
-                    rows_a.append(int(b_ids[r]))
-                    rows_b.append(int(all_ids[c]))
-                    vals.append(round(float(sims[r, c]), 6))
+        r, c = np.nonzero(sims >= threshold)
+        keep = b_ids[r] < all_ids[c]
+        r, c = r[keep], c[keep]
         return pa.table(
             {
-                "vec_a": pa.array(rows_a, pa.int64()),
-                "vec_b": pa.array(rows_b, pa.int64()),
-                "cosine": pa.array(vals, pa.float64()),
+                "vec_a": pa.array(b_ids[r], pa.int64()),
+                "vec_b": pa.array(all_ids[c], pa.int64()),
+                "cosine": pa.array(np.round(sims[r, c], 6), pa.float64()),
             }
         )
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64"),
-             "cosine": pd.Series([], dtype="float64")}
-        )
+        return _EMPTY_COS_PAIRS.copy()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _embedding_neardup_lsh(ds, threshold, id_column, emb_column, n_planes, n_bands, seed):
+    """Banded hyperplane LSH: vectors land in ``n_bands`` buckets; each
+    bucket brute-forces its own members; pairs are deduped (max over
+    bands is the same exact cosine) with one small aggregate."""
+    planes = None  # (n_bands * n_planes, dim), built lazily from the first batch
+
+    def assign(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal(
+                (n_bands * n_planes, mat.shape[1])
+            )
+        bits = (mat @ planes.T) > 0
+        band_col, key_col, id_col, emb_col = [], [], [], []
+        pw = (1 << np.arange(n_planes)).astype(np.int64)
+        for band in range(n_bands):
+            chunk = bits[:, band * n_planes : (band + 1) * n_planes]
+            keys = (chunk.astype(np.int64) * pw).sum(axis=1)
+            band_col.append(np.full(len(ids), band, np.int64))
+            key_col.append(keys)
+            id_col.append(ids)
+            emb_col.extend(mat.tolist())
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_col), pa.int64()),
+                "key": pa.array(np.concatenate(key_col), pa.int64()),
+                "vec_id": pa.array(np.concatenate(id_col), pa.int64()),
+                "nemb": pa.array(emb_col, pa.list_(pa.float64())),
+            }
+        )
+
+    _EMPTY = pa.table(
+        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _EMPTY
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(group["nemb"].to_pandas().to_numpy())[order]
+        sims = mat @ mat.T
+        r, c = np.nonzero(np.triu(sims >= threshold, k=1))
+        keep = ids[r] != ids[c]
+        r, c = r[keep], c[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[r], pa.int64()),
+                "vec_b": pa.array(ids[c], pa.int64()),
+                "cosine": pa.array(np.round(sims[r, c], 6), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine"))
+    )
+    out = pairs.to_pandas()
+    if out.empty:
+        return _EMPTY_COS_PAIRS.copy()
+    out = out.rename(columns={"max(cosine)": "cosine"})
+    return out.astype({"vec_a": "int64", "vec_b": "int64"}).sort_values(
+        ["vec_a", "vec_b"]
+    ).reset_index(drop=True)

@@ -555,6 +555,42 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def sql_dedup_minhash() -> str:
+    """All-pairs exact 3-shingle Jaccard ≥ 0.5 — equals the LSH+verify
+    output when banded LSH (16 bands × 8 rows) recalls every pair at the
+    threshold; on this corpus all true pairs sit at j ≥ 0.9 where miss
+    probability is ≈1e-4, and the seed is fixed, so the match is
+    deterministic (verified at sf0.001/sf0.01)."""
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                          '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) = 0 THEN []
+                WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                ELSE list_transform(range(1, len(ts) - 1),
+                                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))
+           END AS shingles
+    FROM toks
+), sets AS (
+    SELECT doc_id, list_distinct(shingles) AS s FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                  ELSE len(list_intersect(a.s, b.s))
+                       / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+             END, 6) AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+           ELSE len(list_intersect(a.s, b.s))
+                / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+      END >= 0.5
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -949,7 +985,7 @@ def registry() -> dict[str, tuple]:
         "orders_topk": (q_orders_topk, sql_orders_topk()),
         "distinct_segments": (q_distinct_segments, sql_distinct_segments()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
-        "dedup_minhash": (q_dedup_minhash, None),
+        "dedup_minhash": (q_dedup_minhash, sql_dedup_minhash()),
         "dedup_simhash": (q_dedup_simhash, None),
         "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
         "similarity_topk": (q_similarity_topk, sql_similarity_topk()),
