@@ -156,7 +156,6 @@ def build_index(
         # analyzed table stays narrow
         if store_docs:
             doc_cols = [c for c in {url_column, text_column, doc_id_column} if c]
-            docs_ds = rd.read_parquet(corpus_path, columns=list(doc_cols))
 
             def _with_ids(batch: pa.Table) -> pa.Table:
                 if doc_id_column:
@@ -171,21 +170,43 @@ def build_index(
                     )
                 return batch.append_column("doc_id", ids)
 
-            _write_parquet_atomic(
-                docs_ds.map_batches(_with_ids, batch_format="pyarrow"), docs_dir
+            # docs/ is doc_id-sorted (SURVEY §1.4): row-group min/max
+            # statistics then turn fetch_docs point lookups into pruned
+            # row-group reads instead of full scans
+            if _total_bytes(corpus_path) <= _SMALL_INPUT_BYTES:
+                # KB-scale input: a Ray pipeline costs seconds of fixed
+                # overhead to move kilobytes — write directly
+
+                tbl = pq.read_table(corpus_path, columns=list(doc_cols))
+                _write_table_atomic(
+                    _with_ids(tbl).sort_by("doc_id"), docs_dir, row_group_size=2048
+                )
+            else:
+                docs_ds = rd.read_parquet(corpus_path, columns=list(doc_cols))
+                _write_parquet_atomic(
+                    docs_ds.map_batches(_with_ids, batch_format="pyarrow").sort("doc_id"),
+                    docs_dir,
+                    row_group_size=2048,
+                )
+
+        # global stats over the (narrow) analyzed output; per-doc lengths
+        # live in analyzed/ (column-pruned reads), no separate docstats
+        # copy. One aggregate pipeline — or a direct column read below the
+        # small-input gate (the aggregate's fixed cost dwarfs the data)
+        if _total_bytes(analyzed_dir) <= _SMALL_INPUT_BYTES:
+
+            dl_col = pq.read_table(str(analyzed_dir), columns=["dl"])["dl"]
+            n_docs = dl_col.length()
+            total_tokens = int(pa.compute.sum(dl_col).as_py() or 0)
+        else:
+            from ray.data.aggregate import Count, Sum
+
+            stats_row = (
+                rd.read_parquet(str(analyzed_dir), columns=["dl"])
+                .aggregate(Count(alias_name="n"), Sum("dl", alias_name="total"))
             )
-
-        # global stats in ONE aggregate pipeline over the (narrow) analyzed
-        # output; per-doc lengths live in analyzed/ (column-pruned reads),
-        # no separate docstats copy
-        from ray.data.aggregate import Count, Sum
-
-        stats_row = (
-            rd.read_parquet(str(analyzed_dir), columns=["dl"])
-            .aggregate(Count(alias_name="n"), Sum("dl", alias_name="total"))
-        )
-        n_docs = int(stats_row["n"] or 0)
-        total_tokens = int(stats_row["total"] or 0)
+            n_docs = int(stats_row["n"] or 0)
+            total_tokens = int(stats_row["total"] or 0)
         manifest.n_docs = n_docs
         manifest.total_tokens = total_tokens
         manifest.avgdl = (total_tokens / n_docs) if n_docs else 0.0
@@ -198,7 +219,65 @@ def build_index(
         manifest.save(index_dir)
 
     # ---------- phase B: postings shuffle ----------
-    if not manifest.phase_complete(generation):
+    if not manifest.phase_complete(generation) and _total_bytes(
+        analyzed_dir
+    ) <= _SMALL_INPUT_BYTES:
+        # small-input reduce: the SAME explode_partials + PostingShardWriter
+        # code path, driven in-process — a distributed shuffle would spend
+        # seconds of fixed cost moving kilobytes. Results are identical to
+        # the Ray path (asserted in tests/test_build.py).
+        t0 = time.perf_counter()
+        postings_dir.mkdir(parents=True, exist_ok=True)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        tbl = pq.read_table(str(analyzed_dir))
+        # same hot-term salting decision as the distributed path, driven
+        # in-process: exact df per term over the (small) analyzed table
+        if (
+            salt_target_postings
+            and manifest.n_docs > salt_target_postings
+            and not manifest.salted_terms
+        ):
+            import math as _math
+
+            flat = tbl["terms"].combine_chunks().flatten().to_pandas()
+            df = flat.value_counts()
+            hot = df[df > salt_target_postings]
+            manifest.salted_terms = {
+                t: min(salt_max, _math.ceil(c / salt_target_postings))
+                for t, c in hot.items()
+            }
+            manifest.save(index_dir)
+        salted = dict(manifest.salted_terms)
+        parts = [
+            explode_partials(tbl.slice(off, 4096), manifest.num_shards, manifest.positional, salted)
+            for off in range(0, max(tbl.num_rows, 1), 4096)
+        ]
+        allp = pa.concat_tables(parts)
+        writer = PostingShardWriter(
+            str(postings_dir),
+            block_size=manifest.block_size,
+            avgdl=manifest.avgdl or 1.0,
+            k1=manifest.bm25_k1,
+            b=manifest.bm25_b,
+            positional=manifest.positional,
+            resume=resume,
+            codec=manifest.codec,
+        )
+        rows = []
+        if allp.num_rows:
+            shard_vals = allp["shard"].to_numpy(zero_copy_only=False)
+            for s in np.unique(shard_vals):
+                grp = allp.filter(pc.equal(allp["shard"], int(s)))
+                rows.extend(writer(grp).to_pylist())
+        manifest.record_phase(
+            generation,
+            seconds=time.perf_counter() - t0,
+            shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
+        )
+        manifest.save(index_dir)
+    elif not manifest.phase_complete(generation):
         t0 = time.perf_counter()
         postings_dir.mkdir(parents=True, exist_ok=True)
         # push-based sort shuffle: measurably faster for this wide
@@ -311,7 +390,40 @@ def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[s
     }
 
 
-def _write_parquet_atomic(ds, out_dir: Path) -> None:
+# below this input size, side pipelines (doc store copy, global stats)
+# run as direct pyarrow reads: a Ray pipeline's fixed cost (executor
+# startup, task round-trips) is seconds while the data is kilobytes. The
+# main analyze map and the postings shuffle ALWAYS run on Ray.
+_SMALL_INPUT_BYTES = 256 << 20
+
+
+def _total_bytes(path) -> int:
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    total = 0
+    for p in paths:
+        p = Path(p)
+        if p.is_dir():
+            total += sum(f.stat().st_size for f in p.glob("**/*") if f.is_file())
+        elif p.exists():
+            total += p.stat().st_size
+    return total
+
+
+def _write_table_atomic(tbl, out_dir: Path, row_group_size: int | None = None) -> None:
+    import shutil
+
+    out_dir = Path(out_dir)
+    tmp = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    tmp.mkdir(parents=True)
+    pq.write_table(tbl, tmp / "part-00000.parquet", row_group_size=row_group_size)
+    tmp.rename(out_dir)
+
+
+def _write_parquet_atomic(ds, out_dir: Path, row_group_size: int | None = None) -> None:
     """Write a Dataset to a directory atomically (tmp + rename) so phase
     completion is all-or-nothing."""
     import shutil
@@ -322,7 +434,10 @@ def _write_parquet_atomic(ds, out_dir: Path) -> None:
         shutil.rmtree(tmp)
     if out_dir.exists():
         shutil.rmtree(out_dir)
-    ds.write_parquet(str(tmp))
+    if row_group_size is not None:
+        ds.write_parquet(str(tmp), row_group_size=row_group_size)
+    else:
+        ds.write_parquet(str(tmp))
     tmp.rename(out_dir)
 
 

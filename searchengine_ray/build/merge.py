@@ -136,33 +136,128 @@ def build_increment(
 
 
 def _decode_shard_rows(path: Path, positional: bool, codec: str) -> pa.Table:
-    """Shard file → posting-rows table (term, doc_id, tf, dl, positions)."""
+    """Shard file → posting-rows table (term, doc_id, tf, dl, positions).
+
+    Column-wise iteration (one ``to_pylist`` per encoded column) rather
+    than row dicts; positions become one flat values buffer + offsets, no
+    per-posting Python lists."""
     cod = get_posting_codec(codec)
     tbl = pq.read_table(path)
-    terms_out, ids_out, tfs_out, dls_out, pos_out = [], [], [], [], []
-    for row in tbl.to_pylist():
-        ids = cod.dec_sorted(row["doc_ids"])
-        tfs = cod.dec_plain(row["tfs"])
-        dls = cod.dec_plain(row["dls"])
-        terms_out.extend([row["term"]] * len(ids))
+    terms_col = tbl["term"].to_pylist()
+    ids_col = tbl["doc_ids"].to_pylist()
+    tfs_col = tbl["tfs"].to_pylist()
+    dls_col = tbl["dls"].to_pylist()
+    pos_col = tbl["positions"].to_pylist() if positional and "positions" in tbl.column_names else None
+    terms_out, ids_out, tfs_out, dls_out = [], [], [], []
+    pos_flat, pos_counts, pos_valid = [], [], []
+    for r in range(tbl.num_rows):
+        ids = cod.dec_sorted(ids_col[r])
+        tfs = cod.dec_plain(tfs_col[r])
         ids_out.append(ids)
         tfs_out.append(tfs)
-        dls_out.append(dls)
-        if positional and row["positions"] is not None:
-            pos_all = cod.dec_grouped(row["positions"], tfs)
-            ends = np.cumsum(tfs)
-            pos_out.extend(pos_all[e - c : e].tolist() for e, c in zip(ends, tfs))
-        elif positional:
-            pos_out.extend([None] * len(ids))
+        dls_out.append(cod.dec_plain(dls_col[r]))
+        terms_out.extend([terms_col[r]] * len(ids))
+        if pos_col is not None:
+            enc = pos_col[r]
+            if enc is not None:
+                pos_flat.append(np.asarray(cod.dec_grouped(enc, tfs), np.int32))
+                pos_counts.append(np.asarray(tfs, np.int64))
+                pos_valid.append(np.ones(len(ids), bool))
+            else:
+                pos_counts.append(np.zeros(len(ids), np.int64))
+                pos_valid.append(np.zeros(len(ids), bool))
     cols = {
         "term": pa.array(terms_out, pa.string()),
         "doc_id": pa.array(np.concatenate(ids_out) if ids_out else [], pa.uint64()),
         "tf": pa.array(np.concatenate(tfs_out) if tfs_out else [], pa.int32()),
         "dl": pa.array(np.concatenate(dls_out) if dls_out else [], pa.int32()),
     }
-    if positional:
-        cols["positions"] = pa.array(pos_out, pa.list_(pa.int32()))
+    if pos_col is not None:
+        counts = np.concatenate(pos_counts) if pos_counts else np.empty(0, np.int64)
+        valid = np.concatenate(pos_valid) if pos_valid else np.empty(0, bool)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        values = np.concatenate(pos_flat) if pos_flat else np.empty(0, np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int32())
+        )
+        if not valid.all():
+            # rows written without positions stay null, not empty
+            arr = pa.Array.from_pandas(
+                [v if ok else None for v, ok in zip(arr.to_pylist(), valid)],
+                type=pa.list_(pa.int32()),
+            )
+        cols["positions"] = arr
     return pa.table(cols)
+
+
+_SMALL_STATS_BYTES = 256 << 20
+
+
+def _live_docstats(stats_dir: Path, tombs: np.ndarray, use_ray: bool) -> tuple[int, int]:
+    """(n_docs, total_tokens) over non-tombstoned docs. Column-pruned to
+    (doc_id, dl); distributed aggregate above the small-input gate."""
+    import pyarrow.compute as pc
+
+    total_bytes = sum(f.stat().st_size for f in stats_dir.glob("*.parquet"))
+    if not use_ray or total_bytes <= _SMALL_STATS_BYTES:
+        t = pq.read_table(str(stats_dir), columns=["doc_id", "dl"])
+        if len(tombs):
+            t = t.filter(
+                pc.invert(pc.is_in(t["doc_id"].cast(pa.uint64()), pa.array(tombs, pa.uint64())))
+            )
+        return t.num_rows, int(pc.sum(t["dl"]).as_py() or 0)
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    tombs_ref = ray.put(tombs)
+
+    def drop_tombs(batch: pa.Table) -> pa.Table:
+        tb = ray.get(tombs_ref)
+        if not len(tb):
+            return batch
+        ids = batch["doc_id"].cast(pa.uint64()).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, tb)))
+
+    row = (
+        rd.read_parquet(str(stats_dir), columns=["doc_id", "dl"])
+        .map_batches(drop_tombs, batch_format="pyarrow")
+        .aggregate(Count(alias_name="n"), Sum("dl", alias_name="total"))
+    )
+    return int(row["n"] or 0), int(row["total"] or 0)
+
+
+def _rewrite_analyzed(stats_dir: Path, tombs: np.ndarray, use_ray: bool) -> None:
+    """Drop tombstoned docs from every analyzed file, one task per file —
+    the multi-file layout (and with it resumable parallel reads) is
+    preserved; list columns never pass through the driver."""
+    import pyarrow.compute as pc
+
+    files = sorted(stats_dir.glob("*.parquet"))
+
+    def rewrite_one(path: Path, tb: np.ndarray) -> None:
+        t = pq.read_table(path)
+        t = t.filter(
+            pc.invert(pc.is_in(t["doc_id"].cast(pa.uint64()), pa.array(tb, pa.uint64())))
+        )
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(t, tmp)
+        tmp.rename(path)
+
+    if use_ray and len(files) > 1:
+        import ray
+
+        tombs_ref = ray.put(tombs)
+
+        @ray.remote
+        def _do(path: str) -> None:
+            rewrite_one(Path(path), ray.get(tombs_ref))
+
+        ray.get([_do.remote(str(f)) for f in files])
+    else:
+        for f in files:
+            rewrite_one(f, tombs)
 
 
 def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
@@ -179,21 +274,16 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
     out_dir.mkdir(parents=True)
 
     # post-compaction global stats FIRST, so block-max metadata is encoded
-    # against the avgdl queries will actually use (WAND soundness)
+    # against the avgdl queries will actually use (WAND soundness).
+    # Column-pruned (doc_id, dl) scan — NEVER the terms/positions list
+    # columns — and distributed above the small-input gate; the full
+    # analyzed rewrite happens after the shard merge, also distributed.
     stats_dir = index_dir / "analyzed"
-    stats_tbl = None
-    if stats_dir.exists():
-        stats_tbl = pq.read_table(str(stats_dir))
-        if len(tombs):
-            import pyarrow.compute as pc
-
-            stats_tbl = stats_tbl.filter(
-                pc.invert(
-                    pc.is_in(stats_tbl["doc_id"].cast(pa.uint64()), pa.array(tombs, pa.uint64()))
-                )
-            )
-        m.n_docs = stats_tbl.num_rows
-        m.total_tokens = int(pa.compute.sum(stats_tbl["dl"]).as_py() or 0)
+    have_stats = stats_dir.exists()
+    if have_stats:
+        n_docs, total_tokens = _live_docstats(stats_dir, tombs, use_ray)
+        m.n_docs = n_docs
+        m.total_tokens = total_tokens
         m.avgdl = m.total_tokens / m.n_docs if m.n_docs else 0.0
 
 
@@ -219,11 +309,11 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
         shutil.rmtree(index_dir / g, ignore_errors=True)
     out_dir.rename(index_dir / "postings")
 
-    # rewrite analyzed/ minus tombstones (it is the per-doc-length source)
-    if stats_tbl is not None:
-        shutil.rmtree(stats_dir)
-        stats_dir.mkdir()
-        pq.write_table(stats_tbl, stats_dir / "analyzed-00000.parquet")
+    # rewrite analyzed/ minus tombstones (it is the per-doc-length source):
+    # per-file parallel rewrite preserving the multi-file layout — no
+    # driver-side materialization of the list columns
+    if have_stats and len(tombs):
+        _rewrite_analyzed(stats_dir, tombs, use_ray)
 
     for g in m.generations:
         m.phases.pop(g, None)

@@ -91,21 +91,49 @@ def _engine(sf_dir: str, mode: str = "punct"):
 
 
 def q_term_stats(sf_dir: str) -> pd.DataFrame:
-    """A1/A2/A3: the postings groupby — df and total tf per term."""
+    """A1/A2/A3: the postings groupby — df and total tf per term.
+
+    Combiner pattern (same as the build shuffle): partial per-(term,
+    batch) df/tf rows inside ``map_batches``, then a small Sum groupby —
+    the shuffle moves one row per (term, batch) instead of one per
+    posting."""
     import ray.data as rd
 
-    from ..stages.postings import explode_batch
+    from ..stages.postings import explode_partials
 
     idx = documents_index(sf_dir, "punct")
     analyzed = rd.read_parquet(str(idx / "analyzed"))
-    exploded = analyzed.map_batches(
-        lambda b: explode_batch(b, 1, False), batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Count, Sum
+
+    def partial_stats(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        part = explode_partials(b, 1, False)
+        ids = part["doc_ids"].combine_chunks()
+        tfs = part["tfs"].combine_chunks()
+        df_part = pc.list_value_length(ids).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = tfs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = tfs.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_part = (
+            np.add.reduceat(flat, offs[:-1])
+            if len(flat)
+            else np.zeros(len(df_part), np.int64)
+        )
+        tf_part[df_part == 0] = 0
+        return pa.table(
+            {
+                "term": part["term"],
+                "df_part": pa.array(df_part, pa.int64()),
+                "tf_part": pa.array(tf_part, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
 
     out = (
-        exploded.groupby("term")
-        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="total_tf"))
+        analyzed.map_batches(partial_stats, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"), Sum("tf_part", alias_name="total_tf"))
         .to_pandas()
     )
     return out[["term", "df", "total_tf"]].astype({"df": "int64", "total_tf": "int64"})

@@ -162,3 +162,29 @@ class TestBuildOnSyntheticCorpus:
         assert set(dump) == set(oracle)
         for term in list(oracle):
             assert dump[term] == oracle[term], term
+
+
+class TestSmallInputFastPath:
+    """The size-gated in-process reduce (stats read, docs write, postings
+    reduce) must produce byte-identical indexes to the distributed path."""
+
+    def test_paths_identical(self, ray_session, tmp_path, monkeypatch):
+        from searchengine_ray.build import indexer as IX
+        from searchengine_ray.build import dump_postings
+
+        docs = {i: f"alpha beta w{i % 7} gamma{i % 3} delta" for i in range(200)}
+        src = tmp_path / "src"
+        src.mkdir()
+        write_docs_parquet(src / "d.parquet", docs)
+        kw = dict(doc_id_column="doc_id", num_shards=4, block_size=8)
+
+        IX.build_index(str(src / "d.parquet"), tmp_path / "small", **kw)
+        monkeypatch.setattr(IX, "_SMALL_INPUT_BYTES", 0)  # force Ray path
+        IX.build_index(str(src / "d.parquet"), tmp_path / "dist", **kw)
+
+        assert dump_postings(tmp_path / "small") == dump_postings(tmp_path / "dist")
+        m_s = IX.IndexManifest.load(tmp_path / "small")
+        m_d = IX.IndexManifest.load(tmp_path / "dist")
+        assert (m_s.n_docs, m_s.total_tokens, m_s.avgdl) == (
+            m_d.n_docs, m_d.total_tokens, m_d.avgdl
+        )
