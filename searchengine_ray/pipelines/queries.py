@@ -454,6 +454,9 @@ ORDER BY r.score DESC, r.doc_id LIMIT 5
 """
 
 
+BATCH_QUERIES = [BM25_QUERY, "fast scan", "customer join line"]
+
+
 def q_batch_queries(sf_dir: str) -> pd.DataFrame:
     """§3.2 Ray-native batch query path: queries Dataset →
     actor-pool QueryEngineStage (engine state loaded once per actor)."""
@@ -465,8 +468,8 @@ def q_batch_queries(sf_dir: str) -> pd.DataFrame:
     idx = documents_index(sf_dir, "punct")
     tbl = pa.table(
         {
-            "qid": pa.array([0, 1, 2], pa.int64()),
-            "query": pa.array([BM25_QUERY, "fast scan", "customer join line"]),
+            "qid": pa.array(list(range(len(BATCH_QUERIES))), pa.int64()),
+            "query": pa.array(BATCH_QUERIES),
         }
     )
     out = (
@@ -482,6 +485,39 @@ def q_batch_queries(sf_dir: str) -> pd.DataFrame:
     )
     out["score"] = out["score"].round(6)
     return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64"})
+
+
+def sql_batch_queries() -> str:
+    """UNION ALL of per-query ranked top-5 BM25 selects — one shared
+    token/stat CTE chain, one scored CTE per batch query."""
+    parts = [
+        sql_tokens_cte(),
+        "dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id)",
+        "stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term)",
+        "n AS (SELECT count(*) AS c FROM documents)",
+        "avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls)",
+    ]
+    selects = []
+    for i, q in enumerate(BATCH_QUERIES):
+        qterms = ", ".join(f"('{t}')" for t in q.split())
+        parts.append(f"q{i}(term) AS (VALUES {qterms})")
+        parts.append(f"qtf{i} AS (SELECT term, count(*) AS qn FROM q{i} GROUP BY term)")
+        parts.append(
+            f"""scored{i} AS (
+    SELECT toks.doc_id,
+           sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))
+               * qtf{i}.qn) AS score
+    FROM toks JOIN qtf{i} USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl GROUP BY toks.doc_id)"""
+        )
+        selects.append(
+            f"SELECT * FROM (SELECT {i} AS qid, "
+            f'CAST(row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS "rank", '
+            f"doc_id, round(score, 6) AS score FROM scored{i} "
+            f"ORDER BY score DESC, doc_id LIMIT 5)"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def q_orders_topk(sf_dir: str) -> pd.DataFrame:
@@ -1008,7 +1044,7 @@ def registry() -> dict[str, tuple]:
         "combined_search": (q_combined_search, None),
         "wordbreak": (q_wordbreak, None),
         "fetch_topk": (q_fetch_topk, sql_fetch_topk()),
-        "batch_queries": (q_batch_queries, None),
+        "batch_queries": (q_batch_queries, sql_batch_queries()),
         "increment_compact": (q_increment_compact, sql_increment_compact()),
         "orders_topk": (q_orders_topk, sql_orders_topk()),
         "distinct_segments": (q_distinct_segments, sql_distinct_segments()),

@@ -570,13 +570,27 @@ class SearchEngine:
         if not posts:
             return []
         if method == "auto":
-            # The loader decodes whole term postings (then caches), so the
-            # vectorized exhaustive scorer beats pivot-based WAND at every
-            # size measured (up to 400k-doc indexes; WAND's per-doc Python
-            # loop loses to one np.add.at). WAND stays available explicitly
-            # — its pruning pays once block decode is lazy (true
-            # larger-than-memory posting lists), the round-2 path.
-            method = "exhaustive"
+            # Selective queries (one term much rarer than the rest, small
+            # k) take the vectorized block-max MaxScore path: common
+            # terms' postings are pruned at block granularity, so their
+            # blocks are mostly never decoded. Dense queries take the
+            # exhaustive scorer (one np.add.at beats pivot stepping when
+            # everything must be decoded anyway). Pivot-based WAND stays
+            # available explicitly (method="wand") — all three are
+            # bit-identical (verified in tests).
+            dfs = [posts[t].df for t in dict.fromkeys(tokens) if t in posts]
+            selective = (
+                topk is not None
+                and topk <= 1000
+                and len(dfs) >= 2
+                and min(dfs) * 4 <= max(dfs)
+            )
+            method = "maxscore" if selective else "exhaustive"
+        if method == "maxscore" and topk is not None:
+            out = self._bm25_maxscore(tokens, posts, topk)
+            if out is not None:
+                return out
+            method = "exhaustive"  # no pruning opportunity — fall back
         if topk is None or method == "exhaustive":
             return self._bm25_exhaustive(tokens, posts, topk)
         return self._bm25_wand(tokens, posts, topk)
@@ -614,6 +628,97 @@ class SearchEngine:
         if topk is not None:
             order = order[:topk]
         return [(int(uids[i]), float(scores[i])) for i in order]
+
+    def _gather_term_weights(self, p, cand: np.ndarray, coef: float, qtf_t: int) -> np.ndarray:
+        """BM25 contributions of one term at the candidate docs (0 where
+        the doc lacks the term), with the exact float-op order of
+        ``_bm25_weights``. Lazy postings are touched at block granularity
+        — blocks containing no candidate are never decoded."""
+        k1, b = self.manifest.bm25_k1, self.manifest.bm25_b
+        avgdl = self.manifest.avgdl or 1.0
+        out = np.zeros(len(cand))
+        if isinstance(p, LazyTermPostings) and p._mat is None:
+            blocks = np.searchsorted(p.block_doc_max, cand, side="left")
+            valid = blocks < p.n_blocks
+            for blk in np.unique(blocks[valid]):
+                sel = np.flatnonzero(valid & (blocks == blk))
+                ids = p.block_ids(int(blk))
+                pos = np.searchsorted(ids, cand[sel])
+                pos_c = np.minimum(pos, len(ids) - 1)
+                ok = ids[pos_c] == cand[sel]
+                if not ok.any():
+                    continue
+                tfs, dls = p.block_tf_dl(int(blk))
+                w = tfs[pos_c[ok]] / (
+                    tfs[pos_c[ok]] + k1 * (1.0 - b + b * dls[pos_c[ok]] / avgdl)
+                )
+                out[sel[ok]] = coef * w * qtf_t
+        else:
+            ids = p.doc_ids
+            if not len(ids):
+                return out
+            pos = np.searchsorted(ids, cand)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            ok = ids[pos_c] == cand
+            if ok.any():
+                w = p.tfs[pos_c[ok]] / (
+                    p.tfs[pos_c[ok]] + k1 * (1.0 - b + b * p.dls[pos_c[ok]] / avgdl)
+                )
+                out[ok] = coef * w * qtf_t
+        return out
+
+    def _bm25_maxscore(self, tokens, posts, topk):
+        """Exact vectorized block-max MaxScore: seed the threshold from
+        the rarest term's candidates, drop terms whose cumulative upper
+        bounds (from stored block maxima) cannot reach it, score only the
+        essential terms' union. Returns None when every term stays
+        essential (no pruning — caller falls back to exhaustive).
+
+        Exactness: any doc outside the candidate set scores at most the
+        non-essential cumulative bound, which is strictly below the
+        seed-set k-th score; candidates are scored with the exhaustive
+        scorer's exact float-op order, so results are bit-identical."""
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        k1 = self.manifest.bm25_k1
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        coef1 = {t: (k1 + 1.0) * self.bm25_idf(posts[t].df) for t in terms}
+        ub = {t: float(coef1[t] * posts[t].block_max_w.max() * qtf[t]) for t in terms}
+
+        seed_t = min(terms, key=lambda t: posts[t].df)
+        seed = self._remove_tombstones(posts[seed_t].doc_ids)
+        if len(seed) < topk:
+            return None
+        seed_scores = np.zeros(len(seed))
+        for t in terms:
+            seed_scores += self._gather_term_weights(posts[t], seed, coef1[t], qtf[t])
+        s_order = np.lexsort((seed, -seed_scores))
+        theta = float(seed_scores[s_order[topk - 1]])
+
+        # any subset S with Σ ub(S) < theta (strict) can be dropped: a doc
+        # absent from every term outside S scores ≤ Σ ub(S) < theta
+        by_ub = sorted(terms, key=lambda t: ub[t])
+        cum = 0.0
+        non_essential = []
+        for t in by_ub:
+            if t == seed_t:
+                continue  # keep the seed essential so candidates ⊇ seed
+            if cum + ub[t] < theta:
+                cum += ub[t]
+                non_essential.append(t)
+            else:
+                break
+        if not non_essential:
+            return None
+        essential = [t for t in terms if t not in non_essential]
+        cand = np.unique(np.concatenate([posts[t].doc_ids for t in essential]))
+        cand = self._remove_tombstones(cand)
+        scores = np.zeros(len(cand))
+        for t in terms:
+            scores += self._gather_term_weights(posts[t], cand, coef1[t], qtf[t])
+        order = np.lexsort((cand, -scores))[:topk]
+        return [(int(cand[i]), float(scores[i])) for i in order]
 
     def _bm25_wand(self, tokens, posts, topk):
         """Block-max WAND with LAZY block decode.

@@ -71,9 +71,10 @@ def test_ranked_property_sweep(corpus):
         assert [d for d, _ in gt] == [d for d, _ in wt], q
         np.testing.assert_allclose([s for _, s in gt], [s for _, s in wt], rtol=0, atol=0)
         for topk in (1, 3):
-            assert eng.search_bm25(text, topk=topk, method="wand") == eng.search_bm25(
-                text, topk=topk, method="exhaustive"
-            ), q
+            ex = eng.search_bm25(text, topk=topk, method="exhaustive")
+            assert eng.search_bm25(text, topk=topk, method="wand") == ex, q
+            ms = eng.search_bm25(text, topk=topk, method="maxscore")
+            assert ms == ex, q  # maxscore falls back to exhaustive when None
 
 
 def test_phrase_property_sweep(corpus):

@@ -123,6 +123,19 @@ class TestBM25:
         ex = engine.search_bm25(query, topk=topk, method="exhaustive")
         assert wand == ex
 
+    @pytest.mark.parametrize("query", QUERIES)
+    @pytest.mark.parametrize("topk", [1, 3, 10])
+    def test_maxscore_equals_exhaustive(self, engine, query, topk):
+        ms = engine.search_bm25(query, topk=topk, method="maxscore")
+        ex = engine.search_bm25(query, topk=topk, method="exhaustive")
+        assert ms == ex
+
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_auto_equals_exhaustive(self, engine, query):
+        assert engine.search_bm25(query, topk=5, method="auto") == engine.search_bm25(
+            query, topk=5, method="exhaustive"
+        )
+
     def test_topk_zero(self, engine):
         assert engine.search_bm25("cat", topk=0) == []
 
