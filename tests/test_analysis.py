@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,42 @@ class TestBatchKernel:
                 analyze_docs(chunk, np.arange(lo, lo + len(chunk)), TermMapper()).to_pylist()
             )
         assert whole == parts
+
+
+REF_EN_DICT = Path("/root/reference/src/main/resources/cs221_frequency_dictionary_en.txt")
+
+SHERLOCK_1 = (
+    "tosherlockholmessheisalwaysthewomanihaveseldomheardhimmentionherunderanyothernameinhiseyessheeclipsesandpredominatesthewholeofhersexitwasnotthathefeltanyemotionakintoloveforireneadlerallemotionsandthatoneparticularlywereabhorrenttohiscoldprecisebutadmirablybalancedmindhewasitakeitthemostperfectreasoningandobservingmachinethattheworldhasseenbutasaloverhewouldhaveplacedhimselfinafalsepositionheneverspokeofthesofterpassionssavewithagibeandasneertheywereadmirablethingsfortheobserverexcellentfordrawingtheveilfrommenmotivesandactionsbutforthetrainedreasonertoadmitsuchintrusionsintohisowndelicateandfinelyadjustedtemperamentwastointroduceadistractingfactorwhichmightthrowadoubtuponallhismentalresultsgritinasensitiveinstrumentoracrackinoneofhisownhighpowerlenseswouldnotbemoredisturbingthanastrongemotioninanaturesuchashisandyettherewasbutonewomantohimandthatwomanwasthelateireneadlerofdubiousandquestionablememory",
+    "sherlock holmes always woman seldom heard mention name eyes eclipses predominates whole sex felt emotion akin love irene adler emotions one particularly abhorrent cold precise admirably balanced mind take perfect reasoning observing machine world seen lover would placed false position never spoke softer passions save gibe sneer admirable things observer excellent drawing veil men motives actions trained reasoner admit intrusions delicate finely adjusted temperament introduce distracting factor might throw doubt upon mental results grit sensitive instrument crack one high power lenses would disturbing strong emotion nature yet one woman woman late irene adler dubious questionable memory",
+)
+SHERLOCK_2 = (
+    "ihadseenlittleofholmeslatelymymarriagehaddriftedusawayfromeachothermyowncompletehappinessandthehomecentredinterestswhichriseuparoundthemanwhofirstfindshimselfmasterofhisownestablishmentweresufficienttoabsorballmyattentionwhileholmeswholoathedeveryformofsocietywithhiswholesoulremainedinourlodgingsinbakerstreetburiedamonghisoldbooksandalternatingfromweektoweekbetweencocaineandambitionthedrowsinessofthedrugandthefierceenergyofhisownkeennaturehewasstillaseverdeeplyattractedbythestudyofcrimeandoccupiedhisimmensefacultiesandextraordinarypowersofobservationinfollowingoutthosecluesandclearingupthosemysterieswhichhadbeenabandonedashopelessbytheofficialpolicefromtimetotimeiheardsomevagueaccountofhisdoingsofhissummonstoodessainthecaseofthemurderofhisclearingupofthesingulartragedyoftheatkinsonbrothersattrincomaleeandfinallyofthemissionwhichhehadaccomplishedsodelicatelyandsuccessfullyforthereigningfamilyofhollandbeyondthesesignsofhisactivityhoweverwhichimerelysharedwithallthereadersofthedailypressiknewlittleofmyformerfriendandcompanion",
+    "seen little holmes lately marriage drifted us away complete happiness home centred interests rise around man first finds master establishment sufficient absorb attention holmes loathed every form society whole soul remained lodgings baker street buried among old books alternating week week cocaine ambition drowsiness drug fierce energy keen nature still ever deeply attracted study crime occupied immense faculties extraordinary powers observation following clues clearing mysteries abandoned hopeless official police time time heard vague account doings summons odessa case murder clearing singular tragedy atkinson brothers trincomalee finally mission accomplished delicately successfully reigning family holland beyond signs activity however merely shared readers daily press knew little former friend companion",
+)
+
+
+@pytest.mark.skipif(not REF_EN_DICT.exists(), reason="reference dict not present")
+class TestWordBreakReferenceDict:
+    """M6 golden parity with the real 82k-entry frequency dictionary and
+    the reference's Sherlock Holmes fixtures
+    (``WordBreakTokenizerTest.java:50-78``; 20 s budget each there)."""
+
+    @pytest.fixture(scope="class")
+    def tok(self):
+        from searchengine_ray.analysis.wordbreak import WordBreakTokenizer
+
+        return WordBreakTokenizer(REF_EN_DICT)
+
+    @pytest.mark.parametrize("case", [SHERLOCK_1, SHERLOCK_2], ids=["long1", "long2"])
+    def test_sherlock_golden(self, tok, case):
+        import time
+
+        text, expected = case
+        t0 = time.perf_counter()
+        got = tok.tokenize(text)
+        assert time.perf_counter() - t0 < 20.0  # reference latency budget
+        assert got == expected.split(" ")
+
+    def test_simple_golden(self, tok):
+        # reference testWordBreak basic case
+        assert tok.tokenize("catdog") == ["cat", "dog"]
