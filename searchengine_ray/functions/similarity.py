@@ -71,13 +71,22 @@ def cosine_topk(
 
 
 class LshIndex:
-    """Random-hyperplane LSH over normalized embeddings."""
+    """Random-hyperplane LSH over normalized embeddings — Dataset-native.
+
+    ``build`` assigns a bucket per vector in one ``map_batches`` pass and
+    pins the bucketed Dataset in the (distributed, spillable) object
+    store — the driver never holds vectors or buckets. ``query_batch``
+    broadcasts the query matrix + per-query probe-bucket sets once
+    (``ray.put``) and answers ALL queries in one scan: each block scores
+    only its rows whose bucket some query probes, emits local top-k
+    candidates, and the driver merges the (q × k)-sized result. No
+    shuffle at query time."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 42):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((n_planes, dim))
         self.n_planes = n_planes
-        self.buckets: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._bucketed = None  # ray Dataset: (bucket, vec_id, nemb)
 
     def _bucket_of(self, mat: np.ndarray) -> np.ndarray:
         bits = (mat @ self.planes.T) > 0
@@ -95,34 +104,73 @@ class LshIndex:
                 {
                     "bucket": pa.array(bucket, pa.int64()),
                     "vec_id": pa.array(ids, pa.int64()),
-                    "embedding": batch[emb_column],
+                    "nemb": pa.array(mat.tolist(), pa.list_(pa.float64())),
                 }
             )
 
-        rows = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
-        for bucket, grp in rows.groupby("bucket"):
-            ids = grp["vec_id"].to_numpy(np.int64)
-            mat = _normalize(np.stack(grp["embedding"].to_numpy()).astype(np.float64))
-            self.buckets[int(bucket)] = (ids, mat)
+        self._bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
+
+    def query_batch(
+        self, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4
+    ) -> list[list[tuple[int, float]]]:
+        """Top-k per query row; one scan answers the whole batch."""
+        import ray
+
+        if self._bucketed is None:
+            raise RuntimeError("build() the index first")
+        q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+        q = _normalize(q)
+        base = self._bucket_of(q)
+        # per-query probe set: own bucket + n_probe single-bit flips
+        probes = {}
+        for qi in range(len(q)):
+            bs = [int(base[qi])] + [
+                int(base[qi]) ^ (1 << i) for i in range(min(n_probe, self.n_planes))
+            ]
+            for b in bs:
+                probes.setdefault(b, []).append(qi)
+        ref = ray.put((q, probes))
+
+        def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+            qm, pr = ray.get(_ref)
+            buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+            hit_rows = np.flatnonzero(np.isin(buckets, np.fromiter(pr, np.int64)))
+            if not len(hit_rows):
+                return pa.table(
+                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[hit_rows]
+            mat = np.stack(batch["nemb"].to_pandas().to_numpy())[hit_rows]
+            bsel = buckets[hit_rows]
+            out_q, out_id, out_s = [], [], []
+            for b in np.unique(bsel):
+                rows = np.flatnonzero(bsel == b)
+                qids = pr.get(int(b), [])
+                if not qids:
+                    continue
+                sims = qm[qids] @ mat[rows].T  # (n_q_probing, n_rows)
+                for row_qi, qi in enumerate(qids):
+                    out_q.extend([qi] * len(rows))
+                    out_id.extend(ids[rows].tolist())
+                    out_s.extend(sims[row_qi].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = self._bucketed.map_batches(scan, batch_format="pyarrow").to_pandas()
+        results: list[list[tuple[int, float]]] = [[] for _ in range(len(q))]
+        for qi, grp in parts.groupby("qid"):
+            grp = grp.drop_duplicates("vec_id")
+            top = heapq.nsmallest(
+                k, grp.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+            )
+            results[int(qi)] = [(int(r.vec_id), float(r.cosine)) for r in top]
+        return results
 
     def query(self, vec: np.ndarray, k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
-        v = np.asarray(vec, dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        b0 = int(self._bucket_of(v[None, :])[0])
-        probe = [b0] + [b0 ^ (1 << i) for i in range(min(n_probe, self.n_planes))]
-        cands: list[tuple[int, float]] = []
-        for b in probe:
-            if b not in self.buckets:
-                continue
-            ids, mat = self.buckets[b]
-            sims = mat @ v
-            cands.extend(zip(ids.tolist(), sims.tolist()))
-        cands.sort(key=lambda x: (-x[1], x[0]))
-        seen, out = set(), []
-        for i, s in cands:
-            if i not in seen:
-                seen.add(i)
-                out.append((i, s))
-            if len(out) == k:
-                break
-        return out
+        return self.query_batch(np.asarray(vec)[None, :], k=k, n_probe=n_probe)[0]

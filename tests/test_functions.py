@@ -122,8 +122,10 @@ class TestEmbeddingOps:
         f32 = base.astype(np.float32).astype(np.float64)
         mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
         hits = 0
+        batch = idx.query_batch(f32[:10], k=5, n_probe=6)
         for qi in range(10):
-            got = [i for i, _ in idx.query(f32[qi], k=5, n_probe=6)]
+            got = [i for i, _ in batch[qi]]
+            assert got == [i for i, _ in idx.query(f32[qi], k=5, n_probe=6)]
             sims = mat @ mat[qi]
             want = set(np.lexsort((np.arange(40), -sims))[:5].tolist())
             hits += len(set(got) & want)
