@@ -104,12 +104,20 @@ def run_headline(num_cpus: int) -> dict:
         eng.search_bm25(q, topk=10)
         lat.append((time.perf_counter() - s) * 1000)
     query_sec = time.perf_counter() - t_q0
+    from searchengine_ray.build.manifest import IndexManifest
+
+    phases = {
+        k: round(v.get("seconds", 0), 2)
+        for k, v in IndexManifest.load(idx_dir).phases.items()
+        if isinstance(v, dict) and "seconds" in v
+    }
     return {
         "index_sec": round(index_sec, 3),
         "docs_per_sec": round(BENCH_DOCS / index_sec, 1),
         "bm25_p50_ms": round(statistics.median(lat), 2),
         "bm25_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1], 2),
         "query_sec": round(query_sec, 3),
+        "phases": phases,
     }
 
 
@@ -164,13 +172,36 @@ def main() -> None:
         "docs_per_sec": head["docs_per_sec"],
         "bm25_p50_ms": head["bm25_p50_ms"],
         "bm25_p95_ms": head["bm25_p95_ms"],
+        "phases": head.get("phases", {}),
     }
     ray.shutdown()
     print(json.dumps(result))
 
 
+def _stat_ticks() -> tuple[int, int]:
+    """(steal, busy) jiffies from /proc/stat. Steal is normalized by
+    BUSY time (user+nice+system+steal), not total: with only N of 32
+    vCPUs active, idle cores accrue no steal, so steal/total wildly
+    understates how much of the *working* cores' time was stolen."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    busy = vals[0] + vals[1] + vals[2] + steal
+    return steal, busy
+
+
 def scaling() -> None:
-    """Same headline at num_cpus=8 and 32 in fresh processes."""
+    """Noise-robust scaling protocol (north_rule N vs 4N stand-in):
+    interleaved A/B/A/B runs at the two CPU levels in fresh processes,
+    median-of-REPS per arm, per-phase medians, per-run CPU-steal share.
+    Efficiency is reported from the medians AND from the per-arm minima
+    (the steal-free estimate) — this microVM shows 2-3x run-to-run
+    variance from neighbor steal (see BASELINE.md)."""
+    pair = os.environ.get("BENCH_SCALE_PAIR", "8,32")
+    lo_n, hi_n = (int(x) for x in pair.split(","))
+    max_tries = int(os.environ.get("BENCH_SCALE_TRIES", "5"))
+    want_clean = int(os.environ.get("BENCH_CLEAN_RUNS", "2"))
+    max_steal = float(os.environ.get("BENCH_MAX_STEAL", "3.0"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -181,28 +212,68 @@ def scaling() -> None:
             # fixed per-run overhead (actor spin-up, phase boundaries)
             BENCH_DOCS=os.environ.get("BENCH_DOCS", "400000"),
         )
+        s0, b0 = _stat_ticks()
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        s1, b1 = _stat_ticks()
+        r = json.loads(out.strip().splitlines()[-1])
+        r["steal_busy_pct"] = round(100.0 * (s1 - s0) / max(b1 - b0, 1), 2)
+        return r
 
-    # two runs per level, best-of — this microVM shows heavy CPU-steal
-    # noise (2-3x run-to-run variance); min is the steal-free estimate
-    lo = min((run(8) for _ in range(2)), key=lambda r: r["queries"]["index_build"])
-    hi = min((run(32) for _ in range(2)), key=lambda r: r["queries"]["index_build"])
-    t_lo, t_hi = lo["queries"]["index_build"], hi["queries"]["index_build"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    # adaptive interleaved sampling: alternate arms; an arm stops
+    # sampling once it holds `want_clean` runs whose busy-time steal is
+    # under the gate (noisy-neighbor rejection), or after max_tries
+    runs: dict[int, list[dict]] = {lo_n: [], hi_n: []}
+
+    def clean(n: int) -> list[dict]:
+        return [r for r in runs[n] if r["steal_busy_pct"] <= max_steal]
+
+    for _ in range(max_tries):
+        for n in (lo_n, hi_n):
+            if len(clean(n)) < want_clean and len(runs[n]) < max_tries:
+                runs[n].append(run(n))
+        if len(clean(lo_n)) >= want_clean and len(clean(hi_n)) >= want_clean:
+            break
+
+    def arm(n: int) -> dict:
+        sel = clean(n) or runs[n]  # fall back to all runs if none clean
+        ts = [r["queries"]["index_build"] for r in sel]
+        phases = {}
+        for ph in sel[0].get("phases", {}):
+            phases[ph] = round(statistics.median(r["phases"][ph] for r in sel), 2)
+        t = statistics.median(ts)
+        return {
+            "runs_sec_all": [r["queries"]["index_build"] for r in runs[n]],
+            "steal_busy_pct_all": [r["steal_busy_pct"] for r in runs[n]],
+            "clean_runs_sec": ts if clean(n) else [],
+            "used_sec": round(t, 2),
+            "min_sec": round(min(r["queries"]["index_build"] for r in runs[n]), 2),
+            "docs_per_sec": round(sel[0]["bench_docs"] / t, 1),
+            "phase_medians": phases,
+        }
+
+    lo, hi = arm(lo_n), arm(hi_n)
+    factor = hi_n / lo_n
+    eff = (lo["used_sec"] / hi["used_sec"]) / factor
+    eff_min = (lo["min_sec"] / hi["min_sec"]) / factor
+    estimator = (
+        "median_of_steal_clean_runs"
+        if clean(lo_n) and clean(hi_n)
+        else "median_all_runs_no_clean_window"
+    )
     print(
         json.dumps(
             {
-                "metric": "scaling_efficiency_8_to_32_cpus",
-                "docs": lo["bench_docs"],
-                "index_sec_8": t_lo,
-                "index_sec_32": t_hi,
-                "docs_per_sec_8": lo["docs_per_sec"],
-                "docs_per_sec_32": hi["docs_per_sec"],
+                "metric": f"scaling_efficiency_{lo_n}_to_{hi_n}_cpus",
+                "docs": runs[lo_n][0]["bench_docs"],
+                "estimator": estimator,
+                "steal_gate_pct": max_steal,
+                "low": lo,
+                "high": hi,
                 "scaling_efficiency": round(eff, 3),
+                "scaling_efficiency_min": round(eff_min, 3),
             }
         )
     )

@@ -391,10 +391,11 @@ def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[s
 
 
 # below this input size, side pipelines (doc store copy, global stats)
-# run as direct pyarrow reads: a Ray pipeline's fixed cost (executor
-# startup, task round-trips) is seconds while the data is kilobytes. The
-# main analyze map and the postings shuffle ALWAYS run on Ray.
-_SMALL_INPUT_BYTES = 256 << 20
+# and the postings reduce run in-process: a Ray pipeline's fixed cost
+# (executor startup, task round-trips) is seconds while the data is
+# kilobytes-to-megabytes. 16 MB ≈ tens of thousands of docs — beyond it
+# single-core work would dominate and every stage runs distributed.
+_SMALL_INPUT_BYTES = 16 << 20
 
 
 def _total_bytes(path) -> int:

@@ -320,10 +320,14 @@ SELECT doc_id, round(score, 6) AS score FROM scored
 """
 
 
+PAGERANK_ITERS = 50
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """A7: PageRank over a deterministic synthetic edge set derived from
     doc ids (Ray-Data power iteration; numpy == ray verified in pytest).
-    Non-SQL (iterative) → rows-only driver check."""
+    Fixed iteration count (no early stop) so the unrolled SQL oracle
+    computes the identical fixed point."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -345,17 +349,88 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
         # groupby(dst) per iteration (pagerank_ray == pagerank_numpy is
         # pytest-verified); below that the driver-side CSR iteration is
         # the right engineering — per-iteration Dataset overhead dominates
-        scores = pagerank_ray(rd.from_arrow(links_table(edges)), n, num_iterations=50)
+        scores = pagerank_ray(
+            rd.from_arrow(links_table(edges)), n, num_iterations=PAGERANK_ITERS, tol=None
+        )
     else:
         from ..rank import pagerank_numpy
 
-        scores = pagerank_numpy(edges, n, num_iterations=50)
+        scores = pagerank_numpy(edges, n, num_iterations=PAGERANK_ITERS, tol=None)
     return pd.DataFrame(
         {
             "doc_id": pd.Series(ids, dtype="int64"),
             "score": pd.Series(np.round(scores, 6), dtype="float64"),
         }
     )
+
+
+def _pagerank_ctes() -> str:
+    """CTE chain for the unrolled power iteration (PAGERANK_ITERS steps,
+    no early stop) over the synthetic doc-id edge set — each step one
+    join + group-by; final ranks in ``r{PAGERANK_ITERS}``."""
+    head = """nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids
+),
+edges AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src <> dst),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT id AS node, 1.0 AS rank FROM ids)"""
+    steps = []
+    for i in range(PAGERANK_ITERS):
+        steps.append(
+            f""",
+r{i + 1} AS MATERIALIZED (
+    SELECT i.id AS node,
+           0.15 + 0.85 * coalesce(s.contrib, 0.0) AS rank
+    FROM ids i LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.c) AS contrib
+        FROM edges e JOIN outdeg o ON e.src = o.src
+        JOIN r{i} r ON r.node = e.src
+        GROUP BY e.dst
+    ) s ON s.node = i.id)"""
+        )
+    return head + "".join(steps)
+
+
+def sql_pagerank() -> str:
+    return (
+        "WITH "
+        + _pagerank_ctes()
+        + f"\nSELECT node AS doc_id, round(rank, 6) AS score FROM r{PAGERANK_ITERS}"
+    )
+
+
+def sql_combined_search() -> str:
+    """TF-IDF (same chain as sql_tfidf_all) + 1.0 × PageRank (unrolled),
+    combined score over all TF-IDF matches, top-20 by (-score, doc)."""
+    qterms = ", ".join(f"('{t}')" for t in TFIDF_TERMS)
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+idf AS (
+    SELECT qtf.term, qtf.qn, log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS idf
+    FROM qtf JOIN stats USING (term) CROSS JOIN n
+),
+scored AS (
+    SELECT toks.doc_id,
+           sum((toks.tf * idf.idf) * (idf.qn * idf.idf)) AS dot,
+           sum((toks.tf * idf.idf) * (toks.tf * idf.idf)) AS len
+    FROM toks JOIN idf USING (term)
+    GROUP BY toks.doc_id
+),
+{_pagerank_ctes()}
+SELECT s.doc_id, round(s.dot / sqrt(s.len) + pr.rank, 6) AS score
+FROM scored s JOIN r{PAGERANK_ITERS} pr ON pr.node = s.doc_id
+WHERE s.len > 0
+ORDER BY s.dot / sqrt(s.len) + pr.rank DESC, s.doc_id
+LIMIT 20
+"""
 
 
 def q_combined_search(sf_dir: str) -> pd.DataFrame:
@@ -379,7 +454,7 @@ def q_combined_search(sf_dir: str) -> pd.DataFrame:
     )
     edges = edges[edges[:, 0] != edges[:, 1]]
     web = WebSearchEngine(documents_index(sf_dir, "punct"))
-    web.pagerank = pagerank_numpy(edges, n, num_iterations=50)
+    web.pagerank = pagerank_numpy(edges, n, num_iterations=PAGERANK_ITERS, tol=None)
     res = web.search_query(TFIDF_TERMS, 20, pagerank_weight=1.0)
     return pd.DataFrame(
         {
@@ -1065,8 +1140,8 @@ def registry() -> dict[str, tuple]:
         "delete_search": (q_delete_search, sql_delete_search()),
         "tfidf_all": (q_tfidf_all, sql_tfidf_all()),
         "bm25_all": (q_bm25_all, sql_bm25_all()),
-        "pagerank": (q_pagerank, None),
-        "combined_search": (q_combined_search, None),
+        "pagerank": (q_pagerank, sql_pagerank()),
+        "combined_search": (q_combined_search, sql_combined_search()),
         "wordbreak": (q_wordbreak, None),
         "fetch_topk": (q_fetch_topk, sql_fetch_topk()),
         "batch_queries": (q_batch_queries, sql_batch_queries()),

@@ -2,5 +2,9 @@
 
 from .engine import QueryEngineStage, SearchEngine, TermPostings
 from .oracle import FullScanOracle
+from .service import RoutedSearchEngine, ShardedQueryService
 
-__all__ = ["SearchEngine", "QueryEngineStage", "TermPostings", "FullScanOracle"]
+__all__ = [
+    "SearchEngine", "QueryEngineStage", "TermPostings", "FullScanOracle",
+    "ShardedQueryService", "RoutedSearchEngine",
+]

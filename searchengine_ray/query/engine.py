@@ -243,6 +243,14 @@ class SearchEngine:
         merged by doc_id and block maxima recomputed exactly with the
         *current* avgdl — keeps block-max WAND bounds sound even when
         avgdl drifted since a generation was built."""
+        per_term_rows: dict[str, list] = {}
+        for shard, ts in self._shard_plan(terms).items():
+            for gen, t, rows in self._rows_for_shard(shard, ts, positions):
+                per_term_rows.setdefault(t, []).append((gen, rows))
+        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
+
+    def _shard_plan(self, terms: list[str]) -> dict[int, list[str]]:
+        """shard → terms to probe there (salted terms span several)."""
         by_shard: dict[int, list[str]] = {}
         num_shards = self.manifest.num_shards
         salted = self.manifest.salted_terms
@@ -251,26 +259,25 @@ class SearchEngine:
             by_shard.setdefault(int(s), []).append(t)
             for salt in range(salted.get(t, 0)):
                 by_shard.setdefault(salt_shard(t, salt, num_shards), []).append(t)
-        gens = list(self.manifest.generations)
-        # accumulate rows per term across ALL probed shards (salted terms
-        # span several) and generations, then assemble once
-        per_term_rows: dict[str, list[pq.Table]] = {}
-        for shard, ts in by_shard.items():
-            ts = list(dict.fromkeys(ts))  # salt shard may collide with base
-            for gen in gens:
-                path = self.index_dir / gen / f"shard={shard:05d}.parquet"
-                if not path.exists():
-                    continue
-                tbl = self._read_shard(gen, shard, path, ts, positions)
-                if tbl is None or tbl.num_rows == 0:
-                    continue
-                for t in ts:
-                    rows = tbl.filter(pc.equal(tbl["term"], t))
-                    if rows.num_rows:
-                        per_term_rows.setdefault(t, []).append(
-                            (gen, rows.sort_by([("block_id", "ascending")]))
-                        )
-        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
+        return {s: list(dict.fromkeys(ts)) for s, ts in by_shard.items()}
+
+    def _rows_for_shard(self, shard: int, ts: list[str], positions: bool) -> list:
+        """(gen, term, block-rows) tuples for the given terms in one
+        shard, across all generations — the unit of work a shard-owning
+        actor serves remotely (``query/service.py``)."""
+        out = []
+        for gen in list(self.manifest.generations):
+            path = self.index_dir / gen / f"shard={shard:05d}.parquet"
+            if not path.exists():
+                continue
+            tbl = self._read_shard(gen, shard, path, ts, positions)
+            if tbl is None or tbl.num_rows == 0:
+                continue
+            for t in ts:
+                rows = tbl.filter(pc.equal(tbl["term"], t))
+                if rows.num_rows:
+                    out.append((gen, t, rows.sort_by([("block_id", "ascending")])))
+        return out
 
     def _gen_bmw_scale(self, gen: str) -> float:
         """Upper-bound rescale for a generation's stored block maxima when

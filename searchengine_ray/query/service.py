@@ -1,0 +1,93 @@
+"""Term-range-sharded query serving (SURVEY.md §3.2 "actors owning
+term-range shards").
+
+The default :class:`~searchengine_ray.query.engine.SearchEngine` reads
+shard files itself — right single-node, where the page cache is shared.
+On a multi-node cluster the shard-table LRU should live WITH the shard:
+:class:`ShardedQueryService` spawns ``num_actors`` shard-owner actors,
+assigns posting shards round-robin (``shard % num_actors``), and routes
+every term lookup to the owner of its ``term_shard`` hash. An actor
+only ever touches (and caches) its own shard files — cache locality
+scales with the actor count instead of every node caching every shard.
+
+:class:`RoutedSearchEngine` is a drop-in ``SearchEngine`` whose
+``_load_terms`` scatter-gathers through the service; every scorer
+(boolean / phrase / TF-IDF / BM25 exhaustive / MaxScore / WAND) works
+unchanged on top (results asserted identical in tests).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from .engine import SearchEngine
+
+
+class _ShardOwner:
+    """Actor body: a thin SearchEngine used only for its shard reads +
+    shard-table LRU; owns the shards with ``shard % num_actors == rank``."""
+
+    def __init__(self, index_dir: str, rank: int, num_actors: int):
+        self.engine = SearchEngine(index_dir)
+        self.rank = rank
+        self.num_actors = num_actors
+
+    def rows_for_shards(self, plan: dict[int, list[str]], positions: bool) -> list:
+        out = []
+        for shard, ts in plan.items():
+            assert shard % self.num_actors == self.rank, "misrouted shard"
+            out.extend(self.engine._rows_for_shard(shard, ts, positions))
+        return out
+
+
+class ShardedQueryService:
+    """Pool of shard-owner actors + routing table."""
+
+    def __init__(self, index_dir: str | Path, num_actors: int = 4):
+        import ray
+
+        self.index_dir = str(index_dir)
+        self.num_actors = num_actors
+        owner = ray.remote(_ShardOwner)
+        self.actors = [
+            owner.remote(self.index_dir, rank, num_actors) for rank in range(num_actors)
+        ]
+
+    def fetch(self, plan: dict[int, list[str]], positions: bool) -> list:
+        """Scatter the shard plan to owners, gather (gen, term, rows)."""
+        import ray
+
+        per_actor: dict[int, dict[int, list[str]]] = {}
+        for shard, ts in plan.items():
+            per_actor.setdefault(shard % self.num_actors, {})[shard] = ts
+        refs = [
+            self.actors[rank].rows_for_shards.remote(sub, positions)
+            for rank, sub in per_actor.items()
+        ]
+        out = []
+        for part in ray.get(refs):
+            out.extend(part)
+        return out
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class RoutedSearchEngine(SearchEngine):
+    """SearchEngine whose term lookups go through a ShardedQueryService
+    instead of local file reads. Everything above ``_load_terms``
+    (caches, scorers, deletes) is inherited unchanged."""
+
+    def __init__(self, index_dir: str | Path, service: ShardedQueryService, **kw):
+        super().__init__(index_dir, **kw)
+        self.service = service
+
+    def _load_terms(self, terms, positions: bool = False):
+        per_term_rows: dict[str, list] = {}
+        for gen, t, rows in self.service.fetch(self._shard_plan(terms), positions):
+            per_term_rows.setdefault(t, []).append((gen, rows))
+        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}

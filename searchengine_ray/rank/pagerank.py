@@ -31,7 +31,9 @@ def _outdeg(edges: np.ndarray, n: int) -> np.ndarray:
     return np.bincount(edges[:, 0], minlength=n).astype(np.float64)
 
 
-def pagerank_numpy(edges: np.ndarray, n: int, num_iterations: int = 100) -> np.ndarray:
+def pagerank_numpy(
+    edges: np.ndarray, n: int, num_iterations: int = 100, tol: float | None = TOL
+) -> np.ndarray:
     """edges: int array (m, 2) of [src, dst] rows; returns score vector."""
     edges = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
     outdeg = _outdeg(edges, n)
@@ -47,12 +49,14 @@ def pagerank_numpy(edges: np.ndarray, n: int, num_iterations: int = 100) -> np.n
         y = beta + contrib
         diff = np.abs(x - y).sum()
         x = y
-        if diff < TOL:
+        if tol is not None and diff < tol:
             break
     return x
 
 
-def pagerank_ray(edges_ds, n: int, num_iterations: int = 100) -> np.ndarray:
+def pagerank_ray(
+    edges_ds, n: int, num_iterations: int = 100, tol: float | None = TOL
+) -> np.ndarray:
     """Ray-Data-native power iteration over an edges Dataset with columns
     ``src:int64, dst:int64``. Ray must already be initialised."""
     import pyarrow as pa
@@ -101,6 +105,117 @@ def pagerank_ray(edges_ds, n: int, num_iterations: int = 100) -> np.ndarray:
             y[int(r["dst"])] += float(r["contrib"])
         diff = np.abs(x - y).sum()
         x = y
+        if tol is not None and diff < tol:
+            break
+    return x
+
+
+def pagerank_ray_partitioned(
+    edges_ds,
+    n: int,
+    num_iterations: int = 100,
+    num_partitions: int = 16,
+):
+    """Fully partitioned PageRank — the 10^12-node scale path.
+
+    Unlike :func:`pagerank_ray` (which broadcasts a dense O(n) rank
+    vector from the driver — ideal while the vector fits one machine),
+    the rank vector here IS a Dataset ``(node, rank)``: each iteration is
+    one hash join of the weighted edge list against the rank partition
+    on ``src``, a ``groupby(dst)`` partial-sum, and one join back to the
+    previous ranks to form ``y`` and the L1 convergence term. Nothing
+    O(n) ever lives on the driver. Same semantics as the reference
+    (init 1.0, dangling mass lost, L1 < 1e-5 stop); float sum order
+    differs from the numpy oracle only at machine epsilon (pytest
+    asserts rtol 1e-9). Returns a Dataset ``(node, rank)``."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    beta = 1.0 - ALPHA
+
+    inv_ds = (
+        edges_ds.map_batches(_batch_outdeg, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(Sum("cnt", alias_name="outdeg"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"].cast(pa.int64()),
+                    "w": pa.array(
+                        ALPHA / b["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    # static weighted edge list: (src, dst, w) — joined once, reused
+    edges_w = edges_ds.join(
+        inv_ds, join_type="inner", num_partitions=num_partitions, on=("src",)
+    ).materialize()
+
+    def init_ranks(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(ids, pa.int64()),
+             "rank": pa.array(np.ones(len(ids)), pa.float64())}
+        )
+
+    x = rd.range(n).map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    for _ in range(num_iterations):
+        contribs = (
+            edges_w.join(
+                x.map_batches(
+                    lambda b: b.rename_columns(["src", "rank"]), batch_format="pyarrow"
+                ),
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("src",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["dst"].cast(pa.int64()),
+                        "c": pa.array(
+                            b["w"].to_numpy(zero_copy_only=False)
+                            * b["rank"].to_numpy(zero_copy_only=False),
+                            pa.float64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="contrib"))
+        )
+
+        def step(b: pa.Table) -> pa.Table:
+            xs = b["rank"].to_numpy(zero_copy_only=False)
+            contrib = b["contrib"].to_pandas().fillna(0.0).to_numpy()
+            y = beta + contrib
+            return pa.table(
+                {
+                    "node": b["node"].cast(pa.int64()),
+                    "rank": pa.array(y, pa.float64()),
+                    "absdiff": pa.array(np.abs(xs - y), pa.float64()),
+                }
+            )
+
+        y_ds = (
+            x.join(
+                contribs,
+                join_type="left_outer",
+                num_partitions=num_partitions,
+                on=("node",),
+            )
+            .map_batches(step, batch_format="pyarrow")
+            .materialize()
+        )
+        diff = y_ds.aggregate(Sum("absdiff", alias_name="d"))["d"] or 0.0
+        x = y_ds.select_columns(["node", "rank"])
         if diff < TOL:
             break
     return x

@@ -99,3 +99,20 @@ class TestWebSearch:
         # reference IcsSearchEngineTest.java:109-116 (weight 1e9)
         combined = web.search_query(["search", "engines"], 3, 1e9)
         assert combined[0][0] == 0  # the hub ranks first
+
+
+class TestPartitionedPageRank:
+    def test_partitioned_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.rank.pagerank import pagerank_ray_partitioned
+
+        edges = generate_links(300)
+        want = pagerank_numpy(edges, 300)
+        out = pagerank_ray_partitioned(
+            rd.from_arrow(links_table(edges)), 300, num_partitions=4
+        ).to_pandas()
+        got = np.zeros(300)
+        got[out["node"].to_numpy()] = out["rank"].to_numpy()
+        assert len(out) == 300
+        np.testing.assert_allclose(got, want, rtol=1e-9)
