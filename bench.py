@@ -258,6 +258,17 @@ def scaling() -> None:
     factor = hi_n / lo_n
     eff = (lo["used_sec"] / hi["used_sec"]) / factor
     eff_min = (lo["min_sec"] / hi["min_sec"]) / factor
+
+    # secondary estimator: steal-corrected wall per run (wall × (1 - s)
+    # approximates the quiet-host time for a CPU-bound run), then the
+    # best corrected time per arm — transparent, reported alongside
+    def corr_best(n: int) -> float:
+        return min(
+            r["queries"]["index_build"] * (1.0 - r["steal_busy_pct"] / 100.0)
+            for r in runs[n]
+        )
+
+    eff_corr = (corr_best(lo_n) / corr_best(hi_n)) / factor
     estimator = (
         "median_of_steal_clean_runs"
         if clean(lo_n) and clean(hi_n)
@@ -274,6 +285,7 @@ def scaling() -> None:
                 "high": hi,
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_min": round(eff_min, 3),
+                "scaling_efficiency_steal_corrected": round(eff_corr, 3),
             }
         )
     )

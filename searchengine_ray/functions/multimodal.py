@@ -20,12 +20,18 @@ import pyarrow as pa
 
 MAGIC_IMG = b"FAKEIMG"
 MAGIC_AUD = b"FAKEAUD"
+MAGIC_VID = b"FAKEVID"
 
 
 def synth_payload(doc_id: int, kind: str = "img") -> bytes:
     """Deterministic fake payload for a doc id."""
     w = 8 + (doc_id % 9)
     h = 8 + (doc_id % 7)
+    if kind == "vid":
+        n_frames = 4 + (doc_id % 13)
+        rng = np.random.default_rng((1234, doc_id))
+        body = rng.integers(0, 256, n_frames * w * h, dtype=np.int64).astype(np.uint8)
+        return MAGIC_VID + struct.pack("<HHH", w, h, n_frames) + body.tobytes()
     n = w * h if kind == "img" else w * 256
     rng = np.random.default_rng((1234, doc_id))
     body = rng.integers(0, 256, n, dtype=np.int64).astype(np.uint8).tobytes()
@@ -81,6 +87,45 @@ class DecodeStage:
         out = out.append_column("height", pa.array(heights, pa.int32()))
         out = out.append_column("features", pa.array(hists, pa.list_(pa.float64())))
         return out
+
+
+class FrameSampleStage:
+    """Actor-pool stage: sample every k-th frame of a FAKEVID container →
+    one row per kept frame (flat_map-shaped: the output has more rows
+    than the input). Real video decode would sit behind the same
+    signature; large payloads need small ``batch_size`` (memory-aware
+    batch sizing, ray_guide)."""
+
+    def __init__(self, every_k: int = 4, payload_column: str = "payload"):
+        self.every_k = every_k
+        self.payload_column = payload_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_column].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_frame, out_w, out_h, out_mean = [], [], [], [], []
+        for i, p in enumerate(payloads):
+            magic = p[:7]
+            if magic != MAGIC_VID:
+                _real_image_decode(p)  # raises NotImplementedError
+            w, h, n_frames = struct.unpack("<HHH", p[7:13])
+            body = np.frombuffer(p[13:], dtype=np.uint8)[: n_frames * w * h]
+            frames = body.reshape(n_frames, h * w)
+            for f in range(0, n_frames, self.every_k):
+                out_id.append(int(ids[i]))
+                out_frame.append(f)
+                out_w.append(w)
+                out_h.append(h)
+                out_mean.append(round(float(frames[f].mean()), 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "frame": pa.array(out_frame, pa.int32()),
+                "width": pa.array(out_w, pa.int32()),
+                "height": pa.array(out_h, pa.int32()),
+                "mean_intensity": pa.array(out_mean, pa.float64()),
+            }
+        )
 
 
 class ResizeStage:

@@ -944,6 +944,39 @@ FROM documents
 """
 
 
+def q_multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling: FAKEVID containers → every-4th-frame rows
+    via an actor-pool flat-map stage. Dims/frame grid are closed-form in
+    doc_id (SQL oracle); per-frame intensity features are pytest-only."""
+    import ray.data as rd
+
+    from ..functions.multimodal import FrameSampleStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b, kind="vid"), batch_format="pyarrow")
+        .map_batches(FrameSampleStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "frame", "width", "height"]]
+    return out.astype(
+        {"doc_id": "int64", "frame": "int64", "width": "int64", "height": "int64"}
+    )
+
+
+def sql_multimodal_frames() -> str:
+    # closed form: n_frames = 4 + id%13, frames kept = 0,4,8,... < n_frames
+    return """
+SELECT d.doc_id,
+       CAST(f.frame AS BIGINT) AS frame,
+       8 + d.doc_id % 9 AS width,
+       8 + d.doc_id % 7 AS height
+FROM documents d
+JOIN (SELECT CAST(range AS BIGINT) * 4 AS frame FROM range(4)) f
+  ON f.frame < 4 + d.doc_id % 13
+"""
+
+
 def q_curation(sf_dir: str) -> pd.DataFrame:
     """Composite training-data curation pipeline: quality-filter +
     language-filter + exact-dedup in ONE streaming pass + one groupby —
@@ -1160,6 +1193,7 @@ def registry() -> dict[str, tuple]:
         "fingerprint": (q_fingerprint, sql_fingerprint()),
         "curation": (q_curation, sql_curation()),
         "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
+        "multimodal_frames": (q_multimodal_frames, sql_multimodal_frames()),
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
         "events_window": (q_events_window, sql_events_window()),

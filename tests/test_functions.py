@@ -194,3 +194,39 @@ class TestMultimodal:
     def test_real_decode_is_stubbed(self):
         with pytest.raises(NotImplementedError, match="PIL"):
             multimodal._real_image_decode(b"JFIF....")
+
+
+class TestFrameSample:
+    def test_frame_grid_and_features(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([0, 5, 12], pa.int64())})
+        )
+        out = (
+            ds.map_batches(
+                lambda b: multimodal.add_payload_batch(b, kind="vid"),
+                batch_format="pyarrow",
+            )
+            .map_batches(multimodal.FrameSampleStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+        )
+        for doc in (0, 5, 12):
+            n_frames = 4 + doc % 13
+            want_frames = list(range(0, n_frames, 4))
+            got = out[out.doc_id == doc].sort_values("frame")
+            assert got["frame"].tolist() == want_frames
+            assert (got["width"] == 8 + doc % 9).all()
+            assert (got["height"] == 8 + doc % 7).all()
+            assert ((got["mean_intensity"] > 90) & (got["mean_intensity"] < 165)).all()
+
+    def test_non_video_payload_raises(self):
+        stage = multimodal.FrameSampleStage()
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "payload": pa.array([multimodal.synth_payload(1, "img")], pa.binary()),
+            }
+        )
+        with pytest.raises(NotImplementedError):
+            stage(batch)
