@@ -84,7 +84,10 @@ def run_headline(num_cpus: int) -> dict:
         doc_id_mode="url_index",
         num_shards=64,
         block_size=128,
-        analyze_concurrency=max(1, num_cpus - 2),
+        # task-based analyze (library default): no actor-pool spin-up in
+        # the timed window and all cores map — interleaved A/B at 16 cpus
+        # measured ~9 s vs ~13.4 s actor-pool at comparable steal
+        analyze_concurrency=None,
         analyze_batch_size=4096,
         store_docs=False,
         resume=False,

@@ -70,6 +70,58 @@ def cosine_topk(
     return pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "cosine"])
 
 
+
+
+def _scan_probes(bucketed, q_normed: np.ndarray, probes: dict[int, list[int]], k: int):
+    """One pass over a bucketed Dataset answering every query: blocks
+    score only rows whose bucket some query probes; local candidates are
+    merged on the driver (q × k rows). Shared by LshIndex and IvfIndex."""
+    import ray
+
+    ref = ray.put((q_normed, probes))
+
+    def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+        qm, pr = ray.get(_ref)
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)
+        hit_rows = np.flatnonzero(np.isin(buckets, np.fromiter(pr, np.int64)))
+        if not len(hit_rows):
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[hit_rows]
+        mat = np.stack(batch["nemb"].to_pandas().to_numpy())[hit_rows]
+        bsel = buckets[hit_rows]
+        out_q, out_id, out_s = [], [], []
+        for b in np.unique(bsel):
+            rows = np.flatnonzero(bsel == b)
+            qids = pr.get(int(b), [])
+            if not qids:
+                continue
+            sims = qm[qids] @ mat[rows].T  # (n_q_probing, n_rows)
+            for row_qi, qi in enumerate(qids):
+                out_q.extend([qi] * len(rows))
+                out_id.extend(ids[rows].tolist())
+                out_s.extend(sims[row_qi].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    parts = bucketed.map_batches(scan, batch_format="pyarrow").to_pandas()
+    results: list[list[tuple[int, float]]] = [[] for _ in range(len(q_normed))]
+    for qi, grp in parts.groupby("qid"):
+        grp = grp.drop_duplicates("vec_id")
+        top = heapq.nsmallest(
+            k, grp.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+        )
+        results[int(qi)] = [(int(r.vec_id), float(r.cosine)) for r in top]
+    return results
+
+
 class LshIndex:
     """Random-hyperplane LSH over normalized embeddings — Dataset-native.
 
@@ -114,63 +166,84 @@ class LshIndex:
         self, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4
     ) -> list[list[tuple[int, float]]]:
         """Top-k per query row; one scan answers the whole batch."""
-        import ray
-
         if self._bucketed is None:
             raise RuntimeError("build() the index first")
-        q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
-        q = _normalize(q)
+        q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
         base = self._bucket_of(q)
         # per-query probe set: own bucket + n_probe single-bit flips
-        probes = {}
+        probes: dict[int, list[int]] = {}
         for qi in range(len(q)):
             bs = [int(base[qi])] + [
                 int(base[qi]) ^ (1 << i) for i in range(min(n_probe, self.n_planes))
             ]
             for b in bs:
                 probes.setdefault(b, []).append(qi)
-        ref = ray.put((q, probes))
+        return _scan_probes(self._bucketed, q, probes, k)
 
-        def scan(batch: pa.Table, _ref=ref) -> pa.Table:
-            qm, pr = ray.get(_ref)
-            buckets = batch["bucket"].to_numpy(zero_copy_only=False)
-            hit_rows = np.flatnonzero(np.isin(buckets, np.fromiter(pr, np.int64)))
-            if not len(hit_rows):
-                return pa.table(
-                    {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "cosine": pa.array([], pa.float64())}
-                )
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False)[hit_rows]
-            mat = np.stack(batch["nemb"].to_pandas().to_numpy())[hit_rows]
-            bsel = buckets[hit_rows]
-            out_q, out_id, out_s = [], [], []
-            for b in np.unique(bsel):
-                rows = np.flatnonzero(bsel == b)
-                qids = pr.get(int(b), [])
-                if not qids:
-                    continue
-                sims = qm[qids] @ mat[rows].T  # (n_q_probing, n_rows)
-                for row_qi, qi in enumerate(qids):
-                    out_q.extend([qi] * len(rows))
-                    out_id.extend(ids[rows].tolist())
-                    out_s.extend(sims[row_qi].tolist())
+    def query(self, vec: np.ndarray, k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
+        return self.query_batch(np.asarray(vec)[None, :], k=k, n_probe=n_probe)[0]
+
+class IvfIndex:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    LshIndex. ``build`` k-means a driver-side SAMPLE (sample only — never
+    the full dataset) into ``n_centroids`` cells, broadcasts the
+    centroids, assigns every vector to its nearest cell in one
+    ``map_batches`` pass, and pins the celled Dataset in the object
+    store. ``query_batch`` probes the ``n_probe`` nearest cells per
+    query through the same one-scan path as LshIndex."""
+
+    def __init__(self, n_centroids: int = 16, seed: int = 42, kmeans_iters: int = 10,
+                 sample_rows: int = 10_000):
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.kmeans_iters = kmeans_iters
+        self.sample_rows = sample_rows
+        self.centroids: np.ndarray | None = None
+        self._bucketed = None
+
+    def build(self, ds, id_column="vec_id", emb_column="embedding") -> None:
+        sample = ds.limit(self.sample_rows).to_pandas()
+        mat = _normalize(np.stack(sample[emb_column].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(self.seed)
+        k = min(self.n_centroids, len(mat))
+        cent = mat[rng.choice(len(mat), k, replace=False)]
+        for _ in range(self.kmeans_iters):
+            assign = np.argmax(mat @ cent.T, axis=1)  # cosine on normalized vecs
+            for c in range(k):
+                members = mat[assign == c]
+                if len(members):
+                    m = members.sum(axis=0)
+                    cent[c] = m / max(np.linalg.norm(m), 1e-12)
+        self.centroids = cent
+
+        def cell_assign(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64))
+            cells = np.argmax(m @ cent.T, axis=1).astype(np.int64)
             return pa.table(
                 {
-                    "qid": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_id, pa.int64()),
-                    "cosine": pa.array(out_s, pa.float64()),
+                    "bucket": pa.array(cells, pa.int64()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "nemb": pa.array(m.tolist(), pa.list_(pa.float64())),
                 }
             )
 
-        parts = self._bucketed.map_batches(scan, batch_format="pyarrow").to_pandas()
-        results: list[list[tuple[int, float]]] = [[] for _ in range(len(q))]
-        for qi, grp in parts.groupby("qid"):
-            grp = grp.drop_duplicates("vec_id")
-            top = heapq.nsmallest(
-                k, grp.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
-            )
-            results[int(qi)] = [(int(r.vec_id), float(r.cosine)) for r in top]
-        return results
+        self._bucketed = ds.map_batches(cell_assign, batch_format="pyarrow").materialize()
+
+    def query_batch(
+        self, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4
+    ) -> list[list[tuple[int, float]]]:
+        if self._bucketed is None or self.centroids is None:
+            raise RuntimeError("build() the index first")
+        q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+        sims = q @ self.centroids.T  # (n_q, n_centroids)
+        n_probe = min(n_probe, sims.shape[1])
+        probes: dict[int, list[int]] = {}
+        for qi in range(len(q)):
+            top_cells = np.argpartition(-sims[qi], n_probe - 1)[:n_probe]
+            for c in top_cells:
+                probes.setdefault(int(c), []).append(qi)
+        return _scan_probes(self._bucketed, q, probes, k)
 
     def query(self, vec: np.ndarray, k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         return self.query_batch(np.asarray(vec)[None, :], k=k, n_probe=n_probe)[0]

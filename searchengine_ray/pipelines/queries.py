@@ -801,6 +801,28 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF (k-means coarse quantizer) ANN — the second scale path.
+    Approximate → rows-only; recall pytest-asserted."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import IvfIndex
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = IvfIndex(n_centroids=16)
+    idx.build(ds)
+    hits = idx.query(qvec, k=10, n_probe=4)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([i for i, _ in hits], dtype="int64"),
+            "cosine": pd.Series([round(s, 6) for _, s in hits], dtype="float64"),
+        }
+    )
+
+
 def sql_similarity_topk() -> str:
     return """
 SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cosine
@@ -1187,6 +1209,7 @@ def registry() -> dict[str, tuple]:
         "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
         "similarity_topk": (q_similarity_topk, sql_similarity_topk()),
         "ann_topk": (q_ann_topk, None),
+        "ivf_topk": (q_ivf_topk, None),
         "token_stats": (q_token_stats, sql_token_stats()),
         "quality_scores": (q_quality_scores, sql_quality_scores()),
         "lang_id": (q_lang_id, sql_lang_id()),

@@ -230,3 +230,32 @@ class TestFrameSample:
         )
         with pytest.raises(NotImplementedError):
             stage(batch)
+
+
+class TestIvfIndex:
+    def test_ivf_recall(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((200, 16))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in base], pa.list_(pa.float32())),
+                }
+            )
+        )
+        idx = similarity.IvfIndex(n_centroids=8, kmeans_iters=5)
+        idx.build(ds)
+        f = base.astype(np.float32).astype(np.float64)
+        mat = f / np.linalg.norm(f, axis=1, keepdims=True)
+        batch = idx.query_batch(f[:10], k=5, n_probe=3)
+        hits = 0
+        for qi in range(10):
+            got = [i for i, _ in batch[qi]]
+            assert got == [i for i, _ in idx.query(f[qi], k=5, n_probe=3)]
+            sims = mat @ mat[qi]
+            want = set(np.lexsort((np.arange(200), -sims))[:5].tolist())
+            hits += len(set(got) & want)
+        assert hits / 50 >= 0.6  # approximate, beats chance by far
