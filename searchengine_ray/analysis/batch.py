@@ -74,15 +74,30 @@ _PUNCT_RE = r"[,.;?!]"
 _WS_RE = r"[ \t\n\x0b\f\r]+"
 
 
-def _tokenize_series(texts: pd.Series, mode: str) -> pd.Series:
-    s = texts.astype("object").fillna("").str.lower()
+def _tokenize_arrow(texts: pa.Array | pa.ChunkedArray, mode: str) -> pa.ListArray:
+    """lowercase → punct strip → whitespace split, entirely in Arrow
+    kernels (no per-token Python objects). The single tokenizer used by
+    BOTH the batch index path and the per-query row path, so the two can
+    never drift."""
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(texts, "")
+    s = pc.utf8_lower(s)
     if mode != NAIVE:
-        s = s.str.replace(_PUNCT_RE, " ", regex=True)
-    return s.str.split(_WS_RE, regex=True)
+        s = pc.replace_substring_regex(s, pattern=_PUNCT_RE, replacement=" ")
+    out = pc.split_pattern_regex(s, pattern=_WS_RE)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _tokenize_series(texts: pd.Series, mode: str) -> pd.Series:
+    """pandas-facing wrapper over the Arrow tokenizer (kept for tests /
+    row-path callers)."""
+    toks = _tokenize_arrow(pa.array(texts.astype("object"), pa.string()), mode)
+    return pd.Series(toks.to_pylist(), index=texts.index, dtype="object")
 
 
 def analyze_docs(
-    texts: Sequence[str] | pd.Series,
+    texts: Sequence[str] | pd.Series | pa.Array | pa.ChunkedArray,
     doc_ids: np.ndarray,
     mapper: TermMapper,
     positional: bool = True,
@@ -92,22 +107,35 @@ def analyze_docs(
     Returns an Arrow table: ``doc_id:uint64, dl:int32 (analyzed token
     count), terms:list<string> (sorted), tfs:list<int32>,
     positions:list<list<int32>>`` (present only when ``positional``).
+
+    Tokenize / flatten / unique-encode run as Arrow kernels; Python
+    string objects exist only for the *unique* tokens fed to the
+    (memoized) stem/stopword mapper — Zipfian vocab makes that O(vocab),
+    not O(tokens), and the hot path stays off the allocator (the
+    object-array flatten it replaces was ~2× slower single-process and
+    worse under multi-worker memory-bandwidth contention).
     """
-    texts = texts if isinstance(texts, pd.Series) else pd.Series(texts, dtype="object")
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts if isinstance(texts, pd.Series) else pd.Series(texts, dtype="object")
+        texts = pa.array(texts.astype("object"), pa.string())
     n_docs = len(texts)
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
-    tok_lists = _tokenize_series(texts, mapper.mode)
+    tok_lists = _tokenize_arrow(texts, mapper.mode)
 
-    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n_docs)
+    import pyarrow.compute as pc
+
+    counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(counts.sum())
-    flat = np.empty(total, dtype=object)
-    pos = 0
-    for toks in tok_lists:
-        flat[pos : pos + len(toks)] = toks
-        pos += len(toks)
+    flat = pc.list_flatten(tok_lists)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
 
-    codes, uniques = pd.factorize(flat) if total else (np.empty(0, np.int64), np.empty(0, object))
-    mapped_uniq = mapper.map_unique(np.asarray(uniques, dtype=object))
+    if total:
+        dic = pc.dictionary_encode(flat)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniques = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    else:
+        codes, uniques = np.empty(0, np.int64), np.empty(0, object)
+    mapped_uniq = mapper.map_unique(uniques)
     keep_uniq = np.array([m is not None for m in mapped_uniq], dtype=bool)
 
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)

@@ -191,21 +191,31 @@ def build_index(
 
         # global stats over the (narrow) analyzed output; per-doc lengths
         # live in analyzed/ (column-pruned reads), no separate docstats
-        # copy. One aggregate pipeline — or a direct column read below the
-        # small-input gate (the aggregate's fixed cost dwarfs the data)
-        if _total_bytes(analyzed_dir) <= _SMALL_INPUT_BYTES:
-
-            dl_col = pq.read_table(str(analyzed_dir), columns=["dl"])["dl"]
-            n_docs = dl_col.length()
-            total_tokens = int(pa.compute.sum(dl_col).as_py() or 0)
-        else:
-            from ray.data.aggregate import Count, Sum
-
-            stats_row = (
-                rd.read_parquet(str(analyzed_dir), columns=["dl"])
-                .aggregate(Count(alias_name="n"), Sum("dl", alias_name="total"))
+        # copy. n_docs comes from the parquet footers (no data scan);
+        # total_tokens from the dl column — a local single-column read
+        # while the column is driver-sized (a distributed Count/Sum
+        # aggregate here measured 10-20 s of fixed pipeline cost at 1M
+        # docs for ~8 MB of data), a distributed Sum beyond the gate
+        n_docs, dl_bytes = 0, 0
+        files = sorted(Path(analyzed_dir).glob("*.parquet"))
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            n_docs += md.num_rows
+            dl_idx = _leaf_column_index(md, "dl")
+            if dl_idx is not None:
+                for rg in range(md.num_row_groups):
+                    dl_bytes += md.row_group(rg).column(dl_idx).total_compressed_size
+        if dl_bytes <= _LOCAL_STATS_BYTES:
+            total_tokens = sum(
+                int(pa.compute.sum(pq.read_table(f, columns=["dl"])["dl"]).as_py() or 0)
+                for f in files
             )
-            n_docs = int(stats_row["n"] or 0)
+        else:
+            from ray.data.aggregate import Sum
+
+            stats_row = rd.read_parquet(str(analyzed_dir), columns=["dl"]).aggregate(
+                Sum("dl", alias_name="total")
+            )
             total_tokens = int(stats_row["total"] or 0)
         manifest.n_docs = n_docs
         manifest.total_tokens = total_tokens
@@ -396,6 +406,20 @@ def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[s
 # kilobytes-to-megabytes. 16 MB ≈ tens of thousands of docs — beyond it
 # single-core work would dominate and every stage runs distributed.
 _SMALL_INPUT_BYTES = 16 << 20
+
+# the dl stats column is read on the driver while its total compressed
+# size stays under this (64 MB compressed ≈ hundreds of millions of
+# docs); past it the distributed Sum aggregate takes over
+_LOCAL_STATS_BYTES = 64 << 20
+
+
+def _leaf_column_index(md, name: str) -> int | None:
+    """Leaf-column index of a flat column in parquet FileMetaData (for
+    per-row-group column byte sizes)."""
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == name:
+            return i
+    return None
 
 
 def _total_bytes(path) -> int:
