@@ -434,6 +434,38 @@ def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, 
 # -------------------------------------------------------------- simhash
 
 
+# token -> md5-lower-64 memo; per worker process, bounded by vocab size
+_MD5_MEMO: dict[str, int] = {}
+
+
+def _md5_hash_lists(toks: pd.Series) -> list[np.ndarray]:
+    """64-bit token hash equal to DuckDB's ``md5_number_lower`` (lower 8
+    md5-digest bytes, little-endian) so the SQL oracle can recompute
+    SimHash signatures bit-for-bit. md5 runs once per *unique* token
+    (factorize + memo) — Zipfian vocab makes that O(vocab), not
+    O(tokens)."""
+    import hashlib
+
+    lens = [len(ts) for ts in toks]
+    flat = [t for ts in toks for t in ts]
+    if not flat:
+        return [np.empty(0, np.uint64) for _ in lens]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.empty(len(uniques), np.uint64)
+    for i, u in enumerate(uniques):
+        v = _MD5_MEMO.get(u)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(u.encode()).digest()[8:], "little")
+            _MD5_MEMO[u] = v
+        uh[i] = v
+    h = uh[codes]
+    out, off = [], 0
+    for n in lens:
+        out.append(h[off : off + n])
+        off += n
+    return out
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
     x = x.astype(np.uint64)
@@ -444,12 +476,13 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    """64-bit SimHash over the token multiset (weight = tf), vectorized:
-    one hash_array call per batch, one (n_unique, 64) bit-matrix matvec
-    per doc."""
+    """64-bit SimHash over the token multiset (weight = tf): one
+    (n_unique, 64) bit-matrix matvec per doc. Token hash is the
+    DuckDB-compatible md5-lower-64 (see ``_md5_hash_lists``) so
+    ``sql_dedup_simhash`` can verify signatures exactly."""
     texts = batch[text_column].to_pandas()
     toks = _token_lists(texts)
-    tok_hashes = _token_hash_lists(toks)
+    tok_hashes = _md5_hash_lists(toks)
     shifts = np.arange(64, dtype=np.uint64)
     powers = (np.uint64(1) << shifts).astype(np.uint64)
     out = np.empty(len(tok_hashes), dtype=np.uint64)

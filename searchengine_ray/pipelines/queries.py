@@ -739,6 +739,46 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_pairs(ds, max_hamming=3)
 
 
+def sql_dedup_simhash() -> str:
+    """Exact SimHash recomputation: the engine's token hash is DuckDB's
+    ``md5_number_lower`` by construction (``_md5_hash_lists``), so the
+    oracle rebuilds every 64-bit signature bit-for-bit and emits all
+    pairs at Hamming ≤ 3 — equal to the engine's banded-LSH output
+    because 4×16-bit bands recall *every* pair within Hamming ≤ 3
+    (pigeonhole), and the verify step filters to the same bound."""
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                          '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+    FROM documents
+), tf AS (
+    SELECT doc_id, token, count(*) AS w
+    FROM (SELECT doc_id, unnest(ts) AS token FROM toks)
+    GROUP BY doc_id, token
+), bitacc AS (
+    SELECT doc_id, i.range AS bit,
+           sum(CASE WHEN (md5_number_lower(token) >> i.range) & 1 = 1
+                    THEN w ELSE -w END) AS acc
+    FROM tf, range(64) i
+    GROUP BY doc_id, i.range
+), sig0 AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << CAST(bit AS INT)
+                         ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sig
+    FROM bitacc GROUP BY doc_id
+), sigs AS (
+    SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+    FROM documents d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1205,7 +1245,7 @@ def registry() -> dict[str, tuple]:
         "distinct_segments": (q_distinct_segments, sql_distinct_segments()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "dedup_minhash": (q_dedup_minhash, sql_dedup_minhash()),
-        "dedup_simhash": (q_dedup_simhash, None),
+        "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash()),
         "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
         "similarity_topk": (q_similarity_topk, sql_similarity_topk()),
         "ann_topk": (q_ann_topk, None),
