@@ -41,8 +41,60 @@ def synth_payload(doc_id: int, kind: str = "img") -> bytes:
 
 def add_payload_batch(batch: pa.Table, kind: str = "img", id_column: str = "doc_id") -> pa.Table:
     ids = batch[id_column].to_numpy(zero_copy_only=False)
-    payloads = [synth_payload(int(i), kind) for i in ids]
+    if kind == "bmp":
+        payloads = [synth_bmp_payload(int(i)) for i in ids]
+    else:
+        payloads = [synth_payload(int(i), kind) for i in ids]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+# --------------------------------------------------------- real BMP codec
+#
+# Uncompressed 24-bit BMP needs no image library — the container is a
+# 54-byte header + bottom-up BGR rows padded to 4 bytes. This is a REAL
+# image decode path (not the FAKEIMG stand-in): any bona fide 24-bit
+# .bmp file decodes here; PIL-only formats (JPEG/PNG) stay stubbed.
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got bpp={bpp})")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=stride * h, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flip else img
+
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """Deterministic real BMP for a doc id: pixel (y, x) gray value
+    ``(7*x + 13*y + doc_id) % 256`` — closed-form, so the SQL oracle can
+    recompute per-image mean intensity exactly."""
+    w = 8 + (doc_id % 9)
+    h = 8 + (doc_id % 7)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    gray = ((7 * x + 13 * y + doc_id) % 256).astype(np.uint8)
+    return encode_bmp(np.repeat(gray[:, :, None], 3, axis=2))
 
 
 def _real_image_decode(payload: bytes):  # pragma: no cover - env has no PIL
@@ -71,20 +123,29 @@ class DecodeStage:
         payloads = batch[self.payload_column].to_pylist()
         widths = np.empty(len(payloads), np.int32)
         heights = np.empty(len(payloads), np.int32)
+        sums = np.empty(len(payloads), np.int64)
         kinds, hists = [], []
         for i, p in enumerate(payloads):
-            magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
-            if magic not in (MAGIC_IMG, MAGIC_AUD):
-                _real_image_decode(p)  # raises NotImplementedError
-            kinds.append("image" if magic == MAGIC_IMG else "audio")
-            widths[i], heights[i] = w, h
-            body = np.frombuffer(p[11:], dtype=np.uint8)
+            if p[:2] == b"BM":  # real 24-bit BMP decode (no image lib)
+                img = decode_bmp(p)
+                body = img[:, :, 0].ravel()  # gray: channels identical
+                kinds.append("image/bmp")
+                heights[i], widths[i] = img.shape[:2]
+            else:
+                magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
+                if magic not in (MAGIC_IMG, MAGIC_AUD):
+                    _real_image_decode(p)  # raises NotImplementedError
+                kinds.append("image" if magic == MAGIC_IMG else "audio")
+                widths[i], heights[i] = w, h
+                body = np.frombuffer(p[11:], dtype=np.uint8)
+            sums[i] = int(body.sum(dtype=np.int64))
             hist, _ = np.histogram(body, bins=self.edges)
             hists.append((hist / max(len(body), 1)).tolist())
         out = batch.drop_columns([self.payload_column])
         out = out.append_column("kind", pa.array(kinds, pa.string()))
         out = out.append_column("width", pa.array(widths, pa.int32()))
         out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("sum_intensity", pa.array(sums, pa.int64()))
         out = out.append_column("features", pa.array(hists, pa.list_(pa.float64())))
         return out
 
@@ -129,8 +190,9 @@ class FrameSampleStage:
 
 
 class ResizeStage:
-    """Fake 2× downsample: halves dims, subsamples payload bytes —
-    stands in for a real resize kernel with identical plumbing."""
+    """2× nearest-neighbor downsample. Real pixel path for BMP payloads
+    (decode → subsample → re-encode); FAKEIMG containers subsample their
+    byte grid the same way."""
 
     def __init__(self, payload_column: str = "payload"):
         self.payload_column = payload_column
@@ -139,6 +201,10 @@ class ResizeStage:
         payloads = batch[self.payload_column].to_pylist()
         out = []
         for p in payloads:
+            if p[:2] == b"BM":
+                img = decode_bmp(p)
+                out.append(encode_bmp(np.ascontiguousarray(img[::2, ::2])))
+                continue
             magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
             body = np.frombuffer(p[11:], dtype=np.uint8)
             if magic == MAGIC_IMG:

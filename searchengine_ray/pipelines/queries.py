@@ -1039,6 +1039,40 @@ JOIN (SELECT CAST(range AS BIGINT) * 4 AS frame FROM range(4)) f
 """
 
 
+def q_multimodal_bmp(sf_dir: str) -> pd.DataFrame:
+    """REAL image decode, no image library: deterministic 24-bit BMP
+    payloads (pixel (y,x) = (7x+13y+doc_id) % 256) decoded by the same
+    actor-pool DecodeStage — the oracle recomputes width/height and the
+    exact integer pixel sum from the closed form, so a header-parsing or
+    row-stride bug fails the hash."""
+    import ray.data as rd
+
+    from ..functions.multimodal import DecodeStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b, kind="bmp"), batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "kind", "width", "height", "sum_intensity"]]
+    return out.astype(
+        {"doc_id": "int64", "width": "int64", "height": "int64", "sum_intensity": "int64"}
+    )
+
+
+def sql_multimodal_bmp() -> str:
+    # gray value is replicated across R,G,B; DecodeStage sums one channel
+    return """
+SELECT d.doc_id, 'image/bmp' AS kind,
+       8 + d.doc_id % 9 AS width, 8 + d.doc_id % 7 AS height,
+       CAST(sum((7 * x.range + 13 * y.range + d.doc_id) % 256) AS BIGINT) AS sum_intensity
+FROM documents d, range(17) x, range(15) y
+WHERE x.range < 8 + d.doc_id % 9 AND y.range < 8 + d.doc_id % 7
+GROUP BY d.doc_id
+"""
+
+
 def q_curation(sf_dir: str) -> pd.DataFrame:
     """Composite training-data curation pipeline: quality-filter +
     language-filter + exact-dedup in ONE streaming pass + one groupby —
@@ -1257,6 +1291,7 @@ def registry() -> dict[str, tuple]:
         "curation": (q_curation, sql_curation()),
         "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
         "multimodal_frames": (q_multimodal_frames, sql_multimodal_frames()),
+        "multimodal_bmp": (q_multimodal_bmp, sql_multimodal_bmp()),
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
         "events_window": (q_events_window, sql_events_window()),

@@ -195,6 +195,33 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="PIL"):
             multimodal._real_image_decode(b"JFIF....")
 
+    def test_bmp_roundtrip_exact(self):
+        rng = np.random.default_rng(7)
+        for h, w in [(1, 1), (3, 5), (8, 13), (16, 16)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+            assert (multimodal.decode_bmp(multimodal.encode_bmp(img)) == img).all()
+
+    def test_bmp_decode_stage_real_pixels(self):
+        ids = [0, 5, 35, 99]  # 35: w=16,h=8 exercises the 48-byte stride
+        batch = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        out = multimodal.DecodeStage()(
+            multimodal.add_payload_batch(batch, kind="bmp")
+        ).to_pylist()
+        for row, d in zip(out, ids):
+            w, h = 8 + d % 9, 8 + d % 7
+            x, y = np.arange(w)[None, :], np.arange(h)[:, None]
+            gray = (7 * x + 13 * y + d) % 256
+            assert row["kind"] == "image/bmp"
+            assert (row["width"], row["height"]) == (w, h)
+            assert row["sum_intensity"] == int(gray.sum())
+
+    def test_bmp_resize_real_pixels(self):
+        batch = pa.table({"doc_id": pa.array([35], pa.int64())})
+        resized = multimodal.ResizeStage()(multimodal.add_payload_batch(batch, kind="bmp"))
+        small = multimodal.decode_bmp(resized["payload"][0].as_py())
+        full = multimodal.decode_bmp(multimodal.synth_bmp_payload(35))
+        assert (small == full[::2, ::2]).all()
+
 
 class TestFrameSample:
     def test_frame_grid_and_features(self, ray_session):
