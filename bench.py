@@ -12,9 +12,10 @@ Prints ONE JSON line:
    "docs_per_sec": ..., "bm25_p50_ms": ...}``
 
 ``--scaling``: runs the same headline in two fresh processes
-(``num_cpus=8`` vs ``num_cpus=32``) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for the
-north_rule's N vs 4N cluster sizes; see BASELINE.md).
+(``num_cpus=4`` vs ``num_cpus=16`` by default — ``BENCH_SCALE_PAIR``)
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the north_rule's N vs 4N cluster sizes; see
+BASELINE.md for the steal-aware protocol and why 4v16, not 8v32).
 """
 
 from __future__ import annotations
@@ -200,7 +201,10 @@ def scaling() -> None:
     Efficiency is reported from the medians AND from the per-arm minima
     (the steal-free estimate) — this microVM shows 2-3x run-to-run
     variance from neighbor steal (see BASELINE.md)."""
-    pair = os.environ.get("BENCH_SCALE_PAIR", "8,32")
+    # default N vs 4N = 4 vs 16: on this microVM a 32-vCPU arm competes
+    # directly with the noisy neighbor (23-34 % steal on most runs, see
+    # BASELINE.md), so 8v32 measures the neighbor; 4v16 leaves headroom
+    pair = os.environ.get("BENCH_SCALE_PAIR", "4,16")
     lo_n, hi_n = (int(x) for x in pair.split(","))
     max_tries = int(os.environ.get("BENCH_SCALE_TRIES", "5"))
     want_clean = int(os.environ.get("BENCH_CLEAN_RUNS", "2"))
