@@ -1039,6 +1039,47 @@ JOIN (SELECT CAST(range AS BIGINT) * 4 AS frame FROM range(4)) f
 """
 
 
+def q_asof_join(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator): each click event picks up the most
+    recent prior view event of the same user — hash-bucket co-partition,
+    one shuffle, per-bucket ``merge_asof``. Oracle: DuckDB native
+    ``ASOF JOIN``."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.joins import asof_join
+
+    cols = ["event_id", "ts", "user_id", "value"]
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pc.field("event_type") == "click",
+    )
+    views = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pc.field("event_type") == "view",
+    )
+    out = asof_join(
+        clicks, views, on="ts", by="user_id",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+    ).to_pandas()
+    out = out.rename(
+        columns={"event_id": "click_id", "event_id_r": "view_id", "value_r": "view_value"}
+    )[["click_id", "user_id", "view_id", "view_value"]]
+    out = out.astype({"click_id": "int64", "user_id": "int64", "view_id": "int64"})
+    return out.sort_values("click_id").reset_index(drop=True)
+
+
+def sql_asof_join() -> str:
+    return """
+SELECT a.event_id AS click_id, a.user_id AS user_id,
+       b.event_id AS view_id, b.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY click_id
+"""
+
+
 def q_multimodal_bmp(sf_dir: str) -> pd.DataFrame:
     """REAL image decode, no image library: deterministic 24-bit BMP
     payloads (pixel (y,x) = (7x+13y+doc_id) % 256) decoded by the same
@@ -1292,6 +1333,7 @@ def registry() -> dict[str, tuple]:
         "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
         "multimodal_frames": (q_multimodal_frames, sql_multimodal_frames()),
         "multimodal_bmp": (q_multimodal_bmp, sql_multimodal_bmp()),
+        "asof_join": (q_asof_join, sql_asof_join()),
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
         "events_window": (q_events_window, sql_events_window()),
