@@ -128,7 +128,7 @@ def run_headline(num_cpus: int) -> dict:
 REGISTRY_BENCH = [
     "term_stats", "bm25_all", "tfidf_all", "phrase_search", "pagerank",
     "dedup_exact", "dedup_minhash", "similarity_topk", "tpch_q1",
-    "events_window",
+    "events_window", "asof_join", "multimodal_bmp",
 ]
 
 
