@@ -1,5 +1,8 @@
-"""Training-data pipeline ops: text stats, dedup family, similarity, multimodal."""
+"""Training-data pipeline ops: text stats, dedup family, similarity,
+multimodal, joins, windows, sampling/selection."""
 
-from . import dedup, multimodal, similarity, textstats
+from . import dedup, joins, multimodal, sampling, similarity, textstats, windows
 
-__all__ = ["textstats", "dedup", "similarity", "multimodal"]
+__all__ = [
+    "textstats", "dedup", "similarity", "multimodal", "joins", "windows", "sampling",
+]

@@ -26,6 +26,123 @@ def _bucket_of(vals: pd.Series, n_buckets: int) -> np.ndarray:
     return (pd.util.hash_array(vals.to_numpy()) % np.uint64(n_buckets)).astype(np.int32)
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    bucket_us: int,
+    suffix: str = "_r",
+):
+    """Interval range join: each left row (at time ``left_ts``) is
+    matched to every right interval ``[right_start, right_end)``
+    containing it. Ray Data has no non-equi join; this composes one:
+
+    - left rows are tagged with time bucket ``floor(t / bucket_us)``
+      (each left row lands in exactly ONE bucket);
+    - right intervals are replicated to every bucket they overlap
+      (vectorized ``np.repeat``; ≤ 2 copies when ``bucket_us`` ≥ the
+      longest interval);
+    - both sides union into ONE ``groupby(bucket)`` shuffle; inside a
+      bucket, left timestamps are sorted once and each interval finds
+      its matching slice with two ``np.searchsorted`` calls.
+
+    Every matched pair appears exactly once (the left row's bucket is
+    unique). Partitioning assumption: ``bucket_us`` should be ≥ the
+    longest right interval (bounds replication at 2×) and small enough
+    that one bucket's rows fit a worker; a time-skewed hot bucket needs
+    a finer ``bucket_us``. Timestamp columns must be Arrow
+    timestamp/integer types (compared as int64 µs).
+
+    Returns a Dataset with ``left_cols + [c + suffix for c in
+    right_cols]`` (inner join: unmatched left rows drop out).
+    """
+    l_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    r_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    r_out = [c + suffix for c in right_cols]
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        t = b[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {
+            "_bucket": pa.array(t // bucket_us, pa.int64()),
+            "_side": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+            "_t": pa.array(t, pa.int64()),
+            "_s": pa.nulls(len(t), pa.int64()),
+            "_e": pa.nulls(len(t), pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b[c]
+        for c, cr in zip(right_cols, r_out):
+            cols[cr] = pa.nulls(len(t), r_schema[c])
+        return pa.table(cols)
+
+    def replicate_right(b: pa.Table) -> pa.Table:
+        s = b[right_start].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = b[right_end].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = s // bucket_us
+        b1 = np.maximum(b0, (e - 1) // bucket_us)  # last bucket touched
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), counts)
+        # bucket sequence b0[i] .. b1[i] per interval, vectorized
+        offs = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        cols = {
+            "_bucket": pa.array(b0[idx] + offs, pa.int64()),
+            "_side": pa.array(np.ones(len(idx), np.int8), pa.int8()),
+            "_t": pa.nulls(len(idx), pa.int64()),
+            "_s": pa.array(s[idx], pa.int64()),
+            "_e": pa.array(e[idx], pa.int64()),
+        }
+        take = pa.array(idx)
+        for c in left_cols:
+            cols[c] = pa.nulls(len(idx), l_schema[c])
+        for c, cr in zip(right_cols, r_out):
+            cols[cr] = b[c].take(take)
+        return pa.table(cols)
+
+    out_cols = left_cols + r_out
+    out_dtypes = {
+        **{c: l_schema[c].to_pandas_dtype() for c in left_cols},
+        **{cr: r_schema[c].to_pandas_dtype() for c, cr in zip(right_cols, r_out)},
+    }
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0]
+        rf = g[g["_side"] == 1]
+        if not len(lf) or not len(rf):
+            return (
+                lf.iloc[0:0][out_cols].astype(out_dtypes, copy=False)
+                if len(lf.columns)
+                else pd.DataFrame({c: pd.Series([], dtype=out_dtypes[c]) for c in out_cols})
+            )
+        lf = lf.sort_values("_t", kind="mergesort").reset_index(drop=True)
+        t = lf["_t"].to_numpy()
+        lo = np.searchsorted(t, rf["_s"].to_numpy(), side="left")
+        hi = np.searchsorted(t, rf["_e"].to_numpy(), side="left")
+        n_match = hi - lo
+        r_idx = np.repeat(np.arange(len(rf)), n_match)
+        l_idx = np.arange(n_match.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(n_match) - n_match, n_match
+        ) + np.repeat(lo, n_match)
+        out = pd.concat(
+            [
+                lf.iloc[l_idx][left_cols].reset_index(drop=True),
+                rf.iloc[r_idx][r_out].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        return out[out_cols].astype(out_dtypes, copy=False)
+
+    unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(replicate_right, batch_format="pyarrow")
+    )
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def asof_join(
     left_ds,
     right_ds,

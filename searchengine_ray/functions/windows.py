@@ -1,0 +1,167 @@
+"""Windowed-aggregate operators Ray Data lacks natively.
+
+``sliding_window_agg``: hopping/sliding time windows (size s, hop h,
+h ≤ s). Each event belongs to the ``s/h`` windows covering its
+timestamp; the replication is a vectorized ``np.repeat`` inside
+``map_batches`` (rows × s/h through ONE ``groupby`` shuffle, partials
+pre-combined per block first so only (window, key) partial rows move).
+
+``sessionize``: gap-based session windows per user (the streaming
+"session window" primitive — events of one user whose gaps are ≤ gap
+form one session). Composition: key-hash bucket tag → ONE
+``groupby(bucket)`` shuffle → per-bucket vectorized gaps-and-islands
+(sort by (user, ts, id); session boundary where user changes or the
+time delta exceeds the gap; cumsum → session ids; one pandas groupby
+for the per-session aggregate).
+
+Partitioning assumption (per the SURVEY custom-operator rule): a
+bucket holds every event of its users, so per-bucket volume must fit a
+worker — users are hash-spread over ``n_buckets`` (size ≫ cores at
+scale) and a single user's traffic bounds the worst bucket. Window
+replication assumes s/h is small (≤ ~16); larger ratios should raise
+the hop, not replicate more.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sliding_window_agg(
+    ds,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    size_us: int,
+    hop_us: int,
+):
+    """Count + sum of ``value_col`` per (window, *keys) hopping window.
+
+    Window ``w`` covers ``[w*hop, w*hop + size)``; an event at ``t``
+    belongs to windows ``floor(t/hop) - j`` for ``j in
+    [0, size/hop)``. Returns a Dataset with columns
+    ``window, *keys, n_events, sum_value`` (window = hop index,
+    int64). ``size_us`` must be a multiple of ``hop_us``.
+    """
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    n_rep = size_us // hop_us
+    from ray.data.aggregate import Count, Sum
+
+    def replicate(b: pa.Table) -> pa.Table:
+        t = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = t // hop_us
+        idx = np.repeat(np.arange(len(t)), n_rep)
+        win = np.repeat(base, n_rep) - np.tile(
+            np.arange(n_rep, dtype=np.int64), len(t)
+        )
+        cols = {"window": pa.array(win, pa.int64())}
+        for k in keys:
+            cols[k] = b[k].take(pa.array(idx))
+        cols[value_col] = b[value_col].take(pa.array(idx))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["window", *keys])
+        .aggregate(
+            Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value")
+        )
+    )
+
+
+def sessionize(
+    ds,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_us: int,
+    id_col: str | None = None,
+    n_buckets: int = 32,
+):
+    """Gap-based session windows per user.
+
+    Returns a Dataset with one row per session:
+    ``user_col, session (1-based per user, time order), session_start
+    (int64 epoch µs), n_events, sum_value``. Events of one user whose
+    consecutive gaps are ≤ ``gap_us`` share a session. ``id_col``
+    breaks timestamp ties deterministically.
+    """
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        cols = {
+            "_bucket": pa.array(bucket, pa.int32()),
+            user_col: b[user_col],
+            "_ts": b[ts_col].cast(pa.int64()),
+            "_val": b[value_col],
+        }
+        if id_col is not None:
+            cols["_id"] = b[id_col]
+        return pa.table(cols)
+
+    def sessions_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [user_col, "_ts"] + (["_id"] if "_id" in g.columns else [])
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        u = g[user_col].to_numpy()
+        t = g["_ts"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap_break = np.empty(len(g), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (t[1:] - t[:-1]) > gap_us
+        boundary = new_user | gap_break
+        sess_global = np.cumsum(boundary)
+        # per-user 1-based session number: subtract the user's first
+        # global session id (sessions are contiguous within a user)
+        first_of_user = np.where(new_user, sess_global, 0)
+        np.maximum.accumulate(first_of_user, out=first_of_user)
+        g2 = pd.DataFrame(
+            {
+                user_col: u,
+                "session": (sess_global - first_of_user + 1).astype(np.int64),
+                "_gsess": sess_global,
+                "_ts": t,
+                "_val": g["_val"].to_numpy(),
+            }
+        )
+        out = (
+            g2.groupby("_gsess", sort=True)
+            .agg(
+                **{
+                    user_col: (user_col, "first"),
+                    "session": ("session", "first"),
+                    "session_start": ("_ts", "min"),
+                    "n_events": ("_val", "size"),
+                    "sum_value": ("_val", "sum"),
+                }
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    def empty_safe(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "session": pd.Series([], dtype="int64"),
+                    "session_start": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_value": pd.Series([], dtype="float64"),
+                }
+            )
+        return sessions_of_bucket(g.drop(columns=["_bucket"]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(empty_safe, batch_format="pandas")
+    )

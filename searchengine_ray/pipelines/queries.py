@@ -1295,6 +1295,172 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping window aggregate: 1h windows every 15min over events
+    (each event in size/hop = 4 windows; vectorized replication →
+    one groupby shuffle)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.windows import sliding_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    out = sliding_window_agg(
+        ds, ts_col="ts", keys=["event_type"], value_col="value",
+        size_us=3_600_000_000, hop_us=900_000_000,
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.astype({"window": "int64", "n_events": "int64"})
+
+
+def sql_sliding_window() -> str:
+    return """
+SELECT CAST(floor(epoch_us(ts) / 900000000) - t.j AS BIGINT) AS window,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events, range(0, 4) t(j)
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Session windows: per-user gap-based sessions (gap 30min) —
+    key-hash bucket shuffle + vectorized gaps-and-islands."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.windows import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = sessionize(
+        ds, user_col="user_id", ts_col="ts", value_col="value",
+        gap_us=1_800_000_000, id_col="event_id",
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.astype(
+        {"user_id": "int64", "session": "int64", "session_start": "int64", "n_events": "int64"}
+    )
+
+
+def sql_sessionize() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session
+  FROM b
+)
+SELECT user_id, CAST(session AS BIGINT) AS session, min(t) AS session_start,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_range_join(sf_dir: str) -> pd.DataFrame:
+    """Interval range join (non-equi): every event within 10 minutes
+    after an 'error' event — time-bucket co-partition, one shuffle,
+    per-bucket searchsorted slices."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.functions.joins import range_join
+
+    win_us = 600_000_000
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(b["event_type"], "error")
+        b = b.filter(mask)
+        start = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "anchor_id": b["event_id"],
+                "w_start": start,
+                "w_end": pc.add(start, win_us),
+            }
+        )
+
+    anchors = ev.map_batches(to_intervals, batch_format="pyarrow")
+    out = range_join(
+        ev, anchors,
+        left_ts="ts", right_start="w_start", right_end="w_end",
+        left_cols=["event_id", "event_type"], right_cols=["anchor_id"],
+        # bucket ≥ interval keeps replication ≤ 2×; 1h buckets (vs the
+        # 10min window) trade a little replication skew for 6× fewer
+        # shuffle groups
+        bucket_us=6 * win_us, suffix="",
+    ).to_pandas()
+    out = out[out["event_id"] != out["anchor_id"]].reset_index(drop=True)
+    return out[["anchor_id", "event_id", "event_type"]].astype(
+        {"anchor_id": "int64", "event_id": "int64"}
+    )
+
+
+def sql_range_join() -> str:
+    return """
+SELECT a.event_id AS anchor_id, e.event_id AS event_id, e.event_type AS event_type
+FROM events a JOIN events e
+  ON epoch_us(e.ts) >= epoch_us(a.ts)
+ AND epoch_us(e.ts) < epoch_us(a.ts) + 600000000
+WHERE a.event_type = 'error' AND e.event_id <> a.event_id
+"""
+
+
+def q_group_topk(sf_dir: str) -> pd.DataFrame:
+    """Group-wise top-k: best 3 documents per language by length
+    (per-batch partial top-k combiner → one shuffle → exact cut)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.sampling import group_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    out = group_topk(
+        ds, group_col="lang", order_col="n_chars", tie_col="doc_id", k=3
+    ).to_pandas()
+    return out[["lang", "doc_id", "n_chars", "rank"]].astype(
+        {"doc_id": "int64", "n_chars": "int64", "rank": "int64"}
+    )
+
+
+def sql_group_topk() -> str:
+    return """
+SELECT lang, doc_id, n_chars, "rank" FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS "rank"
+  FROM documents
+) WHERE "rank" <= 3
+"""
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sampling: keep 10% of 'en' docs, 30% of
+    every other language, by multiplicative hash of doc_id — streaming,
+    no shuffle, bit-reproducible across engines."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.sampling import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    out = stratified_sample(
+        ds, key_col="doc_id", strata_col="lang", rates={"en": 10}, default_pct=30
+    ).to_pandas()
+    return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def sql_stratified_sample() -> str:
+    return """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100
+      < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1337,4 +1503,9 @@ def registry() -> dict[str, tuple]:
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
         "events_window": (q_events_window, sql_events_window()),
+        "sliding_window": (q_sliding_window, sql_sliding_window()),
+        "sessionize": (q_sessionize, sql_sessionize()),
+        "range_join": (q_range_join, sql_range_join()),
+        "group_topk": (q_group_topk, sql_group_topk()),
+        "stratified_sample": (q_stratified_sample, sql_stratified_sample()),
     }

@@ -1,0 +1,214 @@
+"""Windowed aggregates, range join, sampling, group top-k vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_ray.functions.joins import range_join
+from searchengine_ray.functions.sampling import (
+    _hash_pct,
+    group_topk,
+    hash_sample,
+    stratified_sample,
+)
+from searchengine_ray.functions.windows import sessionize, sliding_window_agg
+
+
+def _events(n, n_users, seed):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "eid": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 5_000_000, n), unit="s"),
+            "uid": rng.integers(0, n_users, n).astype(np.int64),
+            "val": rng.random(n).round(6),
+            "kind": rng.choice(["a", "b", "c"], n),
+        }
+    )
+
+
+def test_sliding_window_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    df = _events(600, 10, seed=7)
+    size, hop = 3_600_000_000, 900_000_000
+    got = (
+        sliding_window_agg(
+            rd.from_pandas(df), ts_col="ts", keys=["kind"], value_col="val",
+            size_us=size, hop_us=hop,
+        )
+        .to_pandas()
+        .sort_values(["window", "kind"])
+        .reset_index(drop=True)
+    )
+    # brute force: replicate each event into its 4 windows
+    t = df["ts"].astype("int64").to_numpy()
+    rows = []
+    for j in range(size // hop):
+        w = t // hop - j
+        rows.append(pd.DataFrame({"window": w, "kind": df["kind"], "val": df["val"]}))
+    want = (
+        pd.concat(rows)
+        .groupby(["window", "kind"], as_index=False)
+        .agg(n_events=("val", "size"), sum_value=("val", "sum"))
+        .sort_values(["window", "kind"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["window"].to_numpy() == want["window"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_sliding_window_rejects_nonmultiple(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(
+            rd.from_pandas(_events(5, 2, 0)), "ts", ["kind"], "val",
+            size_us=1000, hop_us=300,
+        )
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    df = _events(800, 12, seed=11)
+    gap = 1_800_000_000
+    got = (
+        sessionize(
+            rd.from_pandas(df), user_col="uid", ts_col="ts", value_col="val",
+            gap_us=gap, id_col="eid", n_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["uid", "session"])
+        .reset_index(drop=True)
+    )
+    # brute force gaps-and-islands in pandas
+    d = df.sort_values(["uid", "ts", "eid"]).reset_index(drop=True)
+    t = d["ts"].astype("int64")
+    brk = (d["uid"] != d["uid"].shift()) | ((t - t.shift()) > gap)
+    d["gsess"] = brk.cumsum()
+    want = (
+        d.groupby("gsess", sort=True)
+        .agg(
+            uid=("uid", "first"),
+            session_start=("ts", lambda s: s.astype("int64").min()),
+            n_events=("val", "size"),
+            sum_value=("val", "sum"),
+        )
+        .reset_index(drop=True)
+    )
+    want["session"] = want.groupby("uid").cumcount() + 1
+    want = want.sort_values(["uid", "session"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["uid"].to_numpy() == want["uid"].to_numpy()).all()
+    assert (got["session"].to_numpy() == want["session"].to_numpy()).all()
+    assert (got["session_start"].to_numpy() == want["session_start"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    left = _events(400, 8, seed=3)
+    anchors = _events(60, 8, seed=4).rename(columns={"eid": "aid"})
+    win = 100_000 * 10**9  # ~28h in ns (from_pandas keeps ns timestamps)
+    a = anchors.assign(
+        s=anchors["ts"].astype("int64"), e=anchors["ts"].astype("int64") + win
+    )[["aid", "s", "e"]]
+    got = (
+        range_join(
+            rd.from_pandas(left), rd.from_pandas(a),
+            left_ts="ts", right_start="s", right_end="e",
+            left_cols=["eid"], right_cols=["aid"],
+            bucket_us=2 * win, suffix="",
+        )
+        .to_pandas()
+        .sort_values(["aid", "eid"])
+        .reset_index(drop=True)
+    )
+    t = left["ts"].astype("int64").to_numpy()
+    pairs = [
+        (aid, eid)
+        for aid, s, e in a.itertuples(index=False)
+        for eid in left["eid"].to_numpy()[(t >= s) & (t < e)]
+    ]
+    want = pd.DataFrame(pairs, columns=["aid", "eid"]).sort_values(
+        ["aid", "eid"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["aid"].to_numpy() == want["aid"].to_numpy()).all()
+    assert (got["eid"].to_numpy() == want["eid"].to_numpy()).all()
+    assert got["eid"].dtype == np.int64
+
+
+def test_range_join_empty_right(ray_session):
+    import ray.data as rd
+
+    left = _events(50, 4, seed=5)
+    a = pd.DataFrame(
+        {"aid": pd.Series([], dtype="int64"), "s": pd.Series([], dtype="int64"),
+         "e": pd.Series([], dtype="int64")}
+    )
+    out = range_join(
+        rd.from_pandas(left), rd.from_pandas(a),
+        left_ts="ts", right_start="s", right_end="e",
+        left_cols=["eid"], right_cols=["aid"], bucket_us=10**9, suffix="",
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_group_topk_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    df = _events(500, 6, seed=9)
+    got = (
+        group_topk(
+            rd.from_pandas(df), group_col="kind", order_col="val",
+            tie_col="eid", k=4,
+        )
+        .to_pandas()
+        .sort_values(["kind", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["kind", "val", "eid"], ascending=[True, False, True])
+        .groupby("kind")
+        .head(4)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for kind, grp in got.groupby("kind"):
+        wk = want[want["kind"] == kind]
+        assert (grp.sort_values("rank")["eid"].to_numpy() == wk["eid"].to_numpy()).all()
+        assert (grp["rank"].sort_values().to_numpy() == np.arange(1, len(wk) + 1)).all()
+
+
+def test_hash_sample_deterministic_and_exact(ray_session):
+    import ray.data as rd
+
+    df = _events(2000, 5, seed=13)
+    got = hash_sample(rd.from_pandas(df), "eid", 20).to_pandas()
+    keep = _hash_pct(df["eid"].to_numpy()) < 20
+    assert set(got["eid"]) == set(df["eid"][keep])
+    # again → identical selection
+    got2 = hash_sample(rd.from_pandas(df), "eid", 20).to_pandas()
+    assert set(got2["eid"]) == set(got["eid"])
+    # rate in the right ballpark
+    assert 0.1 < len(got) / len(df) < 0.3
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+
+    df = _events(3000, 5, seed=17)
+    got = stratified_sample(
+        rd.from_pandas(df), key_col="eid", strata_col="kind",
+        rates={"a": 50}, default_pct=10,
+    ).to_pandas()
+    pct = _hash_pct(df["eid"].to_numpy())
+    want_mask = np.where(df["kind"].to_numpy() == "a", pct < 50, pct < 10)
+    assert set(got["eid"]) == set(df["eid"][want_mask])
