@@ -129,6 +129,7 @@ REGISTRY_BENCH = [
     "term_stats", "bm25_all", "tfidf_all", "phrase_search", "pagerank",
     "dedup_exact", "dedup_minhash", "similarity_topk", "tpch_q1",
     "events_window", "asof_join", "multimodal_bmp",
+    "sessionize", "range_join", "sliding_window",
 ]
 
 
