@@ -43,6 +43,8 @@ def add_payload_batch(batch: pa.Table, kind: str = "img", id_column: str = "doc_
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     if kind == "bmp":
         payloads = [synth_bmp_payload(int(i)) for i in ids]
+    elif kind == "wav":
+        payloads = [synth_wav_payload(int(i)) for i in ids]
     else:
         payloads = [synth_payload(int(i), kind) for i in ids]
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
@@ -95,6 +97,99 @@ def synth_bmp_payload(doc_id: int) -> bytes:
     y = np.arange(h, dtype=np.int64)[:, None]
     gray = ((7 * x + 13 * y + doc_id) % 256).astype(np.uint8)
     return encode_bmp(np.repeat(gray[:, :, None], 3, axis=2))
+
+
+# --------------------------------------------------------- real WAV codec
+#
+# PCM WAV needs no audio library either — RIFF container, "fmt " chunk
+# (format=1, 16-bit) + "data" chunk. This is a REAL audio decode path:
+# any bona fide 16-bit PCM .wav decodes here; compressed audio
+# (MP3/OGG/FLAC) stays behind the NotImplementedError stub.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 samples ``(n,)`` or ``(n, channels)`` → PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    pad = b"\x00" if len(data) % 2 else b""
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data + pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 samples ``(n, channels)``, sample_rate).
+    Walks the chunk list (any order, pad bytes honored)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt = data = None
+    while pos + 8 <= min(end, len(payload)):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", chunk, 0)
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only 16-bit PCM WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, ch), sample_rate
+
+
+def synth_wav_payload(doc_id: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic real WAV for a doc id: ``64 + id%33`` samples of an
+    alternating ±``(100 + id%900)`` square wave — RMS equals the
+    amplitude exactly and the wave crosses zero at every step, so the
+    SQL oracle recomputes every feature in closed form."""
+    n = 64 + (doc_id % 33)
+    a = 100 + (doc_id % 900)
+    samples = np.full(n, a, np.int16)
+    samples[1::2] = -a
+    return encode_wav(samples, sample_rate)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode PCM WAV payloads → per-clip features
+    (sample count / rate / channels, RMS, zero-crossing count), all
+    numpy-vectorized per clip. Compressed formats raise the honest
+    NotImplementedError stub. Same memory rule as DecodeStage: binary
+    rows are wide, keep ``batch_size`` small."""
+
+    def __init__(self, payload_column: str = "payload"):
+        self.payload_column = payload_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_column].to_pylist()
+        n_samp = np.empty(len(payloads), np.int64)
+        rates = np.empty(len(payloads), np.int64)
+        chans = np.empty(len(payloads), np.int64)
+        rms = np.empty(len(payloads), np.float64)
+        zc = np.empty(len(payloads), np.int64)
+        for i, p in enumerate(payloads):
+            if p[:4] != b"RIFF":
+                _real_image_decode(p)  # raises NotImplementedError
+            samples, sr = decode_wav(p)
+            mono = samples.mean(axis=1, dtype=np.float64)
+            n_samp[i], chans[i], rates[i] = samples.shape[0], samples.shape[1], sr
+            rms[i] = np.sqrt(np.mean(mono**2)) if len(mono) else 0.0
+            zc[i] = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        out = batch.drop_columns([self.payload_column])
+        out = out.append_column("n_samples", pa.array(n_samp, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
+        out = out.append_column("n_channels", pa.array(chans, pa.int64()))
+        out = out.append_column("rms", pa.array(np.round(rms, 6), pa.float64()))
+        out = out.append_column("zero_crossings", pa.array(zc, pa.int64()))
+        return out
 
 
 def _real_image_decode(payload: bytes):  # pragma: no cover - env has no PIL

@@ -1114,6 +1114,40 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_wav(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode, no audio library: deterministic 16-bit PCM
+    WAV payloads (alternating ±(100+id%900) square wave, 64+id%33
+    samples) decoded by the actor-pool AudioFeatureStage — the oracle
+    recomputes sample count, RMS (= amplitude exactly) and
+    zero-crossing count (= n−1 for an alternating wave) in closed form,
+    so a RIFF-chunk-walk or sample-scaling bug fails the hash."""
+    import ray.data as rd
+
+    from ..functions.multimodal import AudioFeatureStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b, kind="wav"), batch_format="pyarrow")
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "n_samples", "sample_rate", "rms", "zero_crossings"]]
+    return out.astype(
+        {"doc_id": "int64", "n_samples": "int64", "sample_rate": "int64", "zero_crossings": "int64"}
+    )
+
+
+def sql_multimodal_wav() -> str:
+    return """
+SELECT doc_id,
+       CAST(64 + doc_id % 33 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       round(CAST(100 + doc_id % 900 AS DOUBLE), 6) AS rms,
+       CAST(63 + doc_id % 33 AS BIGINT) AS zero_crossings
+FROM documents
+"""
+
+
 def q_curation(sf_dir: str) -> pd.DataFrame:
     """Composite training-data curation pipeline: quality-filter +
     language-filter + exact-dedup in ONE streaming pass + one groupby —
@@ -1258,6 +1292,41 @@ def sql_broadcast_join() -> str:
 SELECT n.n_name, count(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
+"""
+
+
+def q_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Ray Data's NATIVE hash join (Dataset.join, hash-shuffle both
+    sides) — the big⋈big path, complementing `broadcast_join` (small
+    side via ray.put) and the custom asof/range joins: orders ⋈
+    customer on custkey → revenue per market segment."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    out = (
+        orders.join(
+            cust, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        )
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="revenue"),
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    return out.astype({"n_orders": "int64"})
+
+
+def sql_hash_join() -> str:
+    return """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
 """
 
 
@@ -1499,9 +1568,11 @@ def registry() -> dict[str, tuple]:
         "multimodal_decode": (q_multimodal_decode, sql_multimodal_decode()),
         "multimodal_frames": (q_multimodal_frames, sql_multimodal_frames()),
         "multimodal_bmp": (q_multimodal_bmp, sql_multimodal_bmp()),
+        "multimodal_wav": (q_multimodal_wav, sql_multimodal_wav()),
         "asof_join": (q_asof_join, sql_asof_join()),
         "tpch_q1": (q_tpch_q1, sql_tpch_q1()),
         "broadcast_join": (q_broadcast_join, sql_broadcast_join()),
+        "hash_join": (q_hash_join, sql_hash_join()),
         "events_window": (q_events_window, sql_events_window()),
         "sliding_window": (q_sliding_window, sql_sliding_window()),
         "sessionize": (q_sessionize, sql_sessionize()),

@@ -3,6 +3,8 @@ similarity recall, text stats, multimodal plumbing."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -221,6 +223,57 @@ class TestMultimodal:
         small = multimodal.decode_bmp(resized["payload"][0].as_py())
         full = multimodal.decode_bmp(multimodal.synth_bmp_payload(35))
         assert (small == full[::2, ::2]).all()
+
+    def test_wav_roundtrip_exact(self):
+        rng = np.random.default_rng(21)
+        for n, ch in [(1, 1), (7, 1), (64, 2), (33, 2)]:  # odd mono data → pad byte
+            s = rng.integers(-32768, 32768, (n, ch), dtype=np.int64).astype(np.int16)
+            got, sr = multimodal.decode_wav(multimodal.encode_wav(s, 44100))
+            assert sr == 44100
+            assert (got == s).all()
+
+    def test_wav_chunk_walk_extra_chunk(self):
+        # a LIST chunk before fmt/data must be skipped, odd-size honored
+        s = np.array([100, -100, 100], np.int16)
+        wav = multimodal.encode_wav(s, 8000)
+        extra = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"  # odd size + pad
+        patched = wav[:12] + extra + wav[12:]
+        patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+        got, sr = multimodal.decode_wav(patched)
+        assert (got.ravel() == s).all() and sr == 8000
+
+    def test_wav_feature_stage_closed_form(self, ray_session):
+        import ray.data as rd
+
+        ids = list(range(40))
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        out = (
+            ds.map_batches(
+                lambda b: multimodal.add_payload_batch(b, kind="wav"),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                multimodal.AudioFeatureStage,
+                batch_format="pyarrow", batch_size=8, concurrency=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for _, row in out.iterrows():
+            d = int(row["doc_id"])
+            assert row["n_samples"] == 64 + d % 33
+            assert row["sample_rate"] == 8000
+            assert row["n_channels"] == 1
+            assert row["rms"] == float(100 + d % 900)  # exact for a square wave
+            assert row["zero_crossings"] == 63 + d % 33
+
+    def test_wav_compressed_is_stubbed(self):
+        with pytest.raises(NotImplementedError, match="16-bit PCM"):
+            fake_fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 8)  # mp3 tag
+            body = b"WAVEfmt " + struct.pack("<I", len(fake_fmt)) + fake_fmt
+            body += b"data" + struct.pack("<I", 0)
+            multimodal.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
 class TestFrameSample:
