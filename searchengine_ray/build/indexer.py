@@ -70,6 +70,7 @@ def build_index(
     codec: str = "delta_varbyte",
     salt_target_postings: int = 1_000_000,
     salt_max: int = 16,
+    reduce_num_cpus: int | None = None,
 ) -> IndexManifest:
     """Build (or resume building) an index at ``index_dir``.
 
@@ -225,6 +226,7 @@ def build_index(
             seconds=time.perf_counter() - t0,
             map_seconds=t_map_done - t0,
             stats_seconds=time.perf_counter() - t_map_done,
+            ray_stats=_stats_summary(analyzed),
         )
         manifest.save(index_dir)
 
@@ -343,15 +345,20 @@ def build_index(
 
             # The encode is memory-bandwidth bound: at high core counts,
             # halving concurrent reducers (num_cpus=2) beats full fan-out
-            # (measured 24 s vs 78 s at 400k docs / 32 cpus); at low core
-            # counts bandwidth isn't contended and full fan-out wins.
+            # (measured 24 s vs 78 s at 400k docs / 32 cpus). At ≤16 cores
+            # bandwidth headroom remains (single-threaded clean encode of a
+            # median 1M-doc shard is ~1.2 s vs 5-6 s observed at 16-way
+            # concurrency under neighbor steal), so full fan-out is the
+            # default there. ``reduce_num_cpus`` overrides the adaptive rule.
             import ray
 
             cluster_cpus = int(ray.cluster_resources().get("CPU", 8))
+            if reduce_num_cpus is None:
+                reduce_num_cpus = 2 if cluster_cpus > 16 else 1
             lineage = exploded.groupby("shard").map_groups(
                 write_shard,
                 batch_format="pyarrow",
-                num_cpus=2 if cluster_cpus >= 16 else 1,
+                num_cpus=reduce_num_cpus,
             )
             rows = lineage.take_all()  # small: one row per shard
         finally:
@@ -360,10 +367,27 @@ def build_index(
             generation,
             seconds=time.perf_counter() - t0,
             shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
+            ray_stats=_stats_summary(lineage),
         )
         manifest.save(index_dir)
 
     return manifest
+
+
+def _stats_summary(ds) -> list[str]:
+    """Compact per-operator excerpt of ``ds.stats()`` for the manifest —
+    per-phase throughput metrics ride with the lineage (north_rule)."""
+    try:
+        lines = ds.stats().splitlines()
+    except Exception:
+        return []
+    keep = []
+    for line in lines:
+        ls = line.strip()
+        if ls.startswith(("Operator ", "* Remote wall time", "* Output rows",
+                          "* Peak heap memory")):
+            keep.append(ls[:220])
+    return keep[:80]
 
 
 def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[str, int]:
