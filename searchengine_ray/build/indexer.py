@@ -315,8 +315,8 @@ def build_index(
                 and manifest.n_docs > salt_target_postings
                 and not manifest.salted_terms
             ):
-                manifest.salted_terms = _find_hot_terms(
-                    rd, str(analyzed_dir), salt_target_postings, salt_max
+                manifest.salted_terms = _estimate_hot_terms(
+                    str(analyzed_dir), salt_target_postings, salt_max, manifest.n_docs
                 )
                 manifest.save(index_dir)
             salted = dict(manifest.salted_terms)
@@ -390,38 +390,51 @@ def _stats_summary(ds) -> list[str]:
     return keep[:80]
 
 
-def _find_hot_terms(rd, analyzed_dir: str, target: int, salt_max: int) -> dict[str, int]:
-    """Exact global df per term (partial counts per batch → small groupby)
-    → {term: n_salts} for terms with df > target."""
+def _estimate_hot_terms(
+    analyzed_dir: str, target: int, salt_max: int, n_docs: int
+) -> dict[str, int]:
+    """Sampled df estimate for the salting decision (SURVEY.md §4 skew).
+
+    Head terms — df > target, i.e. a constant fraction of the corpus —
+    are estimable from a small uniform sample with tiny relative error
+    (binomial: at target 250k of 1M docs and a 2 % sample the sampled
+    count is ~5000 ± 70, 1.4 %). The n_salts map is a performance
+    heuristic: ANY {term: n_salts} yields identical query results (the
+    engine k-way merges whatever ``manifest.salted_terms`` records), so
+    estimation error only shifts encode balance marginally. This replaces
+    a full distributed df scan that cost 10-20 s of fixed pipeline time
+    at 1M docs — more than the skew it removed below ~1M postings.
+
+    Files are sampled with a deterministic even stride (reproducible
+    builds). Caveat for non-IID corpora (e.g. per-domain files): a
+    strided file sample can bias df of domain-local terms, but a term
+    must appear in > target docs *globally* to matter, which stride
+    sampling across the whole file list still sees.
+    """
     import math
 
-    from ray.data.aggregate import Sum
+    import pandas as pd
 
-    def partial_df(batch: pa.Table) -> pa.Table:
-        terms_col = batch["terms"].combine_chunks()
-        flat = terms_col.flatten()
-        import pandas as pd
-
-        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
-        counts = pa.array(
-            __import__("numpy").bincount(codes, minlength=len(uniq)).astype("int64")
-        )
-        return pa.table({"term": pa.array(list(uniq), pa.string()), "c": counts})
-
-    rows = (
-        rd.read_parquet(analyzed_dir, columns=["terms"])
-        .map_batches(partial_df, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("c", alias_name="df"))
-        .map_batches(
-            lambda t: t.filter(pa.compute.greater(t["df"], target)),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    return {
-        r["term"]: min(salt_max, math.ceil(r["df"] / target)) for r in rows
-    }
+    files = sorted(Path(analyzed_dir).glob("*.parquet"))
+    if not files:
+        return {}
+    k = max(4, len(files) // 50)  # ≥4 files, ~2 % of the corpus
+    stride = max(1, len(files) // k)
+    sample = files[::stride][:k] if len(files) > k else files
+    counts: pd.Series | None = None
+    rows = 0
+    for f in sample:
+        t = pq.read_table(f, columns=["terms"])
+        rows += t.num_rows
+        vc = pd.Series(
+            t["terms"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).value_counts()
+        counts = vc if counts is None else counts.add(vc, fill_value=0)
+    if not rows or counts is None:
+        return {}
+    est = counts * (n_docs / rows)
+    hot = est[est > target]
+    return {t: min(salt_max, math.ceil(c / target)) for t, c in hot.items()}
 
 
 # below this input size, side pipelines (doc store copy, global stats)
