@@ -60,3 +60,41 @@ def test_salted_build_matches_unsalted(ray_session, tmp_path):
         ), q
     assert e_salty.search_phrase("hot words").tolist() == oracle.search_phrase("hot words")
     assert e_salty.doc_frequency("hot") == e_plain.doc_frequency("hot") == 60
+
+
+def test_estimate_hot_terms_sampled(tmp_path):
+    """The distributed salting decision uses a strided file sample
+    (build/indexer._estimate_hot_terms): a head term present in a fixed
+    fraction of docs must be found with the right n_salts from ~2% of
+    files, deterministically, without reading the whole corpus."""
+    import pyarrow as pa
+
+    from searchengine_ray.build.indexer import _estimate_hot_terms
+
+    an = tmp_path / "analyzed"
+    an.mkdir()
+    n_files, rows_per_file = 100, 200
+    for f in range(n_files):
+        terms = []
+        for r in range(n_files * f, n_files * f + rows_per_file):
+            row = [f"tail{r % 97}"]  # df ≈ 206 each — never hot
+            if r % 2 == 0:
+                row.append("hothalf")  # df = N/2
+            if r % 5 == 0:
+                row.append("hotfifth")  # df = N/5
+            terms.append(row)
+        pq.write_table(
+            pa.table({"terms": pa.array(terms, pa.list_(pa.string()))}),
+            an / f"part-{f:05d}.parquet",
+        )
+    n_docs = n_files * rows_per_file  # 20_000
+    got = _estimate_hot_terms(str(an), target=n_docs // 10, salt_max=16, n_docs=n_docs)
+    # hothalf: df 10_000 / target 2_000 → 5 salts; hotfifth: 4_000 → 2
+    assert got == {"hothalf": 5, "hotfifth": 2}
+    # deterministic: same sample, same answer
+    assert _estimate_hot_terms(str(an), n_docs // 10, 16, n_docs) == got
+    # salt_max caps
+    capped = _estimate_hot_terms(str(an), n_docs // 10, 3, n_docs)
+    assert capped["hothalf"] == 3
+    # nothing hot at a high threshold
+    assert _estimate_hot_terms(str(an), n_docs, 16, n_docs) == {}
