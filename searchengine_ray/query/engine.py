@@ -30,7 +30,9 @@ cache pattern: ``InvertedIndex.java:25-97``).
 from __future__ import annotations
 
 import math
+import threading
 from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -187,6 +189,10 @@ class SearchEngine:
         self._shard_cache: OrderedDict[tuple[str, int], object] = OrderedDict()
         self._shard_cache_cap = 64
         self._shard_cache_max_bytes = 32 << 20
+        # cold multi-term queries touch one shard file per term: load
+        # shards concurrently (parquet read + decompress release the GIL)
+        self._shard_cache_lock = threading.Lock()
+        self._io_pool = ThreadPoolExecutor(max_workers=8)
 
     # ---------- analysis ----------
 
@@ -244,8 +250,17 @@ class SearchEngine:
         *current* avgdl — keeps block-max WAND bounds sound even when
         avgdl drifted since a generation was built."""
         per_term_rows: dict[str, list] = {}
-        for shard, ts in self._shard_plan(terms).items():
-            for gen, t, rows in self._rows_for_shard(shard, ts, positions):
+        plan = list(self._shard_plan(terms).items())
+        if len(plan) > 1:
+            # executor.map preserves plan order → per-term row order (and
+            # therefore assembled postings) is identical to the serial path
+            shard_results = self._io_pool.map(
+                lambda sv: self._rows_for_shard(sv[0], sv[1], positions), plan
+            )
+        else:
+            shard_results = (self._rows_for_shard(s, ts, positions) for s, ts in plan)
+        for triples in shard_results:
+            for gen, t, rows in triples:
                 per_term_rows.setdefault(t, []).append((gen, rows))
         return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
 
@@ -291,15 +306,18 @@ class SearchEngine:
 
     def _read_shard(self, gen: str, shard: int, path, terms: list[str], positions: bool):
         key = (gen, shard)
-        cached = self._shard_cache.get(key)
+        with self._shard_cache_lock:
+            cached = self._shard_cache.get(key)
+            if cached is not None:
+                self._shard_cache.move_to_end(key)
         if cached is not None:
-            self._shard_cache.move_to_end(key)
             return cached.filter(pc.field("term").isin(terms))
         if path.stat().st_size <= self._shard_cache_max_bytes:
             tbl = pq.read_table(path)
-            self._shard_cache[key] = tbl
-            if len(self._shard_cache) > self._shard_cache_cap:
-                self._shard_cache.popitem(last=False)
+            with self._shard_cache_lock:
+                self._shard_cache[key] = tbl
+                if len(self._shard_cache) > self._shard_cache_cap:
+                    self._shard_cache.popitem(last=False)
             return tbl.filter(pc.field("term").isin(terms))
         # big shard, uncached: prune the (dominant) positions column when
         # only scoring is needed — SURVEY.md §7.4 "BM25-only scans don't
