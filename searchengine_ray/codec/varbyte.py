@@ -63,12 +63,14 @@ def varbyte_encode_with_widths(deltas: np.ndarray) -> tuple[bytes, np.ndarray]:
     out = np.empty(total, dtype=np.uint8)
     # for group g (0 = least significant), byte position = end-1-g
     for g in range(int(widths.max())):
+        if g == 0:
+            # every value has a least-significant group: skip the
+            # boolean-gather temps (the all-true mask copy dominates)
+            out[ends - 1] = (d & 0x7F).astype(np.uint8)
+            continue
         mask = widths > g
-        if not mask.any():
-            break
         vals = (d[mask] >> (7 * g)) & 0x7F
-        if g > 0:
-            vals |= 0x80  # continuation bit on all but the last (LSB) group
+        vals |= 0x80  # continuation bit on all but the last (LSB) group
         out[ends[mask] - 1 - g] = vals.astype(np.uint8)
     return out.tobytes(), widths
 

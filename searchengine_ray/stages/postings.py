@@ -298,8 +298,10 @@ def build_shard_blocks(
         max_w = np.maximum.reduceat(w[t0 : t0 + tl], bounds[:-1])
         if positional:
             sel_counts = pos_counts[t0 : t0 + tl]
-            idx = _gather_ranges(pos_offsets[t0 : t0 + tl], sel_counts)
-            pvals = pos_values[idx]
+            # rows are contiguous in sorted order, so the term's position
+            # values are one contiguous range — zero-copy slice, no gather
+            p_lo = int(pos_offsets[t0])
+            pvals = pos_values[p_lo : p_lo + int(sel_counts.sum())]
             starts_mask = np.zeros(len(pvals), dtype=bool)
             val_ends = np.cumsum(sel_counts)
             starts_mask[val_ends - sel_counts] = True
