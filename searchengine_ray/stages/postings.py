@@ -99,6 +99,7 @@ def explode_partials(
     num_shards: int,
     positional: bool,
     salted: dict[str, int] | None = None,
+    encode: bool = False,
 ) -> pa.Table:
     """Per-doc term vectors → per-(shard, term) PARTIAL posting rows.
 
@@ -115,8 +116,20 @@ def explode_partials(
     (``salt_shard``), so one giant posting list encodes in parallel. The
     query engine k-way merges the subsets at load (``manifest.salted_terms``).
 
-    Schema: ``shard:int32, term:string, doc_ids:list<uint64>,
-    tfs:list<int32>, dls:list<int32>[, positions:list<list<int32>>]``.
+    Schema (``encode=False``): ``shard:int32, term:string,
+    doc_ids:list<uint64>, tfs:list<int32>, dls:list<int32>
+    [, positions:list<list<int32>>]``.
+
+    ``encode=True`` (the build shuffle path): map-side combiner
+    COMPRESSION — each partial's streams are delta+varbyte encoded
+    before the exchange, so the all-to-all shuffle moves ~1 byte/value
+    instead of 4-8 (at cluster scale the shuffle is network-bound; this
+    is a direct ~4x cut of exchange bytes). Schema: ``shard:int32,
+    term:string, n:int32, doc_ids:binary (delta+varbyte, fresh chain
+    per partial), tfs:binary (varbyte), dls:binary (varbyte)
+    [, positions:binary (per-doc delta chains; counts = decoded tfs)]``.
+    The reducer decodes column-wise in one vectorized pass
+    (``_arrays_from_partials``).
     """
     exploded = explode_batch(batch, num_shards, positional)
     if salted:
@@ -147,6 +160,11 @@ def explode_partials(
         exploded["shard"].take(pa.array(order[run_starts])) if n else pa.array([], pa.int32())
     )
 
+    if encode:
+        return _encode_partials(
+            exploded, order, run_starts, run_lens, run_terms, shard_col, positional
+        )
+
     def list_of(col_name):
         vals = exploded[col_name].take(order_idx)
         return pa.ListArray.from_arrays(offsets, vals.combine_chunks())
@@ -161,6 +179,88 @@ def explode_partials(
     if positional and "positions" in exploded.column_names:
         cols["positions"] = list_of("positions")
     return pa.table(cols)
+
+
+def _bin_streams(stream: bytes, widths: np.ndarray, value_bounds: np.ndarray) -> pa.Array:
+    """Zero-copy binary column over an encoded stream: per-row slices at
+    ``value_bounds`` (value indices), converted to byte offsets via the
+    per-value widths."""
+    byte_ends = np.concatenate(([0], np.cumsum(widths, dtype=np.int64)))
+    offs = byte_ends[value_bounds].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(value_bounds) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream)],
+    )
+
+
+def _encode_partials(
+    exploded: pa.Table,
+    order: np.ndarray,
+    run_starts: np.ndarray,
+    run_lens: np.ndarray,
+    run_terms: np.ndarray,
+    shard_col,
+    positional: bool,
+) -> pa.Table:
+    """Map-side combiner compression: encode each partial's streams with
+    the wire codec before the shuffle (see ``explode_partials``)."""
+    from ..codec.varbyte import varbyte_encode_with_widths
+
+    n = len(order)
+    value_bounds = np.concatenate((run_starts, [n])).astype(np.int64)
+
+    doc_s = exploded["doc_id"].to_numpy(zero_copy_only=False)[order].view(np.int64)
+    d = doc_s.copy()
+    if n:
+        d[1:] -= doc_s[:-1]
+        d[run_starts] = doc_s[run_starts]  # fresh delta chain per partial
+    cols = {
+        "shard": shard_col,
+        "term": pa.array(run_terms, pa.string()),
+        "n": pa.array(run_lens.astype(np.int32), pa.int32()),
+        "doc_ids": _bin_streams(*varbyte_encode_with_widths(d), value_bounds),
+        "tfs": _bin_streams(
+            *varbyte_encode_with_widths(
+                exploded["tf"].to_numpy(zero_copy_only=False)[order]
+            ),
+            value_bounds,
+        ),
+        "dls": _bin_streams(
+            *varbyte_encode_with_widths(
+                exploded["dl"].to_numpy(zero_copy_only=False)[order]
+            ),
+            value_bounds,
+        ),
+    }
+    if positional and "positions" in exploded.column_names:
+        pos_col = exploded["positions"].combine_chunks()
+        pcnt_all = pos_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_all = pos_col.flatten().to_numpy(zero_copy_only=False)
+        pos_off_all = np.cumsum(pcnt_all) - pcnt_all
+        pcnt_s = pcnt_all[order]
+        idx = _gather_ranges(pos_off_all[order], pcnt_s)
+        pv = pos_all[idx].astype(np.int64, copy=False)
+        row_ends = np.cumsum(pcnt_s)
+        dpos = pv.copy()
+        if len(dpos):
+            dpos[1:] -= pv[:-1]
+            row_firsts = (row_ends - pcnt_s)[pcnt_s > 0]
+            dpos[row_firsts] = pv[row_firsts]  # fresh chain per (doc, term)
+        pos_value_bounds = np.concatenate(([0], row_ends))[value_bounds]
+        cols["positions"] = _bin_streams(
+            *varbyte_encode_with_widths(dpos), pos_value_bounds
+        )
+    return pa.table(cols)
+
+
+def _bin_col_stream(col) -> np.ndarray:
+    """Contiguous concatenated byte stream of a binary column (values are
+    stored back-to-back in offset order — one slice, no per-row copies)."""
+    arr = col.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    return data[off[0] : off[-1]]
 
 
 def _resalt_exploded(
@@ -193,13 +293,26 @@ def _arrays_from_partials(group: pa.Table, positional: bool):
     import pandas as pd
 
     tcodes, tuniq = pd.factorize(group["term"].to_numpy(zero_copy_only=False))
-    ids_col = group["doc_ids"].combine_chunks()
-    # native dtypes throughout (uint64 ids, int32 tf/dl/positions): the
-    # encode path is memory-bandwidth bound, widening copies dominate
-    counts = ids_col.value_lengths().to_numpy(zero_copy_only=False)
-    doc_flat = ids_col.flatten().to_numpy(zero_copy_only=False)
-    tf_flat = group["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    dl_flat = group["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    encoded = pa.types.is_binary(group.schema.field("doc_ids").type)
+    if encoded:
+        # wire-codec partials (explode_partials(encode=True)): decode each
+        # column in ONE vectorized pass over the concatenated streams;
+        # per-partial delta chains restart via dec_grouped(counts)
+        from ..codec.posting import DeltaVarbytePostingCodec as _WIRE
+        from ..codec.varbyte import varbyte_decode
+
+        counts = group["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_flat = _WIRE.dec_grouped(_bin_col_stream(group["doc_ids"]), counts)
+        tf_flat = varbyte_decode(_bin_col_stream(group["tfs"])).astype(np.int32)
+        dl_flat = varbyte_decode(_bin_col_stream(group["dls"])).astype(np.int32)
+    else:
+        ids_col = group["doc_ids"].combine_chunks()
+        # native dtypes throughout (uint64 ids, int32 tf/dl/positions): the
+        # encode path is memory-bandwidth bound, widening copies dominate
+        counts = ids_col.value_lengths().to_numpy(zero_copy_only=False)
+        doc_flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+        tf_flat = group["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        dl_flat = group["dls"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
     tcode_flat = np.repeat(tcodes, counts)
 
     # alphabetical term rank for deterministic output order
@@ -215,9 +328,17 @@ def _arrays_from_partials(group: pa.Table, positional: bool):
     trank_s = rank[tcode_flat][order]
 
     if positional and "positions" in group.column_names:
-        pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per (doc,term)
-        pos_counts_all = pos_outer.value_lengths().to_numpy(zero_copy_only=False)
-        pos_values_all = pos_outer.flatten().to_numpy(zero_copy_only=False)
+        if encoded:
+            # per-(doc,term) position counts ARE the term freqs — no
+            # stored list offsets needed on the wire
+            pos_counts_all = tf_flat.astype(np.int64)
+            pos_values_all = _WIRE.dec_grouped(
+                _bin_col_stream(group["positions"]), pos_counts_all
+            ).astype(np.int32)
+        else:
+            pos_outer = group["positions"].combine_chunks().flatten()  # list<int32> per (doc,term)
+            pos_counts_all = pos_outer.value_lengths().to_numpy(zero_copy_only=False)
+            pos_values_all = pos_outer.flatten().to_numpy(zero_copy_only=False)
         pos_offsets_all = np.cumsum(pos_counts_all) - pos_counts_all
         idx = _gather_ranges(pos_offsets_all[order], pos_counts_all[order])
         pos_values = pos_values_all[idx]

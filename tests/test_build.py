@@ -188,3 +188,75 @@ class TestSmallInputFastPath:
         assert (m_s.n_docs, m_s.total_tokens, m_s.avgdl) == (
             m_d.n_docs, m_d.total_tokens, m_d.avgdl
         )
+
+
+class TestEncodedPartials:
+    """explode_partials(encode=True) — the wire-compressed shuffle schema —
+    must reduce to identical posting blocks as the list-typed partials."""
+
+    def test_encoded_partials_identical_blocks(self):
+        import pyarrow.compute as pc
+
+        from searchengine_ray.analysis import default_analyzer
+        from searchengine_ray.stages.postings import (
+            build_shard_blocks,
+            explode_partials,
+        )
+
+        an = default_analyzer()
+        rows = {"doc_id": [], "dl": [], "terms": [], "tfs": [], "positions": []}
+        for i in range(300):
+            toks = an.analyze(f"alpha beta w{i % 9} gamma{i % 4} beta delta e{i}")
+            seen: dict[str, list[int]] = {}
+            for p, t in enumerate(toks):
+                seen.setdefault(t, []).append(p)
+            rows["doc_id"].append(i)
+            rows["dl"].append(len(toks))
+            rows["terms"].append(list(seen))
+            rows["tfs"].append([len(v) for v in seen.values()])
+            rows["positions"].append(list(seen.values()))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.uint64()),
+                "dl": pa.array(rows["dl"], pa.int32()),
+                "terms": pa.array(rows["terms"], pa.list_(pa.string())),
+                "tfs": pa.array(rows["tfs"], pa.list_(pa.int32())),
+                "positions": pa.array(rows["positions"], pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+        salted = {"beta": 2}  # head term through the salt re-shard path
+        kw = dict(block_size=16, avgdl=7.0, k1=1.2, b=0.75, positional=True)
+        for positional in (True, False):
+            kw["positional"] = positional
+            plain_parts, enc_parts = [], []
+            for off in range(0, tbl.num_rows, 128):
+                s = tbl.slice(off, 128)
+                plain_parts.append(explode_partials(s, 4, positional, salted))
+                enc_parts.append(
+                    explode_partials(s, 4, positional, salted, encode=True)
+                )
+            plain = pa.concat_tables(plain_parts)
+            enc = pa.concat_tables(enc_parts)
+            assert enc.nbytes < plain.nbytes  # the point: fewer wire bytes
+            for sh in range(4):
+                g1 = plain.filter(pc.equal(plain["shard"], sh)).combine_chunks()
+                g2 = enc.filter(pc.equal(enc["shard"], sh)).combine_chunks()
+                assert build_shard_blocks(g1, **kw).equals(
+                    build_shard_blocks(g2, **kw)
+                ), f"shard {sh} positional={positional}"
+
+    def test_encoded_empty_batch(self):
+        from searchengine_ray.stages.postings import explode_partials
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.uint64()),
+                "dl": pa.array([], pa.int32()),
+                "terms": pa.array([], pa.list_(pa.string())),
+                "tfs": pa.array([], pa.list_(pa.int32())),
+                "positions": pa.array([], pa.list_(pa.list_(pa.int32()))),
+            }
+        )
+        out = explode_partials(empty, 4, True, None, encode=True)
+        assert out.num_rows == 0
+        assert "n" in out.column_names
