@@ -123,11 +123,12 @@ def run_headline(num_cpus: int) -> dict:
         analyze_batch_size=4096,
         store_docs=False,
         resume=False,
-        # 250k: Zipf head terms (df up to ~0.93·N in the v2 corpus) are an
-        # indivisible encode straggler without salting — at 1M docs the
-        # hottest shard held a df=927k term and ran 11.7 s vs a 0.65 s
-        # median shard, capping the reduce span at every parallelism level
-        salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", "250000")),
+        # 100k: Zipf head terms (df up to ~0.93·N in the v2 corpus) are an
+        # indivisible encode straggler without salting; at 250k the three
+        # hottest shards still ran ~6x the median reduce task (tf-heavy
+        # position payloads), capping the reduce span at 16-way — finer
+        # subsets pack the reducer waves evenly at every cluster size
+        salt_target_postings=int(os.environ.get("BENCH_SALT_TARGET", "100000")),
     )
     index_sec = time.perf_counter() - t0
     ray.shutdown() if False else None
