@@ -114,7 +114,10 @@ def run_headline(num_cpus: int) -> dict:
         idx_dir,
         html_column="html",
         doc_id_mode="url_index",
-        num_shards=64,
+        # 128 shards: shorter reduce tasks pack waves more evenly and
+        # bound each task's exposure to a neighbor-steal spike; at real
+        # cluster scale shards grow with the corpus anyway
+        num_shards=128,
         block_size=128,
         # task-based analyze (library default): no actor-pool spin-up in
         # the timed window and all cores map — interleaved A/B at 16 cpus

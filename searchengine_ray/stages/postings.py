@@ -59,10 +59,31 @@ def term_shard(terms: np.ndarray, num_shards: int) -> np.ndarray:
     )
 
 
+def _salt_step(num_shards: int) -> int:
+    """Golden-ratio stride coprime to ``num_shards`` — low-discrepancy
+    spacing for ANY prefix of the subset sequence."""
+    import math
+
+    step = max(1, round(num_shards * 0.6180339887))
+    while math.gcd(step, num_shards) != 1:
+        step += 1
+    return step
+
+
 def salt_shard(term: str, salt: int, num_shards: int) -> int:
     """Shard of a salted head-term subset (subset s = docs with
-    ``doc_id % n_salts == s``)."""
-    return zlib.crc32(f"{term}#{salt}".encode()) % num_shards
+    ``doc_id % n_salts == s``).
+
+    Subsets step from a per-term hashed base by a fixed golden-ratio
+    stride: one term's first ``num_shards`` subsets never collide on a
+    shard (independent per-subset hashing Poisson-clumped up to 8
+    subsets onto one reducer at 64 shards, recreating the straggler
+    salting exists to remove). The placement of subset ``s`` must NOT
+    depend on the term's total ``n_salts``: increment merges take the
+    max of per-generation salt counts (``build/merge.py``), and probing
+    the first ``max(n)`` subsets has to cover every generation's
+    layout."""
+    return (zlib.crc32(f"{term}#".encode()) + salt * _salt_step(num_shards)) % num_shards
 
 
 def explode_batch(batch: pa.Table, num_shards: int, positional: bool) -> pa.Table:
@@ -280,7 +301,8 @@ def _resalt_exploded(
         mask = tcodes == u_idx
         ns = int(n_salts_uniq[u_idx])
         lut = np.asarray(
-            [salt_shard(tuniq[u_idx], s, num_shards) for s in range(ns)], dtype=np.int32
+            [salt_shard(tuniq[u_idx], s, num_shards) for s in range(ns)],
+            dtype=np.int32,
         )
         shards[mask] = lut[(docs[mask] % ns).astype(np.int64)]
     idx = exploded.column_names.index("shard")
