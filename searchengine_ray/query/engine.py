@@ -187,7 +187,9 @@ class SearchEngine:
         # hitting the same shard skip the parquet read (cap by file size —
         # big shards at scale fall back to row-group-pruned reads)
         self._shard_cache: OrderedDict[tuple[str, int], object] = OrderedDict()
-        self._shard_cache_cap = 64
+        # holds a full 128-shard generation of small (≤32 MB) shard files;
+        # per-file size gate below bounds the worst case
+        self._shard_cache_cap = 192
         self._shard_cache_max_bytes = 32 << 20
         # cold multi-term queries touch one shard file per term: load
         # shards concurrently (parquet read + decompress release the GIL)
