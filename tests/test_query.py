@@ -196,3 +196,17 @@ class TestLargerCorpusIdentity:
             np.testing.assert_allclose([s for _, s in gt], [s for _, s in wt], rtol=0, atol=0)
             assert eng.search_and(q.split()).tolist() == oracle.search_and(q.split()), q
             assert eng.search_or(q.split()).tolist() == oracle.search_or(q.split()), q
+
+
+def test_concurrent_queries_thread_safe(engine):
+    """The shard loader uses a thread pool + locked LRU; hammering one
+    engine from several threads must give identical results to serial
+    (and a freshly-constructed engine, i.e. cold caches each time)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    queries = ["cat dog", "summer pizza house", "pig toy", "dog", "pizza winter"]
+    serial = [engine.search_bm25(q, topk=5) for q in queries]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _ in range(10):
+            got = list(pool.map(lambda q: engine.search_bm25(q, topk=5), queries))
+            assert got == serial
