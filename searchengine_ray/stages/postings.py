@@ -162,7 +162,11 @@ def explode_partials(
     shards_arr = exploded["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
     # group by (term, shard) — salted terms span several shards per batch
     key = tcodes.astype(np.int64) * num_shards + shards_arr
-    order = np.argsort(key, kind="stable")  # keep doc order within group
+    # sort by (group, doc_id): a Ray block can span input-file fragments,
+    # so batch order is NOT globally doc-ascending — the encoded wire
+    # format (delta chains per partial) requires ascending doc ids
+    doc_np = exploded["doc_id"].to_numpy(zero_copy_only=False) if n else np.empty(0, np.uint64)
+    order = np.lexsort((doc_np, key)) if n else np.empty(0, np.int64)
     t_s = tcodes[order]
     k_s = key[order]
     if n:

@@ -260,3 +260,34 @@ class TestEncodedPartials:
         out = explode_partials(empty, 4, True, None, encode=True)
         assert out.num_rows == 0
         assert "n" in out.column_names
+
+    def test_encoded_partials_nonmonotonic_doc_ids(self):
+        """A Ray block can span input-file fragments, so batch doc ids are
+        not globally ascending — the wire delta chains must still encode
+        (regression: ValueError 'varbyte requires non-negative values')."""
+        import pyarrow.compute as pc
+
+        from searchengine_ray.stages.postings import (
+            build_shard_blocks,
+            explode_partials,
+        )
+
+        ids = [5372, 5373, 6111, 1112, 9, 77]  # out of order, like a
+        tbl = pa.table(                        # block mixing two files
+            {
+                "doc_id": pa.array(ids, pa.uint64()),
+                "dl": pa.array([3] * 6, pa.int32()),
+                "terms": pa.array([["a", "b", "c"]] * 6, pa.list_(pa.string())),
+                "tfs": pa.array([[1, 1, 1]] * 6, pa.list_(pa.int32())),
+                "positions": pa.array(
+                    [[[0], [1], [2]]] * 6, pa.list_(pa.list_(pa.int32()))
+                ),
+            }
+        )
+        kw = dict(block_size=4, avgdl=3.0, k1=1.2, b=0.75, positional=True)
+        plain = explode_partials(tbl, 2, True)
+        enc = explode_partials(tbl, 2, True, encode=True)
+        for sh in range(2):
+            g1 = plain.filter(pc.equal(plain["shard"], sh)).combine_chunks()
+            g2 = enc.filter(pc.equal(enc["shard"], sh)).combine_chunks()
+            assert build_shard_blocks(g1, **kw).equals(build_shard_blocks(g2, **kw))
