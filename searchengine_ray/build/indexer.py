@@ -106,6 +106,7 @@ def build_index(
     # ---------- phase A: analyze ----------
     if not manifest.phase_complete("analyze"):
         t0 = time.perf_counter()
+        ticks0 = _cpu_ticks()
         columns = [text_column] if text_column else []
         if html_column:
             columns.append(html_column)
@@ -226,6 +227,7 @@ def build_index(
             seconds=time.perf_counter() - t0,
             map_seconds=t_map_done - t0,
             stats_seconds=time.perf_counter() - t_map_done,
+            steal_busy_pct=_steal_share(ticks0),
             ray_stats=_stats_summary(analyzed),
         )
         manifest.save(index_dir)
@@ -239,6 +241,7 @@ def build_index(
         # seconds of fixed cost moving kilobytes. Results are identical to
         # the Ray path (asserted in tests/test_build.py).
         t0 = time.perf_counter()
+        ticks0 = _cpu_ticks()
         postings_dir.mkdir(parents=True, exist_ok=True)
         import numpy as np
         import pyarrow.compute as pc
@@ -287,10 +290,12 @@ def build_index(
             generation,
             seconds=time.perf_counter() - t0,
             shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
+            steal_busy_pct=_steal_share(ticks0),
         )
         manifest.save(index_dir)
     elif not manifest.phase_complete(generation):
         t0 = time.perf_counter()
+        ticks0 = _cpu_ticks()
         postings_dir.mkdir(parents=True, exist_ok=True)
         # push-based sort shuffle: measurably faster for this wide
         # groupby(shard) exchange (8.3s vs 12.4s pull-based / 62s hash at
@@ -372,11 +377,30 @@ def build_index(
             generation,
             seconds=time.perf_counter() - t0,
             shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
+            steal_busy_pct=_steal_share(ticks0),
             ray_stats=_stats_summary(lineage),
         )
         manifest.save(index_dir)
 
     return manifest
+
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, busy) jiffies from /proc/stat — noisy-neighbor attribution
+    for the per-phase lineage metrics (north_rule). Steal is normalized
+    by BUSY time downstream; idle cores accrue no steal."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        steal = v[7] if len(v) > 7 else 0
+        return steal, v[0] + v[1] + v[2] + steal
+    except OSError:  # non-Linux: no attribution, phases still recorded
+        return 0, 0
+
+
+def _steal_share(ticks0: tuple[int, int]) -> float:
+    """Busy-time steal share (%) since ``ticks0``."""
+    s1, b1 = _cpu_ticks()
+    return round(100.0 * (s1 - ticks0[0]) / max(b1 - ticks0[1], 1), 2)
 
 
 def _stats_summary(ds) -> list[str]:
