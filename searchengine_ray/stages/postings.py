@@ -299,16 +299,30 @@ def _resalt_exploded(
     n_salts_uniq = np.asarray([salted.get(t, 0) for t in tuniq], dtype=np.int64)
     if not (n_salts_uniq > 0).any():
         return exploded
+    # one vectorized pass over all salted rows (a per-hot-term mask loop
+    # is O(hot_terms x rows) — 67 head terms made it a real map-side cost)
+    flat_lut = np.asarray(
+        [
+            salt_shard(tuniq[u], s, num_shards)
+            for u in np.flatnonzero(n_salts_uniq > 0)
+            for s in range(int(n_salts_uniq[u]))
+        ],
+        dtype=np.int32,
+    )
+    # flat_lut is dense over salted terms only — map via compacted offsets
+    dense_off = np.full(len(tuniq), -1, dtype=np.int64)
+    pos = 0
+    for u in np.flatnonzero(n_salts_uniq > 0):
+        dense_off[u] = pos
+        pos += int(n_salts_uniq[u])
+    ns_row = n_salts_uniq[tcodes]
+    sel = np.flatnonzero(ns_row > 0)
+    if not len(sel):
+        return exploded
     shards = exploded["shard"].to_numpy(zero_copy_only=False).astype(np.int32).copy()
     docs = exploded["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    for u_idx in np.flatnonzero(n_salts_uniq > 0):
-        mask = tcodes == u_idx
-        ns = int(n_salts_uniq[u_idx])
-        lut = np.asarray(
-            [salt_shard(tuniq[u_idx], s, num_shards) for s in range(ns)],
-            dtype=np.int32,
-        )
-        shards[mask] = lut[(docs[mask] % ns).astype(np.int64)]
+    subset = docs[sel] % ns_row[sel]
+    shards[sel] = flat_lut[dense_off[tcodes[sel]] + subset]
     idx = exploded.column_names.index("shard")
     return exploded.set_column(idx, "shard", pa.array(shards, pa.int32()))
 
