@@ -431,6 +431,163 @@ def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, 
     ).reset_index(drop=True)
 
 
+# -------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    ds, threshold: float = 0.5, shingle_k: int = 3, text_column: str = "text"
+) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index —
+    the oracle-exact baseline next to the approximate paths
+    (``minhash_dedup_pairs`` banded-LSH recall, ``simhash_dedup_pairs``
+    Hamming blocking):
+
+    1. explode per-doc shingle sets to ``(shingle, doc_id, set_size)``
+       posting rows (same vectorized 64-bit shingle hashing as MinHash);
+    2. ``groupby(shingle)`` emits one candidate-pair row per SHARED
+       shingle (so the per-pair row count IS ``|A ∩ B|``);
+    3. ``groupby(pair)`` counts rows and carries the two set sizes;
+       ``jaccard = c / (|A| + |B| - c) >= threshold`` filters.
+
+    Scale note: cost is Σ_shingle group_size² — hot shingles make this
+    quadratic, which is exactly why MinHash+LSH is the 100-TB path; this
+    operator is for corpus-sized slices where exactness matters.
+    Docs whose shingle set is EMPTY (empty text) pair with each other at
+    ``jaccard = 1.0`` by convention (matching :func:`jaccard` and the
+    SQL oracle) — they share no posting rows, so they are paired in a
+    separate tiny pass."""
+    from ray.data.aggregate import Count, Min
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        texts = b[text_column].to_pandas()
+        toks = _token_lists(texts)
+        sets = [_shingle_hash_set(th, shingle_k) for th in _token_hash_lists(toks)]
+        docs = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        counts = np.asarray([len(s) for s in sets], dtype=np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(
+                    np.concatenate(sets) if len(sets) else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "doc_id": pa.array(np.repeat(docs, counts), pa.int64()),
+                "size": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    n_parts = _npartitions(ds.count())
+
+    def add_part(b: pa.Table) -> pa.Table:
+        sh = b["shingle"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((sh % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        """One partition of the shingle inverted index: sort by shingle,
+        emit pair rows per run with >= 2 docs (one Python iteration per
+        SHARED shingle only — unique shingles, the vast majority, cost a
+        vectorized run-length pass and nothing more)."""
+        group = group.combine_chunks()
+        sh = group["shingle"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        size = group["size"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((doc, sh))
+        sh, doc, size = sh[o], doc[o], size[o]
+        n = len(sh)
+        pair_l, sa_l, sb_l = [], [], []
+        if n:
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = sh[1:] != sh[:-1]
+            starts = np.flatnonzero(new)
+            lens = np.diff(np.append(starts, n))
+            for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
+                ia, ib = np.triu_indices(int(k), k=1)
+                d = doc[s : s + k]
+                z = size[s : s + k]
+                # pack (a < b) into one uint64 key: ids dense, < 2^31
+                pair_l.append(
+                    d[ia].astype(np.uint64) * np.uint64(1 << 32)
+                    + d[ib].astype(np.uint64)
+                )
+                sa_l.append(z[ia])
+                sb_l.append(z[ib])
+        cat = (
+            lambda parts, dt: np.concatenate(parts)
+            if parts
+            else np.empty(0, dt)
+        )
+        return pa.table(
+            {
+                "pair": pa.array(cat(pair_l, np.uint64), pa.uint64()),
+                "sa": pa.array(cat(sa_l, np.int64), pa.int64()),
+                "sb": pa.array(cat(sb_l, np.int64), pa.int64()),
+            }
+        )
+
+    counted = (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Count(), Min("sa"), Min("sb"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b["min(sa)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = b["min(sb)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = c / (sa + sb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array((pair[keep] >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array(
+                    (pair[keep] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    out = counted.map_batches(finish, batch_format="pyarrow").to_pandas()
+
+    # empty-set docs: jaccard(∅, ∅) = 1.0 by convention — they share no
+    # shingle rows, so pair them here (tiny: only truly empty texts)
+    def empty_docs(b: pa.Table) -> pa.Table:
+        texts = b[text_column].to_pandas()
+        toks = _token_lists(texts)
+        empt = [len(_shingle_hash_set(th, shingle_k)) == 0 for th in _token_hash_lists(toks)]
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()).filter(pa.array(empt))}
+        )
+
+    empties = sorted(
+        r["doc_id"] for r in ds.map_batches(empty_docs, batch_format="pyarrow").take_all()
+    )
+    if len(empties) > 1 and 1.0 >= threshold:
+        ia, ib = np.triu_indices(len(empties), k=1)
+        ed = np.asarray(empties, dtype=np.int64)
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {"doc_a": ed[ia], "doc_b": ed[ib], "jaccard": 1.0}
+                ),
+            ],
+            ignore_index=True,
+        )
+    if out.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.astype({"doc_a": "int64", "doc_b": "int64"}).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
+
+
 # -------------------------------------------------------------- simhash
 
 

@@ -730,6 +730,27 @@ WHERE CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
 """
 
 
+def q_dedup_ngram(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs — the oracle-exact baseline
+    beside the approximate paths (``dedup_minhash`` LSH recall,
+    ``dedup_simhash`` Hamming blocking): a distributed shingle inverted
+    index whose per-pair shared-shingle row count IS the intersection
+    size. Same output contract as ``dedup_minhash``."""
+    import ray.data as rd
+
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
+def sql_dedup_ngram() -> str:
+    """All-pairs exact 3-shingle Jaccard ≥ 0.5 — the Ray path is exact
+    (no LSH recall caveat), so this oracle is an identity, not an
+    approximation bound."""
+    return sql_dedup_minhash()
+
+
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1555,6 +1576,7 @@ def registry() -> dict[str, tuple]:
         "distinct_segments": (q_distinct_segments, sql_distinct_segments()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "dedup_minhash": (q_dedup_minhash, sql_dedup_minhash()),
+        "dedup_ngram": (q_dedup_ngram, sql_dedup_ngram()),
         "dedup_simhash": (q_dedup_simhash, sql_dedup_simhash()),
         "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
         "similarity_topk": (q_similarity_topk, sql_similarity_topk()),

@@ -70,6 +70,24 @@ class TestMinHash:
         assert (0, 3) in got_pairs  # exact dup found
         assert (0, 1) in got_pairs  # near dup found
 
+    def test_ngram_exact_matches_bruteforce(self, ray_session):
+        got = dedup.ngram_jaccard_pairs(docs_ds(NEAR_DUP_DOCS), threshold=0.5)
+        toks = {
+            d: textstats._token_lists(pd.Series([t])).iloc[0]
+            for d, t in NEAR_DUP_DOCS.items()
+        }
+        want = {
+            (a, b): round(dedup.jaccard(toks[a], toks[b]), 6)
+            for a in NEAR_DUP_DOCS
+            for b in NEAR_DUP_DOCS
+            if a < b and dedup.jaccard(toks[a], toks[b]) >= 0.5
+        }
+        got_map = {
+            (a, b): j
+            for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"])
+        }
+        assert got_map == want  # pairs AND exact jaccard values
+
 
 class TestSimHash:
     def test_near_dups_blocked_and_found(self, ray_session):
