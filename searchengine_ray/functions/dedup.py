@@ -112,9 +112,10 @@ def _shingle_hash_set(tok_h: np.ndarray, k: int) -> np.ndarray:
     k = min(k, n)
     acc = np.zeros(n - k + 1, dtype=np.uint64)
     m = np.uint64(1)
-    for j in range(k):
-        acc += tok_h[j : n - k + 1 + j] * m
-        m = m * _SHINGLE_MULT
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash design
+        for j in range(k):
+            acc += tok_h[j : n - k + 1 + j] * m
+            m = m * _SHINGLE_MULT
     return np.unique(acc)
 
 
