@@ -180,6 +180,7 @@ REGISTRY_BENCH = [
     "dedup_exact", "dedup_minhash", "similarity_topk", "tpch_q1",
     "events_window", "asof_join", "multimodal_bmp",
     "sessionize", "range_join", "sliding_window",
+    "bigram_counts", "event_quantiles", "embedding_centroids",
 ]
 
 

@@ -1551,6 +1551,129 @@ WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100
 """
 
 
+NOT_INCLUDE = ["join", "window"]
+NOT_EXCLUDE = ["slow", "zebra"]
+PREFIX = "s"
+
+
+def q_not_search(sf_dir: str) -> pd.DataFrame:
+    """Boolean AND-NOT: all include terms, none of the exclude terms."""
+    ids = _engine(sf_dir).search_not(NOT_INCLUDE, NOT_EXCLUDE)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_not_search() -> str:
+    conds = " INTERSECT ".join(
+        f"SELECT doc_id FROM toks WHERE term = '{t}'" for t in NOT_INCLUDE
+    )
+    lst = ", ".join(f"'{t}'" for t in NOT_EXCLUDE)
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT * FROM ({conds})
+EXCEPT SELECT doc_id FROM toks WHERE term IN ({lst})
+"""
+
+
+def q_term_prefix(sf_dir: str) -> pd.DataFrame:
+    """Term completion (suggest): top-10 dictionary terms by df under a
+    prefix — a metadata-only range scan over the term-sorted shard
+    dictionaries (K5 row-group pruning), no postings decoded."""
+    top = _engine(sf_dir).prefix_terms(PREFIX, 10)
+    return pd.DataFrame(
+        {
+            "term": [t for t, _ in top],
+            "df": pd.Series([d for _, d in top], dtype="int64"),
+        }
+    )
+
+
+def sql_term_prefix() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT term, count(*) AS df FROM toks WHERE term LIKE '{PREFIX}%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
+def q_event_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (DuckDB quantile_disc semantics) via a
+    value-domain count shuffle — no global sort, nothing row-sized on
+    the driver."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.quantiles import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = grouped_quantiles(ev, "event_type", "value", [0.25, 0.5, 0.9], quantize=3)
+    return out.astype({"q": "float64", "value": "float64"})
+
+
+def sql_event_quantiles() -> str:
+    return """
+WITH s AS (
+  SELECT event_type,
+         quantile_disc(round(value, 3), [0.25, 0.5, 0.9]) AS vs
+  FROM events GROUP BY event_type
+)
+SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q, unnest(vs) AS value FROM s
+"""
+
+
+def q_bigram_counts(sf_dir: str) -> pd.DataFrame:
+    """Top-30 token bigrams (collocation mining): per-batch integer-coded
+    pair counts (combiner) → one vocabulary-sized groupby."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.ngrams import bigram_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = bigram_counts(ds, top_k=30)
+    return out.astype({"n": "int64"})
+
+
+def sql_bigram_counts() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok WHERE t <> ''
+)
+SELECT a.t AS t1, b.t AS t2, count(*) AS n
+FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+GROUP BY 1, 2 ORDER BY n DESC, t1, t2 LIMIT 30
+"""
+
+
+def q_embedding_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (long form): per-batch partial sum
+    vectors (one row per label × batch through the shuffle), divide
+    once on the aggregated result."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.vectors import group_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    out = group_centroids(emb, "label")
+    return out.astype({"label": "int64", "dim": "int64", "c": "float64"})
+
+
+def sql_embedding_centroids() -> str:
+    return """
+WITH z AS (
+  SELECT label, unnest(embedding)::DOUBLE AS e,
+         unnest(range(1, len(embedding)+1)) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, dim, round(avg(e), 6) AS c
+FROM z GROUP BY label, dim
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1601,4 +1724,9 @@ def registry() -> dict[str, tuple]:
         "range_join": (q_range_join, sql_range_join()),
         "group_topk": (q_group_topk, sql_group_topk()),
         "stratified_sample": (q_stratified_sample, sql_stratified_sample()),
+        "not_search": (q_not_search, sql_not_search()),
+        "term_prefix": (q_term_prefix, sql_term_prefix()),
+        "event_quantiles": (q_event_quantiles, sql_event_quantiles()),
+        "bigram_counts": (q_bigram_counts, sql_bigram_counts()),
+        "embedding_centroids": (q_embedding_centroids, sql_embedding_centroids()),
     }

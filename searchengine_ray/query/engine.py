@@ -447,6 +447,50 @@ class SearchEngine:
         acc = np.unique(np.concatenate([p.doc_ids for p in posts.values()]))
         return self._remove_tombstones(acc)
 
+    def search_not(self, keywords: list[str], exclude: list[str]) -> np.ndarray:
+        """Boolean AND-NOT: docs matching all of ``keywords`` and none of
+        ``exclude`` (SQL ``INTERSECT ... EXCEPT`` semantics)."""
+        inc = self.search_and(keywords)
+        if len(inc) == 0:
+            return inc
+        exc_tokens = self._analyze_keywords(exclude, dedup=True)
+        posts = self._lookup(exc_tokens)
+        if posts:
+            excl = np.unique(
+                np.concatenate([p.doc_ids for p in posts.values()])
+            )
+            inc = inc[~np.isin(inc, excl, assume_unique=True)]
+        return inc
+
+    def prefix_terms(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Term completion: the ``k`` highest-df dictionary terms starting
+        with ``prefix`` (ties by term ascending).
+
+        Touches only the dictionary metadata: every shard file is read
+        with a ``term`` range filter + ``block_id == 0`` (one row per
+        term), columns pruned to (term, df) — the term-sorted shard
+        layout (K5) makes this a row-group-pruned scan, no postings are
+        decoded. df is summed across generations and salted subsets.
+        """
+        if not prefix:
+            raise ValueError("empty prefix")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        filt = (
+            (pc.field("term") >= prefix)
+            & (pc.field("term") < hi)
+            & (pc.field("block_id") == 0)
+        )
+        acc: dict[str, int] = {}
+        for gen in list(self.manifest.generations):
+            for path in sorted((self.index_dir / gen).glob("shard=*.parquet")):
+                tbl = pq.read_table(path, filters=filt, columns=["term", "df"])
+                for t, df in zip(
+                    tbl["term"].to_pylist(), tbl["df"].to_pylist()
+                ):
+                    acc[t] = acc.get(t, 0) + int(df)
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return top
+
     # ---------- phrase search ----------
 
     def search_phrase(self, phrase: str | list[str]) -> np.ndarray:

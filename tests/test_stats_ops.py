@@ -1,0 +1,152 @@
+"""Tests for quantiles / bigrams / centroids / NOT-search / prefix-terms."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestQuantiles:
+    def test_exact_matches_numpy_disc(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(0, 50, size=5000)
+        ds = rd.from_pandas(pd.DataFrame({"v": x}))
+        qs = [0.1, 0.25, 0.5, 0.77, 0.9, 0.999]
+        out = exact_quantiles(ds, "v", qs)
+        xs = np.sort(x)
+        for q, got in zip(qs, out["value"]):
+            idx = max(0, math.ceil(q * len(xs)) - 1)
+            assert got == xs[idx], q
+
+    def test_grouped(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.quantiles import grouped_quantiles
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], size=3000),
+                "v": np.round(rng.normal(size=3000), 2),
+            }
+        )
+        out = grouped_quantiles(rd.from_pandas(df), "k", "v", [0.5], quantize=2)
+        for k, sub in df.groupby("k"):
+            xs = np.sort(np.round(sub["v"].to_numpy(), 2))
+            idx = max(0, math.ceil(0.5 * len(xs)) - 1)
+            got = out[(out["k"] == k) & (out["q"] == 0.5)]["value"].iloc[0]
+            assert got == xs[idx]
+
+    def test_nulls_skipped(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.quantiles import exact_quantiles
+
+        df = pd.DataFrame({"v": [1.0, None, 3.0, None, 5.0]})
+        out = exact_quantiles(rd.from_pandas(df), "v", [0.5])
+        assert out["value"].iloc[0] == 3.0
+
+
+class TestBigrams:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.ngrams import bigram_counts
+
+        texts = [
+            "the quick, brown fox. the quick dog",
+            "quick brown; quick brown",
+            "",
+            "one",
+            "a  b   a  b a",  # runs of spaces → empty tokens dropped
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+        out = bigram_counts(ds)
+        # brute force with the same tokenizer rules
+        import re
+
+        cnt: dict = {}
+        for t in texts:
+            toks = [
+                w
+                for w in re.split(r"[ \t\n\x0b\f\r]+", re.sub(r"[,.;?!]", " ", t.lower()))
+                if w
+            ]
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+        got = {(r.t1, r.t2): r.n for r in out.itertuples()}
+        assert got == cnt
+
+    def test_topk_deterministic_ties(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.ngrams import bigram_counts
+
+        ds = rd.from_pandas(pd.DataFrame({"text": ["x y", "a b", "m n"]}))
+        out = bigram_counts(ds, top_k=2)
+        # all counts are 1 → ties break (t1, t2) ascending
+        assert out[["t1", "t2"]].values.tolist() == [["a", "b"], ["m", "n"]]
+
+
+class TestCentroids:
+    def test_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.vectors import group_centroids
+
+        rng = np.random.default_rng(11)
+        labels = rng.integers(0, 4, size=400)
+        mat = rng.normal(size=(400, 8)).astype(np.float32)
+        df = pd.DataFrame({"label": labels, "embedding": list(mat)})
+        out = group_centroids(rd.from_pandas(df), "label")
+        for lbl in range(4):
+            want = np.round(mat[labels == lbl].astype(np.float64).mean(axis=0), 6)
+            got = out[out["label"] == lbl].sort_values("dim")["c"].to_numpy()
+            assert np.allclose(got, want, atol=2e-6)
+
+    def test_ragged_raises(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.vectors import group_centroids
+
+        df = pd.DataFrame({"label": [0, 0], "embedding": [[1.0, 2.0], [1.0]]})
+        with pytest.raises(Exception):
+            group_centroids(rd.from_pandas(df), "label")
+
+
+class TestEngineNotAndPrefix:
+    @pytest.fixture(scope="class")
+    def engine(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import _engine
+
+        return _engine(sf_tiny)
+
+    def test_not_search_set_algebra(self, engine):
+        inc = set(engine.search_and(["join", "window"]))
+        exc = set(engine.search_or(["slow", "zebra"]))
+        got = set(engine.search_not(["join", "window"], ["slow", "zebra"]))
+        assert got == inc - exc
+        assert len(got) > 0
+
+    def test_not_search_empty_include(self, engine):
+        assert len(engine.search_not(["zzznotaterm"], ["join"])) == 0
+
+    def test_prefix_terms_df_parity(self, engine):
+        top = engine.prefix_terms("s", 5)
+        assert len(top) == 5
+        dfs = [d for _, d in top]
+        assert dfs == sorted(dfs, reverse=True)
+        for t, df in top:
+            assert t.startswith("s")
+            assert df == engine.doc_frequency(t), t
+
+    def test_prefix_empty_raises(self, engine):
+        with pytest.raises(ValueError):
+            engine.prefix_terms("")
