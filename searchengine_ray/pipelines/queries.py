@@ -1674,6 +1674,54 @@ FROM z GROUP BY label, dim
 """
 
 
+MLT_DOC = 42
+SPELL_WORD = "dat"
+
+
+def q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """Term-overlap "more like this": postings lookups for the source
+    doc's terms + one bincount — no text re-analysis, no corpus scan."""
+    res = _engine(sf_dir).more_like_this(MLT_DOC, 10)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "overlap": pd.Series([o for _, o in res], dtype="int64"),
+        }
+    )
+
+
+def sql_more_like_this() -> str:
+    return f"""
+WITH {sql_tokens_cte()},
+dterms AS (SELECT DISTINCT term FROM toks WHERE doc_id = {MLT_DOC})
+SELECT b.doc_id, count(*) AS overlap
+FROM toks b JOIN dterms d ON b.term = d.term
+WHERE b.doc_id <> {MLT_DOC}
+GROUP BY b.doc_id ORDER BY overlap DESC, b.doc_id LIMIT 10
+"""
+
+
+def q_spell_correct(sf_dir: str) -> pd.DataFrame:
+    """Dictionary spell suggestion: Dataset scan of the shard term
+    dictionaries (block_id==0 rows, (term, df) columns only) with a
+    numpy-vectorized Levenshtein kernel; ≤ max_dist candidates reach
+    the driver."""
+    from searchengine_ray.functions.spell import suggest_terms
+
+    idx = documents_index(sf_dir, "punct")
+    return suggest_terms(idx, SPELL_WORD, max_dist=2, k=5)
+
+
+def sql_spell_correct() -> str:
+    return f"""
+WITH {sql_tokens_cte()},
+dict AS (SELECT term, count(*) AS df FROM toks GROUP BY term)
+SELECT term, df, CAST(levenshtein(term, '{SPELL_WORD}') AS BIGINT) AS dist
+FROM dict WHERE levenshtein(term, '{SPELL_WORD}') <= 2
+ORDER BY dist, df DESC, term LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1729,4 +1777,6 @@ def registry() -> dict[str, tuple]:
         "event_quantiles": (q_event_quantiles, sql_event_quantiles()),
         "bigram_counts": (q_bigram_counts, sql_bigram_counts()),
         "embedding_centroids": (q_embedding_centroids, sql_embedding_centroids()),
+        "more_like_this": (q_more_like_this, sql_more_like_this()),
+        "spell_correct": (q_spell_correct, sql_spell_correct()),
     }

@@ -491,6 +491,42 @@ class SearchEngine:
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return top
 
+    def doc_terms(self, doc_id: int) -> list[str]:
+        """Distinct analyzed terms of one document — a doc_id-filtered
+        point read of the (doc_id-sorted) ``analyzed/`` table, row-group
+        pruned; spans all attached generations (increments merge their
+        analyzed files into the same directory)."""
+        tbl = pq.read_table(
+            self.index_dir / "analyzed",
+            filters=pc.field("doc_id") == doc_id,
+            columns=["terms"],
+        )
+        if tbl.num_rows == 0:
+            return []
+        return tbl["terms"][0].as_py()
+
+    def more_like_this(self, doc_id: int, k: int = 10) -> list[tuple[int, int]]:
+        """Docs sharing the most distinct terms with ``doc_id`` (the
+        classic term-overlap "more like this"): one postings lookup per
+        source term, one bincount over the concatenated doc-id lists —
+        no text re-analysis, no scan. Returns (doc_id, overlap) sorted
+        by (-overlap, doc_id), excluding the source doc."""
+        terms = self.doc_terms(doc_id)
+        if not terms:
+            return []
+        posts = self._lookup(terms)
+        if not posts:
+            return []
+        ids = np.concatenate([p.doc_ids for p in posts.values()])
+        ids = self._remove_tombstones(ids)
+        uniq, overlap = np.unique(ids, return_counts=True)
+        keep = uniq != doc_id
+        uniq, overlap = uniq[keep], overlap[keep]
+        if len(uniq) == 0:
+            return []
+        order = np.lexsort((uniq, -overlap))[:k]
+        return [(int(uniq[i]), int(overlap[i])) for i in order]
+
     # ---------- phrase search ----------
 
     def search_phrase(self, phrase: str | list[str]) -> np.ndarray:

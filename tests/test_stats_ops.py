@@ -150,3 +150,57 @@ class TestEngineNotAndPrefix:
     def test_prefix_empty_raises(self, engine):
         with pytest.raises(ValueError):
             engine.prefix_terms("")
+
+    def test_more_like_this_bruteforce(self, engine):
+        src = set(engine.doc_terms(7))
+        assert src
+        got = engine.more_like_this(7, 5)
+        # brute force via per-term searches
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in src:
+            for d in engine.search_keyword(t):
+                cnt[int(d)] += 1
+        cnt.pop(7, None)
+        want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert got == want
+
+    def test_more_like_this_missing_doc(self, engine):
+        assert engine.more_like_this(10**12) == []
+
+
+class TestSpell:
+    def test_levenshtein_kernel_vs_dp(self):
+        import random
+        import string
+
+        from searchengine_ray.functions.spell import levenshtein_batch
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            return dp[-1]
+
+        rng = random.Random(1)
+        terms = np.array(
+            ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(0, 12))) for _ in range(300)],
+            dtype=object,
+        )
+        for q in ["", "a", "query", "windoq"]:
+            got = levenshtein_batch(terms, q)
+            assert [int(x) for x in got] == [lev(t, q) for t in terms], q
+
+    def test_suggest_orders_by_dist_then_df(self, ray_session, sf_tiny):
+        from searchengine_ray.functions.spell import suggest_terms
+        from searchengine_ray.pipelines.queries import documents_index
+
+        idx = documents_index(sf_tiny, "punct")
+        out = suggest_terms(idx, "dat", max_dist=2, k=5)
+        assert len(out) > 0
+        assert (out["dist"] <= 2).all()
+        key = list(zip(out["dist"], -out["df"], out["term"]))
+        assert key == sorted(key)
