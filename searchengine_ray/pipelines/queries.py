@@ -1722,6 +1722,119 @@ ORDER BY dist, df DESC, term LIMIT 5
 """
 
 
+PII_SUFFIX = " contact u{d}@ex.com call 555-123-4567"
+DECON_N = 4  # tiny synthetic vocab → short grams; production uses 8-13
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrub: redact emails then phones (Arrow RE2 kernels — the
+    same regex engine DuckDB uses), count removals. The PII itself is
+    planted deterministically (the test tables contain none), the
+    redaction pipeline is what's verified."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from searchengine_ray.functions.pii import redact_pii
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        txt = b["text"].to_pandas()
+        mask = ids % 7 == 0
+        txt = txt.where(
+            ~mask, txt + pd.Series(ids).map(lambda d: PII_SUFFIX.format(d=d))
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": pa.array(txt, pa.string())})
+
+    out = redact_pii(ds.map_batches(plant, batch_format="pyarrow")).to_pandas()
+    out["redacted"] = out["redacted"].astype(str)
+    return out[["doc_id", "redacted", "n_emails", "n_phones"]].astype(
+        {"doc_id": "int64", "n_emails": "int64", "n_phones": "int64"}
+    )
+
+
+def sql_pii_redact() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact u' || doc_id || '@ex.com call 555-123-4567'
+                      ELSE '' END AS text
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM planted
+)
+SELECT doc_id,
+       regexp_replace(t1, '{phone}', '<PHONE>', 'g') AS redacted,
+       n_emails,
+       CAST(len(regexp_extract_all(t1, '{phone}')) AS BIGINT) AS n_phones
+FROM e
+"""
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: corpus docs sharing any {DECON_N}-gram
+    with the benchmark subset (doc_id % 97 == 0). Benchmark gram set is
+    broadcast once; the corpus streams through one membership probe."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.decontaminate import (
+        benchmark_gram_set,
+        contaminated_ids,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def split(b: pa.Table, keep_bench: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = pa.array(ids % 97 == 0)
+        return b.filter(m if keep_bench else pc.invert(m))
+
+    bench = docs.map_batches(split, batch_format="pyarrow", fn_kwargs={"keep_bench": True})
+    corpus = docs.map_batches(split, batch_format="pyarrow", fn_kwargs={"keep_bench": False})
+    grams = benchmark_gram_set(bench, n=DECON_N)
+    out = contaminated_ids(corpus, grams, n=DECON_N).to_pandas()
+    return (
+        out.drop_duplicates()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype({"doc_id": "int64"})
+    )
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), seq AS (
+  SELECT doc_id, list(t ORDER BY pos) AS l
+  FROM tok WHERE t <> '' AND t NOT IN ({{stoplist}})
+  GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(l[x:x+{DECON_N}-1], ' ')
+                 FOR x IN range(1, len(l)-{DECON_N}+2)]) AS gram
+  FROM seq
+)
+SELECT DISTINCT g.doc_id FROM grams g
+JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) b USING (gram)
+WHERE g.doc_id % 97 <> 0
+""".replace("{stoplist}", _stoplist_sql())
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -1779,4 +1892,6 @@ def registry() -> dict[str, tuple]:
         "embedding_centroids": (q_embedding_centroids, sql_embedding_centroids()),
         "more_like_this": (q_more_like_this, sql_more_like_this()),
         "spell_correct": (q_spell_correct, sql_spell_correct()),
+        "pii_redact": (q_pii_redact, sql_pii_redact()),
+        "decontaminate": (q_decontaminate, sql_decontaminate()),
     }

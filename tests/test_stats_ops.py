@@ -170,6 +170,81 @@ class TestEngineNotAndPrefix:
         assert engine.more_like_this(10**12) == []
 
 
+class TestPii:
+    def test_redact_counts_and_text(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.pii import redact_pii
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail me at a.b-c%d@ex-site.co.uk now",
+                    "call 555-123-4567 or +123-456-7890",
+                    "no pii here",
+                    "x@y.io and z@w.org, 111-222-3333",
+                ],
+            }
+        )
+        out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+        assert out["n_emails"].tolist() == [1, 0, 0, 2]
+        assert out["n_phones"].tolist() == [0, 2, 0, 1]
+        assert out["redacted"].iloc[0] == "mail me at <EMAIL> now"
+        assert out["redacted"].iloc[1] == "call <PHONE> or <PHONE>"
+        assert out["redacted"].iloc[3] == "<EMAIL> and <EMAIL>, <PHONE>"
+
+    def test_email_digits_not_double_counted_as_phone(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.pii import redact_pii
+
+        df = pd.DataFrame({"doc_id": [1], "text": ["u555-123-4567x@ex.com"]})
+        out = redact_pii(rd.from_pandas(df)).to_pandas()
+        assert out["n_emails"].iloc[0] == 1
+        assert out["n_phones"].iloc[0] == 0
+
+
+class TestDecontaminate:
+    def test_shared_ngram_flagged(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.decontaminate import (
+            benchmark_gram_set,
+            contaminated_ids,
+        )
+
+        bench = rd.from_pandas(
+            pd.DataFrame({"doc_id": [100], "text": ["alpha beta gamma delta epsilon"]})
+        )
+        corpus = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "x y alpha beta gamma z",  # shares the 3-gram
+                        "alpha beta zeta gamma",  # no shared 3-gram
+                        "delta epsilon",  # too short for 3-gram overlap? has none of len 3
+                    ],
+                }
+            )
+        )
+        grams = benchmark_gram_set(bench, n=3)
+        assert "alpha beta gamma" in grams
+        out = contaminated_ids(corpus, grams, n=3).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1]
+
+    def test_stopwords_removed_before_grams(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.decontaminate import benchmark_gram_set
+
+        # "the" is a stopword → gram skips it
+        b = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["alpha the beta gamma"]}))
+        grams = benchmark_gram_set(b, n=3)
+        assert grams == {"alpha beta gamma"}
+
+
 class TestSpell:
     def test_levenshtein_kernel_vs_dp(self):
         import random
