@@ -1722,6 +1722,53 @@ ORDER BY dist, df DESC, term LIMIT 5
 """
 
 
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → connected components → (doc_id, cluster):
+    the clustering step that turns pairwise dedup output into
+    keep-one-per-group decisions. Pairs come from the exact shingle
+    inverted index (``dedup_ngram``); components run as iterative
+    min-label propagation over the edge Dataset (one hash-join + one
+    min-groupby per round, diameter-bounded)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.components import connected_components
+    from searchengine_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64")})
+    edges = rd.from_pandas(pairs[["doc_a", "doc_b"]])
+    out = connected_components(edges).to_pandas()
+    out = out.rename(columns={"node": "doc_id", "label": "cluster"})
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "cluster": "int64"}
+    )
+
+
+def sql_dedup_clusters() -> str:
+    """Recursive min-label reachability over the same exact-Jaccard pair
+    set the Ray path clusters (UNION-dedup makes the CTE terminate)."""
+    pairs_sql = sql_dedup_minhash().strip()
+    assert pairs_sql.startswith("WITH")
+    body = pairs_sql[len("WITH"):]
+    ctes, select = body.split("SELECT a.doc_id", 1)
+    return f"""
+WITH RECURSIVE {ctes}, pairs AS (
+SELECT a.doc_id{select}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(n, l) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.l FROM edges e JOIN reach r ON r.n = e.b
+)
+SELECT n AS doc_id, min(l) AS cluster FROM reach GROUP BY n
+"""
+
+
 PII_SUFFIX = " contact u{d}@ex.com call 555-123-4567"
 DECON_N = 4  # tiny synthetic vocab → short grams; production uses 8-13
 
@@ -1894,4 +1941,5 @@ def registry() -> dict[str, tuple]:
         "spell_correct": (q_spell_correct, sql_spell_correct()),
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "decontaminate": (q_decontaminate, sql_decontaminate()),
+        "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
     }

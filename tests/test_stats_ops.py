@@ -245,6 +245,45 @@ class TestDecontaminate:
         assert grams == {"alpha beta gamma"}
 
 
+class TestConnectedComponents:
+    def test_matches_union_find(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.components import (
+            connected_components,
+            dedup_clusters,
+        )
+
+        rng = np.random.default_rng(5)
+        edges = [(i, i + 1) for i in range(5)]  # a diameter-5 chain
+        for i in range(100, 105):  # a clique
+            edges += [(i, j) for j in range(i + 1, 105)]
+        for _ in range(40):  # random sparse pairs
+            a, b = rng.integers(200, 260, 2)
+            if a != b:
+                edges.append((int(a), int(b)))
+        df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        got = (
+            connected_components(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = dedup_clusters(df)
+        assert got["node"].tolist() == want["doc_id"].tolist()
+        assert got["label"].tolist() == want["cluster"].tolist()
+
+    def test_single_edge(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.components import connected_components
+
+        df = pd.DataFrame({"doc_a": [9], "doc_b": [3]})
+        got = connected_components(rd.from_pandas(df)).to_pandas()
+        assert sorted(got["node"]) == [3, 9]
+        assert set(got["label"]) == {3}
+
+
 class TestSpell:
     def test_levenshtein_kernel_vs_dp(self):
         import random
