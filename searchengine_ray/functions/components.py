@@ -30,11 +30,23 @@ def connected_components(
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 50,
+    small_input_edges: int = 100_000,
 ):
     """Labels for every node that appears in an edge: a Dataset
-    (node, cluster) where cluster = min node id of the component."""
+    (node, cluster) where cluster = min node id of the component.
+
+    Below ``small_input_edges`` the edge list is collapsed to a driver
+    union-find (identical output, none of the per-round shuffle fixed
+    cost) — dedup pair graphs are usually tiny relative to the corpus
+    that produced them; the propagation loop is the path that scales."""
     import ray.data as rd
     from ray.data.aggregate import Min
+
+    n_edges = edges_ds.count()
+    if n_edges <= small_input_edges:
+        pairs = edges_ds.select_columns([col_a, col_b]).to_pandas()
+        out = dedup_clusters(pairs, col_a, col_b)
+        return rd.from_pandas(out.rename(columns={"doc_id": "node", "cluster": "label"}))
 
     def undirect(b: pa.Table) -> pa.Table:
         a = b[col_a].to_numpy(zero_copy_only=False).astype(np.int64)

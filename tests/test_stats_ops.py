@@ -263,15 +263,17 @@ class TestConnectedComponents:
             if a != b:
                 edges.append((int(a), int(b)))
         df = pd.DataFrame(edges, columns=["doc_a", "doc_b"])
-        got = (
-            connected_components(rd.from_pandas(df))
-            .to_pandas()
-            .sort_values("node")
-            .reset_index(drop=True)
-        )
         want = dedup_clusters(df)
-        assert got["node"].tolist() == want["doc_id"].tolist()
-        assert got["label"].tolist() == want["cluster"].tolist()
+        # distributed propagation path AND driver fast path agree
+        for gate in (0, 10**6):
+            got = (
+                connected_components(rd.from_pandas(df), small_input_edges=gate)
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+            )
+            assert got["node"].tolist() == want["doc_id"].tolist(), gate
+            assert got["label"].tolist() == want["cluster"].tolist(), gate
 
     def test_single_edge(self, ray_session):
         import ray.data as rd
@@ -279,7 +281,7 @@ class TestConnectedComponents:
         from searchengine_ray.functions.components import connected_components
 
         df = pd.DataFrame({"doc_a": [9], "doc_b": [3]})
-        got = connected_components(rd.from_pandas(df)).to_pandas()
+        got = connected_components(rd.from_pandas(df), small_input_edges=0).to_pandas()
         assert sorted(got["node"]) == [3, 9]
         assert set(got["label"]) == {3}
 
