@@ -330,6 +330,25 @@ def scaling() -> None:
         )
 
     eff_corr = (corr_best(lo_n) / corr_best(hi_n)) / factor
+
+    # phase-composed estimator: steal bursts hit one phase of one run at
+    # a time, so the per-phase MIN across runs is the best quiet-host
+    # proxy each arm has; the build is the two phases run back-to-back,
+    # so their min-sum composes a per-arm build floor (same logic as
+    # tools/scaling_report.py over the hunter log).
+    def phase_floor(n: int) -> float:
+        phases = runs[n][0].get("phases", {})
+        return sum(
+            min(r["phases"][ph] for r in runs[n] if ph in r.get("phases", {}))
+            for ph in phases
+        )
+
+    eff_phase = 0.0
+    if all(r.get("phases") for rs in runs.values() for r in rs):
+        flo, fhi = phase_floor(lo_n), phase_floor(hi_n)
+        if fhi > 0:
+            eff_phase = (flo / fhi) / factor
+
     estimator = (
         "median_of_steal_clean_runs"
         if clean(lo_n) and clean(hi_n)
@@ -347,6 +366,7 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_min": round(eff_min, 3),
                 "scaling_efficiency_steal_corrected": round(eff_corr, 3),
+                "scaling_efficiency_phase_min": round(eff_phase, 3),
             }
         )
     )

@@ -1790,9 +1790,8 @@ def q_pii_redact(sf_dir: str) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         txt = b["text"].to_pandas()
         mask = ids % 7 == 0
-        txt = txt.where(
-            ~mask, txt + pd.Series(ids).map(lambda d: PII_SUFFIX.format(d=d))
-        )
+        suffix = " contact u" + pd.Series(ids).astype(str) + "@ex.com call 555-123-4567"
+        txt = txt.where(~mask, txt + suffix)
         return pa.table({"doc_id": b["doc_id"], "text": pa.array(txt, pa.string())})
 
     out = redact_pii(ds.map_batches(plant, batch_format="pyarrow")).to_pandas()

@@ -480,14 +480,18 @@ class SearchEngine:
             & (pc.field("term") < hi)
             & (pc.field("block_id") == 0)
         )
+        paths = [
+            p
+            for gen in list(self.manifest.generations)
+            for p in sorted((self.index_dir / gen).glob("shard=*.parquet"))
+        ]
+        tables = self._io_pool.map(
+            lambda p: pq.read_table(p, filters=filt, columns=["term", "df"]), paths
+        )
         acc: dict[str, int] = {}
-        for gen in list(self.manifest.generations):
-            for path in sorted((self.index_dir / gen).glob("shard=*.parquet")):
-                tbl = pq.read_table(path, filters=filt, columns=["term", "df"])
-                for t, df in zip(
-                    tbl["term"].to_pylist(), tbl["df"].to_pylist()
-                ):
-                    acc[t] = acc.get(t, 0) + int(df)
+        for tbl in tables:
+            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+                acc[t] = acc.get(t, 0) + int(df)
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return top
 
