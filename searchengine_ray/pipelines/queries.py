@@ -1722,6 +1722,41 @@ ORDER BY dist, df DESC, term LIMIT 5
 """
 
 
+def q_source_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Source-format breadth: parquet → JSONL → CSV → aggregate, all via
+    Ray Data's native readers/writers (S1 beyond the reference's text
+    format). The aggregate proves row fidelity through both hops."""
+    import shutil
+
+    import ray.data as rd
+
+    base = CACHE_ROOT / f"roundtrip-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    jdir, cdir = base / "jsonl", base / "csv"
+    for d in (jdir, cdir):
+        if d.exists():
+            shutil.rmtree(d)
+        d.mkdir(parents=True)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    docs.write_json(str(jdir))
+    rd.read_json(str(jdir)).write_csv(str(cdir))
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        rd.read_csv(str(cdir))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+    )
+    return out.astype({"n_docs": "int64", "chars": "int64"})
+
+
+def sql_source_roundtrip() -> str:
+    return """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster):
     the clustering step that turns pairwise dedup output into
@@ -1941,4 +1976,5 @@ def registry() -> dict[str, tuple]:
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
+        "source_roundtrip": (q_source_roundtrip, sql_source_roundtrip()),
     }
