@@ -201,7 +201,35 @@ class IvfIndex:
         self.centroids: np.ndarray | None = None
         self._bucketed = None
 
-    def build(self, ds, id_column="vec_id", emb_column="embedding") -> None:
+    def build(self, ds, id_column="vec_id", emb_column="embedding",
+              centroids: np.ndarray | None = None) -> None:
+        """Default path: k-means a sample, assign cells by cosine.
+        ``centroids=`` path: trust precomputed (e.g. the distributed
+        :func:`..functions.vectors.kmeans_fit`) raw-space centroids and
+        assign cells by L2 argmin on the RAW vectors — the deterministic,
+        SQL-mirrorable contract used by the ``ivf_topk`` oracle."""
+        if centroids is not None:
+            cent = np.asarray(centroids, dtype=np.float64)
+            self.centroids = cent
+
+            def cell_assign_l2(batch: pa.Table) -> pa.Table:
+                from .vectors import _l2_assign
+
+                ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+                raw = np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64)
+                cells = _l2_assign(raw, cent)
+                return pa.table(
+                    {
+                        "bucket": pa.array(cells, pa.int64()),
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "nemb": pa.array(_normalize(raw).tolist(), pa.list_(pa.float64())),
+                    }
+                )
+
+            self._bucketed = ds.map_batches(
+                cell_assign_l2, batch_format="pyarrow"
+            ).materialize()
+            return
         sample = ds.limit(self.sample_rows).to_pandas()
         mat = _normalize(np.stack(sample[emb_column].to_numpy()).astype(np.float64))
         rng = np.random.default_rng(self.seed)
@@ -236,11 +264,15 @@ class IvfIndex:
         if self._bucketed is None or self.centroids is None:
             raise RuntimeError("build() the index first")
         q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
-        sims = q @ self.centroids.T  # (n_q, n_centroids)
+        # cosine ranking of cells; centroids may be raw-space (kmeans_fit
+        # path) so normalize them here — no-op for the default path
+        sims = q @ _normalize(self.centroids).T  # (n_q, n_centroids)
         n_probe = min(n_probe, sims.shape[1])
         probes: dict[int, list[int]] = {}
+        cell_idx = np.arange(sims.shape[1])
         for qi in range(len(q)):
-            top_cells = np.argpartition(-sims[qi], n_probe - 1)[:n_probe]
+            # deterministic: (-cosine, cell) order, mirrors the SQL probe CTE
+            top_cells = cell_idx[np.lexsort((cell_idx, -sims[qi]))][:n_probe]
             for c in top_cells:
                 probes.setdefault(int(c), []).append(qi)
         return _scan_probes(self._bucketed, q, probes, k)

@@ -862,19 +862,84 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """WITH-clause body mirroring ``functions.vectors.kmeans_fit``
+    exactly: first-k-by-id init, L2 argmin with index tie-break,
+    per-dim means rounded to 6 digits, empty cluster keeps its
+    centroid. MATERIALIZED is mandatory — plain unrolled CTEs explode
+    DuckDB's planner (same lesson as the pagerank oracle)."""
+
+    def a_cte(prev_c: str) -> str:
+        return f"""
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, {prev_c}.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, {prev_c}.cent), {prev_c}.c) AS rn
+    FROM e CROSS JOIN {prev_c}) WHERE rn = 1"""
+
+    def c_cte(a: str, prev_c: str) -> str:
+        return f"""
+  SELECT {prev_c}.c, coalesce(m.cent, {prev_c}.cent) AS cent
+  FROM {prev_c} LEFT JOIN (
+    SELECT c, list(x ORDER BY dim) AS cent FROM (
+      SELECT {a}.c, u.dim, round(avg(u.val), 6) AS x
+      FROM {a} JOIN e USING (vec_id),
+           LATERAL (SELECT generate_subscripts(e.v, 1) AS dim, unnest(e.v) AS val) u
+      GROUP BY {a}.c, u.dim) GROUP BY c) m USING (c)"""
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cent
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"a{i} AS MATERIALIZED ({a_cte(f'c{i - 1}')})")
+        if i < iters:
+            parts.append(f"c{i} AS MATERIALIZED ({c_cte(f'a{i}', f'c{i - 1}')})")
+    return ",\n".join(parts)
+
+
+def q_kmeans(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means labelling of the embeddings table —
+    the coarse-quantizer trainer (IVF cells, cluster-balance curation).
+    Per-pass cost: one map_batches emitting ≤k partial-sum rows per
+    batch; labels come back as a Dataset, nothing row-sized touches the
+    driver."""
+    import ray.data as rd
+
+    from ..functions.vectors import kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _cent, labels = kmeans_fit(ds, k=8, iters=3)
+    return labels.to_pandas().astype({"vec_id": "int64", "cluster": "int64"})
+
+
+def sql_kmeans() -> str:
+    return f"""
+WITH {_kmeans_ctes(8, 3)}
+SELECT vec_id, c AS cluster FROM a3
+"""
+
+
 def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     """IVF (k-means coarse quantizer) ANN — the second scale path.
-    Approximate → rows-only; recall pytest-asserted."""
+    Deterministic end-to-end: cells from the distributed ``kmeans_fit``
+    (SQL-mirrorable contract), probe = 4 cells nearest the query by
+    cosine, exact cosine top-10 within the probed cells — so unlike the
+    random-plane LSH path this one has an exact SQL oracle."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..functions.similarity import IvfIndex
+    from ..functions.vectors import kmeans_fit
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent, _labels = kmeans_fit(ds, k=16, iters=3)
     idx = IvfIndex(n_centroids=16)
-    idx.build(ds)
+    idx.build(ds, centroids=cent)
     hits = idx.query(qvec, k=10, n_probe=4)
     return pd.DataFrame(
         {
@@ -882,6 +947,21 @@ def q_ivf_topk(sf_dir: str) -> pd.DataFrame:
             "cosine": pd.Series([round(s, 6) for _, s in hits], dtype="float64"),
         }
     )
+
+
+def sql_ivf_topk() -> str:
+    return f"""
+WITH {_kmeans_ctes(16, 3)},
+q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+probes AS MATERIALIZED (
+  SELECT c2.c FROM c2 CROSS JOIN q
+  ORDER BY list_cosine_similarity(c2.cent, q.qv) DESC, c2.c LIMIT 4)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+FROM a3 JOIN e USING (vec_id) CROSS JOIN q
+WHERE a3.c IN (SELECT c FROM probes)
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+LIMIT 10
+"""
 
 
 def sql_similarity_topk() -> str:
@@ -1946,7 +2026,8 @@ def registry() -> dict[str, tuple]:
         "embedding_neardup": (q_embedding_neardup, sql_embedding_neardup()),
         "similarity_topk": (q_similarity_topk, sql_similarity_topk()),
         "ann_topk": (q_ann_topk, None),
-        "ivf_topk": (q_ivf_topk, None),
+        "ivf_topk": (q_ivf_topk, sql_ivf_topk()),
+        "kmeans": (q_kmeans, sql_kmeans()),
         "token_stats": (q_token_stats, sql_token_stats()),
         "quality_scores": (q_quality_scores, sql_quality_scores()),
         "lang_id": (q_lang_id, sql_lang_id()),

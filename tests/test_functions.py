@@ -357,3 +357,86 @@ class TestIvfIndex:
             want = set(np.lexsort((np.arange(200), -sims))[:5].tolist())
             hits += len(set(got) & want)
         assert hits / 50 >= 0.6  # approximate, beats chance by far
+
+
+class TestKmeans:
+    @staticmethod
+    def _ds(mat: np.ndarray):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(mat)), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+                }
+            )
+        )
+
+    @staticmethod
+    def _reference(mat: np.ndarray, k: int, iters: int):
+        """Single-process mirror of the kmeans_fit contract."""
+        x = mat.astype(np.float64)
+        cent = x[:k].copy()
+        for it in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            lab = d.argmin(1)
+            if it < iters - 1:
+                new = cent.copy()
+                for c in range(k):
+                    m = x[lab == c]
+                    if len(m):
+                        new[c] = np.round(m.mean(0), 6)
+                cent = new
+        return cent, lab
+
+    def test_matches_reference(self, ray_session):
+        from searchengine_ray.functions.vectors import kmeans_fit
+
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((120, 8)).astype(np.float32)
+        cent, labels = kmeans_fit(self._ds(mat), k=5, iters=4)
+        want_cent, want_lab = self._reference(mat, 5, 4)
+        got = labels.to_pandas().sort_values("vec_id")
+        assert got["cluster"].to_numpy().tolist() == want_lab.tolist()
+        assert np.allclose(cent, want_cent)
+
+    def test_empty_cluster_keeps_centroid(self, ray_session):
+        from searchengine_ray.functions.vectors import kmeans_fit
+
+        # vec 1 seeds a centroid but every point (incl. itself) is nearer
+        # centroid 0's basin after one update → cluster 1 goes empty
+        mat = np.array(
+            [[0.0, 0.0], [0.2, 0.0], [0.1, 0.0], [0.1, 0.01], [0.1, -0.01]],
+            dtype=np.float32,
+        )
+        cent, labels = kmeans_fit(self._ds(mat), k=2, iters=3)
+        want_cent, want_lab = self._reference(mat, 2, 3)
+        assert labels.to_pandas().sort_values("vec_id")["cluster"].tolist() == want_lab.tolist()
+        assert np.allclose(cent, want_cent)
+
+    def test_ivf_precomputed_centroids_exact(self, ray_session):
+        """IVF with kmeans_fit centroids == brute force restricted to the
+        probed cells (the contract the SQL oracle checks)."""
+        from searchengine_ray.functions.vectors import _l2_assign, kmeans_fit
+
+        rng = np.random.default_rng(13)
+        mat = rng.standard_normal((150, 12)).astype(np.float32)
+        ds = self._ds(mat)
+        cent, _ = kmeans_fit(ds, k=6, iters=3)
+        idx = similarity.IvfIndex(n_centroids=6)
+        idx.build(ds, centroids=cent)
+        q = mat[3].astype(np.float64)
+        got = idx.query(q, k=5, n_probe=2)
+
+        x = mat.astype(np.float64)
+        cells = _l2_assign(x, cent)
+        ncent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q)
+        csims = ncent @ qn
+        probe = np.arange(6)[np.lexsort((np.arange(6), -csims))][:2]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = xn[cand] @ qn
+        order = np.lexsort((cand, -sims))[:5]
+        assert [i for i, _ in got] == cand[order].tolist()
