@@ -1837,6 +1837,76 @@ FROM documents GROUP BY lang
 """
 
 
+def q_kwic(sf_dir: str) -> pd.DataFrame:
+    """Keyword-in-context snippets: ±3-token window around the first
+    'dup' in every matching doc — the search-preview / term-mining
+    primitive, one vectorized streaming pass."""
+    import ray.data as rd
+
+    from ..functions.kwic import kwic
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return kwic(ds, term="dup", window=3).to_pandas().astype({"doc_id": "int64"})
+
+
+def sql_kwic() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \t\n\x0b\f\r]+') AS l
+  FROM documents)
+SELECT doc_id,
+       array_to_string(l[greatest(1, p - 3) : least(len(l), p + 3)], ' ') AS snippet
+FROM (SELECT doc_id, l, list_position(l, 'dup') AS p FROM toks)
+WHERE p > 0
+"""
+
+
+def q_search_facets(sf_dir: str) -> pd.DataFrame:
+    """Facet counts over a keyword search: match set from the INDEX
+    (postings lookup), facet metadata from a pruned read of the docs
+    table. The doc_id match set is broadcast once (``ray.put``); each
+    batch does one ``np.isin`` membership probe, then a facet-domain-
+    sized groupby — the result-drilldown sidebar of every search UI."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ids = np.asarray(_engine(sf_dir).search_keyword(KEYWORD), dtype=np.int64)
+    ref = ray.put(np.sort(ids))
+
+    def member(batch, _r=ref):
+        import pyarrow as pa
+
+        hit = np.isin(
+            batch["doc_id"].to_numpy(zero_copy_only=False), ray.get(_r),
+            assume_unique=False,
+        )
+        return batch.filter(pa.array(hit))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    out = (
+        ds.map_batches(member, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.astype({"n_docs": "int64"})
+
+
+def sql_search_facets() -> str:
+    return f"""
+WITH {sql_tokens_cte()},
+hits AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{KEYWORD}')
+SELECT d.lang, d.source, count(*) AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang, d.source
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster):
     the clustering step that turns pairwise dedup output into
@@ -2058,4 +2128,6 @@ def registry() -> dict[str, tuple]:
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
         "source_roundtrip": (q_source_roundtrip, sql_source_roundtrip()),
+        "kwic": (q_kwic, sql_kwic()),
+        "search_facets": (q_search_facets, sql_search_facets()),
     }

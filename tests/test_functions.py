@@ -440,3 +440,33 @@ class TestKmeans:
         sims = xn[cand] @ qn
         order = np.lexsort((cand, -sims))[:5]
         assert [i for i, _ in got] == cand[order].tolist()
+
+
+class TestKwic:
+    def test_window_first_occurrence_and_boundaries(self, ray_session):
+        from searchengine_ray.functions.kwic import kwic
+
+        ds = docs_ds(
+            {
+                0: "a b c TERM d e f g",          # interior window
+                1: "TERM x y z q",                 # left boundary clamp
+                2: "p q r s TERM",                 # right boundary clamp
+                3: "no match here",                # absent → no row
+                4: "u TERM v TERM w",              # first occurrence only
+                5: "punct, TERM. end",             # punctuation stripped
+            }
+        )
+        got = (
+            kwic(ds, term="term", window=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = {
+            0: "b c term d e",
+            1: "term x y",
+            2: "r s term",
+            4: "u term v term",  # window spans the second hit too
+            5: "punct term end",  # punct→space runs collapsed by the + split
+        }
+        assert dict(zip(got["doc_id"], got["snippet"])) == want
