@@ -1907,6 +1907,35 @@ GROUP BY d.lang, d.source
 """
 
 
+def q_doc_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 TF-IDF keywords from index artifacts only:
+    analyzed/ explode ⋈ (term-hash) dictionary df Dataset, score
+    rounded before ranking, group_topk combiner."""
+    from ..functions.keywords import doc_keywords
+
+    idx = documents_index(sf_dir, "punct")
+    out = doc_keywords(idx, k=3).to_pandas()
+    return out[["doc_id", "term", "score", "rank"]].astype(
+        {"doc_id": "int64", "rank": "int64"}
+    )
+
+
+def sql_doc_keywords() -> str:
+    return f"""
+WITH {sql_tokens_cte()},
+df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * log10(CAST(n.n AS DOUBLE) / d.df + 1.0), 6) AS score
+  FROM toks t JOIN df d USING (term) CROSS JOIN n)
+SELECT doc_id, term, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster):
     the clustering step that turns pairwise dedup output into
@@ -2129,5 +2158,6 @@ def registry() -> dict[str, tuple]:
         "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
         "source_roundtrip": (q_source_roundtrip, sql_source_roundtrip()),
         "kwic": (q_kwic, sql_kwic()),
+        "doc_keywords": (q_doc_keywords, sql_doc_keywords()),
         "search_facets": (q_search_facets, sql_search_facets()),
     }
