@@ -66,7 +66,11 @@ def main() -> None:
     }
     arms: dict[int, dict] = {}
     for n in pair:
-        sel = [r for r in rows if r.get("arm_cpus") == n]
+        # load_max (recorded by the hunter since session 7) taints runs
+        # that overlapped the agent's own work — same-host load is
+        # invisible to /proc/stat steal
+        sel = [r for r in rows if r.get("arm_cpus") == n
+               and r.get("load_max", 0) <= n + 3]
         out["runs_per_arm"][str(n)] = len(sel)
         clean = [r for r in sel if r.get("steal_busy_pct", 99) <= gate]
         arm: dict = {}
