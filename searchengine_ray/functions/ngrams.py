@@ -117,3 +117,88 @@ def bigram_counts(ds, text_column: str = "text", top_k: int | None = None) -> pd
     out = agg.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     out = out.sort_values(["n", "t1", "t2"], ascending=[False, True, True])
     return out.head(top_k).reset_index(drop=True)
+
+
+def unigram_partial_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-batch partial token counts (t, n_part) — same tokenizer and
+    empty-token policy as the bigram pass."""
+    import pyarrow.compute as pc
+
+    from ..analysis.batch import _tokenize_arrow
+
+    toks = _tokenize_arrow(batch[text_column], "punct")
+    flat = pc.list_flatten(toks)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    empty = pa.table(
+        {"t": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+    )
+    if len(flat) == 0:
+        return empty
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    codes = codes[(vocab != "")[codes]]
+    if not len(codes):
+        return empty
+    uniq, n = np.unique(codes, return_counts=True)
+    return pa.table(
+        {"t": pa.array(vocab[uniq], pa.string()), "n_part": pa.array(n, pa.int64())}
+    )
+
+
+def collocations_pmi(ds, top_k: int = 20, text_column: str = "text") -> pd.DataFrame:
+    """Top-k bigrams by count, scored with pointwise mutual information
+    ``pmi = log2((n_ab/B) / ((n_a/T)·(n_b/T)))`` — the collocation
+    strength measure tokenizer-merge / phrase-mining pipelines use.
+
+    Scale shape: both count tables stay Datasets (combiner shuffles);
+    only the k winning bigrams and the ≤2k unigram rows they reference
+    ever reach the driver. Totals are Dataset ``sum`` aggregates."""
+    from ray.data.aggregate import Sum
+
+    big_part = ds.map_batches(
+        bigram_partial_counts, batch_format="pyarrow",
+        fn_kwargs={"text_column": text_column},
+    ).materialize()
+    uni_part = ds.map_batches(
+        unigram_partial_counts, batch_format="pyarrow",
+        fn_kwargs={"text_column": text_column},
+    ).materialize()
+    b_total = int(big_part.sum("n_part") or 0)
+    t_total = int(uni_part.sum("n_part") or 0)
+
+    top = (
+        big_part.groupby(["t1", "t2"]).aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["n", "t1", "t2"], ascending=[False, True, True])
+        return pa.Table.from_pandas(df.head(top_k), preserve_index=False)
+
+    winners = top.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    winners = winners.sort_values(
+        ["n", "t1", "t2"], ascending=[False, True, True]
+    ).head(top_k).reset_index(drop=True)
+
+    need = sorted(set(winners["t1"]) | set(winners["t2"]))
+
+    def pick(b: pa.Table, _need=frozenset(need)) -> pa.Table:
+        mask = np.fromiter(
+            (t in _need for t in b["t"].to_pylist()), bool, len(b)
+        )
+        return b.filter(pa.array(mask))
+
+    uni = (
+        uni_part.map_batches(pick, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    counts = dict(zip(uni["t"], uni["n"]))
+    na = winners["t1"].map(counts).to_numpy(dtype=np.float64)
+    nb = winners["t2"].map(counts).to_numpy(dtype=np.float64)
+    n_ab = winners["n"].to_numpy(dtype=np.float64)
+    pmi = np.log2((n_ab / b_total) / ((na / t_total) * (nb / t_total)))
+    winners["pmi"] = np.round(pmi, 6)
+    return winners.astype({"n": "int64"})

@@ -165,3 +165,65 @@ def sessionize(
         .groupby("_bucket")
         .map_groups(empty_safe, batch_format="pandas")
     )
+
+
+def running_total(
+    ds,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    ndigits: int = 4,
+):
+    """Per-key cumulative sum in time order — the running-balance /
+    cumulative-spend window scan (``sum(value) OVER (PARTITION BY user
+    ORDER BY ts, id)``).
+
+    Same scale shape as :func:`sessionize`: one key-hash bucket shuffle,
+    then a vectorized per-bucket pass (sort + pandas per-group cumsum —
+    sequential accumulation in exactly the order a SQL running sum
+    adds, so the rounded values are oracle-comparable). Returns a
+    Dataset ``(id_col, user_col, running)``."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                user_col: b[user_col],
+                "_ts": b[ts_col].cast(pa.int64()),
+                "_val": b[value_col],
+                id_col: b[id_col],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    user_col: pd.Series([], dtype="int64"),
+                    "running": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        run = g.groupby(user_col, sort=False)["_val"].cumsum().round(ndigits)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64"),
+                user_col: g[user_col].astype("int64"),
+                "running": run.astype("float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

@@ -1936,6 +1936,70 @@ WHERE rank <= 3
 """
 
 
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative spend over events in (ts, event_id) order —
+    one key-hash bucket shuffle + vectorized per-bucket scan."""
+    import ray.data as rd
+
+    from ..functions.windows import running_total
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = running_total(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def sql_running_total() -> str:
+    return """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS running
+FROM events
+"""
+
+
+def q_collocations_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-20 bigrams scored with PMI (collocation strength): count
+    Datasets stay distributed; only the winners + the unigram rows they
+    reference reach the driver."""
+    import ray.data as rd
+
+    from ..functions.ngrams import collocations_pmi
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocations_pmi(ds, top_k=20)
+
+
+def sql_collocations_pmi() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok WHERE t <> ''
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+), bigr AS (
+  SELECT t1, t2, count(*) AS n FROM pairs GROUP BY 1, 2
+), uni AS (
+  SELECT t, count(*) AS n FROM ftok GROUP BY t
+), tot AS (
+  SELECT (SELECT count(*) FROM ftok) AS t_total,
+         (SELECT count(*) FROM pairs) AS b_total
+)
+SELECT t1, t2, bigr.n,
+       round(log2((CAST(bigr.n AS DOUBLE) / b_total)
+                  / ((CAST(ua.n AS DOUBLE) / t_total) * (CAST(ub.n AS DOUBLE) / t_total))), 6) AS pmi
+FROM bigr JOIN uni ua ON ua.t = bigr.t1 JOIN uni ub ON ub.t = bigr.t2 CROSS JOIN tot
+ORDER BY bigr.n DESC, t1, t2 LIMIT 20
+"""
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs → connected components → (doc_id, cluster):
     the clustering step that turns pairwise dedup output into
@@ -2159,5 +2223,7 @@ def registry() -> dict[str, tuple]:
         "source_roundtrip": (q_source_roundtrip, sql_source_roundtrip()),
         "kwic": (q_kwic, sql_kwic()),
         "doc_keywords": (q_doc_keywords, sql_doc_keywords()),
+        "running_total": (q_running_total, sql_running_total()),
+        "collocations_pmi": (q_collocations_pmi, sql_collocations_pmi()),
         "search_facets": (q_search_facets, sql_search_facets()),
     }

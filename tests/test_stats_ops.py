@@ -320,3 +320,23 @@ class TestSpell:
         assert (out["dist"] <= 2).all()
         key = list(zip(out["dist"], -out["df"], out["term"]))
         assert key == sorted(key)
+
+
+class TestCollocationsPMI:
+    def test_hand_computed(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.ngrams import collocations_pmi
+
+        ds = rd.from_arrow(
+            pa.table({"text": pa.array(["a b a b", "a b c"], pa.string())})
+        )
+        out = collocations_pmi(ds, top_k=2)
+        # tokens: T=7 (a:3 b:3 c:1); pairs: (a,b)x3 (b,a)x1 (b,c)x1 → B=5
+        assert out.iloc[0][["t1", "t2", "n"]].tolist() == ["a", "b", 3]
+        want = math.log2((3 / 5) / ((3 / 7) * (3 / 7)))
+        assert abs(out.iloc[0]["pmi"] - round(want, 6)) < 1e-9
+        assert out.iloc[1][["t1", "t2", "n"]].tolist() == ["b", "a", 1]

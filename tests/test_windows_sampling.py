@@ -212,3 +212,28 @@ def test_stratified_sample_rates(ray_session):
     pct = _hash_pct(df["eid"].to_numpy())
     want_mask = np.where(df["kind"].to_numpy() == "a", pct < 50, pct < 10)
     assert set(got["eid"]) == set(df["eid"][want_mask])
+
+
+class TestRunningTotal:
+    def test_per_user_order_and_ties(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.windows import running_total
+
+        # user 1: ts tie at 20 broken by event_id; user 2 isolated
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([10, 20, 20, 5, 30], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "value": pa.array([1.5, 2.0, 4.0, 10.0, 0.25], pa.float64()),
+            }
+        )
+        out = (
+            running_total(rd.from_arrow(t), "user_id", "ts", "value", "event_id")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["running"].tolist() == [1.5, 3.5, 7.5, 10.0, 10.25]
