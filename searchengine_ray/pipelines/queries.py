@@ -2159,6 +2159,59 @@ WHERE g.doc_id % 97 <> 0
 """.replace("{stoplist}", _stoplist_sql())
 
 
+def q_triangle_count(sf_dir: str) -> pd.DataFrame:
+    """Graph analytics: triangle count over the same deterministic
+    doc-id link graph as ``pagerank`` (degree-oriented wedge check —
+    Suri & Vassilvitskii WWW'11 — every stage a Dataset shuffle, the
+    driver sees one scalar)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from searchengine_ray.functions.graph import triangle_count
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    t = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    count = triangle_count(rd.from_arrow(t))
+    return pd.DataFrame({"triangles": pd.Series([count], dtype="int64")})
+
+
+def sql_triangle_count() -> str:
+    """Naive id-oriented triangle join — the count is
+    orientation-independent, so this verifies the degree-oriented Ray
+    path exactly."""
+    return """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges_raw WHERE src <> dst
+)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM und e1
+JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2226,4 +2279,5 @@ def registry() -> dict[str, tuple]:
         "running_total": (q_running_total, sql_running_total()),
         "collocations_pmi": (q_collocations_pmi, sql_collocations_pmi()),
         "search_facets": (q_search_facets, sql_search_facets()),
+        "triangle_count": (q_triangle_count, sql_triangle_count()),
     }
