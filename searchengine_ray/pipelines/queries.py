@@ -2212,6 +2212,139 @@ JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
+    per-doc word stats + dup-word / top-word / top-bigram fractions and
+    the accept decision — one vectorized map_batches, no shuffle."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.gopher import gopher_metrics_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_metrics_batch, batch_format="pyarrow").to_pandas()
+
+
+def sql_gopher_quality() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok WHERE t <> ''
+), wc AS (
+  SELECT doc_id, t, count(*) AS c FROM ftok GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS topc, count(*) AS nd,
+         sum(c * length(t)) AS chars
+  FROM wc GROUP BY 1
+), big AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2, count(*) AS c
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2, 3
+), bagg AS (
+  SELECT doc_id, max(c) AS topb, sum(c) AS nb FROM big GROUP BY 1
+), m AS (
+  SELECT d.doc_id,
+         coalesce(w.n, 0) AS n_words,
+         coalesce(w.chars, 0) / greatest(coalesce(w.n, 0), 1.0) AS mean_word_len,
+         1.0 - coalesce(w.nd, 0) / greatest(coalesce(w.n, 0), 1.0) AS dup_word_frac,
+         coalesce(w.topc, 0) / greatest(coalesce(w.n, 0), 1.0) AS top_word_frac,
+         coalesce(b.topb, 0) / greatest(coalesce(b.nb, 0), 1.0) AS top_bigram_frac
+  FROM documents d
+  LEFT JOIN wagg w USING (doc_id) LEFT JOIN bagg b USING (doc_id)
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(dup_word_frac, 6) AS dup_word_frac,
+       round(top_word_frac, 6) AS top_word_frac,
+       round(top_bigram_frac, 6) AS top_bigram_frac,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND dup_word_frac <= 0.60
+            AND top_word_frac <= 0.30
+            AND top_bigram_frac <= 0.18 AS BIGINT) AS keep
+FROM m
+"""
+
+
+def q_warc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """WET (Common Crawl WARC conversion records) source/sink fidelity:
+    documents → one .warc.wet shard per block (written inside
+    map_batches) → read_binary_files + byte-exact Content-Length parse
+    → per-doc md5. Matching the oracle's md5(text) proves byte
+    fidelity through the container format."""
+    import shutil
+
+    import pyarrow as pa
+
+    from searchengine_ray.sources.warc import read_wet_dir, write_wet_dir
+
+    base = CACHE_ROOT / f"wet-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    write_wet_dir(docs, str(base))
+
+    def digest(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        md5 = [_h.md5(t.encode("utf-8")).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "md5": pa.array(md5, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in b["text"].to_pylist()], pa.int64()
+                ),
+            }
+        )
+
+    out = read_wet_dir(str(base)).map_batches(digest, batch_format="pyarrow")
+    return out.to_pandas()
+
+
+def sql_warc_roundtrip() -> str:
+    return "SELECT doc_id, md5(text) AS md5, CAST(length(text) AS BIGINT) AS n_chars FROM documents"
+
+
+# RE2-safe GPT-2-style pre-tokenizer (the public tiktoken/GPT-2 pattern
+# minus its \s+(?!\S) lookahead, which RE2 rejects); both sides run RE2
+# (Arrow's count_substring_regex and DuckDB's regexp_extract_all), so
+# match semantics are engine-identical.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def q_bpe_pretokenize(sf_dir: str) -> pd.DataFrame:
+    """Token-budget estimation: count GPT-2-style pre-tokenizer matches
+    per doc (the standard first stage of BPE tokenization) with Arrow's
+    RE2 kernel — one streaming pass, zero Python in the hot loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], BPE_PRETOKEN_RE)
+        return pa.table({"doc_id": b["doc_id"], "n_pretokens": n.cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(count, batch_format="pyarrow").to_pandas()
+
+
+def sql_bpe_pretokenize() -> str:
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '"
+        + BPE_PRETOKEN_RE.replace("'", "''")
+        + "')) AS BIGINT) AS n_pretokens FROM documents"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2280,4 +2413,7 @@ def registry() -> dict[str, tuple]:
         "collocations_pmi": (q_collocations_pmi, sql_collocations_pmi()),
         "search_facets": (q_search_facets, sql_search_facets()),
         "triangle_count": (q_triangle_count, sql_triangle_count()),
+        "gopher_quality": (q_gopher_quality, sql_gopher_quality()),
+        "warc_roundtrip": (q_warc_roundtrip, sql_warc_roundtrip()),
+        "bpe_pretokenize": (q_bpe_pretokenize, sql_bpe_pretokenize()),
     }
