@@ -227,3 +227,66 @@ def running_total(
         .groupby("_bucket")
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def lag_delta(
+    ds,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    ndigits: int = 4,
+):
+    """Per-key previous value + delta in time order — the LAG window
+    (``value - lag(value) OVER (PARTITION BY user ORDER BY ts, id)``).
+
+    Same scale shape as :func:`running_total`: one key-hash bucket
+    shuffle, vectorized per-bucket sort + groupby shift. Returns a
+    Dataset ``(id_col, user_col, prev, delta)`` — ``prev``/``delta``
+    NULL on each key's first event, exactly as SQL LAG."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                user_col: b[user_col],
+                "_ts": b[ts_col].cast(pa.int64()),
+                "_val": b[value_col],
+                id_col: b[id_col],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    user_col: pd.Series([], dtype="int64"),
+                    "prev": pd.Series([], dtype="float64"),
+                    "delta": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        prev = g.groupby(user_col, sort=False)["_val"].shift(1)
+        delta = (g["_val"] - prev).round(ndigits)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].astype("int64"),
+                user_col: g[user_col].astype("int64"),
+                "prev": prev.round(ndigits).astype("float64"),
+                "delta": delta.astype("float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

@@ -2345,6 +2345,153 @@ def sql_bpe_pretokenize() -> str:
     )
 
 
+def q_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG window: previous value + delta in (ts, event_id)
+    order — key-hash bucket shuffle + vectorized per-bucket shift."""
+    import ray.data as rd
+
+    from ..functions.windows import lag_delta
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = lag_delta(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    return out.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def sql_lag_delta() -> str:
+    return """
+SELECT event_id, user_id,
+       round(lag(value) OVER w, 4) AS prev,
+       round(value - lag(value) OVER w, 4) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rollup_counts(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP-style multi-level aggregation: doc counts + char sums at
+    (lang, source), (lang) and grand-total levels. The finest level is
+    ONE distributed groupby; coarser levels derive from its (tiny)
+    result on the driver — no second pass over the data."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    fine = (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+    )
+    by_lang = fine.groupby("lang", as_index=False)[["n_docs", "chars"]].sum()
+    by_lang["source"] = None
+    total = pd.DataFrame(
+        {
+            "lang": [None],
+            "source": [None],
+            "n_docs": [fine["n_docs"].sum()],
+            "chars": [fine["chars"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_lang, total], ignore_index=True)
+    out["lang"] = out["lang"].astype("object")
+    out["source"] = out["source"].astype("object")
+    return out[["lang", "source", "n_docs", "chars"]].astype(
+        {"n_docs": "int64", "chars": "int64"}
+    )
+
+
+def sql_rollup_counts() -> str:
+    return """
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+def q_event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-group mean/variance via distributed (n, Σv, Σv²) partials —
+    the textbook one-pass moments combiner; the finalize runs on the
+    group-cardinality-sized aggregate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column("_v2", pc.multiply(b["value"], b["value"]))
+
+    agg = (
+        ds.map_batches(add_sq, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="s"),
+            Sum("_v2", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].astype("float64")
+    mean = agg["s"] / n
+    var = (agg["ss"] - agg["s"] * agg["s"] / n) / n
+    return pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "mean": mean.round(6).astype("float64"),
+            "var": var.round(6).astype("float64"),
+        }
+    )
+
+
+def sql_event_type_stats() -> str:
+    # the same (n, Σv, Σv²) formula as the Ray combiner — NOT var_pop,
+    # whose single-pass update order would differ in the last ulps
+    return """
+SELECT event_type, count(*) AS n,
+       round(sum(value) / count(*), 6) AS mean,
+       round((sum(value * value) - sum(value) * sum(value) / count(*)) / count(*), 6) AS var
+FROM events GROUP BY event_type
+"""
+
+
+def q_shuffle_train_order(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-order shuffle: global sort by
+    md5(doc_id) — a reproducible permutation any engine can replay
+    (the resumable alternative to seeded random_shuffle); distributed
+    range-partitioned sort, first 100 rows out. At 100 TB the md5 key
+    would be a cheaper splitmix hash — md5 here because the permutation
+    is part of the cross-engine contract."""
+    import hashlib as _h
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def key(b: pa.Table) -> pa.Table:
+        ks = [
+            _h.md5(str(d).encode()).hexdigest() for d in b["doc_id"].to_pylist()
+        ]
+        return pa.table({"doc_id": b["doc_id"], "k": pa.array(ks, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = ds.map_batches(key, batch_format="pyarrow").sort("k").limit(100).to_pandas()
+    out["pos"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["pos", "doc_id", "k"]].astype({"doc_id": "int64"})
+
+
+def sql_shuffle_train_order() -> str:
+    return """
+SELECT CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos,
+       doc_id, md5(CAST(doc_id AS VARCHAR)) AS k
+FROM documents
+ORDER BY k LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2416,4 +2563,8 @@ def registry() -> dict[str, tuple]:
         "gopher_quality": (q_gopher_quality, sql_gopher_quality()),
         "warc_roundtrip": (q_warc_roundtrip, sql_warc_roundtrip()),
         "bpe_pretokenize": (q_bpe_pretokenize, sql_bpe_pretokenize()),
+        "lag_delta": (q_lag_delta, sql_lag_delta()),
+        "rollup_counts": (q_rollup_counts, sql_rollup_counts()),
+        "event_type_stats": (q_event_type_stats, sql_event_type_stats()),
+        "shuffle_train_order": (q_shuffle_train_order, sql_shuffle_train_order()),
     }

@@ -237,3 +237,30 @@ class TestRunningTotal:
             .reset_index(drop=True)
         )
         assert out["running"].tolist() == [1.5, 3.5, 7.5, 10.0, 10.25]
+
+
+class TestLagDelta:
+    def test_per_user_lag_and_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.windows import lag_delta
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "ts": pa.array([10, 20, 20, 5, 30], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "value": pa.array([1.5, 2.0, 4.0, 10.0, 0.25], pa.float64()),
+            }
+        )
+        out = (
+            lag_delta(rd.from_arrow(t), "user_id", "ts", "value", "event_id")
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # first event per user -> NULL prev/delta; ts tie broken by id
+        assert out["prev"].isna().tolist() == [True, False, False, True, False]
+        assert out["prev"].tolist()[1:3] == [1.5, 2.0]
+        assert out["delta"].tolist()[4] == -9.75
