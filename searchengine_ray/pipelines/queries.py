@@ -2492,6 +2492,136 @@ ORDER BY k LIMIT 100
 """
 
 
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority): the composed relational
+    pipeline — small-side broadcast semi-join (BUILDING customers →
+    orders filter, no shuffle), date predicates pushed into the scans,
+    ONE native hash join on the fact keys, grouped revenue, top-10.
+    Ranking is by round(revenue, 4) then l_orderkey so double partial-
+    sum order can't flip near-ties across engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff = pd.Timestamp("1998-06-01")
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    keys_ref = ray.put(building.to_numpy(zero_copy_only=False).astype(np.int64))
+
+    cut_scalar = pa.scalar(cutoff.to_pydatetime(), pa.timestamp("us"))
+
+    def orders_semi(b: pa.Table, _ref=keys_ref) -> pa.Table:
+        b = b.filter(pc.less(b["o_orderdate"], cut_scalar))
+        keys = ray.get(_ref)
+        mask = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return b.filter(pa.array(mask)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(orders_semi, batch_format="pyarrow")
+
+    def revenue(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], cut_scalar))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(revenue, batch_format="pyarrow")
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(4)
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    ).astype({"l_orderkey": "int64"})
+
+
+def sql_tpch_q3() -> str:
+    return """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured field extraction: pull the integer ``k`` out of
+    the JSON ``props`` column with Arrow's RE2 extract kernel (no
+    per-row JSON parse in the hot path), then aggregate per
+    event_type — the log-analytics staple."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": b["event_type"], "k": k})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    return out.astype({"n": "int64", "sum_k": "int64"})
+
+
+def sql_props_extract() -> str:
+    return r"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed COUNT(DISTINCT): two-level aggregation — the
+    (event_type, user_id) distinct groupby collapses N rows to the
+    distinct-pair cardinality, then a count per event_type. No driver
+    sets, no sort."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    return out[["event_type", "n_users"]].astype({"n_users": "int64"})
+
+
+def sql_distinct_users() -> str:
+    return "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2567,4 +2697,7 @@ def registry() -> dict[str, tuple]:
         "rollup_counts": (q_rollup_counts, sql_rollup_counts()),
         "event_type_stats": (q_event_type_stats, sql_event_type_stats()),
         "shuffle_train_order": (q_shuffle_train_order, sql_shuffle_train_order()),
+        "tpch_q3": (q_tpch_q3, sql_tpch_q3()),
+        "props_extract": (q_props_extract, sql_props_extract()),
+        "distinct_users": (q_distinct_users, sql_distinct_users()),
     }
