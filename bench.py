@@ -181,6 +181,7 @@ REGISTRY_BENCH = [
     "events_window", "asof_join", "multimodal_bmp",
     "sessionize", "range_join", "sliding_window",
     "bigram_counts", "event_quantiles", "embedding_centroids",
+    "gopher_quality", "tpch_q3", "distinct_users", "triangle_count", "lag_delta",
 ]
 
 
