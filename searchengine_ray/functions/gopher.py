@@ -42,9 +42,15 @@ MAX_TOP_BIGRAM_FRAC = 0.18
 
 
 def _per_doc_max(keys_doc: np.ndarray, counts: np.ndarray, n_docs: int) -> np.ndarray:
-    """Max of ``counts`` grouped by ``keys_doc`` (int doc indices)."""
+    """Max of ``counts`` grouped by ``keys_doc`` — REQUIRES keys_doc
+    non-decreasing (np.unique output order), which makes groups
+    contiguous and lets ``np.maximum.reduceat`` replace the ~100×
+    slower ``np.maximum.at`` scatter."""
     out = np.zeros(n_docs, np.int64)
-    np.maximum.at(out, keys_doc, counts)
+    if len(keys_doc) == 0:
+        return out
+    starts = np.flatnonzero(np.r_[True, np.diff(keys_doc) > 0])
+    out[keys_doc[starts]] = np.maximum.reduceat(counts, starts)
     return out
 
 
