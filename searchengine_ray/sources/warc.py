@@ -102,6 +102,10 @@ def write_wet_dir(docs_ds, out_dir: str, text_column: str = "text"):
     os.makedirs(out_dir, exist_ok=True)
 
     def dump(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # Ray may emit empty blocks
+            return pa.table(
+                {"path": pa.array([], pa.string()), "n_docs": pa.array([], pa.int64())}
+            )
         payload = docs_to_wet(batch, text_column)
         lo = min(batch["doc_id"].to_pylist())
         path = os.path.join(out_dir, f"part-{lo:012d}.warc.wet")
