@@ -103,6 +103,21 @@ def build_index(
     docs_dir = index_dir / "docs"
     postings_dir = index_dir / generation
 
+    if url_column:
+        # tolerate url-less corpora: the url column is only REQUIRED
+        # when doc ids derive from it (doc_id_column is None);
+        # otherwise it just enriches the doc store when present.
+        import pyarrow.dataset as pads
+
+        first = corpus_path[0] if isinstance(corpus_path, list) else corpus_path
+        if url_column not in pads.dataset(first).schema.names:
+            if doc_id_column is None:
+                raise ValueError(
+                    f"corpus has no '{url_column}' column; pass "
+                    "doc_id_column= or provide urls for doc-id hashing"
+                )
+            url_column = None
+
     # ---------- phase A: analyze ----------
     if not manifest.phase_complete("analyze"):
         t0 = time.perf_counter()
