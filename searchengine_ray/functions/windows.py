@@ -290,3 +290,115 @@ def lag_delta(
         .groupby("_bucket")
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def first_last_by_key(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_cols: list[str],
+    n_buckets: int = 32,
+):
+    """Per-key FIRST_VALUE/LAST_VALUE in (ts, id) order, for each of
+    ``value_cols`` — one key-hash bucket shuffle, then a vectorized
+    per-bucket sort + ``drop_duplicates(keep=...)`` (no per-group
+    Python). Returns ``(key, first_<col>..., last_<col>...)``."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(keys.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        cols = {"_bucket": pa.array(bucket, pa.int32()), key_col: b[key_col],
+                "_ts": b[ts_col].cast(pa.int64()), id_col: b[id_col]}
+        for c in value_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # works for empty buckets too: every step below preserves the
+        # input dtypes, so group schemas stay consistent for Ray's concat
+        g = g.sort_values([key_col, "_ts", id_col], kind="mergesort")
+        first = g.drop_duplicates(key_col, keep="first").set_index(key_col)
+        last = g.drop_duplicates(key_col, keep="last").set_index(key_col)
+        out = pd.DataFrame({key_col: first.index.to_numpy()})
+        for c in value_cols:
+            out[f"first_{c}"] = first[c].to_numpy()
+            out[f"last_{c}"] = last[c].to_numpy()
+        return out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    ndigits: int = 6,
+):
+    """Per-key time-weighted average: each value holds until the key's
+    next event, ``Σ v_i·(t_{i+1}-t_i) / (t_last-t_first)`` — the
+    telemetry/billing staple. NULL for keys whose events share one
+    timestamp (zero total duration). One bucket shuffle, vectorized
+    per-bucket diff."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(keys.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                key_col: b[key_col],
+                "_ts": b[ts_col].cast(pa.int64()),
+                "_val": b[value_col],
+                id_col: b[id_col],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "twa": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.sort_values([key_col, "_ts", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        keys = g[key_col].to_numpy()
+        ts = g["_ts"].to_numpy(np.float64)
+        val = g["_val"].to_numpy(np.float64)
+        nxt = np.empty_like(ts)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = ts[-1]
+        same = np.empty(len(g), bool)
+        same[:-1] = keys[1:] == keys[:-1]
+        same[-1] = False
+        w = np.where(same, nxt - ts, 0.0)
+        uniq, start = np.unique(keys, return_index=True)
+        num = np.add.reduceat(val * w, start)
+        den = np.add.reduceat(w, start)
+        twa = np.where(den > 0, num / np.maximum(den, 1.0), np.nan)
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(uniq, dtype="int64"),
+                "twa": pd.Series(np.round(twa, ndigits), dtype="float64"),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

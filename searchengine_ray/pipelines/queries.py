@@ -2622,6 +2622,74 @@ def sql_distinct_users() -> str:
     return "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
 
+def q_first_last(sf_dir: str) -> pd.DataFrame:
+    """Per-user FIRST_VALUE/LAST_VALUE of (event_type, value) in
+    (ts, event_id) order — bucket shuffle + vectorized dedup keep=first/
+    last, no per-group Python."""
+    import ray.data as rd
+
+    from ..functions.windows import first_last_by_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = first_last_by_key(
+        ds, "user_id", "ts", "event_id", ["event_type", "value"]
+    ).to_pandas()
+    for c in ("first_value", "last_value"):
+        out[c] = out[c].round(4)
+    return out.astype({"user_id": "int64"})
+
+
+def sql_first_last() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS c
+  FROM events
+)
+SELECT user_id,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_event_type,
+       round(max(CASE WHEN rn = 1 THEN value END), 4) AS first_value,
+       max(CASE WHEN rn = c THEN event_type END) AS last_event_type,
+       round(max(CASE WHEN rn = c THEN value END), 4) AS last_value
+FROM o GROUP BY user_id
+"""
+
+
+def q_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average of value (each reading holds
+    until the next event) — the telemetry/billing aggregate; NULL for
+    single-instant users."""
+    import ray.data as rd
+
+    from ..functions.windows import time_weighted_avg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    out = time_weighted_avg(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    return out.astype({"user_id": "int64"})
+
+
+def sql_time_weighted_avg() -> str:
+    # coalesce(w, 0) keeps single-event users in the result (NULL twa),
+    # matching the Ray side's NaN row for zero total duration
+    return """
+WITH o AS (
+  SELECT user_id, value,
+         coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  - epoch_us(ts), 0) AS w
+  FROM events
+)
+SELECT user_id,
+       round(CASE WHEN sum(w) > 0 THEN sum(value * w) / sum(w) END, 6) AS twa
+FROM o GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2700,4 +2768,6 @@ def registry() -> dict[str, tuple]:
         "tpch_q3": (q_tpch_q3, sql_tpch_q3()),
         "props_extract": (q_props_extract, sql_props_extract()),
         "distinct_users": (q_distinct_users, sql_distinct_users()),
+        "first_last": (q_first_last, sql_first_last()),
+        "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg()),
     }

@@ -264,3 +264,40 @@ class TestLagDelta:
         assert out["prev"].isna().tolist() == [True, False, False, True, False]
         assert out["prev"].tolist()[1:3] == [1.5, 2.0]
         assert out["delta"].tolist()[4] == -9.75
+
+
+class TestFirstLastTwa:
+    def test_first_last_and_twa(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.windows import (
+            first_last_by_key,
+            time_weighted_avg,
+        )
+
+        # user 1: values 1.0 (held 10us), 3.0 (held 30us), 5.0 (last, no hold)
+        # user 2: single event -> twa NULL
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([0, 10, 40, 7], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "kind": pa.array(["a", "b", "c", "z"]),
+                "value": pa.array([1.0, 3.0, 5.0, 9.0], pa.float64()),
+            }
+        )
+        fl = (
+            first_last_by_key(rd.from_arrow(t), "user_id", "ts", "event_id", ["kind", "value"])
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        assert fl["first_kind"].tolist() == ["a", "z"]
+        assert fl["last_kind"].tolist() == ["c", "z"]
+        assert fl["last_value"].tolist() == [5.0, 9.0]
+
+        twa = (
+            time_weighted_avg(rd.from_arrow(t), "user_id", "ts", "value", "event_id")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        assert twa["twa"][0] == (1.0 * 10 + 3.0 * 30) / 40
+        assert twa["twa"].isna().tolist() == [False, True]
