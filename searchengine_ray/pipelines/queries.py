@@ -2690,6 +2690,43 @@ FROM o GROUP BY user_id
 """
 
 
+def q_partitioned_write(sf_dir: str) -> pd.DataFrame:
+    """Hive-partitioned sink (the resumable-output contract): write
+    documents partitioned by lang (one directory per key — a failed run
+    skips finished partitions), then read ONE partition back via
+    directory pruning and aggregate. Returns per-lang doc counts + char
+    sums computed from the re-read, proving write/read fidelity."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = CACHE_ROOT / f"partwrite-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    docs.write_parquet(str(base), partition_cols=["lang"])
+
+    out = (
+        rd.read_parquet(str(base))
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="chars"))
+        .to_pandas()
+    )
+    out["lang"] = out["lang"].astype("object")
+    return out.astype({"n_docs": "int64", "chars": "int64"})
+
+
+def sql_partitioned_write() -> str:
+    return """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -2770,4 +2807,5 @@ def registry() -> dict[str, tuple]:
         "distinct_users": (q_distinct_users, sql_distinct_users()),
         "first_last": (q_first_last, sql_first_last()),
         "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg()),
+        "partitioned_write": (q_partitioned_write, sql_partitioned_write()),
     }
