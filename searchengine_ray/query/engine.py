@@ -749,21 +749,36 @@ class SearchEngine:
         avgdl = self.manifest.avgdl or 1.0
         out = np.zeros(len(cand))
         if isinstance(p, LazyTermPostings) and p._mat is None:
+            order = None
+            if len(cand) > 1 and not (cand[1:] >= cand[:-1]).all():
+                order = np.argsort(cand, kind="stable")  # callers pass sorted; safety net
+                cand = cand[order]
             blocks = np.searchsorted(p.block_doc_max, cand, side="left")
-            valid = blocks < p.n_blocks
-            for blk in np.unique(blocks[valid]):
-                sel = np.flatnonzero(valid & (blocks == blk))
-                ids = p.block_ids(int(blk))
-                pos = np.searchsorted(ids, cand[sel])
-                pos_c = np.minimum(pos, len(ids) - 1)
-                ok = ids[pos_c] == cand[sel]
-                if not ok.any():
-                    continue
-                tfs, dls = p.block_tf_dl(int(blk))
-                w = tfs[pos_c[ok]] / (
-                    tfs[pos_c[ok]] + k1 * (1.0 - b + b * dls[pos_c[ok]] / avgdl)
-                )
-                out[sel[ok]] = coef * w * qtf_t
+            # cand sorted + block_doc_max sorted → blocks non-decreasing,
+            # and block doc-ranges are disjoint & increasing, so the hit
+            # blocks' postings concatenate into ONE globally sorted array:
+            # a single searchsorted replaces the per-block Python loop
+            # (untouched blocks are still never decoded)
+            n_valid = int(np.searchsorted(blocks, p.n_blocks, side="left"))
+            if n_valid:
+                hit = np.unique(blocks[:n_valid])
+                ids_cat = np.concatenate([p.block_ids(int(bk)) for bk in hit])
+                sub = cand[:n_valid]
+                pos = np.searchsorted(ids_cat, sub)
+                pos_c = np.minimum(pos, len(ids_cat) - 1)
+                ok = ids_cat[pos_c] == sub
+                if ok.any():
+                    parts = [p.block_tf_dl(int(bk)) for bk in hit]
+                    tfs = np.concatenate([t for t, _ in parts])
+                    dls = np.concatenate([d for _, d in parts])
+                    w = tfs[pos_c[ok]] / (
+                        tfs[pos_c[ok]] + k1 * (1.0 - b + b * dls[pos_c[ok]] / avgdl)
+                    )
+                    out[:n_valid][ok] = coef * w * qtf_t
+            if order is not None:
+                inv = np.empty_like(order)
+                inv[order] = np.arange(len(order))
+                out = out[inv]
         else:
             ids = p.doc_ids
             if not len(ids):
