@@ -111,6 +111,19 @@ class DeltaVarbytePostingCodec:
         stream, widths = varbyte_encode_with_widths(d)
         return _slice_stream(stream, widths, bounds)
 
+    # --- batched multi-block decode (ONE varbyte pass over concatenated
+    # block payloads; block encodings restart the delta chain per block,
+    # so dec_grouped re-anchors exactly — query-side mirror of the
+    # enc_*_blocks encoders above)
+
+    @staticmethod
+    def dec_sorted_many(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
+        return DeltaVarbytePostingCodec.dec_grouped(b"".join(bufs), counts)
+
+    @staticmethod
+    def dec_plain_many(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
+        return varbyte_decode(b"".join(bufs))
+
 
 class NaivePostingCodec:
     name = "naive"
@@ -152,6 +165,12 @@ class NaivePostingCodec:
     @classmethod
     def enc_grouped_blocks(cls, vals, starts_mask, bounds):
         return cls._fixed_blocks(vals, bounds)
+
+    @staticmethod
+    def dec_sorted_many(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
+        return np.frombuffer(b"".join(bufs), dtype=">i8").astype(np.int64)
+
+    dec_plain_many = dec_sorted_many
 
 
 _CODECS = {c.name: c for c in (DeltaVarbytePostingCodec, NaivePostingCodec)}

@@ -146,14 +146,36 @@ class LazyTermPostings:
             self._blk_tfdl[blk] = got
         return got
 
+    def decode_blocks(self, blks) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ids, tfs, dls) concatenated over ``blks`` (sorted block
+        indices) in ONE codec pass per column — per-block byte payloads
+        restart their delta chains, so ``dec_sorted_many`` re-anchors
+        exactly. Decoded slices are cached for later per-block access."""
+        blks = [int(b) for b in blks]
+        if not blks:
+            z = np.empty(0, np.int64)
+            return z, z, z
+        if all(b in self._blk_ids and b in self._blk_tfdl for b in blks):
+            ids = np.concatenate([self._blk_ids[b] for b in blks])
+            tfs = np.concatenate([self._blk_tfdl[b][0] for b in blks])
+            dls = np.concatenate([self._blk_tfdl[b][1] for b in blks])
+            return ids, tfs, dls
+        counts = np.array(
+            [int(self.block_bounds[b + 1] - self.block_bounds[b]) for b in blks],
+            dtype=np.int64,
+        )
+        ids = self.codec.dec_sorted_many([self._ids_enc[b] for b in blks], counts)
+        tfs = self.codec.dec_plain_many([self._tfs_enc[b] for b in blks], counts)
+        dls = self.codec.dec_plain_many([self._dls_enc[b] for b in blks], counts)
+        off = np.concatenate(([0], np.cumsum(counts)))
+        for i, b in enumerate(blks):
+            self._blk_ids[b] = ids[off[i] : off[i + 1]]
+            self._blk_tfdl[b] = (tfs[off[i] : off[i + 1]], dls[off[i] : off[i + 1]])
+        return ids, tfs, dls
+
     def _materialize(self):
         if self._mat is None:
-            ids = np.concatenate([self.block_ids(b) for b in range(self.n_blocks)]) \
-                if self.n_blocks else np.empty(0, np.int64)
-            tfdl = [self.block_tf_dl(b) for b in range(self.n_blocks)]
-            tfs = np.concatenate([t for t, _ in tfdl]) if tfdl else np.empty(0, np.int64)
-            dls = np.concatenate([d for _, d in tfdl]) if tfdl else np.empty(0, np.int64)
-            self._mat = (ids, tfs, dls)
+            self._mat = self.decode_blocks(range(self.n_blocks))
         return self._mat
 
     @property
@@ -762,15 +784,12 @@ class SearchEngine:
             n_valid = int(np.searchsorted(blocks, p.n_blocks, side="left"))
             if n_valid:
                 hit = np.unique(blocks[:n_valid])
-                ids_cat = np.concatenate([p.block_ids(int(bk)) for bk in hit])
+                ids_cat, tfs, dls = p.decode_blocks(hit)
                 sub = cand[:n_valid]
                 pos = np.searchsorted(ids_cat, sub)
                 pos_c = np.minimum(pos, len(ids_cat) - 1)
                 ok = ids_cat[pos_c] == sub
                 if ok.any():
-                    parts = [p.block_tf_dl(int(bk)) for bk in hit]
-                    tfs = np.concatenate([t for t, _ in parts])
-                    dls = np.concatenate([d for _, d in parts])
                     w = tfs[pos_c[ok]] / (
                         tfs[pos_c[ok]] + k1 * (1.0 - b + b * dls[pos_c[ok]] / avgdl)
                     )
