@@ -2212,6 +2212,32 @@ JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_near_search(sf_dir: str) -> pd.DataFrame:
+    """Proximity (NEAR/slop) search on the NAIVE index: docs where
+    'window' occurs within 3 analyzed positions of 'merge' — composite
+    (doc, pos) keys + one searchsorted, positions blocks decoded once."""
+    ids = _engine(sf_dir, "naive").search_near("window", "merge", slop=3)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_near_search() -> str:
+    return r"""
+WITH raw AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), tok AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM raw WHERE t <> ''
+)
+SELECT DISTINCT a.doc_id
+FROM tok a JOIN tok b USING (doc_id)
+WHERE a.t = 'window' AND b.t = 'merge' AND abs(a.p - b.p) <= 3
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -2808,4 +2834,5 @@ def registry() -> dict[str, tuple]:
         "first_last": (q_first_last, sql_first_last()),
         "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg()),
         "partitioned_write": (q_partitioned_write, sql_partitioned_write()),
+        "near_search": (q_near_search, sql_near_search()),
     }

@@ -586,43 +586,85 @@ class SearchEngine:
         # phrases).
         SHIFT = np.int64(1) << np.int64(32)
         OFF = np.int64(1) << np.int64(16)  # keeps position - j positive
-        cand_ord = np.arange(len(cand), dtype=np.int64)
         keys: np.ndarray | None = None
         for j, t in enumerate(tokens):
-            p = posts[t]
-            idxs = np.searchsorted(p.doc_ids, cand)
-            blocks = np.searchsorted(p.block_bounds, idxs, side="right") - 1
-            doc_parts, pos_parts = [], []
-            for blk in np.unique(blocks):
-                in_blk = blocks == blk
-                local = idxs[in_blk] - int(p.block_bounds[blk])
-                cidx = cand_ord[in_blk]
-                enc = p.positions_enc[blk]
-                if enc is None:
-                    raise ValueError("index built without positions (positional=False)")
-                tfs_b = np.asarray(p.block_tf_dl(int(blk))[0], dtype=np.int64)
-                pos_all = p.codec.dec_grouped(enc, tfs_b)
-                ends = np.cumsum(tfs_b)
-                starts = ends - tfs_b
-                lengths = tfs_b[local]
-                total = int(lengths.sum())
-                if total == 0:
-                    continue
-                out_starts = np.cumsum(lengths) - lengths
-                gidx = np.arange(total, dtype=np.int64) + np.repeat(
-                    starts[local] - out_starts, lengths
-                )
-                pos_parts.append(np.asarray(pos_all, dtype=np.int64)[gidx])
-                doc_parts.append(np.repeat(cidx, lengths))
-            if not doc_parts:
+            doc_part, pos_part = self._gather_candidate_positions(posts[t], cand)
+            if not len(doc_part):
                 return np.empty(0, dtype=np.int64)
-            k = np.concatenate(doc_parts) * SHIFT + (
-                np.concatenate(pos_parts) - np.int64(j) + OFF
-            )
+            k = doc_part * SHIFT + (pos_part - np.int64(j) + OFF)
             keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
             if keys is not None and not len(keys):
                 return np.empty(0, dtype=np.int64)
         hits_ord = np.unique(keys >> np.int64(32))
+        return cand[hits_ord].astype(np.int64)
+
+    def _gather_candidate_positions(
+        self, p, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All (candidate ordinal, token position) pairs of term ``p`` at
+        the candidate docs (every candidate MUST contain the term) —
+        positions blocks decoded exactly once each, no per-doc loop."""
+        cand_ord = np.arange(len(cand), dtype=np.int64)
+        idxs = np.searchsorted(p.doc_ids, cand)
+        blocks = np.searchsorted(p.block_bounds, idxs, side="right") - 1
+        doc_parts, pos_parts = [], []
+        for blk in np.unique(blocks):
+            in_blk = blocks == blk
+            local = idxs[in_blk] - int(p.block_bounds[blk])
+            cidx = cand_ord[in_blk]
+            enc = p.positions_enc[blk]
+            if enc is None:
+                raise ValueError("index built without positions (positional=False)")
+            tfs_b = np.asarray(p.block_tf_dl(int(blk))[0], dtype=np.int64)
+            pos_all = p.codec.dec_grouped(enc, tfs_b)
+            ends = np.cumsum(tfs_b)
+            starts = ends - tfs_b
+            lengths = tfs_b[local]
+            total = int(lengths.sum())
+            if total == 0:
+                continue
+            out_starts = np.cumsum(lengths) - lengths
+            gidx = np.arange(total, dtype=np.int64) + np.repeat(
+                starts[local] - out_starts, lengths
+            )
+            pos_parts.append(np.asarray(pos_all, dtype=np.int64)[gidx])
+            doc_parts.append(np.repeat(cidx, lengths))
+        if not doc_parts:
+            z = np.empty(0, np.int64)
+            return z, z
+        return np.concatenate(doc_parts), np.concatenate(pos_parts)
+
+    def search_near(self, term_a: str, term_b: str, slop: int) -> np.ndarray:
+        """Proximity search: docs where an occurrence of ``term_a`` lies
+        within ``slop`` analyzed-token positions of one of ``term_b``
+        (Lucene-style NEAR; positions are post-stopword analyzed
+        offsets). Vectorized: composite (doc, pos) keys for both terms,
+        one searchsorted finds each b-occurrence's nearest a-neighbors."""
+        if not self.manifest.positional:
+            raise RuntimeError("proximity search requires a positional index")
+        ta, tb = self.analyze(term_a), self.analyze(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("search_near takes single analyzable terms")
+        posts = self._lookup([ta[0], tb[0]], positions=True)
+        if ta[0] not in posts or tb[0] not in posts:
+            return np.empty(0, dtype=np.int64)
+        pa_, pb_ = posts[ta[0]], posts[tb[0]]
+        cand = pa_.doc_ids[np.isin(pa_.doc_ids, pb_.doc_ids, assume_unique=True)]
+        cand = self._remove_tombstones(cand)
+        if not len(cand):
+            return np.empty(0, dtype=np.int64)
+        SHIFT = np.int64(1) << np.int64(32)
+        da, pos_a = self._gather_candidate_positions(pa_, cand)
+        db, pos_b = self._gather_candidate_positions(pb_, cand)
+        ka = da * SHIFT + pos_a  # sorted: gather emits (doc, pos) ascending
+        kb = db * SHIFT + pos_b
+        ins = np.searchsorted(ka, kb)
+        hit = np.zeros(len(kb), dtype=bool)
+        left = np.maximum(ins - 1, 0)
+        hit |= (da[left] == db) & (np.abs(pos_b - pos_a[left]) <= slop)
+        right = np.minimum(ins, len(ka) - 1)
+        hit |= (da[right] == db) & (np.abs(pos_a[right] - pos_b) <= slop)
+        hits_ord = np.unique(db[hit])
         return cand[hits_ord].astype(np.int64)
 
     # ---------- TF-IDF (reference formula) ----------

@@ -210,3 +210,22 @@ def test_concurrent_queries_thread_safe(engine):
         for _ in range(10):
             got = list(pool.map(lambda q: engine.search_bm25(q, topk=5), queries))
             assert got == serial
+
+
+class TestNearSearch:
+    def test_slop_semantics(self, engine):
+        # DOCS[6] = "Summer Pizza House is closed in winter":
+        # analyzed (stopwords dropped): summer pizza house closed winter
+        # summer..closed distance 3; summer..winter distance 4
+        assert engine.search_near("summer", "closed", slop=3).tolist() == [6]
+        assert engine.search_near("summer", "winter", slop=3).tolist() == []
+        assert engine.search_near("summer", "winter", slop=4).tolist() == [6]
+
+    def test_multiple_docs_and_order(self, engine):
+        got = engine.search_near("pizza", "house", slop=2)
+        assert got.tolist() == sorted(got.tolist())
+        assert set(got.tolist()) == {6, 7, 8}
+
+    def test_missing_term(self, engine):
+        assert engine.search_near("zebra", "pizza", slop=5).tolist() == []
+        assert engine.search_near("zebra", "zebra", slop=5).tolist() == []
