@@ -2238,6 +2238,33 @@ WHERE a.t = 'window' AND b.t = 'merge' AND abs(a.p - b.p) <= 3
 """
 
 
+def q_fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy keyword search: expand the misspelled query 'windov' to
+    every dictionary term within edit distance 1 (Dataset scan of the
+    shard dictionaries, vectorized Levenshtein), then OR-search the
+    expansion — the did-you-mean query path composed from existing
+    pieces."""
+    from ..functions.spell import suggest_terms
+    from ..query import SearchEngine
+
+    idx = documents_index(sf_dir, "punct")
+    cands = suggest_terms(idx, "windov", max_dist=1, k=1000)
+    if not len(cands):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    ids = SearchEngine(idx).search_or(list(cands["term"]))
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_fuzzy_search() -> str:
+    return f"""
+WITH {SQL_TOKENS_CTE.format(stoplist=_stoplist_sql())},
+fuzzy AS (
+  SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'windov') <= 1
+)
+SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM fuzzy)
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -2835,4 +2862,5 @@ def registry() -> dict[str, tuple]:
         "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg()),
         "partitioned_write": (q_partitioned_write, sql_partitioned_write()),
         "near_search": (q_near_search, sql_near_search()),
+        "fuzzy_search": (q_fuzzy_search, sql_fuzzy_search()),
     }
