@@ -2265,6 +2265,36 @@ SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM fuzzy)
 """
 
 
+def q_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width value histogram (width 10): the bucket key derives in
+    the map (vectorized floor-div), so the shuffle cardinality is the
+    bucket count, not the row count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        bkt = pc.floor(pc.divide(b["value"], 10.0))
+        return pa.table({"bucket": pc.cast(bkt, pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.astype({"bucket": "int64", "n": "int64"})
+
+
+def sql_histogram() -> str:
+    return """
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -2863,4 +2893,5 @@ def registry() -> dict[str, tuple]:
         "partitioned_write": (q_partitioned_write, sql_partitioned_write()),
         "near_search": (q_near_search, sql_near_search()),
         "fuzzy_search": (q_fuzzy_search, sql_fuzzy_search()),
+        "histogram": (q_histogram, sql_histogram()),
     }
