@@ -102,3 +102,32 @@ def test_vectorized_matches_scalar_reference_impl():
     rng = np.random.default_rng(7)
     vals = np.cumsum(rng.integers(0, 5000, 2000))
     assert encode(vals) == scalar_encode(vals.tolist())
+
+
+class TestBatchedBlockDecode:
+    def test_dec_many_equals_per_block(self):
+        import numpy as np
+
+        from searchengine_ray.codec.posting import (
+            DeltaVarbytePostingCodec as DV,
+            NaivePostingCodec as NV,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = np.cumsum(rng.integers(1, 50, 1000)).astype(np.int64)  # sorted ids
+        plain = rng.integers(1, 1000, 1000).astype(np.int64)
+        bounds = np.array([0, 128, 256, 900, 1000], dtype=np.int64)
+        counts = np.diff(bounds)
+        for codec in (DV, NV):
+            sb = codec.enc_sorted_blocks(vals, bounds)
+            pb = codec.enc_plain_blocks(plain, bounds)
+            per_block = np.concatenate([codec.dec_sorted(b) for b in sb])
+            np.testing.assert_array_equal(codec.dec_sorted_many(sb, counts), per_block)
+            np.testing.assert_array_equal(codec.dec_sorted_many(sb, counts), vals)
+            np.testing.assert_array_equal(codec.dec_plain_many(pb, counts), plain)
+            # subset of blocks (the decode_blocks hit-set path)
+            sub = [1, 3]
+            sub_counts = counts[sub]
+            got = codec.dec_sorted_many([sb[i] for i in sub], sub_counts)
+            want = np.concatenate([vals[bounds[i]:bounds[i+1]] for i in sub])
+            np.testing.assert_array_equal(got, want)
