@@ -2295,6 +2295,56 @@ FROM events GROUP BY 1
 """
 
 
+def q_tpch_q6(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (forecast revenue): pure scan with pruned columns
+    + vectorized predicate + one global sum — zero shuffle beyond the
+    scalar reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = pd.Timestamp("1996-01-01").to_pydatetime()
+    hi = pd.Timestamp("1997-01-01").to_pydatetime()
+
+    def rev(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(b["l_shipdate"], pa.scalar(hi, pa.timestamp("us"))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_discount"], 0.02),
+                    pc.less_equal(b["l_discount"], 0.04),
+                ),
+                pc.less(b["l_quantity"], 24.0),
+            ),
+        )
+        f = b.filter(m)
+        return pa.table(
+            {"part": pa.array([float(pc.sum(
+                pc.multiply(f["l_extendedprice"], f["l_discount"])
+            ).as_py() or 0.0)], pa.float64())}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.map_batches(rev, batch_format="pyarrow").aggregate(Sum("part", alias_name="revenue"))
+    return pd.DataFrame({"revenue": pd.Series([round(out["revenue"] or 0.0, 4)], dtype="float64")})
+
+
+def sql_tpch_q6() -> str:
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -2894,4 +2944,5 @@ def registry() -> dict[str, tuple]:
         "near_search": (q_near_search, sql_near_search()),
         "fuzzy_search": (q_fuzzy_search, sql_fuzzy_search()),
         "histogram": (q_histogram, sql_histogram()),
+        "tpch_q6": (q_tpch_q6, sql_tpch_q6()),
     }
