@@ -1936,6 +1936,40 @@ WHERE rank <= 3
 """
 
 
+def q_tfidf_export(sf_dir: str) -> pd.DataFrame:
+    """Sparse doc-term TF-IDF matrix export from index artifacts (the
+    feature-extraction bridge to downstream ML): every (doc, term,
+    weight) for a deterministic 1-in-4 doc sample. The sample filter
+    runs on the Dataset (bit-mask kernel), not the driver; at full
+    scale this is a write_parquet sink instead of to_pandas."""
+    from ..functions.keywords import doc_keywords
+
+    def sample(b):
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 3), 0))
+
+    idx = documents_index(sf_dir, "punct")
+    out = (
+        doc_keywords(idx, k=1_000_000)
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "term", "score"]].astype({"doc_id": "int64"})
+
+
+def sql_tfidf_export() -> str:
+    return f"""
+WITH {sql_tokens_cte()},
+df AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT t.doc_id, t.term,
+       round(t.tf * log10(CAST(n.n AS DOUBLE) / d.df + 1.0), 6) AS score
+FROM toks t JOIN df d USING (term) CROSS JOIN n
+WHERE t.doc_id % 4 = 0
+"""
+
+
 def q_running_total(sf_dir: str) -> pd.DataFrame:
     """Per-user cumulative spend over events in (ts, event_id) order —
     one key-hash bucket shuffle + vectorized per-bucket scan."""
@@ -2945,4 +2979,5 @@ def registry() -> dict[str, tuple]:
         "fuzzy_search": (q_fuzzy_search, sql_fuzzy_search()),
         "histogram": (q_histogram, sql_histogram()),
         "tpch_q6": (q_tpch_q6, sql_tpch_q6()),
+        "tfidf_export": (q_tfidf_export, sql_tfidf_export()),
     }
