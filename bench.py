@@ -114,10 +114,14 @@ def run_headline(num_cpus: int) -> dict:
         idx_dir,
         html_column="html",
         doc_id_mode="url_index",
-        # 128 shards: shorter reduce tasks pack waves more evenly and
-        # bound each task's exposure to a neighbor-steal spike; at real
-        # cluster scale shards grow with the corpus anyway
-        num_shards=128,
+        # shards grow with the corpus so per-shard postings volume stays
+        # ~≤8k docs: at 2M docs, 128 shards (15.6k docs/shard) tripled
+        # the postings phase (52 s vs 21 s at 256); 512 ≈ 256 on build
+        # but pays more per-term files at query time. 128 floor keeps
+        # reduce waves packed at small corpora.
+        num_shards=int(
+            os.environ.get("BENCH_SHARDS", str(max(128, BENCH_DOCS // 8000)))
+        ),
         block_size=128,
         # task-based analyze (library default): no actor-pool spin-up in
         # the timed window and all cores map — interleaved A/B at 16 cpus
