@@ -2379,6 +2379,45 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
+def q_group_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-N-per-group deterministic sample: at most 5 docs per lang,
+    chosen by multiplicative-hash order of doc_id (reproducible across
+    engines and runs, unlike seeded sampling). Same combiner shape as
+    group_topk: per-block partial top-5 per group → one small shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from searchengine_ray.functions.sampling import group_topk
+
+    def hash_key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return b.append_column("hkey", pa.array(h.view(np.int64), pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = group_topk(
+        ds.map_batches(hash_key, batch_format="pyarrow"),
+        group_col="lang", order_col="hkey", tie_col="doc_id", k=5,
+    ).to_pandas()
+    return out[["lang", "doc_id"]].astype({"doc_id": "int64"}).sort_values(
+        ["lang", "doc_id"]
+    ).reset_index(drop=True)
+
+
+def sql_group_sample() -> str:
+    return """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * 2654435761) % 4294967296 DESC, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -2980,4 +3019,5 @@ def registry() -> dict[str, tuple]:
         "histogram": (q_histogram, sql_histogram()),
         "tpch_q6": (q_tpch_q6, sql_tpch_q6()),
         "tfidf_export": (q_tfidf_export, sql_tfidf_export()),
+        "group_sample": (q_group_sample, sql_group_sample()),
     }
