@@ -402,3 +402,65 @@ def time_weighted_avg(
         .groupby("_bucket")
         .map_groups(scan_bucket, batch_format="pandas")
     )
+
+
+def funnel_counts(
+    ds,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    steps: tuple = ("view", "click", "purchase"),
+    n_buckets: int = 32,
+):
+    """Greedy ordered-funnel analysis: how many keys reach step 1, then
+    step 2 strictly after their earliest step-1 event, then step 3
+    strictly after that step-2 event (the product-analytics staple).
+
+    One key-hash bucket shuffle; inside each bucket the scan is
+    vectorized (per-key positions + filtered groupby-mins — no Python
+    loop over keys). Emits one partial-count row per bucket; the caller
+    sums. Returns a Dataset with columns n_step1, n_step2, n_step3."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = b[user_col].to_pandas()
+        bucket = (
+            pd.util.hash_array(keys.to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                user_col: b[user_col],
+                "_ts": b[ts_col].cast(pa.int64()),
+                "_et": b[type_col],
+                id_col: b[id_col],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {f"n_step{i+1}": pd.Series([0], dtype="int64") for i in range(len(steps))}
+            )
+        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(drop=True)
+        uid = g[user_col].to_numpy()
+        # per-key position in (ts, id) order
+        _, starts, counts = np.unique(uid, return_index=True, return_counts=True)
+        pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
+        g = g.assign(_pos=pos)
+        reached = None  # Series: key -> position of the matched step event
+        out = {}
+        for i, step in enumerate(steps):
+            sub = g[g["_et"] == step]
+            if reached is not None:
+                prev = sub[user_col].map(reached)
+                sub = sub[prev.notna() & (sub["_pos"] > prev)]
+            reached = sub.groupby(user_col)["_pos"].min()
+            out[f"n_step{i+1}"] = pd.Series([len(reached)], dtype="int64")
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+    )

@@ -2418,6 +2418,51 @@ SELECT lang, doc_id FROM (
 """
 
 
+def q_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly
+    later events per step): per-bucket vectorized greedy matching, one
+    partial-count row per bucket, summed into a single result row."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.windows import funnel_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    parts = funnel_counts(ds, "user_id", "ts", "event_type", "event_id")
+    agg = parts.aggregate(
+        Sum("n_step1", alias_name="n_view"),
+        Sum("n_step2", alias_name="n_view_click"),
+        Sum("n_step3", alias_name="n_full"),
+    )
+    return pd.DataFrame(
+        {k: pd.Series([int(agg[k] or 0)], dtype="int64")
+         for k in ("n_view", "n_view_click", "n_full")}
+    )
+
+
+def sql_funnel() -> str:
+    # greedy funnel via per-user event ranks: earliest view, earliest
+    # click strictly after it, earliest purchase strictly after that
+    return """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+v AS (SELECT user_id, min(rn) AS r1 FROM r WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT r.user_id, min(rn) AS r2 FROM r JOIN v USING (user_id)
+      WHERE event_type = 'click' AND rn > v.r1 GROUP BY 1),
+p AS (SELECT r.user_id, min(rn) AS r3 FROM r JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND rn > c.r2 GROUP BY 1)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full
+"""
+
+
 def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     """Gopher-style repetition/quality filters (Rae et al. 2021 §A1.1):
     per-doc word stats + dup-word / top-word / top-bigram fractions and
@@ -3020,4 +3065,5 @@ def registry() -> dict[str, tuple]:
         "tpch_q6": (q_tpch_q6, sql_tpch_q6()),
         "tfidf_export": (q_tfidf_export, sql_tfidf_export()),
         "group_sample": (q_group_sample, sql_group_sample()),
+        "funnel": (q_funnel, sql_funnel()),
     }
