@@ -40,6 +40,12 @@ class IndexManifest:
     # head-term skew: term → n_salts (postings split across that many
     # reducer shards; query engine k-way merges the subsets)
     salted_terms: dict[str, int] = field(default_factory=dict)
+    # on-disk placement scheme for salted subsets: 2 = golden-ratio
+    # stride (stages/postings.py:salt_shard). Scheme 1 (crc32 of
+    # "term#salt") indexes predate this field; probing them with the
+    # stride scheme would silently miss salted-head-term postings, so
+    # load() refuses such indexes instead of returning wrong results.
+    salt_scheme: int = 2
 
     # --- persistence ---
 
@@ -55,6 +61,22 @@ class IndexManifest:
         m = cls()
         for k, v in data.items():
             setattr(m, k, v)
+        if "salt_scheme" not in data:
+            # pre-scheme-field index: placement only matters when head
+            # terms were actually salted — an unsalted index loads fine
+            # under any scheme, a salted one cannot be probed correctly.
+            if m.salted_terms:
+                raise ValueError(
+                    f"index at {index_dir} was built with the legacy salted-shard "
+                    "placement (no salt_scheme in manifest) and has salted terms; "
+                    "rebuild or compact it with the current build before querying"
+                )
+            m.salt_scheme = 2
+        elif m.salt_scheme != 2 and m.salted_terms:
+            raise ValueError(
+                f"index at {index_dir} uses salt_scheme={m.salt_scheme}; this "
+                "build only reads scheme 2 (golden-ratio stride) salted layouts"
+            )
         return m
 
     @classmethod

@@ -464,6 +464,14 @@ def ngram_jaccard_pairs(
         toks = _token_lists(texts)
         sets = [_shingle_hash_set(th, shingle_k) for th in _token_hash_lists(toks)]
         docs = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # pair keys downstream pack (a, b) as a*2^32 + b — hash-mode doc
+        # ids (full-range uint64) would silently collide; fail loudly.
+        if docs.size and (docs.min() < 0 or docs.max() >= 1 << 32):
+            raise ValueError(
+                "ngram_jaccard_pairs requires doc ids in [0, 2^32) to pack "
+                "candidate pairs into uint64 keys; re-id the corpus (e.g. "
+                "doc_id_mode='dense') or add a dense surrogate id column"
+            )
         counts = np.asarray([len(s) for s in sets], dtype=np.int64)
         return pa.table(
             {
@@ -669,19 +677,15 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text") -> pd.Dat
     def explode(batch: pa.Table) -> pa.Table:
         docs = batch["doc_id"].to_numpy(zero_copy_only=False)
         sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b_ids, keys, ds_out, sig_out = [], [], [], []
-        for band in range(4):
-            part = ((sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(np.int64)
-            b_ids.extend([band] * len(docs))
-            keys.extend(part.tolist())
-            ds_out.extend(docs.tolist())
-            sig_out.extend(sigs.astype(np.int64).tolist())
+        n = len(docs)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[:, None]
+        keys = ((sigs[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table(
             {
-                "band_id": pa.array(b_ids, pa.int32()),
-                "band_key": pa.array(keys, pa.int64()),
-                "doc_id": pa.array(ds_out, pa.int64()),
-                "simhash": pa.array(sig_out, pa.int64()),
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_key": pa.array(keys.ravel(), pa.int64()),
+                "doc_id": pa.array(np.tile(docs.astype(np.int64), 4), pa.int64()),
+                "simhash": pa.array(np.tile(sigs.astype(np.int64), 4), pa.int64()),
             }
         )
 
@@ -794,21 +798,22 @@ def _embedding_neardup_lsh(ds, threshold, id_column, emb_column, n_planes, n_ban
                 (n_bands * n_planes, mat.shape[1])
             )
         bits = (mat @ planes.T) > 0
-        band_col, key_col, id_col, emb_col = [], [], [], []
+        n, dim = mat.shape
+        # per-band bucket keys in one matmul-free pass: (n, n_bands)
         pw = (1 << np.arange(n_planes)).astype(np.int64)
-        for band in range(n_bands):
-            chunk = bits[:, band * n_planes : (band + 1) * n_planes]
-            keys = (chunk.astype(np.int64) * pw).sum(axis=1)
-            band_col.append(np.full(len(ids), band, np.int64))
-            key_col.append(keys)
-            id_col.append(ids)
-            emb_col.extend(mat.tolist())
+        keys = (
+            bits.reshape(n, n_bands, n_planes).astype(np.int64) * pw[None, None, :]
+        ).sum(axis=2)
+        # normalized vectors ship once per band as a fixed-size-list Arrow
+        # column (flat float64 buffer) — no per-row Python lists
+        tiled = np.tile(mat, (n_bands, 1)).ravel()
+        nemb = pa.FixedSizeListArray.from_arrays(pa.array(tiled, pa.float64()), dim)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(band_col), pa.int64()),
-                "key": pa.array(np.concatenate(key_col), pa.int64()),
-                "vec_id": pa.array(np.concatenate(id_col), pa.int64()),
-                "nemb": pa.array(emb_col, pa.list_(pa.float64())),
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int64), n), pa.int64()),
+                "key": pa.array(keys.T.ravel(), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_bands), pa.int64()),
+                "nemb": nemb,
             }
         )
 
@@ -823,7 +828,10 @@ def _embedding_neardup_lsh(ds, threshold, id_column, emb_column, n_planes, n_ban
         ids = group["vec_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
         ids = ids[order]
-        mat = np.stack(group["nemb"].to_pandas().to_numpy())[order]
+        col = group["nemb"].combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            group.num_rows, -1
+        )[order]
         sims = mat @ mat.T
         r, c = np.nonzero(np.triu(sims >= threshold, k=1))
         keep = ids[r] != ids[c]

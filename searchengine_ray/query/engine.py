@@ -216,7 +216,27 @@ class SearchEngine:
         # cold multi-term queries touch one shard file per term: load
         # shards concurrently (parquet read + decompress release the GIL)
         self._shard_cache_lock = threading.Lock()
-        self._io_pool = ThreadPoolExecutor(max_workers=8)
+        # lazy: pipelines construct throwaway engines; a pool per
+        # instance would leak 8 idle threads each for the process life
+        self._io_pool_inst: ThreadPoolExecutor | None = None
+
+    @property
+    def _io_pool(self) -> ThreadPoolExecutor:
+        if self._io_pool_inst is None:
+            self._io_pool_inst = ThreadPoolExecutor(max_workers=8)
+        return self._io_pool_inst
+
+    def close(self) -> None:
+        """Release the shard-IO thread pool (safe to call repeatedly)."""
+        if self._io_pool_inst is not None:
+            self._io_pool_inst.shutdown(wait=False)
+            self._io_pool_inst = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     # ---------- analysis ----------
 

@@ -21,6 +21,7 @@ corpus streams through as binary blocks with no shuffle.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -83,7 +84,15 @@ def parse_wet(data: bytes) -> pa.Table:
         if fields.get("warc-type") != "conversion":
             continue
         uri = fields.get("warc-target-uri", "")
-        doc_ids.append(int(uri.rsplit("/", 1)[-1]) if uri else -1)
+        tail = uri.rsplit("/", 1)[-1]
+        if tail.isdigit():
+            doc_ids.append(int(tail))
+        elif uri:
+            # real-world WET records carry arbitrary URLs — derive a
+            # stable 63-bit id from the URI instead of dying on int()
+            doc_ids.append(zlib.crc32(uri.encode()) | (len(uri) << 32))
+        else:
+            doc_ids.append(-1)
         texts.append(body.decode("utf-8"))
         n_bytes.append(length)
     return pa.table(

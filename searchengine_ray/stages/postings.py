@@ -211,6 +211,14 @@ def _bin_streams(stream: bytes, widths: np.ndarray, value_bounds: np.ndarray) ->
     ``value_bounds`` (value indices), converted to byte offsets via the
     per-value widths."""
     byte_ends = np.concatenate(([0], np.cumsum(widths, dtype=np.int64)))
+    if byte_ends[-1] >= 1 << 31:
+        # pa.binary() offsets are int32 — a >2 GiB encoded stream in one
+        # map task would wrap silently and ship corrupt wire partials
+        raise ValueError(
+            f"encoded posting stream is {byte_ends[-1]} bytes (>= 2 GiB) in one "
+            "map task; lower the analyze batch size / block size so per-task "
+            "partials stay under the int32 binary-offset limit"
+        )
     offs = byte_ends[value_bounds].astype(np.int32)
     return pa.Array.from_buffers(
         pa.binary(),

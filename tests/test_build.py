@@ -119,6 +119,25 @@ class TestBuildStructure:
         assert m2.n_docs == m.n_docs
         assert m2.phase_complete("analyze") and m2.phase_complete("postings")
 
+    def test_legacy_salted_manifest_refused(self, tmp_path):
+        """An index built under the pre-stride salted placement (no
+        salt_scheme field) with salted terms must refuse to load —
+        probing it with the stride scheme would silently drop postings."""
+        import dataclasses
+        import json
+
+        m = IndexManifest(salted_terms={"the": 4})
+        d = dataclasses.asdict(m)
+        del d["salt_scheme"]
+        (tmp_path / "manifest.json").write_text(json.dumps(d))
+        with pytest.raises(ValueError, match="legacy salted-shard"):
+            IndexManifest.load(tmp_path)
+        # unsalted legacy manifests are placement-independent: loads fine
+        d["salted_terms"] = {}
+        (tmp_path / "manifest.json").write_text(json.dumps(d))
+        m2 = IndexManifest.load(tmp_path)
+        assert m2.salt_scheme == 2
+
     def test_resume_skips_completed(self, ray_session, small_corpus, tmp_path):
         corpus, _ = small_corpus
         idx = tmp_path / "idx3"

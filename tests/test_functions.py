@@ -88,6 +88,17 @@ class TestMinHash:
         }
         assert got_map == want  # pairs AND exact jaccard values
 
+    def test_ngram_rejects_wide_doc_ids(self, ray_session):
+        """Packed uint64 pair keys require ids < 2^32 — full-range hash
+        ids must raise, not silently collide (ADVICE r2)."""
+        import ray.data as rd
+
+        wide = rd.from_items(
+            [{"doc_id": 1 << 40, "text": "a b c d"}, {"doc_id": 5, "text": "a b c d"}]
+        )
+        with pytest.raises(Exception, match=r"2\^32"):
+            dedup.ngram_jaccard_pairs(wide, threshold=0.5)
+
 
 class TestSimHash:
     def test_near_dups_blocked_and_found(self, ray_session):

@@ -37,6 +37,19 @@ class TestWet:
         # n_bytes is the UTF-8 byte length, not the char count
         assert out["n_bytes"].to_pylist() == [len(t.encode()) for t in texts]
 
+    def test_real_world_uri_gets_stable_hash_id(self):
+        # Common Crawl WET records carry arbitrary URLs; the id falls
+        # back to a stable hash instead of ValueError (ADVICE r2)
+        data = docs_to_wet(_docs([9], ["x"])).replace(
+            b"WARC-Target-URI: http://corpus.local/doc/9",
+            b"WARC-Target-URI: https://example.com/a/b.html?q=1",
+        )
+        out = parse_wet(data)
+        assert out.num_rows == 1
+        did = out["doc_id"].to_pylist()[0]
+        assert did >= 0
+        assert parse_wet(data)["doc_id"].to_pylist()[0] == did  # stable
+
     def test_warcinfo_record_skipped(self):
         data = docs_to_wet(_docs([5], ["x"]))
         assert data.startswith(b"WARC/1.0\r\nWARC-Type: warcinfo")
