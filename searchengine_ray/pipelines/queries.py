@@ -840,8 +840,10 @@ def pa_eq(t, col, val):
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate nearest neighbours via the Dataset-native LSH index
     (the scale path next to the exact ``similarity_topk`` baseline).
-    Approximate → rows-only driver check; recall vs brute force is
-    pytest-asserted."""
+    The planes are a pure function of (seed, n_planes, dim), so the
+    whole path — bucketing, probe set, within-bucket exact cosine — is
+    deterministic and mirrored exactly by ``sql_ann_topk``; recall vs
+    brute force is additionally pytest-asserted."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -860,6 +862,43 @@ def q_ann_topk(sf_dir: str) -> pd.DataFrame:
             "cosine": pd.Series([round(s, 6) for _, s in hits], dtype="float64"),
         }
     )
+
+
+def sql_ann_topk() -> str:
+    """Exact SQL mirror of the seeded-hyperplane LSH path (the same
+    deterministic-contract trick as ``sql_ivf_topk``'s centroid CTEs):
+    the plane matrix is a function of (seed=42, n_planes=10, dim=64)
+    only, so its literal values are embedded in the query. Bucket =
+    sign-bit integer of the raw dot products (positive scaling never
+    flips a sign, so normalization is irrelevant to bucketing); probe
+    set = own bucket + single-bit flips of bits 0..7 (n_probe=8);
+    exact cosine top-10 within the probed buckets."""
+    planes = np.random.default_rng(42).standard_normal((10, 64))
+    rows = ",\n".join(
+        f"  ({p}, [{', '.join(repr(float(x)) for x in planes[p])}]::DOUBLE[])"
+        for p in range(10)
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(p, pv) AS (VALUES
+{rows}),
+b AS MATERIALIZED (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT bucket AS pb FROM qb
+  UNION ALL
+  SELECT xor(qb.bucket, CAST(1 << t.i AS BIGINT)) FROM qb, range(8) t(i)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 6) AS cosine
+FROM e JOIN b USING (vec_id) CROSS JOIN q
+WHERE b.bucket IN (SELECT pb FROM probes)
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+LIMIT 10
+"""
 
 
 def _kmeans_ctes(k: int, iters: int) -> str:
@@ -3027,7 +3066,7 @@ def registry() -> dict[str, tuple]:
         "group_sample": (q_group_sample, sql_group_sample()),
         "funnel": (q_funnel, sql_funnel()),
         # --- window backfill: flagship pipelines kept driver-green ---
-        "ann_topk": (q_ann_topk, None),
+        "ann_topk": (q_ann_topk, sql_ann_topk()),
         "term_stats": (q_term_stats, sql_term_stats()),
         "keyword_search": (q_keyword_search, sql_keyword_search()),
         "and_search": (q_and_search, sql_and_search()),
