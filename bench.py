@@ -151,6 +151,25 @@ def run_headline(num_cpus: int) -> dict:
         eng.search_bm25(q, topk=10)
         lat.append((time.perf_counter() - s) * 1000)
     query_sec = time.perf_counter() - t_q0
+
+    # routed path (multi-node production shape): shard-owner actors hold
+    # the shard LRUs, term lookups scatter-gather through them. Measured
+    # with its own engine instance so the local term cache doesn't mask
+    # the routed reads.
+    rlat: list[float] = []
+    if not os.environ.get("BENCH_SKIP_ROUTED"):
+        from searchengine_ray.query.service import RoutedSearchEngine, ShardedQueryService
+
+        svc = ShardedQueryService(idx_dir, num_actors=8)
+        reng = RoutedSearchEngine(idx_dir, svc)
+        for q in BM25_QUERIES[:3]:
+            reng.search_bm25(q, topk=10)
+        for q in BM25_QUERIES:
+            s = time.perf_counter()
+            reng.search_bm25(q, topk=10)
+            rlat.append((time.perf_counter() - s) * 1000)
+        reng.close()
+        svc.shutdown()
     from searchengine_ray.build.manifest import IndexManifest
 
     mphases = IndexManifest.load(idx_dir).phases
@@ -168,7 +187,7 @@ def run_headline(num_cpus: int) -> dict:
         for k, v in mphases.items()
         if isinstance(v, dict) and "steal_busy_pct" in v
     }
-    return {
+    out = {
         "index_sec": round(index_sec, 3),
         "docs_per_sec": round(BENCH_DOCS / index_sec, 1),
         "bm25_p50_ms": round(statistics.median(lat), 2),
@@ -177,6 +196,17 @@ def run_headline(num_cpus: int) -> dict:
         "phases": phases,
         "phase_steal": phase_steal,
     }
+    if rlat:
+        out["bm25_routed_p50_ms"] = round(statistics.median(rlat), 2)
+        out["bm25_routed_p95_ms"] = round(sorted(rlat)[int(len(rlat) * 0.95) - 1], 2)
+    spills = {
+        k: v["spill"]
+        for k, v in mphases.items()
+        if isinstance(v, dict) and v.get("spill")
+    }
+    if any(s.get("spill_requests") for s in spills.values()):
+        out["spill"] = spills
+    return out
 
 
 REGISTRY_BENCH = [
@@ -237,6 +267,9 @@ def main() -> None:
         "phases": head.get("phases", {}),
         "phase_steal": head.get("phase_steal", {}),
     }
+    for extra in ("bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
+        if extra in head:
+            result[extra] = head[extra]
     ray.shutdown()
     print(json.dumps(result))
 
@@ -377,8 +410,168 @@ def scaling() -> None:
     )
 
 
+def incremental() -> None:
+    """End-to-end incremental-index lifecycle at bench scale (the 100-TB
+    operational story): build a base index, attach three delta
+    generations (``build_increment``), tombstone deletes, compact — and
+    assert BM25 rank/score identity against a from-scratch build of the
+    same corpus at every checkpoint. Prints ONE JSON line with per-stage
+    seconds + identity booleans.
+
+    ``BENCH_INC_BASE`` (default 1,000,000) / ``BENCH_INC_STEP`` (default
+    100,000) size the base and each of the 3 increments; both must be
+    multiples of the 5,000-doc corpus file size.
+    """
+    import shutil
+
+    import ray
+
+    from searchengine_ray.build import build_index
+    from searchengine_ray.build.merge import build_increment, compact
+    from searchengine_ray.query import SearchEngine
+    from searchengine_ray.sources import generate_corpus
+
+    base = int(os.environ.get("BENCH_INC_BASE", "1000000"))
+    step = int(os.environ.get("BENCH_INC_STEP", "100000"))
+    n_inc = 3
+    per_file = 5000  # CHUNK(1000) × chunks_per_file(5)
+    assert base % per_file == 0 and step % per_file == 0
+    total = base + n_inc * step
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    prestart_workers(NUM_CPUS)
+
+    corpus = Path(f"/tmp/searchengine_bench/webpages-v2-{total}")
+    generate_corpus(corpus, total, chunks_per_file=5)
+    files = sorted(str(p) for p in corpus.glob("webpages-*.parquet"))
+    assert len(files) == total // per_file
+    base_files = files[: base // per_file]
+    delta_files = [
+        files[(base + k * step) // per_file : (base + (k + 1) * step) // per_file]
+        for k in range(n_inc)
+    ]
+
+    root = Path("/tmp/searchengine_bench/incremental")
+    if root.exists():
+        shutil.rmtree(root)
+    idx_inc, idx_scratch = root / "inc", root / "scratch"
+    num_shards = max(128, total // 8000)
+    kw = dict(
+        html_column="html", doc_id_mode="url_index", num_shards=num_shards,
+        block_size=128, analyze_concurrency=None, analyze_batch_size=4096,
+        store_docs=False, salt_target_postings=100_000,
+    )
+
+    stages: dict[str, float] = {}
+    t0 = time.perf_counter()
+    build_index(base_files, idx_inc, resume=False, **kw)
+    stages["base_build"] = round(time.perf_counter() - t0, 2)
+
+    for k in range(n_inc):
+        t0 = time.perf_counter()
+        build_increment(delta_files[k], idx_inc, root / f"delta-{k}", **kw)
+        stages[f"increment_{k}"] = round(time.perf_counter() - t0, 2)
+
+    # from-scratch twin over the full corpus (same params)
+    t0 = time.perf_counter()
+    build_index(files, idx_scratch, resume=False, **kw)
+    stages["scratch_build"] = round(time.perf_counter() - t0, 2)
+
+    def top10(idx: Path) -> list:
+        eng = SearchEngine(idx)
+        out = [eng.search_bm25(q, topk=10) for q in BM25_QUERIES]
+        eng.close()
+        return out
+
+    def identical(a: list, b: list) -> bool:
+        return all(
+            len(ra) == len(rb)
+            and all(da == db and abs(sa - sb) < 1e-9 for (da, sa), (db, sb) in zip(ra, rb))
+            for ra, rb in zip(a, b)
+        )
+
+    scratch_res = top10(idx_scratch)
+    identity_after_increments = identical(top10(idx_inc), scratch_res)
+
+    # deletes: tombstone two keyword cohorts on BOTH indexes (same docs
+    # by construction), re-check identity on the multi-generation index
+    t0 = time.perf_counter()
+    n_del = 0
+    for idx in (idx_inc, idx_scratch):
+        eng = SearchEngine(idx)
+        for kw_del in ("pizza", "glacier"):
+            n_del += eng.delete_by_keyword(kw_del)
+        eng.close()
+    stages["deletes"] = round(time.perf_counter() - t0, 2)
+    scratch_res = top10(idx_scratch)
+    identity_after_deletes = identical(top10(idx_inc), scratch_res)
+
+    # compact physically removes tombstoned docs and recomputes N/avgdl/df,
+    # so its rank-identity oracle is a from-scratch build over the LIVE
+    # docs only (the scratch index still counts tombstoned docs in its
+    # global stats — asserted semantics, tests/test_merge.py)
+    from searchengine_ray.build.manifest import IndexManifest
+
+    tombs = set(IndexManifest.load(idx_inc).tombstones)
+    t0 = time.perf_counter()
+    compact(idx_inc)
+    stages["compact"] = round(time.perf_counter() - t0, 2)
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    from searchengine_ray.stages.tokenize import doc_ids_from_urls
+
+    live_dir = root / "corpus-live"
+    live_dir.mkdir(parents=True)
+    for f in files:
+        tbl = pq_.read_table(f)
+        ids = doc_ids_from_urls(tbl["url"].to_pylist(), "url_index")
+        mask = pc.invert(pc.is_in(pa.array(ids.astype("int64")), value_set=pa.array(sorted(tombs), pa.int64())))
+        pq_.write_table(tbl.filter(mask), live_dir / Path(f).name)
+    t0 = time.perf_counter()
+    idx_live = root / "scratch-live"
+    build_index(
+        sorted(str(p) for p in live_dir.glob("*.parquet")), idx_live, resume=False, **kw
+    )
+    stages["scratch_live_build"] = round(time.perf_counter() - t0, 2)
+    identity_after_compact = identical(top10(idx_inc), top10(idx_live))
+
+    result = {
+        "metric": "incremental_lifecycle",
+        "value": round(sum(stages.values()), 2),
+        "unit": "sec",
+        "num_cpus": NUM_CPUS,
+        "base_docs": base,
+        "increment_docs": step,
+        "deleted_docs": n_del // 2,
+        "stages": stages,
+        "incremental_total_sec": round(
+            stages["base_build"]
+            + sum(stages[f"increment_{k}"] for k in range(n_inc))
+            + stages["compact"],
+            2,
+        ),
+        "scratch_build_sec": stages["scratch_build"],
+        "identity_after_increments": identity_after_increments,
+        "identity_after_deletes": identity_after_deletes,
+        "identity_after_compact": identity_after_compact,
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--incremental" in sys.argv:
+        incremental()
     else:
         main()

@@ -122,6 +122,7 @@ def build_index(
     if not manifest.phase_complete("analyze"):
         t0 = time.perf_counter()
         ticks0 = _cpu_ticks()
+        spill0 = _spill_counters()
         columns = [text_column] if text_column else []
         if html_column:
             columns.append(html_column)
@@ -243,6 +244,7 @@ def build_index(
             map_seconds=t_map_done - t0,
             stats_seconds=time.perf_counter() - t_map_done,
             steal_busy_pct=_steal_share(ticks0),
+            spill=_spill_delta(spill0),
             ray_stats=_stats_summary(analyzed),
         )
         manifest.save(index_dir)
@@ -257,6 +259,7 @@ def build_index(
         # the Ray path (asserted in tests/test_build.py).
         t0 = time.perf_counter()
         ticks0 = _cpu_ticks()
+        spill0 = _spill_counters()
         postings_dir.mkdir(parents=True, exist_ok=True)
         import numpy as np
         import pyarrow.compute as pc
@@ -306,11 +309,13 @@ def build_index(
             seconds=time.perf_counter() - t0,
             shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
             steal_busy_pct=_steal_share(ticks0),
+            spill=_spill_delta(spill0),
         )
         manifest.save(index_dir)
     elif not manifest.phase_complete(generation):
         t0 = time.perf_counter()
         ticks0 = _cpu_ticks()
+        spill0 = _spill_counters()
         postings_dir.mkdir(parents=True, exist_ok=True)
         # push-based sort shuffle: measurably faster for this wide
         # groupby(shard) exchange (8.3s vs 12.4s pull-based / 62s hash at
@@ -393,6 +398,7 @@ def build_index(
             seconds=time.perf_counter() - t0,
             shards={str(r["shard"]): {k: v for k, v in r.items() if k != "shard"} for r in rows},
             steal_busy_pct=_steal_share(ticks0),
+            spill=_spill_delta(spill0),
             ray_stats=_stats_summary(lineage),
         )
         manifest.save(index_dir)
@@ -416,6 +422,60 @@ def _steal_share(ticks0: tuple[int, int]) -> float:
     """Busy-time steal share (%) since ``ticks0``."""
     s1, b1 = _cpu_ticks()
     return round(100.0 * (s1 - ticks0[0]) / max(b1 - ticks0[1], 1), 2)
+
+
+_SPILL_PATTERNS = {
+    "spill_requests": r"cumulative spill requests: (\d+)",
+    "restore_requests": r"cumulative restore requests: (\d+)",
+    "bytes_currently_spilled": r"num bytes currently spilled: (\d+)",
+    "pinned_bytes": r"pinned objects size: (\d+)",
+}
+
+
+def _spill_counters() -> dict:
+    """Object-store spill/restore counters from the raylet's periodic
+    ``debug_state.txt`` dump (LocalObjectManager section).
+
+    Distinguishes the designed spill regime (working set > object store,
+    throughput drops but the job streams through) from a genuine
+    regression — the phase lineage records the spilled/restored deltas so
+    a super-linear phase time can be attributed (BASELINE.md, 4M-doc
+    datapoint). The grpc-based ``memory_summary`` API is unavailable in
+    this container, so this parses the raylet's state file; the dump
+    refreshes every ~10 s, so deltas are meaningful only for phases
+    longer than that (exactly the spill-regime phases of interest).
+    Best-effort: returns {} when the file or fields are absent."""
+    try:
+        import re
+
+        import ray._private.worker as _w
+
+        session = _w.global_worker.node.get_session_dir_path()
+        txt = (Path(session) / "logs" / "debug_state.txt").read_text()
+        out = {}
+        for key, pat in _SPILL_PATTERNS.items():
+            m = re.search(pat, txt)
+            if m:
+                out[key] = int(m.group(1))
+        return out
+    except Exception:
+        return {}
+
+
+def _spill_delta(before: dict) -> dict:
+    """Per-phase spill/restore counter deltas vs a ``_spill_counters``
+    snapshot (cumulative counters → delta; byte gauges → end-of-phase)."""
+    after = _spill_counters()
+    if not after:
+        return {}
+    out = {}
+    for k in ("spill_requests", "restore_requests"):
+        if k in after:
+            out[k] = after[k] - before.get(k, 0)
+    for k in ("bytes_currently_spilled", "pinned_bytes"):
+        if k in after:
+            out[k] = after[k]
+    return out
 
 
 def _stats_summary(ds) -> list[str]:
