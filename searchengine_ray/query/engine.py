@@ -223,7 +223,10 @@ class SearchEngine:
     @property
     def _io_pool(self) -> ThreadPoolExecutor:
         if self._io_pool_inst is None:
-            self._io_pool_inst = ThreadPoolExecutor(max_workers=8)
+            # 16: a salted 4-term query probes ~20 shard files; parquet
+            # read + decompress release the GIL, so wider overlap is pure
+            # I/O win (cold head-term loads are the p95 driver at 2M docs)
+            self._io_pool_inst = ThreadPoolExecutor(max_workers=16)
         return self._io_pool_inst
 
     def close(self) -> None:
@@ -306,7 +309,10 @@ class SearchEngine:
         for triples in shard_results:
             for gen, t, rows in triples:
                 per_term_rows.setdefault(t, []).append((gen, rows))
-        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
+        return {
+            t: self._assemble_term(t, gen_rows, positions=positions)
+            for t, gen_rows in per_term_rows.items()
+        }
 
     def _shard_plan(self, terms: list[str]) -> dict[int, list[str]]:
         """shard → terms to probe there (salted terms span several)."""
@@ -371,7 +377,7 @@ class SearchEngine:
         ]
         return pq.read_table(path, filters=pc.field("term").isin(terms), columns=cols)
 
-    def _assemble_term(self, t: str, gen_rows: list):
+    def _assemble_term(self, t: str, gen_rows: list, positions: bool = True):
         cod = self._codec
         # fast path: one source, unsalted → block-lazy postings (nothing
         # decoded until a scorer touches it; WAND skips pruned blocks).
@@ -380,39 +386,46 @@ class SearchEngine:
         if len(gen_rows) == 1 and t not in self.manifest.salted_terms:
             gen, rows = gen_rows[0]
             return LazyTermPostings(t, rows, cod, bmw_scale=self._gen_bmw_scale(gen))
-        ids_parts, tf_parts, dl_parts = [], [], []
-        bounds = [0]
-        pos_parts = []
+        # slow path (salted subsets / multiple generations): k sorted runs
+        # merged into one globally doc_id-sorted posting list. Everything
+        # is batched — ONE codec pass per column per source (block
+        # payloads restart their delta chains, so *_many re-anchors
+        # exactly) and numpy group gathers; no per-block Python loops.
+        # The head-term cold-load tail at 2M docs was exactly this path
+        # (p95 983 ms → see BASELINE.md round 3).
+        ids_srcs, tf_srcs, dl_srcs, pos_srcs = [], [], [], []
         for _gen, rows in gen_rows:
-            for r in range(rows.num_rows):
-                ids_parts.append(cod.dec_sorted(rows["doc_ids"][r].as_py()))
-                tf_parts.append(cod.dec_plain(rows["tfs"][r].as_py()))
-                dl_parts.append(cod.dec_plain(rows["dls"][r].as_py()))
-                bounds.append(bounds[-1] + len(ids_parts[-1]))
-            if "positions" in rows.column_names:
-                pos_parts.extend(rows["positions"].to_pylist())
+            counts = rows["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids_srcs.append(cod.dec_sorted_many(rows["doc_ids"].to_pylist(), counts))
+            tf_srcs.append(cod.dec_plain_many(rows["tfs"].to_pylist(), counts))
+            dl_srcs.append(cod.dec_plain_many(rows["dls"].to_pylist(), counts))
+            if positions and "positions" in rows.column_names:
+                bufs = rows["positions"].to_pylist()
+                pos_srcs.append(None if any(b is None for b in bufs) else bufs)
             else:
-                pos_parts.extend([None] * rows.num_rows)
-        doc_ids = np.concatenate(ids_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        # multi-generation: decode positions now, merge-sort by doc_id,
-        # re-block with exact maxima under the current avgdl
-        pos_lists: list[np.ndarray | None] = []
-        k = 0
-        for part_idx, tf_part in enumerate(tf_parts):
-            enc = pos_parts[part_idx] if part_idx < len(pos_parts) else None
-            if enc is None:
-                pos_lists.extend([None] * len(tf_part))
-            else:
-                pos_all = cod.dec_grouped(enc, tf_part)
-                ends = np.cumsum(tf_part)
-                for e, c in zip(ends, tf_part):
-                    pos_lists.append(pos_all[e - c : e])
-            k += len(tf_part)
+                pos_srcs.append(None)
+        doc_ids = np.concatenate(ids_srcs)
+        tfs = np.concatenate(tf_srcs).astype(np.int64, copy=False)
+        dls = np.concatenate(dl_srcs)
         order = np.argsort(doc_ids, kind="stable")
+        want_pos = positions and all(p is not None for p in pos_srcs)
+        if want_pos:
+            # one grouped decode per source (each block's encoding
+            # restarts at every posting), then one vectorized group
+            # gather reorders per-posting position runs into merge order
+            pos_flat = np.concatenate(
+                [
+                    cod.dec_grouped(b"".join(bufs), tf_src)
+                    for bufs, tf_src in zip(pos_srcs, tf_srcs)
+                ]
+            ) if len(tfs) else np.empty(0, np.int64)
+            starts = np.cumsum(tfs) - tfs
+            sel_starts, sel_counts = starts[order], tfs[order]
+            total = int(sel_counts.sum())
+            out_starts = np.cumsum(sel_counts) - sel_counts
+            delta = np.arange(total, dtype=np.int64) - np.repeat(out_starts, sel_counts)
+            pos_sorted = pos_flat[np.repeat(sel_starts, sel_counts) + delta]
         doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        pos_lists = [pos_lists[i] for i in order]
         bs = self.manifest.block_size
         k1, b = self.manifest.bm25_k1, self.manifest.bm25_b
         avgdl = self.manifest.avgdl or 1.0
@@ -420,24 +433,22 @@ class SearchEngine:
         n = len(doc_ids)
         n_blocks = (n + bs - 1) // bs
         block_bounds = np.minimum(np.arange(n_blocks + 1) * bs, n)
-        block_max_w = np.array(
-            [w[block_bounds[i] : block_bounds[i + 1]].max() for i in range(n_blocks)]
+        block_max_w = (
+            np.maximum.reduceat(w, block_bounds[:-1]) if n else np.empty(0)
         )
-        block_doc_max = doc_ids[np.minimum(block_bounds[1:] - 1, n - 1)]
-        # re-encode positions per block so positions_for() sees one enc/block
-        pos_enc: list[bytes | None] = []
-        for i in range(n_blocks):
-            lo, hi = block_bounds[i], block_bounds[i + 1]
-            chunk = pos_lists[lo:hi]
-            if any(p is None for p in chunk):
-                pos_enc.append(None)
-                continue
-            vals = np.concatenate(chunk) if chunk else np.empty(0, np.int64)
-            counts = np.asarray([len(p) for p in chunk], dtype=np.int64)
-            starts_mask = np.zeros(len(vals), dtype=bool)
-            if len(vals):
-                starts_mask[np.cumsum(counts) - counts] = True
-            pos_enc.append(cod.enc_grouped(vals, starts_mask))
+        block_doc_max = doc_ids[np.minimum(block_bounds[1:] - 1, n - 1)] if n else np.empty(0, np.int64)
+        if want_pos:
+            # batched per-block re-encode: one numpy delta/varbyte pass,
+            # sliced at the block boundaries (in position-value space)
+            starts_mask = np.zeros(len(pos_sorted), dtype=bool)
+            if len(pos_sorted):
+                starts_mask[np.cumsum(tfs) - tfs] = True
+            val_bounds = np.concatenate(([0], np.cumsum(tfs)))[block_bounds]
+            pos_enc: list[bytes | None] = cod.enc_grouped_blocks(
+                pos_sorted, starts_mask, val_bounds.astype(np.int64)
+            )
+        else:
+            pos_enc = [None] * n_blocks
         return TermPostings(
             term=t,
             df=n,
@@ -446,10 +457,10 @@ class SearchEngine:
             dls=dls,
             block_bounds=block_bounds.astype(np.int64),
             block_max_w=block_max_w,
-            block_doc_max=block_doc_max.astype(np.int64),
+            block_doc_max=np.asarray(block_doc_max, dtype=np.int64),
             positions_enc=pos_enc,
             codec=cod,
-            has_positions=any(p is not None for p in pos_enc),
+            has_positions=want_pos,
         )
 
     def _remove_tombstones(self, doc_ids: np.ndarray) -> np.ndarray:

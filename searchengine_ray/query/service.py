@@ -90,4 +90,7 @@ class RoutedSearchEngine(SearchEngine):
         per_term_rows: dict[str, list] = {}
         for gen, t, rows in self.service.fetch(self._shard_plan(terms), positions):
             per_term_rows.setdefault(t, []).append((gen, rows))
-        return {t: self._assemble_term(t, gen_rows) for t, gen_rows in per_term_rows.items()}
+        return {
+            t: self._assemble_term(t, gen_rows, positions=positions)
+            for t, gen_rows in per_term_rows.items()
+        }
