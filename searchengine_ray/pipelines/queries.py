@@ -3017,6 +3017,92 @@ FROM documents GROUP BY lang
 """
 
 
+# ------------------------------------------------- HITS (hubs & authorities)
+
+
+HITS_ITERS = 20
+
+
+def q_hits_scores(sf_dir: str) -> pd.DataFrame:
+    """HITS over the same deterministic synthetic doc-id edge set as
+    ``q_pagerank`` (Kleinberg's mutual-reinforcement companion to the
+    reference's PageRank, ``search/IcsSearchEngine.java:66`` analog).
+    Max-normalized per half-step so the distributed result, the numpy
+    oracle and the unrolled SQL agree after round(6); fixed
+    ``HITS_ITERS`` iterations (no early stop)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..rank.hits import hits_numpy, hits_ray
+    from ..sources.links import links_table
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    if n >= 100_000:
+        # broadcast-tier distributed path (see rank/hits.py module doc)
+        auth, hub = hits_ray(rd.from_arrow(links_table(edges)), n, HITS_ITERS)
+    else:
+        auth, hub = hits_numpy(edges, n, HITS_ITERS)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "authority": pd.Series(np.round(auth, 6), dtype="float64"),
+            "hub": pd.Series(np.round(hub, 6), dtype="float64"),
+        }
+    )
+
+
+def sql_hits_scores() -> str:
+    """Unrolled HITS power iteration: per iteration one join+group-by per
+    half-step plus a scalar max for the normalization."""
+    head = """nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids
+),
+edges AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src <> dst),
+h0 AS MATERIALIZED (SELECT id AS node, 1.0 AS val FROM ids)"""
+    steps = []
+    for i in range(HITS_ITERS):
+        steps.append(
+            f""",
+ar{i + 1} AS MATERIALIZED (
+    SELECT i.id AS node, coalesce(s.v, 0.0) AS raw
+    FROM ids i LEFT JOIN (
+        SELECT e.dst AS node, sum(h.val) AS v
+        FROM edges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst
+    ) s ON s.node = i.id),
+a{i + 1} AS MATERIALIZED (
+    SELECT node, raw / (SELECT max(raw) FROM ar{i + 1}) AS val FROM ar{i + 1}),
+hr{i + 1} AS MATERIALIZED (
+    SELECT i.id AS node, coalesce(s.v, 0.0) AS raw
+    FROM ids i LEFT JOIN (
+        SELECT e.src AS node, sum(a.val) AS v
+        FROM edges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src
+    ) s ON s.node = i.id),
+h{i + 1} AS MATERIALIZED (
+    SELECT node, raw / (SELECT max(raw) FROM hr{i + 1}) AS val FROM hr{i + 1})"""
+        )
+    return (
+        "WITH "
+        + head
+        + "".join(steps)
+        + f"""
+SELECT a.node AS doc_id, round(a.val, 6) AS authority, round(h.val, 6) AS hub
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -3117,4 +3203,6 @@ def registry() -> dict[str, tuple]:
         "event_quantiles": (q_event_quantiles, sql_event_quantiles()),
         "bigram_counts": (q_bigram_counts, sql_bigram_counts()),
         "embedding_centroids": (q_embedding_centroids, sql_embedding_centroids()),
+        # --- round-3 additions (positions 83+; window in round 4) ---
+        "hits_scores": (q_hits_scores, sql_hits_scores()),
     }

@@ -116,3 +116,49 @@ class TestPartitionedPageRank:
         got[out["node"].to_numpy()] = out["rank"].to_numpy()
         assert len(out) == 300
         np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+class TestHITS:
+    def test_dense_oracle(self):
+        """Dense-matrix HITS transcription == hits_numpy on a small graph."""
+        from searchengine_ray.rank.hits import hits_numpy
+
+        edges = np.array([[0, 1], [1, 2], [2, 0], [3, 0], [3, 2], [1, 3]])
+        n = 4
+        A = np.zeros((n, n))
+        for s, d in edges:
+            A[s, d] = 1.0
+        hub = np.ones(n)
+        for _ in range(20):
+            auth = A.T @ hub
+            auth = auth / auth.max()
+            hub = A @ auth
+            hub = hub / hub.max()
+        got_a, got_h = hits_numpy(edges, n, num_iterations=20)
+        np.testing.assert_allclose(got_a, auth, rtol=1e-12)
+        np.testing.assert_allclose(got_h, hub, rtol=1e-12)
+
+    def test_hub_vs_authority_shape(self):
+        """A pure hub (links out, no in-links) gets hub>0, authority==0;
+        a pure authority (in-links only) the reverse."""
+        from searchengine_ray.rank.hits import hits_numpy
+
+        # 0 -> {2,3}, 1 -> {2,3}: 0,1 pure hubs; 2,3 pure authorities
+        edges = np.array([[0, 2], [0, 3], [1, 2], [1, 3]])
+        auth, hub = hits_numpy(edges, 4, num_iterations=10)
+        assert auth[0] == auth[1] == 0.0
+        assert hub[2] == hub[3] == 0.0
+        assert auth[2] == auth[3] == 1.0
+        assert hub[0] == hub[1] == 1.0
+
+    def test_ray_matches_numpy(self, ray_session):
+        """Distributed broadcast-tier HITS == numpy on the synthetic graph."""
+        import ray.data as rd
+
+        from searchengine_ray.rank.hits import hits_numpy, hits_ray
+
+        edges = generate_links(300, seed=7)
+        auth_np, hub_np = hits_numpy(edges, 300, num_iterations=8)
+        auth_r, hub_r = hits_ray(rd.from_arrow(links_table(edges)), 300, num_iterations=8)
+        np.testing.assert_allclose(auth_r, auth_np, rtol=1e-9)
+        np.testing.assert_allclose(hub_r, hub_np, rtol=1e-9)
