@@ -3103,6 +3103,62 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# --------------------------------------------------- sketches (HH + HLL)
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact top-30 corpus terms via the two-pass Misra-Gries design
+    (candidate compression → broadcast-filtered exact recount with a
+    provable exactness certificate) — the vocabulary never shuffles
+    whole. functions/sketches.py module doc has the bound."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(ds, top_k=30)
+
+
+def sql_heavy_hitters() -> str:
+    return r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                   '[ \t\n\x0b\f\r]+')) AS t
+  FROM documents)
+SELECT t AS term, count(*) AS n FROM tok WHERE t <> ''
+GROUP BY t ORDER BY n DESC, term LIMIT 30
+"""
+
+
+def q_hll_sketch(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog register table (p=12) over events.user_id: per-batch
+    partial max-rho registers (≤4096 rows/batch through the shuffle) →
+    Max groupby. Integer-exact vs the SQL mirror; the float cardinality
+    estimate derived from these registers is pytest-asserted within 2%
+    of exact distinct."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.sketches import hll_registers
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ds, "user_id")
+
+
+def sql_hll_sketch() -> str:
+    # rho = leading zeros of the low 52 bits + 1 = 53 - bit_length(w);
+    # bin() has no leading zeros so length(bin(w)) == bit_length(w)
+    return """
+WITH h AS (
+  SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events
+), rr AS (
+  SELECT CAST(hv >> 52 AS BIGINT) AS register,
+         CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(hv & ((1::UBIGINT << 52) - 1))) END AS rho
+  FROM h)
+SELECT register, CAST(max(rho) AS BIGINT) AS rho FROM rr GROUP BY register
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -3205,4 +3261,6 @@ def registry() -> dict[str, tuple]:
         "embedding_centroids": (q_embedding_centroids, sql_embedding_centroids()),
         # --- round-3 additions (positions 83+; window in round 4) ---
         "hits_scores": (q_hits_scores, sql_hits_scores()),
+        "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters()),
+        "hll_sketch": (q_hll_sketch, sql_hll_sketch()),
     }

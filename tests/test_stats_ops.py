@@ -340,3 +340,81 @@ class TestCollocationsPMI:
         want = math.log2((3 / 5) / ((3 / 7) * (3 / 7)))
         assert abs(out.iloc[0]["pmi"] - round(want, 6)) < 1e-9
         assert out.iloc[1][["t1", "t2", "n"]].tolist() == ["b", "a", 1]
+
+
+class TestSketches:
+    def test_heavy_hitters_exact(self, ray_session):
+        """Two-pass HH == full exact groupby top-k, even with a tiny
+        capacity that forces heavy per-batch truncation."""
+        import ray.data as rd
+
+        from searchengine_ray.functions.sketches import heavy_hitters
+
+        rng = np.random.default_rng(3)
+        # Zipf-ish vocabulary: term{i} with frequency ~ 1/(i+1)
+        words = [f"w{i}" for i in range(200)]
+        docs = [
+            " ".join(rng.choice(words, p=_zipf_p(200), size=50))
+            for _ in range(300)
+        ]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+        got = heavy_hitters(ds, top_k=10, capacity=64)
+        # oracle: flat exact counts
+        from collections import Counter
+
+        c = Counter(w for d in docs for w in d.split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(map(tuple, got.itertuples(index=False))) == want
+
+    def test_heavy_hitters_fallback_on_weak_certificate(self, ray_session):
+        """Uniform frequencies defeat the MG certificate → exact fallback
+        still returns the true top-k."""
+        import ray.data as rd
+
+        from searchengine_ray.functions.sketches import heavy_hitters
+
+        docs = [f"u{i % 97} u{(i * 13) % 97}" for i in range(500)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+        got = heavy_hitters(ds, top_k=5, capacity=4)
+        from collections import Counter
+
+        c = Counter(w for d in docs for w in d.split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(map(tuple, got.itertuples(index=False))) == want
+
+    def test_hll_registers_match_single_pass(self, ray_session):
+        """Distributed register merge == single-pass register build."""
+        import ray.data as rd
+
+        from searchengine_ray.functions.sketches import (
+            hll_estimate,
+            hll_register_batch,
+            hll_registers,
+        )
+        import pyarrow as pa
+
+        vals = np.arange(20_000, dtype=np.int64) % 7_321  # 7321 distinct
+        ds = rd.from_arrow(pa.table({"user_id": pa.array(vals)})).repartition(6)
+        got = hll_registers(ds, "user_id")
+        want = (
+            hll_register_batch(pa.table({"user_id": pa.array(vals)}), "user_id")
+            .to_pandas()
+            .sort_values("register")
+            .reset_index(drop=True)
+            .astype({"register": "int64", "rho": "int64"})
+        )
+        pd.testing.assert_frame_equal(got, want)
+        est = hll_estimate(got)
+        assert abs(est - 7_321) / 7_321 < 0.05  # p=12 → ~1.6% std error
+
+    def test_hll_estimate_small_range_correction(self):
+        from searchengine_ray.functions.sketches import hll_estimate
+
+        regs = pd.DataFrame({"register": [0, 5, 9], "rho": [1, 2, 1]})
+        est = hll_estimate(regs)
+        assert 2.0 < est < 6.0  # linear counting regime, 3 distinct-ish
+
+
+def _zipf_p(n):
+    w = 1.0 / np.arange(1, n + 1)
+    return w / w.sum()
