@@ -3103,6 +3103,138 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ------------------------------------------------------ boolean query DSL
+
+BOOL_QUERY = "window AND (merge OR zebra) AND NOT join"
+
+
+def q_boolean_query(sf_dir: str) -> pd.DataFrame:
+    """Boolean query language (AND/OR/NOT/parens/phrases) parsed by
+    ``query/boolparse.py`` and compiled onto the engine's set
+    primitives — the search-box front end over J1/J2/J3."""
+    from searchengine_ray.query.boolparse import search_boolean
+
+    ids = search_boolean(_engine(sf_dir), BOOL_QUERY)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def sql_boolean_query() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT doc_id FROM (
+  SELECT doc_id FROM toks WHERE term = 'window'
+  INTERSECT
+  (SELECT doc_id FROM toks WHERE term = 'merge'
+   UNION SELECT doc_id FROM toks WHERE term = 'zebra')
+)
+EXCEPT SELECT doc_id FROM toks WHERE term = 'join'
+"""
+
+
+# ------------------------------------------------------------- TPC-H Q5
+
+
+def q_tpch_q5(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue): six-table join planned
+    for scale — region/nation/supplier collapse to broadcast lookup
+    arrays (tiny sides, ``ray.put`` once); customer⋈orders and
+    (that)⋈lineitem run as native distributed hash joins on the fact
+    keys; the c_nationkey = s_nationkey locality predicate applies
+    vectorized inside ``map_batches`` right after the join so mismatched
+    rows never reach the aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    asia_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nat_names = {int(k): v for k, v in zip(asia_keys, nat["n_name"].to_pylist())}
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nat = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # dense suppkey → nationkey array (-1 = not an ASIA supplier)
+    s_map = np.full(int(s_keys.max()) + 1, -1, np.int64)
+    asia_set = set(asia_keys.tolist())
+    for k, nk in zip(s_keys, s_nat):
+        if int(nk) in asia_set:
+            s_map[k] = nk
+    supp_ref = ray.put(s_map)
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(), pa.timestamp("us"))
+
+    def orders_window(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        )
+        return b.select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_window, batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    # distributed hash join: orders ⋈ customer on custkey (both fact-scale)
+    ord_nat = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = line.join(
+        ord_nat, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def local_revenue(b: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.where(sk < len(smap), smap[np.minimum(sk, len(smap) - 1)], -1)
+        mask = snat == cn  # local-supplier predicate (and drops non-ASIA)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "nationkey": pa.array(cn[mask], pa.int64()),
+                "rev": pa.array(rev.to_numpy(zero_copy_only=False)[mask], pa.float64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(local_revenue, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["n_name"] = out["nationkey"].map(nat_names)
+    out["revenue"] = out["revenue"].round(4)
+    out = out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue"]]
+
+
+def sql_tpch_q5() -> str:
+    return """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 # --------------------------------------------------- sketches (HH + HLL)
 
 
@@ -3263,4 +3395,6 @@ def registry() -> dict[str, tuple]:
         "hits_scores": (q_hits_scores, sql_hits_scores()),
         "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters()),
         "hll_sketch": (q_hll_sketch, sql_hll_sketch()),
+        "tpch_q5": (q_tpch_q5, sql_tpch_q5()),
+        "boolean_query": (q_boolean_query, sql_boolean_query()),
     }

@@ -229,3 +229,68 @@ class TestNearSearch:
     def test_missing_term(self, engine):
         assert engine.search_near("zebra", "pizza", slop=5).tolist() == []
         assert engine.search_near("zebra", "zebra", slop=5).tolist() == []
+
+
+class TestBooleanParser:
+    """query/boolparse.py: grammar, precedence, set semantics."""
+
+    def _ids(self, engine, q):
+        from searchengine_ray.query.boolparse import search_boolean
+
+        return sorted(search_boolean(engine, q).tolist())
+
+    def test_implicit_and(self, engine):
+        assert self._ids(engine, "cat dog") == self._ids(engine, "cat AND dog")
+
+    def test_or_precedence(self, engine):
+        # AND binds tighter: "cat dog OR pig" == (cat AND dog) OR pig
+        want = sorted(
+            set(self._ids(engine, "cat AND dog")) | set(self._ids(engine, "pig"))
+        )
+        assert self._ids(engine, "cat dog OR pig") == want
+
+    def test_parens_override(self, engine):
+        want = sorted(
+            set(self._ids(engine, "cat")) & (set(self._ids(engine, "dog")) | set(self._ids(engine, "pig")))
+        )
+        assert self._ids(engine, "cat AND (dog OR pig)") == want
+
+    def test_not(self, engine):
+        want = sorted(set(self._ids(engine, "cat")) - set(self._ids(engine, "dog")))
+        assert self._ids(engine, "cat AND NOT dog") == want
+        assert self._ids(engine, "cat NOT dog") == want  # implicit AND
+
+    def test_phrase(self, engine):
+        assert self._ids(engine, '"pizza house"') == sorted(
+            np.asarray(engine.search_phrase("pizza house")).tolist()
+        )
+        # phrase composes with boolean ops
+        got = self._ids(engine, '"summer pizza" OR "pizza and dogs"')
+        want = sorted(
+            set(np.asarray(engine.search_phrase("summer pizza")).tolist())
+            | set(np.asarray(engine.search_phrase("pizza and dogs")).tolist())
+        )
+        assert got == want
+
+    def test_case_insensitive_operators_vs_terms(self, engine):
+        # lowercase 'and'/'or'/'not' also act as operators (search-box norm)
+        assert self._ids(engine, "cat and dog") == self._ids(engine, "cat AND dog")
+
+    @pytest.mark.parametrize(
+        "bad",
+        ["", "AND cat", "cat AND", "cat (dog", "cat) dog", "NOT dog", "cat AND NOT dog OR NOT pig"],
+    )
+    def test_malformed_or_pure_negative_raises(self, engine, bad):
+        from searchengine_ray.query.boolparse import search_boolean
+
+        with pytest.raises(ValueError):
+            search_boolean(engine, bad)
+
+    def test_nested_depth(self, engine):
+        got = self._ids(engine, "((cat AND (dog OR (pig AND toy))) OR house)")
+        cat = set(self._ids(engine, "cat"))
+        dog = set(self._ids(engine, "dog"))
+        pig = set(self._ids(engine, "pig"))
+        toy = set(self._ids(engine, "toy"))
+        house = set(self._ids(engine, "house"))
+        assert got == sorted((cat & (dog | (pig & toy))) | house)
