@@ -74,3 +74,25 @@ class HtmlExtractStage:
             idx = batch.column_names.index(self.text_column)
             return batch.set_column(idx, self.text_column, text)
         return batch.append_column(self.text_column, text)
+
+
+# ------------------------------------------------------- link extraction
+
+_ANCHOR = re.compile(r'<a\b[^>]*\bhref\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>', re.S | re.I)
+
+
+def extract_links(html_bytes: bytes | str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs from one HTML document. Anchor text goes
+    through the same tag-strip → unescape → whitespace-collapse pipeline
+    as body text, so nested markup inside the anchor is handled."""
+    s = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, bytes)
+        else html_bytes
+    )
+    s = _COMMENT.sub("", s)
+    out = []
+    for href, inner in _ANCHOR.findall(s):
+        txt = _WS.sub(" ", _html.unescape(_TAG.sub(" ", inner))).strip()
+        out.append((href, txt))
+    return out

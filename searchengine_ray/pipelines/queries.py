@@ -3103,6 +3103,71 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ------------------------------------------------------ anchor-text index
+
+
+def q_anchor_text(sf_dir: str) -> pd.DataFrame:
+    """Anchor-text aggregation (functions/anchors.py): each document page
+    is rendered with real ``<a href>`` links to its two synthetic
+    out-neighbors — (id·7+13)%n and (id·31+5)%n, the PageRank edge set —
+    whose anchor text is the source doc's first three tokens; the
+    pipeline then PARSES the HTML back (regex link extractor), resolves
+    targets, tokenizes anchors, and aggregates (target, term) counts.
+    The SQL oracle derives the same edges arithmetically, so the whole
+    render→extract→aggregate chain is hash-verified."""
+    import html as _html_mod
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from searchengine_ray.functions.anchors import anchor_term_counts
+    from searchengine_ray.functions.textstats import _token_lists
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(batch["text"].to_pandas())
+        pages = []
+        for i, tl in zip(ids, toks):
+            anchor = _html_mod.escape(" ".join(tl[:3]))
+            links = []
+            for dst in (int(i * 7 + 13) % n, int(i * 31 + 5) % n):
+                if dst != int(i):
+                    links.append(f'<a href="doc://{dst}">{anchor}</a>')
+            pages.append(
+                f"<html><body><p>page {int(i)}</p>{''.join(links)}</body></html>".encode()
+            )
+        return pa.table({"html": pa.array(pages, pa.binary())})
+
+    pages = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(render, batch_format="pyarrow")
+    return anchor_term_counts(pages)
+
+
+def sql_anchor_text() -> str:
+    return r"""
+WITH nn AS (SELECT count(*) AS c FROM documents),
+atok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                        '[ \t\n\x0b\f\r]+'), x -> x <> '')[1:3] AS l
+  FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 5) % (SELECT c FROM nn) FROM documents),
+pairs AS (
+  SELECT e.dst, unnest(a.l) AS t
+  FROM edges e JOIN atok a ON a.doc_id = e.src
+  WHERE e.src <> e.dst)
+SELECT dst AS doc_id, t AS term, count(*) AS n
+FROM pairs GROUP BY dst, t
+"""
+
+
 # ------------------------------------------------------ boolean query DSL
 
 BOOL_QUERY = "window AND (merge OR zebra) AND NOT join"
@@ -3397,4 +3462,5 @@ def registry() -> dict[str, tuple]:
         "hll_sketch": (q_hll_sketch, sql_hll_sketch()),
         "tpch_q5": (q_tpch_q5, sql_tpch_q5()),
         "boolean_query": (q_boolean_query, sql_boolean_query()),
+        "anchor_text": (q_anchor_text, sql_anchor_text()),
     }

@@ -66,3 +66,45 @@ class TestCorpusInvariant:
         before = (out / files[0]).stat().st_mtime_ns
         generate_corpus(tmp_path / "c", n_docs=2500, chunks_per_file=2)
         assert (out / files[0]).stat().st_mtime_ns == before
+
+
+class TestExtractLinks:
+    def test_basic_pairs(self):
+        from searchengine_ray.extract.html import extract_links
+
+        html = b'<p>x</p><a href="doc://5">hello world</a><a href="http://e.com/a">ext</a>'
+        assert extract_links(html) == [("doc://5", "hello world"), ("http://e.com/a", "ext")]
+
+    def test_nested_markup_and_entities(self):
+        from searchengine_ray.extract.html import extract_links
+
+        html = '<a href="doc://1"><b>bold</b> &amp; <i>ital</i></a>'
+        assert extract_links(html) == [("doc://1", "bold & ital")]
+
+    def test_commented_out_link_ignored(self):
+        from searchengine_ray.extract.html import extract_links
+
+        html = '<!-- <a href="doc://9">ghost</a> --><a href="doc://2">real</a>'
+        assert extract_links(html) == [("doc://2", "real")]
+
+    def test_attributes_and_case(self):
+        from searchengine_ray.extract.html import extract_links
+
+        html = '<A CLASS="x" HREF="doc://3" target="_blank">Click</A>'
+        assert extract_links(html) == [("doc://3", "Click")]
+
+    def test_anchor_aggregation(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.anchors import anchor_term_counts
+
+        pages = [
+            b'<a href="doc://1">cat dog</a><a href="doc://2">cat</a>',
+            b'<a href="doc://1">cat</a><a href="mailto:x">skip me</a>',
+            b'<a href="doc://notanint">bad</a>',
+        ]
+        ds = rd.from_arrow(pa.table({"html": pa.array(pages, pa.binary())}))
+        out = anchor_term_counts(ds)
+        got = {(r.doc_id, r.term): r.n for r in out.itertuples(index=False)}
+        assert got == {(1, "cat"): 2, (1, "dog"): 1, (2, "cat"): 1}
