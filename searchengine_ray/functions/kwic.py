@@ -70,3 +70,71 @@ def kwic(ds, term: str, window: int = 3,
         return kwic_batch(b, term, window, id_column, text_column)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snippet_batch(
+    batch: pa.Table,
+    terms: list[str],
+    window: int = 8,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> pa.Table:
+    """Best-window snippet with ``<em>`` highlighting for a multi-term
+    query: among windows of ``window`` tokens anchored at each query-term
+    occurrence, pick the one covering the most DISTINCT query terms
+    (ties → earliest), and mark every query token in it.
+
+    Corpus-wide here for oracle verification; in a serving path this
+    runs only over the top-k result docs, so the per-anchor loop is
+    k-bounded, not corpus-bounded."""
+    qset = set(terms)
+    toks = pc.split_pattern_regex(
+        pc.replace_substring_regex(pc.utf8_lower(batch[text_column]), _PUNCT, " "),
+        _WS,
+    )
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = toks.values
+    mask = pc.is_in(values, value_set=pa.array(sorted(qset))).to_numpy(
+        zero_copy_only=False
+    )
+    hits = np.flatnonzero(mask)
+    empty = pa.table(
+        {id_column: pa.array([], pa.int64()), "snippet": pa.array([], pa.string())}
+    )
+    if not len(hits):
+        return empty
+    rows = np.searchsorted(offsets[1:], hits, side="right")
+    ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_ids, out_snips = [], []
+    for r in np.unique(rows):
+        row_hits = hits[rows == r] - offsets[r]  # 0-based anchor positions
+        row_toks = [s.as_py() for s in values.slice(offsets[r], offsets[r + 1] - offsets[r])]
+        best = None  # (−distinct, p)
+        for p in row_hits:
+            win = row_toks[p : p + window]
+            sc = len(qset.intersection(win))
+            key = (-sc, p)
+            if best is None or key < best:
+                best = key
+        p = best[1]
+        win = row_toks[p : p + window]
+        out_ids.append(ids[r])
+        out_snips.append(
+            " ".join(f"<em>{t}</em>" if t in qset else t for t in win)
+        )
+    return pa.table(
+        {
+            id_column: pa.array(out_ids, pa.int64()),
+            "snippet": pa.array(out_snips, pa.string()),
+        }
+    )
+
+
+def snippets(ds, terms: list[str], window: int = 8,
+             id_column: str = "doc_id", text_column: str = "text"):
+    def fn(b: pa.Table) -> pa.Table:
+        return snippet_batch(b, terms, window, id_column, text_column)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

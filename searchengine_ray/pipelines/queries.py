@@ -3103,6 +3103,59 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ----------------------------------------------------- snippet generation
+
+SNIPPET_TERMS = ["window", "merge", "query"]
+SNIPPET_W = 8
+
+
+def q_snippets(sf_dir: str) -> pd.DataFrame:
+    """Best-window search snippets with <em> highlighting: among windows
+    anchored at query-term hits, pick the one with the most distinct
+    query terms (tie → earliest). Corpus-wide for verification; serving
+    runs it on top-k docs only (functions/kwic.py:snippet_batch)."""
+    import ray.data as rd
+
+    from ..functions.kwic import snippets
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        snippets(ds, SNIPPET_TERMS, window=SNIPPET_W)
+        .to_pandas()
+        .astype({"doc_id": "int64"})
+    )
+
+
+def sql_snippets() -> str:
+    q = ", ".join(f"'{t}'" for t in SNIPPET_TERMS)
+    w = SNIPPET_W
+    return rf"""
+WITH tokl AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \t\n\x0b\f\r]+') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos FROM tokl),
+cand AS (SELECT doc_id, pos AS p FROM tok WHERE t IN ({q})),
+scored AS (
+  SELECT c.doc_id, c.p, count(DISTINCT h.t) AS sc
+  FROM cand c JOIN tok h
+    ON h.doc_id = c.doc_id AND h.pos >= c.p AND h.pos < c.p + {w} AND h.t IN ({q})
+  GROUP BY c.doc_id, c.p),
+best AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, p) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT b.doc_id,
+       array_to_string(
+         list_transform(l[b.p : least(len(l), b.p + {w - 1})],
+                        x -> CASE WHEN x IN ({q}) THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS snippet
+FROM best b JOIN tokl USING (doc_id)
+"""
+
+
 # ------------------------------------------------------ anchor-text index
 
 
@@ -3463,4 +3516,5 @@ def registry() -> dict[str, tuple]:
         "tpch_q5": (q_tpch_q5, sql_tpch_q5()),
         "boolean_query": (q_boolean_query, sql_boolean_query()),
         "anchor_text": (q_anchor_text, sql_anchor_text()),
+        "snippets": (q_snippets, sql_snippets()),
     }

@@ -481,3 +481,43 @@ class TestKwic:
             5: "punct term end",  # punct→space runs collapsed by the + split
         }
         assert dict(zip(got["doc_id"], got["snippet"])) == want
+
+
+class TestSnippets:
+    def test_best_window_and_highlight(self, ray_session):
+        import pyarrow as pa
+
+        from searchengine_ray.functions.kwic import snippet_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        # window at second anchor covers both terms
+                        "cat filler filler filler filler filler filler filler cat dog",
+                        "no query terms here at all",
+                        "dog alone in this one",
+                    ]
+                ),
+            }
+        )
+        out = snippet_batch(batch, ["cat", "dog"], window=4).to_pandas()
+        assert out["doc_id"].tolist() == [0, 2]
+        assert out.loc[0, "snippet"] == "<em>cat</em> <em>dog</em>"
+        assert out.loc[1, "snippet"] == "<em>dog</em> alone in this"
+
+    def test_tie_breaks_earliest(self, ray_session):
+        import pyarrow as pa
+
+        from searchengine_ray.functions.kwic import snippet_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([7], pa.int64()),
+                "text": pa.array(["x cat y z cat w"]),
+            }
+        )
+        out = snippet_batch(batch, ["cat"], window=3).to_pandas()
+        # both anchors cover 1 distinct term; earliest wins (pos of first cat)
+        assert out.loc[0, "snippet"] == "<em>cat</em> y z"
