@@ -3103,6 +3103,84 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ------------------------------------------------ product analytics (events)
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Retention triangle: users' first-active day (cohort) × days-since
+    → distinct active users. Cohort assignment is a distributed hash
+    join of the per-user min-day table back onto the stream — no
+    user-count assumption (functions/analytics.py)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.analytics import retention_cohorts
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return retention_cohorts(ev)
+
+
+def sql_retention() -> str:
+    return """
+WITH d AS (
+  SELECT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       count(DISTINCT d.user_id) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_cube_events(sf_dir: str) -> pd.DataFrame:
+    """CUBE(event_type, day) in one pass: every batch emits partials for
+    all four grouping sets with margin sentinels ('ALL' / -1), so the
+    whole lattice costs one tiny shuffle (functions/analytics.py)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.analytics import cube_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    return cube_events(ev)
+
+
+def sql_cube_events() -> str:
+    return """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)), -1) AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE(event_type, CAST(ts AS DATE))
+"""
+
+
+def q_pivot_events(sf_dir: str) -> pd.DataFrame:
+    """Pivot/crosstab: one row per user, one count column per event type
+    (fixed schema); per-batch crosstab partials collapse the stream
+    before the user-keyed shuffle (functions/analytics.py)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.analytics import pivot_user_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pivot_user_events(ev, PIVOT_TYPES)
+
+
+def sql_pivot_events() -> str:
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""
+
+
 # ----------------------------------------------------- snippet generation
 
 SNIPPET_TERMS = ["window", "merge", "query"]
@@ -3517,4 +3595,7 @@ def registry() -> dict[str, tuple]:
         "boolean_query": (q_boolean_query, sql_boolean_query()),
         "anchor_text": (q_anchor_text, sql_anchor_text()),
         "snippets": (q_snippets, sql_snippets()),
+        "retention": (q_retention, sql_retention()),
+        "cube_events": (q_cube_events, sql_cube_events()),
+        "pivot_events": (q_pivot_events, sql_pivot_events()),
     }

@@ -301,3 +301,64 @@ class TestFirstLastTwa:
         )
         assert twa["twa"][0] == (1.0 * 10 + 3.0 * 30) / 40
         assert twa["twa"].isna().tolist() == [False, True]
+
+
+class TestAnalytics:
+    def test_retention_small(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.analytics import retention_cohorts
+
+        day = 86_400_000_000
+        rows = [  # user 1: first day 0, active days 0,1,1; user 2: first day 1, active 1,3
+            (1, 0), (1, day), (1, day + 5), (2, day), (2, 3 * day),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        out = retention_cohorts(rd.from_arrow(t))
+        got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples(index=False)}
+        assert got == {(0, 0): 1, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+    def test_cube_margins_consistent(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.analytics import cube_events
+
+        ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet").repartition(4)
+        out = cube_events(ev)
+        total = out[(out.event_type == "ALL") & (out.day == -1)]
+        assert len(total) == 1
+        n_all = int(total["n_events"].iloc[0])
+        by_type = out[(out.event_type != "ALL") & (out.day == -1)]
+        by_day = out[(out.event_type == "ALL") & (out.day != -1)]
+        cells = out[(out.event_type != "ALL") & (out.day != -1)]
+        assert by_type["n_events"].sum() == n_all
+        assert by_day["n_events"].sum() == n_all
+        assert cells["n_events"].sum() == n_all
+
+    def test_pivot_unknown_type_raises(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from searchengine_ray.functions.analytics import pivot_user_events
+
+        ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError, ray.exceptions.UserCodeException)):
+            pivot_user_events(ev, ["click", "view"])  # missing types → schema error
+
+    def test_pivot_counts_match_groupby(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.analytics import pivot_user_events
+
+        ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        out = pivot_user_events(ev, ["click", "error", "purchase", "signup", "view"])
+        df = ev.to_pandas()
+        want = df.groupby("user_id").size()
+        got = out.set_index("user_id")[["click", "error", "purchase", "signup", "view"]].sum(axis=1)
+        assert got.sort_index().equals(want.sort_index())
