@@ -43,6 +43,8 @@ def add_payload_batch(batch: pa.Table, kind: str = "img", id_column: str = "doc_
     ids = batch[id_column].to_numpy(zero_copy_only=False)
     if kind == "bmp":
         payloads = [synth_bmp_payload(int(i)) for i in ids]
+    elif kind == "png":
+        payloads = [synth_png_payload(int(i)) for i in ids]
     elif kind == "wav":
         payloads = [synth_wav_payload(int(i)) for i in ids]
     else:
@@ -226,6 +228,11 @@ class DecodeStage:
                 body = img[:, :, 0].ravel()  # gray: channels identical
                 kinds.append("image/bmp")
                 heights[i], widths[i] = img.shape[:2]
+            elif p[:8] == _PNG_SIG:  # real PNG decode (stdlib zlib only)
+                img = decode_png(p)
+                body = img.ravel() if img.ndim == 2 else img[:, :, 0].ravel()
+                kinds.append("image/png")
+                heights[i], widths[i] = img.shape[:2]
             else:
                 magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
                 if magic not in (MAGIC_IMG, MAGIC_AUD):
@@ -311,3 +318,160 @@ class ResizeStage:
                 out.append(p)
         idx = batch.column_names.index(self.payload_column)
         return batch.set_column(idx, self.payload_column, pa.array(out, pa.binary()))
+
+
+# --------------------------------------------------------- real PNG codec
+#
+# PNG needs no image library either: the container is chunked
+# (IHDR/IDAT/IEND with CRC32), pixel data is zlib-deflated scanlines,
+# each prefixed by a filter byte (0=None 1=Sub 2=Up 3=Average 4=Paeth).
+# stdlib zlib supplies the only nontrivial part, so this is a REAL
+# decoder: any bona fide non-interlaced 8-bit gray/RGB/RGBA PNG decodes
+# here. Interlaced (Adam7) and palette/16-bit stay behind
+# NotImplementedError. Spec: PNG (ISO/IEC 15948), RFC 2083.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA → PNG
+    bytes. ``filter_type`` applies the same PNG filter to every scanline
+    (tests roundtrip all five against the decoder's unfilter)."""
+    import zlib
+
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.uint8)
+    for y in range(h):
+        row = px[y].reshape(-1)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = (row.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:  # Up
+            filt = (row.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            filt = (row.astype(np.int16) - ((left.astype(np.int16) + prev) // 2)).astype(np.uint8)
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            filt = (row.astype(np.int16) - _paeth(left, prev, ul)).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(filt.tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (a=left, b=up, c=up-left)."""
+    a = a.astype(np.int16)
+    b = b.astype(np.int16)
+    c = c.astype(np.int16)
+    p = a + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) uint8 gray or (h, w, ch) uint8. Non-interlaced
+    8-bit gray/RGB/RGBA; all five scanline filters unfiltered."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, b"", None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, comp, flt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG (depth={depth}, "
+            f"color={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        ft, row = int(raw[y, 0]), raw[y, 1:].astype(np.int16)
+        if ft == 0:
+            rec = row
+        elif ft == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            lanes = row.reshape(w, ch)
+            rec = (np.cumsum(lanes.astype(np.int64), axis=0) & 0xFF).astype(np.int16).reshape(-1)
+        else:  # Average / Paeth: left-dependence → per-pixel scan
+            rec = np.empty(stride, np.int16)
+            for x in range(w):
+                for c_ in range(ch):
+                    i = x * ch + c_
+                    left = rec[i - ch] if x else 0
+                    up = prev[i]
+                    ul = prev[i - ch] if x else 0
+                    if ft == 3:
+                        pred = (int(left) + int(up)) // 2
+                    elif ft == 4:
+                        pred = int(_paeth(np.array([left]), np.array([up]), np.array([ul]))[0])
+                    else:
+                        raise ValueError(f"unknown PNG filter {ft}")
+                    rec[i] = (row[i] + pred) & 0xFF
+        out[y] = rec.astype(np.uint8)
+        prev = out[y].astype(np.int16)
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    """Deterministic real grayscale PNG for a doc id: pixel (y, x) value
+    ``(3*x + 11*y + doc_id) % 256`` — closed-form, so the SQL oracle
+    recomputes the exact integer pixel sum."""
+    w = 8 + (doc_id % 8)
+    h = 8 + (doc_id % 5)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    gray = ((3 * x + 11 * y + doc_id) % 256).astype(np.uint8)
+    return encode_png(gray, filter_type=(doc_id % 5))

@@ -3103,6 +3103,43 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ------------------------------------------------------ multimodal: PNG
+
+
+def q_multimodal_png(sf_dir: str) -> pd.DataFrame:
+    """REAL PNG decode, stdlib zlib only: deterministic grayscale PNGs
+    (pixel (y,x) = (3x+11y+doc_id) % 256, filter type cycling 0-4 by
+    doc id) decoded by the actor-pool DecodeStage — chunk walk, inflate,
+    and all five scanline unfilters are exercised; the oracle recomputes
+    width/height and the exact pixel sum from the closed form, so a
+    filter-reconstruction bug fails the hash."""
+    import ray.data as rd
+
+    from ..functions.multimodal import DecodeStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b, kind="png"), batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "kind", "width", "height", "sum_intensity"]]
+    return out.astype(
+        {"doc_id": "int64", "width": "int64", "height": "int64", "sum_intensity": "int64"}
+    )
+
+
+def sql_multimodal_png() -> str:
+    return """
+SELECT d.doc_id, 'image/png' AS kind,
+       8 + d.doc_id % 8 AS width, 8 + d.doc_id % 5 AS height,
+       CAST(sum((3 * x.range + 11 * y.range + d.doc_id) % 256) AS BIGINT) AS sum_intensity
+FROM documents d, range(16) x, range(13) y
+WHERE x.range < 8 + d.doc_id % 8 AND y.range < 8 + d.doc_id % 5
+GROUP BY d.doc_id
+"""
+
+
 # ------------------------------------------------ product analytics (events)
 
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -3598,4 +3635,5 @@ def registry() -> dict[str, tuple]:
         "retention": (q_retention, sql_retention()),
         "cube_events": (q_cube_events, sql_cube_events()),
         "pivot_events": (q_pivot_events, sql_pivot_events()),
+        "multimodal_png": (q_multimodal_png, sql_multimodal_png()),
     }

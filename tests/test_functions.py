@@ -521,3 +521,55 @@ class TestSnippets:
         out = snippet_batch(batch, ["cat"], window=3).to_pandas()
         # both anchors cover 1 distinct term; earliest wins (pos of first cat)
         assert out.loc[0, "snippet"] == "<em>cat</em> y z"
+
+
+class TestPng:
+    def test_roundtrip_all_filters_and_channels(self):
+        from searchengine_ray.functions.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(0)
+        for shape in ((9, 13), (7, 5, 3), (6, 11, 4)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            for ft in range(5):
+                got = decode_png(encode_png(img, filter_type=ft))
+                assert got.shape == img.shape
+                assert (got == img).all(), (shape, ft)
+
+    def test_rejects_non_png_and_unsupported(self):
+        import pytest as _pytest
+
+        from searchengine_ray.functions.multimodal import decode_png, encode_png
+
+        with _pytest.raises(ValueError):
+            decode_png(b"BMnotapng")
+        # 16-bit depth is honestly unsupported
+        img = np.zeros((4, 4), np.uint8)
+        payload = bytearray(encode_png(img))
+        payload[8 + 4 + 4 + 8] = 16  # IHDR depth byte
+        with _pytest.raises((NotImplementedError, ValueError)):
+            decode_png(bytes(payload))
+
+    def test_decode_stage_png_pixels(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.multimodal import (
+            DecodeStage,
+            add_payload_batch,
+        )
+
+        ids = pa.table({"doc_id": pa.array([0, 5, 37], pa.int64())})
+        out = (
+            rd.from_arrow(ids)
+            .map_batches(lambda b: add_payload_batch(b, kind="png"), batch_format="pyarrow")
+            .map_batches(DecodeStage, batch_format="pyarrow", concurrency=1)
+            .to_pandas()
+        )
+        for _, r in out.iterrows():
+            d = int(r.doc_id)
+            w, h = 8 + d % 8, 8 + d % 5
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            want = int(((3 * x + 11 * y + d) % 256).sum())
+            assert (r.width, r.height, r.sum_intensity) == (w, h, want)
+            assert r["kind"] == "image/png"
