@@ -279,3 +279,113 @@ class IvfIndex:
 
     def query(self, vec: np.ndarray, k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         return self.query_batch(np.asarray(vec)[None, :], k=k, n_probe=n_probe)[0]
+
+
+class PqIndex:
+    """Product quantization (Jégou et al. 2011) — the memory-compression
+    ANN path next to LshIndex (random planes) and IvfIndex (coarse
+    cells): vectors are split into ``m`` subspaces, each quantized by a
+    per-subspace codebook, so a 64-dim float64 vector compresses to
+    ``m`` uint8 codes and queries score by Asymmetric Distance
+    Computation (ADC): a per-query (m × ks) distance table plus one
+    table lookup per (vector, subspace).
+
+    Deterministic, SQL-mirrorable contract: each codebook comes from the
+    distributed :func:`..functions.vectors.kmeans_fit` (first-k-by-id
+    init, round-6 centroid means) on the SLICED vectors; assignment is
+    L2 argmin with lowest-index tie-break; ADC = Σ_s ‖q_s − cent_s[code_s]‖²
+    summed in subspace order.
+
+    Scale shape: training touches each subspace slice via the kmeans
+    combiner (≤ks rows per batch reach the driver); encoding is one
+    ``map_batches`` per subspace plus (m−1) hash joins to assemble the
+    code table, which then REPLACES the raw vectors (the 100-TB point of
+    PQ: the scan side holds m bytes/vector, not 8·dim); queries are one
+    scan of the code table with per-batch partial top-k."""
+
+    def __init__(self, m: int = 2, ks: int = 16, iters: int = 2):
+        self.m = m
+        self.ks = ks
+        self.iters = iters
+        self.codebooks: list[np.ndarray] | None = None  # m × (ks, dim/m)
+        self.dim: int | None = None
+        self._codes = None  # Dataset: vec_id, code_0 … code_{m-1}
+
+    def _bounds(self) -> list[tuple[int, int]]:
+        step = self.dim // self.m
+        return [(s * step, (s + 1) * step if s < self.m - 1 else self.dim)
+                for s in range(self.m)]
+
+    def fit(self, ds, id_column: str = "vec_id", emb_column: str = "embedding") -> None:
+        from .vectors import kmeans_fit
+
+        first = ds.take_batch(1, batch_format="pyarrow")
+        self.dim = len(first[emb_column][0].as_py())
+        if self.dim % self.m:
+            raise ValueError(f"dim {self.dim} not divisible into {self.m} subspaces")
+
+        def slicer(lo: int, hi: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                mat = _extract_matrix(batch[emb_column].combine_chunks())
+                sub = mat[:, lo:hi]
+                flat = pa.array(sub.ravel(), pa.float64())
+                return pa.table(
+                    {
+                        id_column: batch[id_column].cast(pa.int64()),
+                        emb_column: pa.FixedSizeListArray.from_arrays(flat, hi - lo),
+                    }
+                )
+
+            return fn
+
+        self.codebooks = []
+        codes = None
+        for s, (lo, hi) in enumerate(self._bounds()):
+            sliced = ds.map_batches(slicer(lo, hi), batch_format="pyarrow")
+            cent, labels = kmeans_fit(
+                sliced, k=self.ks, iters=self.iters,
+                id_column=id_column, emb_column=emb_column,
+            )
+            self.codebooks.append(cent)
+            lab = labels.map_batches(
+                lambda b, _s=s: pa.table(
+                    {id_column: b[id_column].cast(pa.int64()),
+                     f"code_{_s}": b["cluster"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            codes = lab if codes is None else codes.join(
+                lab, join_type="inner", num_partitions=8, on=(id_column,)
+            )
+        self._codes = codes.materialize()
+
+    def query(self, vec: np.ndarray, k: int = 10, id_column: str = "vec_id") -> list[tuple[int, float]]:
+        """Top-k smallest ADC distances (ties by id). Returns
+        [(vec_id, adc)] with adc rounded to 6 digits."""
+        if self._codes is None or self.codebooks is None:
+            raise RuntimeError("fit() the index first")
+        q = np.asarray(vec, dtype=np.float64)
+        tables = []
+        for (lo, hi), cb in zip(self._bounds(), self.codebooks):
+            d = q[lo:hi][None, :] - cb  # (ks, sub_dim)
+            tables.append((d * d).sum(axis=1))  # squared L2, subspace order
+        tbl = np.stack(tables)  # (m, ks)
+
+        m = self.m
+
+        def block_topk(batch: pa.Table, _tbl=tbl) -> pa.Table:
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            adc = np.zeros(len(ids), np.float64)
+            for s in range(m):
+                adc += _tbl[s][batch[f"code_{s}"].to_numpy(zero_copy_only=False)]
+            order = np.lexsort((ids, adc))[:k]
+            return pa.table(
+                {
+                    id_column: pa.array(ids[order], pa.int64()),
+                    "adc": pa.array(adc[order], pa.float64()),
+                }
+            )
+
+        part = self._codes.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+        part = part.sort_values(["adc", id_column]).head(k)
+        return [(int(r[id_column]), round(float(r["adc"]), 6)) for _, r in part.iterrows()]

@@ -3103,6 +3103,101 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# --------------------------------------------------- PQ (product quantizer)
+
+PQ_M, PQ_KS, PQ_ITERS, PQ_DIM = 2, 16, 2, 64
+
+
+def q_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (functions/similarity.py:PqIndex): per-
+    subspace codebooks from the distributed deterministic kmeans_fit,
+    uint8 codes replace raw vectors, queries score by ADC table lookup.
+    Exact SQL oracle — the whole train→encode→ADC chain is mirrored."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import PqIndex
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = PqIndex(m=PQ_M, ks=PQ_KS, iters=PQ_ITERS)
+    idx.fit(ds)
+    hits = idx.query(qvec, k=10)
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([i for i, _ in hits], dtype="int64"),
+            "adc": pd.Series([s for _, s in hits], dtype="float64"),
+        }
+    )
+
+
+def _pq_ctes() -> str:
+    """Per-subspace mirror of ``_kmeans_ctes`` over sliced vectors, plus
+    the per-query ADC distance tables."""
+    sub = PQ_DIM // PQ_M
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)",
+    ]
+    for s in range(PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub  # 1-based inclusive slice
+        p = f"s{s}"
+        parts.append(f"{p}e AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM e)")
+        parts.append(
+            f"""{p}c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cent
+  FROM (SELECT * FROM {p}e ORDER BY vec_id LIMIT {PQ_KS}))"""
+        )
+        for i in range(1, PQ_ITERS + 1):
+            prev = f"{p}c{i - 1}"
+            parts.append(
+                f"""{p}a{i} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT {p}e.vec_id, {prev}.c,
+           row_number() OVER (PARTITION BY {p}e.vec_id
+                              ORDER BY list_distance({p}e.v, {prev}.cent), {prev}.c) AS rn
+    FROM {p}e CROSS JOIN {prev}) WHERE rn = 1)"""
+            )
+            if i < PQ_ITERS:
+                parts.append(
+                    f"""{p}c{i} AS MATERIALIZED (
+  SELECT {prev}.c, coalesce(m.cent, {prev}.cent) AS cent
+  FROM {prev} LEFT JOIN (
+    SELECT c, list(x ORDER BY dim) AS cent FROM (
+      SELECT {p}a{i}.c, u.dim, round(avg(u.val), 6) AS x
+      FROM {p}a{i} JOIN {p}e USING (vec_id),
+           LATERAL (SELECT generate_subscripts({p}e.v, 1) AS dim, unnest({p}e.v) AS val) u
+      GROUP BY {p}a{i}.c, u.dim) GROUP BY c) m USING (c))"""
+                )
+        # ADC table: squared L2 between the query slice and each centroid
+        last_c = f"{p}c{PQ_ITERS - 1}"
+        parts.append(
+            f"""{p}t AS MATERIALIZED (
+  SELECT {last_c}.c,
+         sum((q.qv[{lo - 1} + u.dim] - u.val) * (q.qv[{lo - 1} + u.dim] - u.val)) AS d
+  FROM {last_c} CROSS JOIN q,
+       LATERAL (SELECT generate_subscripts({last_c}.cent, 1) AS dim, unnest({last_c}.cent) AS val) u
+  GROUP BY {last_c}.c)"""
+        )
+    return ",\n".join(parts)
+
+
+def sql_pq_topk() -> str:
+    joins = " ".join(
+        f"JOIN s{s}a{PQ_ITERS} a{s} USING (vec_id) JOIN s{s}t t{s} ON t{s}.c = a{s}.c"
+        for s in range(PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(PQ_M))
+    return f"""
+WITH {_pq_ctes()}
+SELECT e.vec_id, round({adc}, 6) AS adc
+FROM e {joins}
+ORDER BY {adc}, e.vec_id
+LIMIT 10
+"""
+
+
 # ------------------------------------------------------ multimodal: PNG
 
 
@@ -3636,4 +3731,5 @@ def registry() -> dict[str, tuple]:
         "cube_events": (q_cube_events, sql_cube_events()),
         "pivot_events": (q_pivot_events, sql_pivot_events()),
         "multimodal_png": (q_multimodal_png, sql_multimodal_png()),
+        "pq_topk": (q_pq_topk, sql_pq_topk()),
     }

@@ -573,3 +573,46 @@ class TestPng:
             want = int(((3 * x + 11 * y + d) % 256).sum())
             assert (r.width, r.height, r.sum_intensity) == (w, h, want)
             assert r["kind"] == "image/png"
+
+
+class TestPqIndex:
+    def test_adc_orders_toward_true_neighbors(self, ray_session):
+        """PQ is approximate, but with m=2 subspaces over clustered data
+        the ADC top-1 must be the query itself (distance ~0) and top-k
+        must overlap the exact L2 top-k."""
+        import ray.data as rd
+
+        from searchengine_ray.functions.similarity import PqIndex
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        t = ds.to_pandas()
+        mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        ids = t["vec_id"].to_numpy()
+        q = mat[ids.tolist().index(0)]
+
+        idx = PqIndex(m=2, ks=16, iters=2)
+        idx.fit(rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"))
+        hits = idx.query(q, k=10)
+        assert len(hits) == 10
+        # self is in the top hits (its codes are the argmin cells of q)
+        got_ids = [i for i, _ in hits]
+        assert 0 in got_ids
+        # overlap with exact L2 top-10 ≥ 3 (labelled clusters → PQ works)
+        d = ((mat - q) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        assert len(exact & set(got_ids)) >= 3
+        # adc ascending
+        adcs = [s for _, s in hits]
+        assert adcs == sorted(adcs)
+
+    def test_codes_compress_to_m_columns(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.similarity import PqIndex
+
+        idx = PqIndex(m=4, ks=8, iters=2)
+        idx.fit(rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"))
+        cols = idx._codes.schema().names
+        assert set(cols) == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+        assert len(idx.codebooks) == 4
+        assert idx.codebooks[0].shape == (8, 16)  # ks × dim/m
