@@ -326,6 +326,8 @@ class PqIndex:
 
         def slicer(lo: int, hi: int):
             def fn(batch: pa.Table) -> pa.Table:
+                from .vectors import _extract_matrix
+
                 mat = _extract_matrix(batch[emb_column].combine_chunks())
                 sub = mat[:, lo:hi]
                 flat = pa.array(sub.ravel(), pa.float64())
