@@ -3103,6 +3103,98 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# --------------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60
+
+
+def q_rrf_hybrid(sf_dir: str) -> pd.DataFrame:
+    """Hybrid search via Reciprocal Rank Fusion (Cormack et al. 2009):
+    BM25 lexical ranking (from the index) ⊕ embedding-cosine ranking
+    (vec_id ≡ doc_id in the synthetic tables), fused as
+    Σ 1/(60 + rank) over the lists a doc appears in. Both input ranks
+    order by (round(score,6) DESC, doc) so 1e-16 float noise can't flip
+    ranks across engines; top-20 by fused score."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.similarity import cosine_topk
+
+    # lexical list: BM25 over the index, ranked on rounded scores
+    res = _engine(sf_dir).search_bm25(BM25_QUERY, topk=None)
+    bm = pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "s": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    ).sort_values(["s", "doc_id"], ascending=[False, True])
+    bm["rank"] = np.arange(1, len(bm) + 1)
+
+    # semantic list: exact cosine vs query vec 0, all rows, same contract
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cos = cosine_topk(ds, qvec[None, :], k=t.num_rows)
+    cs = pd.DataFrame(
+        {
+            "doc_id": cos["vec_id"].astype("int64"),
+            "s": cos["cosine"].round(6).astype("float64"),
+        }
+    ).sort_values(["s", "doc_id"], ascending=[False, True])
+    cs["rank"] = np.arange(1, len(cs) + 1)
+
+    fused = pd.merge(
+        bm[["doc_id", "rank"]], cs[["doc_id", "rank"]],
+        on="doc_id", how="outer", suffixes=("_bm", "_cos"),
+    )
+    rrf = np.zeros(len(fused))
+    for col in ("rank_bm", "rank_cos"):
+        r = fused[col].to_numpy(np.float64)
+        ok = ~np.isnan(r)
+        rrf[ok] += 1.0 / (RRF_K + r[ok])
+    fused["rrf"] = np.round(rrf, 6)
+    out = fused.sort_values(["rrf", "doc_id"], ascending=[False, True]).head(20)
+    return out[["doc_id", "rrf"]].reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def sql_rrf_hybrid() -> str:
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY.split())
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+bm_scored AS (
+    SELECT toks.doc_id,
+           round(sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))
+               * qtf.qn), 6) AS s
+    FROM toks
+    JOIN qtf USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    GROUP BY toks.doc_id
+),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm_scored),
+cos_scored AS (
+    SELECT e.vec_id AS doc_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(qq.embedding AS DOUBLE[])), 6) AS s
+    FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qq
+),
+cs AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cos_scored),
+fused AS (
+    SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({RRF_K} + bm.r), 0.0)
+                 + coalesce(1.0 / ({RRF_K} + cs.r), 0.0), 6) AS rrf
+    FROM bm FULL OUTER JOIN cs USING (doc_id)
+)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
 # --------------------------------------------------- PQ (product quantizer)
 
 PQ_M, PQ_KS, PQ_ITERS, PQ_DIM = 2, 16, 2, 64
@@ -3732,4 +3824,5 @@ def registry() -> dict[str, tuple]:
         "pivot_events": (q_pivot_events, sql_pivot_events()),
         "multimodal_png": (q_multimodal_png, sql_multimodal_png()),
         "pq_topk": (q_pq_topk, sql_pq_topk()),
+        "rrf_hybrid": (q_rrf_hybrid, sql_rrf_hybrid()),
     }
