@@ -212,3 +212,93 @@ def asof_join(
         )
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def semi_anti_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    anti: bool = False,
+    n_buckets: int = 64,
+    broadcast_limit: int = 1_000_000,
+):
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
+    left rows that have (no) match in right — membership only, right
+    columns never materialize.
+
+    Right keys are first collapsed to DISTINCT inside each batch and
+    then globally (combiner → groupby), so the shuffled volume is
+    key-cardinality-, not row-, sized. Two executions of the probe:
+
+    - **broadcast tier** (distinct keys ≤ ``broadcast_limit``): one
+      ``ray.put`` of the sorted key array, one vectorized ``np.isin``
+      mask per left batch — zero shuffle of the left side (the right
+      pattern whenever the right side is dimension-like);
+    - **co-partition tier**: both sides tagged with a key-hash bucket,
+      one union + ONE ``groupby(bucket)`` shuffle, per-bucket
+      vectorized ``isin`` — nothing driver-sized, works when the right
+      key set itself is fact-scale.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    keys_ds = (
+        right_ds.map_batches(
+            lambda b: pa.table({right_key: b[right_key].unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby(right_key)
+        .aggregate(Count(alias_name="_c"))
+    )
+    n_keys = keys_ds.count()
+
+    if n_keys <= broadcast_limit:
+        keys = np.sort(
+            keys_ds.to_pandas()[right_key].to_numpy()
+        )
+        ref = ray.put(keys)
+
+        def probe(b: pa.Table, _r=ref) -> pa.Table:
+            member = np.isin(
+                b[left_key].to_numpy(zero_copy_only=False), ray.get(_r),
+                assume_unique=False,
+            )
+            return b.filter(pa.array(~member if anti else member))
+
+        return left_ds.map_batches(probe, batch_format="pyarrow")
+
+    # co-partition tier: tag side + bucket, one shuffle, per-bucket isin
+    lschema = left_ds.schema()
+    left_types = dict(zip(lschema.names, lschema.types))
+    left_cols = list(lschema.names)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        bk = _bucket_of(b[left_key].to_pandas(), n_buckets)
+        return b.append_column("_bkt", pa.array(bk, pa.int32())).append_column(
+            "_side", pa.array(np.zeros(b.num_rows, np.int8), pa.int8())
+        )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        t = pa.table({left_key: b[right_key].cast(left_types[left_key])})
+        # null-pad the other left columns so the union schema lines up
+        for c in left_cols:
+            if c != left_key:
+                t = t.append_column(c, pa.nulls(t.num_rows, left_types[c]))
+        bk = _bucket_of(t[left_key].to_pandas(), n_buckets)
+        t = t.append_column("_bkt", pa.array(bk, pa.int32()))
+        return t.append_column("_side", pa.array(np.ones(t.num_rows, np.int8), pa.int8()))
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rk = g.loc[g["_side"] == 1, left_key].to_numpy()
+        lf = g[g["_side"] == 0]
+        member = np.isin(lf[left_key].to_numpy(), rk)
+        out = lf[~member if anti else member]
+        return out.drop(columns=["_bkt", "_side"])
+
+    return tagged.groupby("_bkt").map_groups(probe_bucket, batch_format="pandas")

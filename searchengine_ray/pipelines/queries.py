@@ -3103,6 +3103,83 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# -------------------------------------------------------- semi / anti joins
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """ANTI join: customers with no orders — distinct right keys are
+    combiner-collapsed then broadcast for a vectorized isin probe (the
+    dimension-sized tier; the fact-scale co-partition tier of the same
+    operator is pytest-verified against it). functions/joins.py."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.joins import semi_anti_join
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cut = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cut)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        semi_anti_join(cust, orders, "c_custkey", "o_custkey", anti=True)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return out.astype({"c_custkey": "int64"})
+
+
+def sql_anti_join() -> str:
+    return """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+# ----------------------------------------------------- JSONL source roundtrip
+
+
+def q_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL (the training-data interchange format): documents →
+    sharded .jsonl via write_json → read back via read_json → per-doc
+    md5. Matching the oracle's md5(text) proves byte identity through
+    the serialize/parse cycle (same contract as the WET roundtrip)."""
+    import hashlib as _h
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = CACHE_ROOT / f"jsonl-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).write_json(
+        str(base)
+    )
+
+    def digest(b: pa.Table) -> pa.Table:
+        md5 = [_h.md5(t.encode("utf-8")).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "md5": pa.array(md5, pa.string())}
+        )
+
+    out = rd.read_json(str(base)).map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_jsonl_roundtrip() -> str:
+    return "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
 # --------------------------------------------- hybrid retrieval (RRF fusion)
 
 RRF_K = 60
@@ -3825,4 +3902,6 @@ def registry() -> dict[str, tuple]:
         "multimodal_png": (q_multimodal_png, sql_multimodal_png()),
         "pq_topk": (q_pq_topk, sql_pq_topk()),
         "rrf_hybrid": (q_rrf_hybrid, sql_rrf_hybrid()),
+        "anti_join": (q_anti_join, sql_anti_join()),
+        "jsonl_roundtrip": (q_jsonl_roundtrip, sql_jsonl_roundtrip()),
     }

@@ -66,3 +66,44 @@ def test_asof_empty_side(ray_session):
     # columns survive they must be the operator's contract
     if len(out.columns):
         assert list(out.columns) == ["uid", "ts", "eid", "eid_r"]
+
+
+class TestSemiAntiJoin:
+    def _sides(self, rd):
+        import pyarrow as pa
+
+        left = pa.table(
+            {"k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+             "v": pa.array(list("abcdef"))}
+        )
+        right = pa.table({"rk": pa.array([2, 2, 4, 9], pa.int64())})
+        return rd.from_arrow(left).repartition(3), rd.from_arrow(right).repartition(2)
+
+    def test_semi_and_anti_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.joins import semi_anti_join
+
+        left, right = self._sides(rd)
+        semi = semi_anti_join(left, right, "k", "rk").to_pandas()
+        anti = semi_anti_join(left, right, "k", "rk", anti=True).to_pandas()
+        assert sorted(semi["k"].tolist()) == [2, 4]
+        assert sorted(anti["k"].tolist()) == [1, 3, 5, 6]
+
+    def test_copartition_tier_matches_broadcast(self, ray_session):
+        import ray.data as rd
+
+        from searchengine_ray.functions.joins import semi_anti_join
+
+        left, right = self._sides(rd)
+        for anti in (False, True):
+            a = (
+                semi_anti_join(left, right, "k", "rk", anti=anti)
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            left2, right2 = self._sides(rd)
+            b = (
+                semi_anti_join(left2, right2, "k", "rk", anti=anti, broadcast_limit=0)
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a[["k", "v"]], b[["k", "v"]])
