@@ -133,3 +133,65 @@ def rolling_hash(text: str) -> int:
     for b in text.encode():
         h = (h * _RH_BASE + b) % _RH_MOD
     return h
+
+
+def unigram_logppl(ds, text_column: str = "text", id_column: str = "doc_id") -> pd.DataFrame:
+    """Unigram log-perplexity quality signal (the fluency/outlier filter
+    of LLM-data curation): fit a corpus unigram model (two streaming
+    aggregates: per-batch partial term counts → one vocabulary-sized
+    groupby), then score each doc as mean −ln p(token).
+
+    The fitted vocabulary is broadcast once via ``ray.put`` for the
+    scoring pass — right while the vocab is dimension-sized (webtext
+    unigram vocabularies cap out in the tens of millions ≈ hundreds of
+    MB); past that, explode (doc_id, term) and hash-join the prob table
+    instead. Tokens outside the model (impossible here — same corpus)
+    would get the floor probability 1/total."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = _token_lists(batch[text_column].to_pandas())
+        flat = (
+            np.concatenate([t for t in toks if len(t)])
+            if len(toks)
+            else np.array([], object)
+        )
+        if not flat.size:
+            return pa.table({"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(terms, pa.string()), "c": pa.array(counts, pa.int64())})
+
+    vocab = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(vocab["n"].sum())
+    neglogp = {t: -np.log(c / total) for t, c in zip(vocab["term"], vocab["n"])}
+    floor = -np.log(1.0 / total)
+    ref = ray.put((neglogp, floor))
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        nlp, fl = ray.get(_ref)
+        toks = _token_lists(batch[text_column].to_pandas())
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(ids), np.float64)
+        for i, tl in enumerate(toks):
+            out[i] = (
+                float(np.mean([nlp.get(t, fl) for t in tl])) if len(tl) else 0.0
+            )
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "logppl": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_column)
+        .reset_index(drop=True)
+    )

@@ -3103,6 +3103,42 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# -------------------------------------------------- unigram log-perplexity
+
+
+def q_unigram_logppl(sf_dir: str) -> pd.DataFrame:
+    """Unigram log-perplexity per doc (LLM-data fluency/outlier filter):
+    corpus unigram model from two streaming aggregates, broadcast once,
+    score = mean −ln p(token) (functions/textstats.py)."""
+    import ray.data as rd
+
+    from searchengine_ray.functions.textstats import unigram_logppl
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_logppl(ds)
+
+
+def sql_unigram_logppl() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+SELECT d.doc_id,
+       coalesce(round(avg(-ln(cnt.c / tot.n)), 6), 0.0) AS logppl
+FROM documents d
+LEFT JOIN tok ON tok.doc_id = d.doc_id
+LEFT JOIN cnt ON cnt.t = tok.t
+CROSS JOIN tot
+GROUP BY d.doc_id
+"""
+
+
 # -------------------------------------------------------- semi / anti joins
 
 
@@ -3904,4 +3940,5 @@ def registry() -> dict[str, tuple]:
         "rrf_hybrid": (q_rrf_hybrid, sql_rrf_hybrid()),
         "anti_join": (q_anti_join, sql_anti_join()),
         "jsonl_roundtrip": (q_jsonl_roundtrip, sql_jsonl_roundtrip()),
+        "unigram_logppl": (q_unigram_logppl, sql_unigram_logppl()),
     }
