@@ -3103,6 +3103,213 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ------------------------------------------------------------- TPC-H Q10
+
+
+def q_tpch_q10(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): date-windowed orders ⋈
+    returned lineitems as ONE native hash join on the fact keys, revenue
+    pre-grouped to customer grain BEFORE touching the customer table
+    (the aggregate shrinks the fact side to customer cardinality), then
+    one hash join to customer and a broadcast nation-name lookup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-07-01").to_pydatetime(), pa.timestamp("us"))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def returned_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(returned_rev, batch_format="pyarrow")
+
+    by_cust = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("o_custkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    joined = by_cust.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).to_pandas()
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    joined["n_name"] = joined["c_nationkey"].map(nmap)
+    joined["revenue"] = joined["revenue"].round(4)
+    out = (
+        joined.rename(columns={"o_custkey": "c_custkey"})
+        .sort_values(["revenue", "c_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["c_custkey", "c_name", "revenue", "n_name"]].astype({"c_custkey": "int64"})
+
+
+def sql_tpch_q10() -> str:
+    return """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+# ----------------------------------------------- daily-count anomaly z-score
+
+
+def q_anomaly_days(sf_dir: str) -> pd.DataFrame:
+    """Operational anomaly detection: daily event counts per type,
+    z-scored against that type's own 30-day profile; |z| ≥ 1.8 flagged.
+    The distributed part is the (type, day) count shuffle (combiner-
+    compressed); the z-score runs on the days×types-sized aggregate —
+    legitimately driver-sized at any corpus scale."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from searchengine_ray.functions.analytics import _epoch_days
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": pa.array(_epoch_days(b["ts"]), pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(to_day, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    g = counts.groupby("event_type")["n"]
+    mu = g.transform("mean")
+    # population stddev (ddof=0) matches SQL stddev_pop
+    sd = g.transform(lambda s: s.std(ddof=0))
+    z = (counts["n"] - mu) / sd
+    counts["z"] = z.round(6)
+    # filter on the ROUNDED z — the exact cross-engine contract
+    out = counts[counts["z"].abs() >= 1.8].sort_values(["event_type", "day"]).reset_index(drop=True)
+    return out.astype({"event_type": "object", "day": "int64", "n": "int64"})
+
+
+def sql_anomaly_days() -> str:
+    return """
+WITH d AS (
+  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+zs AS (
+  SELECT event_type, day, n,
+         round((n - avg(n) OVER (PARTITION BY event_type))
+               / stddev_pop(n) OVER (PARTITION BY event_type), 6) AS z
+  FROM d)
+SELECT event_type, day, n, z FROM zs WHERE abs(z) >= 1.8
+"""
+
+
+# ------------------------------------------------- passage chunking (RAG)
+
+CHUNK_W, CHUNK_STRIDE = 32, 24
+
+
+def q_passage_chunks(sf_dir: str) -> pd.DataFrame:
+    """RAG-style passage chunking: each doc → overlapping windows of
+    CHUNK_W tokens at stride CHUNK_STRIDE (last partial window kept iff
+    it starts before the end and adds new tokens). One vectorized
+    streaming pass; output is the (doc_id, chunk_id, n_tokens, text)
+    table a retrieval embedder consumes. Chunk count per doc is
+    ⌈max(0, n−W)/stride⌉ + 1."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.functions.textstats import _token_lists
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(batch["text"].to_pandas())
+        o_id, o_ck, o_n, o_tx = [], [], [], []
+        for i, tl in zip(ids, toks):
+            n = len(tl)
+            if n == 0:
+                continue
+            starts = range(0, max(n - CHUNK_W, 0) + 1, CHUNK_STRIDE)
+            # plus a tail chunk when the stride grid stops short
+            last = list(starts)[-1] if starts else 0
+            tail = [] if last + CHUNK_W >= n else [last + CHUNK_STRIDE]
+            for ck, s in enumerate(list(starts) + tail):
+                win = tl[s : s + CHUNK_W]
+                o_id.append(int(i))
+                o_ck.append(ck)
+                o_n.append(len(win))
+                o_tx.append(" ".join(win))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_id": pa.array(o_ck, pa.int64()),
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "text": pa.array(o_tx, pa.string()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(chunk, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+def sql_passage_chunks() -> str:
+    w, st = CHUNK_W, CHUNK_STRIDE
+    return rf"""
+WITH tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                        '[ \t\n\x0b\f\r]+'), x -> x <> '') AS l
+  FROM documents),
+spans AS (
+  SELECT doc_id, l, len(l) AS n,
+         unnest(range(0, CAST(ceil(greatest(len(l) - {w}, 0) / {st}.0) AS BIGINT) + 1)) AS ck
+  FROM tokl WHERE len(l) > 0)
+SELECT doc_id, ck AS chunk_id,
+       least(n - ck * {st}, {w}) AS n_tokens,
+       array_to_string(l[ck * {st} + 1 : least(ck * {st} + {w}, n)], ' ') AS text
+FROM spans
+"""
+
+
 # -------------------------------------------------- unigram log-perplexity
 
 
@@ -3941,4 +4148,7 @@ def registry() -> dict[str, tuple]:
         "anti_join": (q_anti_join, sql_anti_join()),
         "jsonl_roundtrip": (q_jsonl_roundtrip, sql_jsonl_roundtrip()),
         "unigram_logppl": (q_unigram_logppl, sql_unigram_logppl()),
+        "passage_chunks": (q_passage_chunks, sql_passage_chunks()),
+        "tpch_q10": (q_tpch_q10, sql_tpch_q10()),
+        "anomaly_days": (q_anomaly_days, sql_anomaly_days()),
     }
