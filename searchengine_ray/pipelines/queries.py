@@ -3103,6 +3103,55 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# ---------------------------------------------- link prediction (common nbr)
+
+
+def q_link_prediction(sf_dir: str) -> pd.DataFrame:
+    """Common-neighbor link prediction over the hub-free synthetic doc
+    graph (the two multiplicative edge formulas WITHOUT the id%10 hub
+    edges — wedge fan-out is Σdeg², so the hubbed pagerank graph would
+    be quadratic; see functions/graph.py docstring)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from searchengine_ray.functions.graph import common_neighbor_scores
+    from searchengine_ray.sources.links import links_table
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    return common_neighbor_scores(rd.from_arrow(links_table(edges)), top_k=20)
+
+
+def sql_link_prediction() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids),
+canon AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges_raw WHERE src <> dst),
+und AS (SELECT u AS a, v AS b FROM canon UNION ALL SELECT v, u FROM canon),
+wed AS (SELECT e1.b AS p, e2.b AS q FROM und e1 JOIN und e2
+        ON e1.a = e2.a AND e1.b < e2.b),
+cn AS (SELECT p, q, count(*) AS common FROM wed GROUP BY p, q),
+pred AS (
+    SELECT cn.p, cn.q, cn.common FROM cn
+    LEFT JOIN canon ON canon.u = cn.p AND canon.v = cn.q
+    WHERE canon.u IS NULL)
+SELECT p AS node_a, q AS node_b, common FROM pred
+ORDER BY common DESC, p, q LIMIT 20
+"""
+
+
 # ------------------------------------------------------------- TPC-H Q10
 
 
@@ -4151,4 +4200,5 @@ def registry() -> dict[str, tuple]:
         "passage_chunks": (q_passage_chunks, sql_passage_chunks()),
         "tpch_q10": (q_tpch_q10, sql_tpch_q10()),
         "anomaly_days": (q_anomaly_days, sql_anomaly_days()),
+        "link_prediction": (q_link_prediction, sql_link_prediction()),
     }

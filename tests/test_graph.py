@@ -64,3 +64,56 @@ def test_hub_graph(ray_session, hub_deg):
     edges = [(0, i) for i in range(1, hub_deg + 1)]
     edges += [(i, i % hub_deg + 1) for i in range(1, hub_deg + 1)]
     assert triangle_count(_ds(edges)) == _brute(edges)
+
+
+class TestLinkPrediction:
+    def test_common_neighbors_small(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.graph import common_neighbor_scores
+
+        # star around 0 plus edge 1-2: candidates (1,3),(2,3),(1,2 is adjacent? no 1-2 IS an edge)
+        edges = pa.table(
+            {
+                "src": pa.array([0, 0, 0, 1], pa.int64()),
+                "dst": pa.array([1, 2, 3, 2], pa.int64()),
+            }
+        )
+        out = common_neighbor_scores(rd.from_arrow(edges), top_k=10)
+        got = {(r.node_a, r.node_b): r.common for r in out.itertuples(index=False)}
+        # non-adjacent pairs sharing neighbor 0: (1,3), (2,3); (1,2) adjacent → excluded
+        assert got == {(1, 3): 1, (2, 3): 1}
+
+    def test_matches_bruteforce_on_random_graph(self, ray_session):
+        import itertools
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.graph import common_neighbor_scores
+
+        rng = np.random.default_rng(5)
+        m = rng.integers(0, 40, size=(120, 2))
+        m = m[m[:, 0] != m[:, 1]]
+        edges = pa.table(
+            {"src": pa.array(m[:, 0], pa.int64()), "dst": pa.array(m[:, 1], pa.int64())}
+        )
+        out = common_neighbor_scores(rd.from_arrow(edges), top_k=1000)
+        got = {(r.node_a, r.node_b): r.common for r in out.itertuples(index=False)}
+        # brute force
+        adj = {}
+        eset = set()
+        for s, d in m:
+            u, v = int(min(s, d)), int(max(s, d))
+            eset.add((u, v))
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {}
+        for u, v in itertools.combinations(sorted(adj), 2):
+            if (u, v) in eset:
+                continue
+            c = len(adj[u] & adj[v])
+            if c > 0:
+                want[(u, v)] = c
+        assert got == want
