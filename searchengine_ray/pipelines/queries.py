@@ -3103,6 +3103,147 @@ FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h ON h.node = a.node"""
     )
 
 
+# --------------------------------------------- curation: keep-best-per-dup
+
+
+def q_dedup_keep_best(sf_dir: str) -> pd.DataFrame:
+    """The real near-dup curation decision: clusters (exact-Jaccard
+    pairs → connected components) × quality scores → keep the
+    highest-quality doc per cluster (tie → lowest doc_id). Selection
+    runs as a distributed hash join of the cluster table onto the
+    quality table plus a group_topk(k=1) — nothing cluster-sized on the
+    driver beyond the final (cluster, kept) result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.functions.components import connected_components
+    from searchengine_ray.functions.dedup import ngram_jaccard_pairs
+    from searchengine_ray.functions.sampling import group_topk
+    from searchengine_ray.functions.textstats import quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"cluster": pd.Series([], dtype="int64"),
+             "kept_doc": pd.Series([], dtype="int64"),
+             "n_members": pd.Series([], dtype="int64")}
+        )
+    comp = connected_components(rd.from_pandas(pairs[["doc_a", "doc_b"]])).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"].cast(pa.int64()), "cluster": b["label"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    qual = ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "quality"]
+    )
+    joined = comp.join(qual, join_type="inner", num_partitions=8, on=("doc_id",))
+    best = group_topk(joined, "cluster", "quality", "doc_id", k=1).to_pandas()
+    sizes = comp.to_pandas().groupby("cluster").size().rename("n_members")
+    out = (
+        best.merge(sizes, left_on="cluster", right_index=True)
+        .rename(columns={"doc_id": "kept_doc"})
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return out[["cluster", "kept_doc", "n_members"]].astype(
+        {"cluster": "int64", "kept_doc": "int64", "n_members": "int64"}
+    )
+
+
+def sql_dedup_keep_best() -> str:
+    clusters_sql = sql_dedup_clusters().strip()
+    assert clusters_sql.startswith("WITH RECURSIVE")
+    body = clusters_sql[len("WITH RECURSIVE"):]
+    ctes, select = body.rsplit("SELECT n AS doc_id", 1)
+    return f"""
+WITH RECURSIVE {ctes.rstrip()}, clusters AS (
+SELECT n AS doc_id{select}
+),
+{_raw_tokens_cte()},
+qual AS (
+  SELECT p.doc_id,
+         round(0.4 * (p.n_stop / greatest(p.n_tokens, 1.0))
+               + 0.4 * least(1.0, p.n_tokens / 100.0)
+               + 0.2 * (1.0 - (length(d.text) - length(regexp_replace(d.text, '[,.;?!]', '', 'g')))
+                              / greatest(length(d.text), 1.0)), 6) AS quality
+  FROM per_doc p JOIN documents d USING (doc_id)),
+sel AS (
+  SELECT c.cluster, c.doc_id, q.quality,
+         count(*) OVER (PARTITION BY c.cluster) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN qual q USING (doc_id))
+SELECT cluster, doc_id AS kept_doc, n_members FROM sel WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- winsorized aggregation
+
+
+def q_winsorize(sf_dir: str) -> pd.DataFrame:
+    """Feature preprocessing: per-type p05/p95 (exact distributed
+    quantiles, quantile_disc semantics) → broadcast the tiny clip table
+    → clipped mean per type. Composes the quantile machinery with a
+    second streaming aggregate — the outlier-robust normalization step
+    of a feature pipeline."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from searchengine_ray.functions.quantiles import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    qs = grouped_quantiles(ev, "event_type", "value", [0.05, 0.95], quantize=3)
+    lohi = {
+        t: (
+            float(g.loc[g["q"] == 0.05, "value"].iloc[0]),
+            float(g.loc[g["q"] == 0.95, "value"].iloc[0]),
+        )
+        for t, g in qs.groupby("event_type")
+    }
+    ref = ray.put(lohi)
+
+    def clip(b: pa.Table, _r=ref) -> pa.Table:
+        m = ray.get(_r)
+        t = b["event_type"].to_pandas()
+        v = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        lo = t.map(lambda x: m[x][0]).to_numpy(np.float64)
+        hi = t.map(lambda x: m[x][1]).to_numpy(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "v": pa.array(np.clip(v, lo, hi), pa.float64()),
+            }
+        )
+
+    out = (
+        ev.map_batches(clip, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("v", alias_name="s"))
+        .to_pandas()
+    )
+    out["wins_mean"] = (out["s"] / out["n"]).round(6)
+    out = out.drop(columns=["s"]).sort_values("event_type").reset_index(drop=True)
+    return out.astype({"event_type": "object", "n": "int64"})
+
+
+def sql_winsorize() -> str:
+    return """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(round(value, 3), 0.05) AS lo,
+         quantile_disc(round(value, 3), 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       round(avg(least(greatest(round(e.value, 3), b.lo), b.hi)), 6) AS wins_mean
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------- link prediction (common nbr)
 
 
@@ -4201,4 +4342,6 @@ def registry() -> dict[str, tuple]:
         "tpch_q10": (q_tpch_q10, sql_tpch_q10()),
         "anomaly_days": (q_anomaly_days, sql_anomaly_days()),
         "link_prediction": (q_link_prediction, sql_link_prediction()),
+        "winsorize": (q_winsorize, sql_winsorize()),
+        "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best()),
     }
