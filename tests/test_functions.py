@@ -616,3 +616,35 @@ class TestPqIndex:
         assert set(cols) == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
         assert len(idx.codebooks) == 4
         assert idx.codebooks[0].shape == (8, 16)  # ks × dim/m
+
+
+class TestPassageChunks:
+    @pytest.mark.parametrize(
+        "n,want_chunks",
+        [(1, 1), (31, 1), (32, 1), (33, 2), (56, 2), (57, 3), (100, 4)],
+    )
+    def test_chunk_grid_boundaries(self, ray_session, n, want_chunks):
+        """Chunk count = ceil(max(0, n-W)/stride) + 1 on every boundary,
+        and the windows tile the doc (W=32, stride=24)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.pipelines.queries import CHUNK_STRIDE, CHUNK_W, q_passage_chunks  # noqa: F401
+        from searchengine_ray.pipelines import queries as Q
+
+        text = " ".join(f"t{i}" for i in range(n))
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array([text])})
+        import tempfile, pyarrow.parquet as pq_mod
+        import os
+
+        d = tempfile.mkdtemp()
+        pq_mod.write_table(tbl, os.path.join(d, "documents.parquet"))
+        out = Q.q_passage_chunks(d)
+        assert len(out) == want_chunks
+        # first chunk starts at token 0; every chunk's tokens are the
+        # stride-grid slice of the doc
+        for r in out.itertuples(index=False):
+            s = r.chunk_id * CHUNK_STRIDE
+            want = " ".join(f"t{i}" for i in range(s, min(s + CHUNK_W, n)))
+            assert r.text == want
+            assert r.n_tokens == min(CHUNK_W, n - s)
