@@ -216,6 +216,12 @@ REGISTRY_BENCH = [
     "sessionize", "range_join", "sliding_window",
     "bigram_counts", "event_quantiles", "embedding_centroids",
     "gopher_quality", "tpch_q3", "distinct_users", "triangle_count", "lag_delta",
+    # round-3 operators
+    "hits_scores", "heavy_hitters", "hll_sketch", "anchor_text", "snippets",
+    "retention", "cube_events", "pivot_events", "tpch_q5", "tpch_q10",
+    "anti_join", "boolean_query", "rrf_hybrid", "anomaly_days", "winsorize",
+    "passage_chunks", "multimodal_png", "pq_topk", "link_prediction",
+    "unigram_logppl",
 ]
 
 
