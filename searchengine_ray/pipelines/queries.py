@@ -4221,6 +4221,101 @@ SELECT register, CAST(max(rho) AS BIGINT) AS rho FROM rr GROUP BY register
 """
 
 
+# -------------------------------------------------------- distributed grep
+
+
+_GREP_PATTERN = r"(scan|merge|sort)"
+
+
+def q_regex_search(sf_dir: str) -> pd.DataFrame:
+    """Distributed grep: RE2 match-count over the corpus via the Arrow
+    `count_substring_regex` kernel — a pure streaming scan (pruned
+    columns, zero shuffle, batch-local filter). At 100 TB this is the
+    canonical 'scan everything once' job; both engines use RE2
+    (pyarrow and DuckDB), so non-overlapping match counts agree."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def hits(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b["text"], _GREP_PATTERN), pa.int64())
+        t = pa.table({"doc_id": b["doc_id"], "n_matches": n})
+        return t.filter(pc.greater(n, 0))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(hits, batch_format="pyarrow").to_pandas()
+    return out.astype({"doc_id": "int64", "n_matches": "int64"})
+
+
+def sql_regex_search() -> str:
+    return f"""
+SELECT doc_id, len(regexp_extract_all(text, '{_GREP_PATTERN}')) AS n_matches
+FROM documents
+WHERE regexp_matches(text, '{_GREP_PATTERN}')
+"""
+
+
+# ------------------------------------------------- CTR with Wilson bound
+
+
+def q_ctr_wilson(sf_dir: str) -> pd.DataFrame:
+    """Ranking-signal aggregation: per props-bucket click-through rate
+    with the Wilson score lower bound (z=1.96) — the standard way to
+    rank items by CTR without small-sample noise dominating. One
+    pruned scan → per-batch (bucket, is_click) indicators → one
+    count/sum groupby whose cardinality is the bucket domain; the
+    Wilson formula runs on the tiny aggregated result."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def indicators(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array(["view", "click"]))
+        t = b.filter(keep)
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64(),
+        )
+        clk = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        return pa.table({"bucket": k, "clk": clk})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    agg = (
+        ds.map_batches(indicators, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("clk", alias_name="clicks"))
+        .to_pandas()
+    )
+    z = 1.96
+    n = agg["n"].to_numpy(np.float64)
+    p = agg["clicks"].to_numpy(np.float64) / n
+    lb = (p + z * z / (2 * n) - z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+        1 + z * z / n
+    )
+    agg["ctr"] = np.round(p, 6)
+    agg["wilson_lb"] = np.round(lb, 6)
+    out = agg.sort_values("bucket").reset_index(drop=True)
+    return out.astype({"bucket": "int64", "n": "int64", "clicks": "int64"})
+
+
+def sql_ctr_wilson() -> str:
+    return """
+WITH a AS (
+  SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS bucket,
+         count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1)
+SELECT bucket, n, clicks,
+       round(clicks / CAST(n AS DOUBLE), 6) AS ctr,
+       round((clicks / CAST(n AS DOUBLE) + 1.96*1.96/(2*n)
+              - 1.96 * sqrt((clicks / CAST(n AS DOUBLE) * (1 - clicks / CAST(n AS DOUBLE))
+                             + 1.96*1.96/(4*n)) / n))
+             / (1 + 1.96*1.96/n), 6) AS wilson_lb
+FROM a
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4344,4 +4439,6 @@ def registry() -> dict[str, tuple]:
         "link_prediction": (q_link_prediction, sql_link_prediction()),
         "winsorize": (q_winsorize, sql_winsorize()),
         "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best()),
+        "regex_search": (q_regex_search, sql_regex_search()),
+        "ctr_wilson": (q_ctr_wilson, sql_ctr_wilson()),
     }

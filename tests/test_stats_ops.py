@@ -418,3 +418,43 @@ class TestSketches:
 def _zipf_p(n):
     w = 1.0 / np.arange(1, n + 1)
     return w / w.sum()
+
+
+class TestRegexSearch:
+    def test_counts_match_python_re(self, ray_session, sf_tiny):
+        import re
+
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import _GREP_PATTERN, q_regex_search
+
+        got = q_regex_search(sf_tiny).set_index("doc_id")["n_matches"]
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_tiny}/documents.parquet'"
+        ).df()
+        pat = re.compile(_GREP_PATTERN)
+        want = {
+            int(r.doc_id): len(pat.findall(r.text))
+            for r in docs.itertuples()
+            if pat.search(r.text)
+        }
+        assert got.to_dict() == want
+        assert (got > 0).all()  # zero-match docs filtered out
+
+
+class TestCtrWilson:
+    def test_wilson_bound_properties(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_ctr_wilson
+
+        out = q_ctr_wilson(sf_tiny)
+        assert (out["wilson_lb"] <= out["ctr"] + 1e-9).all()
+        assert (out["wilson_lb"] >= 0).all() and (out["ctr"] <= 1).all()
+        assert (out["clicks"] <= out["n"]).all()
+
+    def test_wilson_formula_hand_value(self):
+        # 40 clicks / 100 trials, z=1.96 → lower bound ≈ 0.308596
+        z, n, p = 1.96, 100.0, 0.4
+        lb = (p + z * z / (2 * n) - z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
+            1 + z * z / n
+        )
+        assert abs(lb - 0.3093) < 5e-4
