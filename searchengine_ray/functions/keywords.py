@@ -26,9 +26,14 @@ import pandas as pd
 import pyarrow as pa
 
 
-def doc_keywords(index_dir, k: int = 3, ndigits: int = 6):
+def doc_keywords(index_dir, k: int = 3, ndigits: int = 6, doc_ids=None):
     """(doc_id, term, score, rank) Dataset — the ``k`` highest-TF-IDF
-    terms per document, rank 1-based within doc."""
+    terms per document, rank 1-based within doc.
+
+    ``doc_ids``: optional iterable restricting the computation to those
+    documents — the filter runs batch-local BEFORE the explode, so only
+    the selected docs' term vectors enter the term join (the
+    relevance-feedback shape: k docs out of a 10^12-doc corpus)."""
     import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -47,7 +52,17 @@ def doc_keywords(index_dir, k: int = 3, ndigits: int = 6):
         .aggregate(Sum("df", alias_name="df_g"))
     )
 
+    id_set = (
+        pa.array(sorted({int(d) for d in doc_ids}), pa.int64())
+        if doc_ids is not None
+        else None
+    )
+
     def explode(b: pa.Table) -> pa.Table:
+        if id_set is not None:
+            import pyarrow.compute as pc
+
+            b = b.filter(pc.is_in(b["doc_id"], value_set=id_set))
         terms_col = b["terms"].combine_chunks()
         runs = terms_col.value_lengths().to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(

@@ -4316,6 +4316,198 @@ FROM a
 """
 
 
+# ------------------------------------------- pseudo-relevance feedback
+
+
+QE_SEED = "fast scan"
+QE_FEEDBACK_DOCS = 10
+QE_EXPANSION_TERMS = 5
+
+
+def _sql_bm25_scored(qcte: str) -> str:
+    """BM25 scored-docs CTE body over query-term CTE ``qcte`` (qn=1 per
+    term) — shares dls/stats/n/avgdl CTE names with the caller."""
+    return f"""
+    SELECT toks.doc_id,
+           sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))) AS score
+    FROM toks
+    JOIN {qcte} USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    GROUP BY toks.doc_id
+"""
+
+
+def q_query_expansion(sf_dir: str) -> pd.DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style expansion): BM25 the
+    seed query → top-10 feedback docs → their term vectors come from
+    index artifacts only (doc-filtered BEFORE the term join, so 10
+    docs' vectors — not the corpus — enter the shuffle) → top-5
+    expansion terms by summed TF-IDF → re-run BM25 with the expanded
+    query → final top-20. The corpus-scale stages are all Dataset ops;
+    only the q×k feedback sets touch the driver."""
+    from ..functions.keywords import doc_keywords
+    from ray.data.aggregate import Sum
+
+    eng = _engine(sf_dir)
+    seed_terms = list(dict.fromkeys(eng.analyze(QE_SEED)))
+
+    def topn(res, n):
+        df = pd.DataFrame(
+            {"doc_id": [d for d, _ in res], "score": [round(s, 6) for _, s in res]}
+        )
+        return df.sort_values(["score", "doc_id"], ascending=[False, True]).head(n)
+
+    fb = topn(eng.search_bm25(seed_terms, topk=None), QE_FEEDBACK_DOCS)
+    cand = (
+        doc_keywords(
+            documents_index(sf_dir, "punct"),
+            k=1_000_000,
+            doc_ids=fb["doc_id"].tolist(),
+        )
+        .groupby("term")
+        .aggregate(Sum("score", alias_name="w"))
+        .to_pandas()
+    )
+    cand = cand[~cand["term"].isin(seed_terms)]
+    cand["w"] = cand["w"].round(6)
+    exp = (
+        cand.sort_values(["w", "term"], ascending=[False, True])
+        .head(QE_EXPANSION_TERMS)["term"]
+        .tolist()
+    )
+    final = topn(eng.search_bm25(seed_terms + exp, topk=None), 20).reset_index(drop=True)
+    final["rank"] = np.arange(1, len(final) + 1, dtype=np.int64)
+    return final[["rank", "doc_id", "score"]].astype({"rank": "int64", "doc_id": "int64"})
+
+
+def sql_query_expansion() -> str:
+    seed_vals = ", ".join(f"('{t}')" for t in ["fast", "scan"])
+    seed_list = ", ".join(f"'{t}'" for t in ["fast", "scan"])
+    return f"""
+WITH {sql_tokens_cte()},
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+q1(term) AS (VALUES {seed_vals}),
+s1 AS ({_sql_bm25_scored("q1")}),
+top10 AS (SELECT doc_id FROM s1 ORDER BY round(score, 6) DESC, doc_id LIMIT {QE_FEEDBACK_DOCS}),
+cand AS (
+  SELECT t.term,
+         round(sum(round(t.tf * log10(CAST(n.c AS DOUBLE) / stats.df + 1.0), 6)), 6) AS w
+  FROM toks t JOIN top10 USING (doc_id) JOIN stats USING (term) CROSS JOIN n
+  WHERE t.term NOT IN ({seed_list})
+  GROUP BY t.term),
+exp5 AS (SELECT term FROM cand ORDER BY w DESC, term LIMIT {QE_EXPANSION_TERMS}),
+q2(term) AS (SELECT term FROM exp5 UNION ALL SELECT unnest([{seed_list}])),
+s2 AS ({_sql_bm25_scored("q2")})
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM s2)
+WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------- recrawl snapshot diff
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Recrawl diff: classify every url/doc as added / removed / changed
+    between two crawl snapshots (snapshot B is a deterministic recrawl
+    of documents: ids %13 dropped, %7 re-extracted with new content,
+    %11 spawn a fresh page). Each batch emits compact per-side rows
+    (doc_id, side indicators, content fingerprint) — payload text never
+    transits the shuffle — and ONE groupby(doc_id) classifies; at
+    100 TB this is the incremental-crawl planning job."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def fp64(texts) -> np.ndarray:
+        # 63-bit positive fingerprint: stays > the 0 "absent" sentinel,
+        # so Max() over {fp, 0} recovers the side's fingerprint exactly
+        out = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            out[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little") >> 1
+        return out
+
+    def sides(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = b["text"].to_pandas().to_numpy(object)
+        fa = fp64(txt)
+        # snapshot B rows derived from the same batch
+        keep = ids % 13 != 0
+        b_ids, b_fp = ids[keep], fa[keep].copy()
+        chg = b_ids % 7 == 0
+        if chg.any():
+            b_fp[chg] = fp64([t + " updated v2" for t in txt[keep][chg]])
+        new_src = ids[ids % 11 == 0]
+        add_ids = new_src + 10_000_000
+        add_fp = fp64([f"fresh page {i}" for i in new_src])
+        out_ids = np.concatenate([ids, b_ids, add_ids])
+        in_a = np.concatenate([np.ones_like(ids), np.zeros_like(b_ids), np.zeros_like(add_ids)])
+        in_b = 1 - in_a
+        fp_a = np.concatenate([fa, np.zeros_like(b_fp), np.zeros_like(add_fp)])
+        fp_b = np.concatenate([np.zeros_like(fa), b_fp, add_fp])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "in_a": pa.array(in_a, pa.int64()),
+                "in_b": pa.array(in_b, pa.int64()),
+                "fp_a": pa.array(fp_a, pa.int64()),
+                "fp_b": pa.array(fp_b, pa.int64()),
+            }
+        )
+
+    def classify(b: pa.Table) -> pa.Table:
+        a = b["sum(in_a)"].to_numpy(zero_copy_only=False)
+        bb = b["sum(in_b)"].to_numpy(zero_copy_only=False)
+        fa = b["max(fp_a)"].to_numpy(zero_copy_only=False)
+        fb = b["max(fp_b)"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            a == 0, "added", np.where(bb == 0, "removed", np.where(fa != fb, "changed", ""))
+        )
+        t = pa.table(
+            {"doc_id": b["doc_id"], "status": pa.array(status, pa.string())}
+        )
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["status"], ""))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(sides, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("in_a"), Sum("in_b"), Max("fp_a"), Max("fp_b"))
+        .map_batches(classify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def sql_snapshot_diff() -> str:
+    return """
+WITH snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' updated v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'fresh page ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text <> b.text THEN 'changed' END AS status
+  FROM documents a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4441,4 +4633,6 @@ def registry() -> dict[str, tuple]:
         "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best()),
         "regex_search": (q_regex_search, sql_regex_search()),
         "ctr_wilson": (q_ctr_wilson, sql_ctr_wilson()),
+        "query_expansion": (q_query_expansion, sql_query_expansion()),
+        "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff()),
     }

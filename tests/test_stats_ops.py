@@ -458,3 +458,55 @@ class TestCtrWilson:
             1 + z * z / n
         )
         assert abs(lb - 0.3093) < 5e-4
+
+
+class TestSnapshotDiff:
+    def test_statuses_match_modular_rule(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_snapshot_diff
+
+        got = q_snapshot_diff(sf_tiny)
+        ids = pq.read_table(
+            f"{sf_tiny}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        removed = set(ids[ids % 13 == 0].tolist())
+        added = set((ids[ids % 11 == 0] + 10_000_000).tolist())
+        changed = set(ids[(ids % 13 != 0) & (ids % 7 == 0)].tolist())
+        by = {s: set(g["doc_id"]) for s, g in got.groupby("status")}
+        assert by.get("removed", set()) == removed
+        assert by.get("added", set()) == added
+        assert by.get("changed", set()) == changed
+        assert len(got) == len(removed) + len(added) + len(changed)
+
+
+class TestQueryExpansion:
+    def test_expansion_structure(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import (
+            QE_SEED,
+            _engine,
+            q_query_expansion,
+        )
+
+        out = q_query_expansion(sf_tiny)
+        assert list(out["rank"]) == list(range(1, len(out) + 1))
+        assert len(out) == 20
+        # expanded ranking differs from the seed-only ranking (the
+        # feedback terms actually moved documents)
+        seed_only = _engine(sf_tiny).search_bm25(QE_SEED, topk=20)
+        assert [d for d, _ in seed_only] != list(out["doc_id"])
+
+    def test_doc_ids_filter_matches_postfilter(self, ray_session, sf_tiny):
+        from searchengine_ray.functions.keywords import doc_keywords
+        from searchengine_ray.pipelines.queries import documents_index
+
+        idx = documents_index(sf_tiny, "punct")
+        sel = [0, 3, 7]
+        a = doc_keywords(idx, k=5, doc_ids=sel).to_pandas()
+        b = doc_keywords(idx, k=5).to_pandas()
+        b = b[b["doc_id"].isin(sel)]
+        key = ["doc_id", "rank"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
