@@ -435,28 +435,24 @@ def minhash_dedup_pairs(ds, threshold=0.8, n_perm=128, n_bands=16, shingle_k=3, 
 # -------------------------------------------------------- ngram jaccard
 
 
-def ngram_jaccard_pairs(
-    ds, threshold: float = 0.5, shingle_k: int = 3, text_column: str = "text"
-) -> pd.DataFrame:
-    """EXACT n-gram-Jaccard near-dup pairs via a shingle inverted index —
-    the oracle-exact baseline next to the approximate paths
-    (``minhash_dedup_pairs`` banded-LSH recall, ``simhash_dedup_pairs``
-    Hamming blocking):
+def _shingle_pair_counts(ds, shingle_k: int, text_column: str):
+    """Shared machinery for the exact shingle-overlap family
+    (:func:`ngram_jaccard_pairs`, :func:`ngram_containment_pairs`): a
+    distributed shingle inverted index whose per-pair shared-shingle
+    row count IS ``|A ∩ B|``:
 
     1. explode per-doc shingle sets to ``(shingle, doc_id, set_size)``
        posting rows (same vectorized 64-bit shingle hashing as MinHash);
     2. ``groupby(shingle)`` emits one candidate-pair row per SHARED
-       shingle (so the per-pair row count IS ``|A ∩ B|``);
-    3. ``groupby(pair)`` counts rows and carries the two set sizes;
-       ``jaccard = c / (|A| + |B| - c) >= threshold`` filters.
+       shingle;
+    3. ``groupby(pair)`` counts rows and carries the two set sizes.
+
+    Returns a Dataset of ``(pair, count(), min(sa), min(sb))`` where
+    ``pair`` packs ``(a < b)`` as ``a·2^32 + b``.
 
     Scale note: cost is Σ_shingle group_size² — hot shingles make this
     quadratic, which is exactly why MinHash+LSH is the 100-TB path; this
-    operator is for corpus-sized slices where exactness matters.
-    Docs whose shingle set is EMPTY (empty text) pair with each other at
-    ``jaccard = 1.0`` by convention (matching :func:`jaccard` and the
-    SQL oracle) — they share no posting rows, so they are paired in a
-    separate tiny pass."""
+    family is for corpus-sized slices where exactness matters."""
     from ray.data.aggregate import Count, Min
 
     def shingle_rows(b: pa.Table) -> pa.Table:
@@ -535,7 +531,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    counted = (
+    return (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
@@ -543,6 +539,22 @@ def ngram_jaccard_pairs(
         .groupby("pair")
         .aggregate(Count(), Min("sa"), Min("sb"))
     )
+
+
+def ngram_jaccard_pairs(
+    ds, threshold: float = 0.5, shingle_k: int = 3, text_column: str = "text"
+) -> pd.DataFrame:
+    """EXACT n-gram-Jaccard near-dup pairs — the oracle-exact baseline
+    next to the approximate paths (``minhash_dedup_pairs`` banded-LSH
+    recall, ``simhash_pairs`` Hamming blocking):
+    ``jaccard = c / (|A| + |B| - c) >= threshold`` over the shared
+    shingle counts from :func:`_shingle_pair_counts`.
+
+    Docs whose shingle set is EMPTY (empty text) pair with each other at
+    ``jaccard = 1.0`` by convention (matching :func:`jaccard` and the
+    SQL oracle) — they share no posting rows, so they are paired in a
+    separate tiny pass."""
+    counted = _shingle_pair_counts(ds, shingle_k, text_column)
 
     def finish(b: pa.Table) -> pa.Table:
         pair = b["pair"].to_numpy(zero_copy_only=False)
@@ -595,6 +607,48 @@ def ngram_jaccard_pairs(
     return out.astype({"doc_a": "int64", "doc_b": "int64"}).sort_values(
         ["doc_a", "doc_b"]
     ).reset_index(drop=True)
+
+
+def ngram_containment_pairs(
+    ds, threshold: float = 0.8, shingle_k: int = 3, text_column: str = "text"
+) -> pd.DataFrame:
+    """ASYMMETRIC shingle containment ``|A ∩ B| / |A| >= threshold`` —
+    catches doc-inside-doc duplication (quoted articles, boilerplate
+    wrappers, truncated mirrors) that symmetric Jaccard misses: a short
+    page fully contained in a long one has tiny Jaccard but containment
+    1.0. Directed output: one row per (contained, container) direction
+    that clears the threshold, both directions possible. Docs with an
+    empty shingle set are excluded (containment is undefined). Shares
+    the distributed shingle-inverted-index candidate machinery with
+    :func:`ngram_jaccard_pairs` (:func:`_shingle_pair_counts`)."""
+    counted = _shingle_pair_counts(ds, shingle_k, text_column)
+
+    def finish(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b["min(sa)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = b["min(sb)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a_id = (pair >> np.uint64(32)).astype(np.int64)
+        b_id = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # both directions of the unordered candidate pair
+        contained = np.concatenate([a_id, b_id])
+        container = np.concatenate([b_id, a_id])
+        cont = np.concatenate([c / sa, c / sb])
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "contained": pa.array(contained[keep], pa.int64()),
+                "container": pa.array(container[keep], pa.int64()),
+                "containment": pa.array(np.round(cont[keep], 6), pa.float64()),
+            }
+        )
+
+    out = counted.map_batches(finish, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"contained": pd.Series([], dtype="int64"),
+                             "container": pd.Series([], dtype="int64"),
+                             "containment": pd.Series([], dtype="float64")})
+    return out.sort_values(["contained", "container"]).reset_index(drop=True)
 
 
 # -------------------------------------------------------------- simhash

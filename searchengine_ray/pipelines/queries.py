@@ -4508,6 +4508,186 @@ SELECT doc_id, status FROM j WHERE status IS NOT NULL
 """
 
 
+# ------------------------------------------------- asymmetric containment
+
+
+def q_containment_dedup(sf_dir: str) -> pd.DataFrame:
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.8 — the
+    doc-inside-doc detector (quoted articles, boilerplate wrappers,
+    truncated mirrors) that symmetric Jaccard misses. Shares the
+    distributed shingle-inverted-index machinery with ``dedup_ngram``;
+    directed output."""
+    import ray.data as rd
+
+    from ..functions.dedup import ngram_containment_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_containment_pairs(ds, threshold=0.8)
+
+
+def sql_containment_dedup() -> str:
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                          '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) = 0 THEN []
+                WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                ELSE list_transform(range(1, len(ts) - 1),
+                                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))
+           END AS shingles
+    FROM toks
+), ne AS (
+    SELECT doc_id, list_distinct(shingles) AS s FROM sh WHERE len(shingles) > 0
+)
+SELECT contained, container, round(containment, 6) AS containment FROM (
+  SELECT a.doc_id AS contained, b.doc_id AS container,
+         len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE) AS containment
+  FROM ne a JOIN ne b ON a.doc_id <> b.doc_id)
+WHERE containment >= 0.8
+"""
+
+
+# --------------------------------------------------------------- TPC-H Q4
+
+
+def q_tpch_q4(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking): quarter-filtered orders
+    semi-joined against late-shipping lineitems. The predicate compares
+    the two FACT tables' columns (l_shipdate > o_orderdate + 60 days),
+    so the small side can't broadcast — this is the honest co-partition
+    hash join on orderkey, then an order-grained dedup and a 5-row
+    priority count."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    lo = pa.scalar(pd.Timestamp("1996-07-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01").to_pydatetime(), pa.timestamp("us"))
+
+    def quarter(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        return b.filter(m)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(quarter, batch_format="pyarrow")
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+
+    def late(b: pa.Table) -> pa.Table:
+        cut = pc.add(b["o_orderdate"], pa.scalar(_dt.timedelta(days=60)))
+        b = b.filter(pc.greater(b["l_shipdate"], cut))
+        return b.select(["l_orderkey", "o_orderpriority"])
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(late, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderpriority"])
+        .aggregate(Count())  # order-grained dedup: ≥1 late line → counts once
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+        .to_pandas()
+    )
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    return out.astype({"o_orderpriority": "object", "order_count": "int64"})
+
+
+def sql_tpch_q4() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------- grouped Pearson correlation
+
+
+def q_grouped_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation (value vs hour-of-day) via one-pass
+    distributed moments: each batch ships (n, Σx, Σy, Σxx, Σyy, Σxy)
+    per group — six numbers per (group × batch) through the shuffle,
+    never a row per event — and the closed-form corr evaluates on the
+    tiny aggregate. The same partial-moment pattern gives stddev /
+    covariance / z-scores at 100 TB."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "x": b["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": pc.hour(b["ts"]).to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = 1
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    num = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = np.sqrt((n * agg["sxx"] - agg["sx"] ** 2) * (n * agg["syy"] - agg["sy"] ** 2))
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "corr": np.round(num / den, 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sql_grouped_corr() -> str:
+    # explicit sum-based formula (not corr()) so both engines evaluate
+    # the identical algebraic expression
+    return """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         sum(value) AS sx, sum(hr) AS sy,
+         sum(value * value) AS sxx, sum(hr * hr) AS syy, sum(value * hr) AS sxy
+  FROM (SELECT event_type, value, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS hr FROM events)
+  GROUP BY event_type)
+SELECT event_type, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM a
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4635,4 +4815,7 @@ def registry() -> dict[str, tuple]:
         "ctr_wilson": (q_ctr_wilson, sql_ctr_wilson()),
         "query_expansion": (q_query_expansion, sql_query_expansion()),
         "snapshot_diff": (q_snapshot_diff, sql_snapshot_diff()),
+        "containment_dedup": (q_containment_dedup, sql_containment_dedup()),
+        "tpch_q4": (q_tpch_q4, sql_tpch_q4()),
+        "grouped_corr": (q_grouped_corr, sql_grouped_corr()),
     }

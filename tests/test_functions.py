@@ -648,3 +648,51 @@ class TestPassageChunks:
             want = " ".join(f"t{i}" for i in range(s, min(s + CHUNK_W, n)))
             assert r.text == want
             assert r.n_tokens == min(CHUNK_W, n - s)
+
+
+class TestContainmentPairs:
+    def test_subset_has_containment_one(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.dedup import ngram_containment_pairs
+
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        short = "gamma delta epsilon zeta eta"  # contiguous slice of long
+        other = "one two three four five six seven eight nine ten"
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [1, 2, 3], "text": [long, short, other]})
+        )
+        out = ngram_containment_pairs(ds, threshold=0.8)
+        rows = {(r.contained, r.container): r.containment for r in out.itertuples()}
+        assert rows == {(2, 1): 1.0}  # short ⊂ long, never the reverse
+
+    def test_matches_bruteforce_sets(self, ray_session, sf_tiny):
+        import ray.data as rd
+
+        from searchengine_ray.functions.dedup import (
+            _shingle_hash_set,
+            _token_hash_lists,
+            _token_lists,
+            ngram_containment_pairs,
+        )
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+        toks = _token_lists(t["text"].to_pandas())
+        sets = [
+            set(_shingle_hash_set(th, 3).tolist()) for th in _token_hash_lists(toks)
+        ]
+        ids = t["doc_id"].to_numpy()
+        want = {}
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if i == j or not sets[i]:
+                    continue
+                c = len(sets[i] & sets[j]) / len(sets[i])
+                if c >= 0.8:
+                    want[(int(ids[i]), int(ids[j]))] = round(c, 6)
+        ds = rd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+        out = ngram_containment_pairs(ds, threshold=0.8)
+        got = {(r.contained, r.container): r.containment for r in out.itertuples()}
+        assert got == want
