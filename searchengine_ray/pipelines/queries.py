@@ -4688,6 +4688,176 @@ FROM a
 """
 
 
+# -------------------------------------------------- per-source vocabulary
+
+
+def q_source_vocab(sf_dir: str) -> pd.DataFrame:
+    """Per-slice vocabulary statistics (Heaps-law monitoring): token
+    count, distinct-term count and type-token ratio per source. The
+    distinct count is the canonical two-level shuffle — per-batch
+    (source, term) partial counts collapse duplicates before the
+    groupby, then a vocabulary-sized second aggregate — so row volume
+    through the wide stage is bounded by Zipf's vocabulary, not the
+    token stream."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        toks = _token_lists(texts)
+        src = b["source"].to_pandas()
+        df = pd.DataFrame(
+            {
+                "source": np.repeat(src.to_numpy(object), toks.map(len).to_numpy(np.int64)),
+                "term": [t for ts in toks for t in ts],
+            }
+        )
+        g = df.groupby(["source", "term"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "tf"}), preserve_index=False
+        )
+
+    per_term = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    out = (
+        per_term.groupby("source")
+        .aggregate(Sum("tf", alias_name="n_tokens"), Count(alias_name="vocab"))
+        .to_pandas()
+    )
+    out["ttr"] = (out["vocab"] / out["n_tokens"]).round(6)
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype({"source": "object", "n_tokens": "int64", "vocab": "int64"})
+    )
+
+
+def sql_source_vocab() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, t AS term
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> '')
+SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS vocab,
+       round(count(DISTINCT term) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM tok GROUP BY source
+"""
+
+
+# ------------------------------------- weighted sample (Efraimidis–Spirakis)
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES): each
+    doc gets key = ln(u)/w with u a 53-bit md5-uniform of its id and
+    w = n_chars; the global top-20 keys ARE the weighted sample. Keys
+    derive batch-locally (zero shuffle); only per-block top-k partials
+    reach the driver merge — the weighted analogue of the hash-sample
+    family, reproducible across engines, re-runs and retried shards."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def keys(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = np.empty(len(ids), np.float64)
+        for i, d in enumerate(ids):
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+            u[i] = (h >> 11) / 9007199254740992.0  # 53-bit mantissa-exact
+        key = np.round(np.log(u) / np.maximum(w, 1.0), 12)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "key": pa.array(key, pa.float64()),
+            }
+        )
+        # per-block partial top-k: only k rows per block leave the scan
+        order = np.lexsort((ids, -key))[:20]
+        return t.take(pa.array(np.sort(order)))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = ds.map_batches(keys, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["key", "doc_id"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype({"doc_id": "int64", "n_chars": "int64"})
+
+
+def sql_weighted_sample() -> str:
+    return """
+SELECT doc_id, n_chars,
+       round(ln((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) / 9007199254740992.0)
+             / greatest(n_chars, 1.0), 12) AS key
+FROM documents
+ORDER BY key DESC, doc_id LIMIT 20
+"""
+
+
+# ------------------------------------------------------ host aggregation
+
+
+def q_domain_stats(sf_dir: str) -> pd.DataFrame:
+    """Host-level corpus aggregation: synthesize the crawl url per doc
+    (deterministic in both engines), extract the host with the same RE2
+    regex, aggregate docs/chars per host. The host key is the classic
+    hot-domain skew axis — at 100 TB this groupby reuses the postings
+    salting machinery if one host dominates."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def hosts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        url = pa.array(
+            [f"https://host{d % 50}.example.com/page/{d}" for d in ids], pa.string()
+        )
+        host = pc.struct_field(
+            pc.extract_regex(url, r"://(?P<h>[^/]+)/"), "h"
+        )
+        return pa.table({"host": host, "n_chars": b["n_chars"]})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = (
+        ds.map_batches(hosts, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(6)
+    return (
+        out.sort_values("host")
+        .reset_index(drop=True)
+        .astype({"host": "object", "n_docs": "int64", "total_chars": "int64"})
+    )
+
+
+def sql_domain_stats() -> str:
+    return """
+WITH u AS (
+  SELECT 'https://host' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/page/'
+         || CAST(doc_id AS VARCHAR) AS url,
+         n_chars
+  FROM documents)
+SELECT regexp_extract(url, '://([^/]+)/', 1) AS host,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+FROM u GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4818,4 +4988,7 @@ def registry() -> dict[str, tuple]:
         "containment_dedup": (q_containment_dedup, sql_containment_dedup()),
         "tpch_q4": (q_tpch_q4, sql_tpch_q4()),
         "grouped_corr": (q_grouped_corr, sql_grouped_corr()),
+        "source_vocab": (q_source_vocab, sql_source_vocab()),
+        "weighted_sample": (q_weighted_sample, sql_weighted_sample()),
+        "domain_stats": (q_domain_stats, sql_domain_stats()),
     }

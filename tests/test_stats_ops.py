@@ -510,3 +510,57 @@ class TestQueryExpansion:
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True),
         )
+
+
+class TestWeightedSample:
+    def test_matches_driver_bruteforce(self, ray_session, sf_tiny):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_weighted_sample
+
+        got = q_weighted_sample(sf_tiny)
+        t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "n_chars"])
+        rows = []
+        for d, w in zip(t["doc_id"].to_numpy(), t["n_chars"].to_numpy()):
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+            u = (h >> 11) / 9007199254740992.0
+            rows.append((round(np.log(u) / max(w, 1.0), 12), int(d)))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        want = [d for _, d in rows[:20]]
+        assert list(got["doc_id"]) == want
+
+    def test_weights_bias_selection(self, ray_session):
+        # long docs must be sampled disproportionately often
+        import hashlib
+
+        n = 20_000
+        w = np.where(np.arange(n) % 2 == 0, 1000.0, 10.0)
+        keys = np.empty(n)
+        for d in range(n):
+            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
+            keys[d] = np.log((h >> 11) / 9007199254740992.0) / w[d]
+        top = np.argsort(-keys)[:200]
+        assert (top % 2 == 0).mean() > 0.9
+
+
+class TestSourceVocab:
+    def test_matches_pandas(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_source_vocab
+        from searchengine_ray.functions.textstats import _token_lists
+
+        got = q_source_vocab(sf_tiny)
+        df = duckdb.sql(
+            f"SELECT source, text FROM '{sf_tiny}/documents.parquet'"
+        ).df()
+        df["toks"] = _token_lists(df["text"])
+        want_tokens = df.groupby("source")["toks"].apply(lambda s: sum(len(t) for t in s))
+        want_vocab = df.groupby("source")["toks"].apply(
+            lambda s: len({t for ts in s for t in ts})
+        )
+        g = got.set_index("source")
+        assert g["n_tokens"].to_dict() == want_tokens.to_dict()
+        assert g["vocab"].to_dict() == want_vocab.to_dict()
