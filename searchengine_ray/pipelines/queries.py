@@ -4858,6 +4858,151 @@ FROM u GROUP BY 1
 """
 
 
+# ------------------------------------------------------------ autocomplete
+
+
+AUTOCOMPLETE_PREFIX = "fast"
+
+
+def q_autocomplete(sf_dir: str) -> pd.DataFrame:
+    """Next-word suggestion (search-box autocomplete): corpus bigram
+    counts conditioned on the typed word → top-5 continuations with
+    conditional probability. Reuses the bigram combiner; the
+    prefix filter runs on the per-batch partials, so only the typed
+    word's continuations (≤ vocab per batch) enter the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.ngrams import bigram_partial_counts
+
+    def only_prefix(b: pa.Table) -> pa.Table:
+        b = bigram_partial_counts(b)
+        return b.filter(pc.equal(b["t1"], AUTOCOMPLETE_PREFIX)).select(["t2", "n_part"])
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(only_prefix, batch_format="pyarrow")
+        .groupby("t2")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(agg["n"].sum())
+    agg["p"] = (agg["n"] / total).round(6)
+    out = agg.sort_values(["n", "t2"], ascending=[False, True]).head(5)
+    out = out.rename(columns={"t2": "next_term"}).reset_index(drop=True)
+    return out[["next_term", "n", "p"]].astype({"next_term": "object", "n": "int64"})
+
+
+def sql_autocomplete() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                        '[ \t\n\x0b\f\r]+') AS l
+              FROM documents))
+  WHERE t <> ''),
+nxt AS (
+  SELECT b.t AS next_term, count(*) AS n
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  WHERE a.t = '{AUTOCOMPLETE_PREFIX}'
+  GROUP BY 1)
+SELECT next_term, n, round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM nxt), 6) AS p
+FROM nxt ORDER BY n DESC, next_term LIMIT 5
+"""
+
+
+# ------------------------------------------------- TPC-H Q13 (custdist)
+
+
+def q_custdist(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (count-of-counts): orders-per-customer histogram
+    including zero-order customers. One fact groupby gives per-customer
+    counts; the zero bucket is total customers minus customers seen
+    (two scalars) — no customer⟕orders join materializes; the second
+    groupby is over the tiny count domain."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    per_cust = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+    n_with_orders = per_cust.count()
+    hist = (
+        per_cust.groupby("c_count").aggregate(Count(alias_name="custdist")).to_pandas()
+    )
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    zero = int(n_cust - n_with_orders)
+    if zero:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    hist = hist.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return hist.reset_index(drop=True).astype({"c_count": "int64", "custdist": "int64"})
+
+
+def sql_custdist() -> str:
+    return """
+WITH o AS (SELECT o_custkey, count(*) AS c_count FROM orders GROUP BY 1),
+j AS (SELECT coalesce(o.c_count, 0) AS c_count
+      FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey)
+SELECT c_count, count(*) AS custdist FROM j GROUP BY c_count
+"""
+
+
+# ------------------------------------------------- quartile assignment
+
+
+def q_quartile_assign(sf_dir: str) -> pd.DataFrame:
+    """Exact global quartile bucketing of docs by length: boundaries via
+    the distributed value-domain quantile pass (never a global sort),
+    broadcast as three scalars into a vectorized assignment scan. The
+    ntile-for-feature-binning shape at corpus scale."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    b = exact_quantiles(ds, "n_chars", [0.25, 0.5, 0.75])["value"].to_numpy(np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        quart = 1 + (x > b[0]).astype(np.int64) + (x > b[1]) + (x > b[2])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "quartile": pa.array(quart.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_chars": "int64", "quartile": "int64"}
+    )
+
+
+def sql_quartile_assign() -> str:
+    return """
+WITH b AS (SELECT quantile_disc(n_chars, 0.25) AS b1,
+                  quantile_disc(n_chars, 0.50) AS b2,
+                  quantile_disc(n_chars, 0.75) AS b3
+           FROM documents)
+SELECT doc_id, n_chars,
+       1 + CAST(n_chars > b1 AS BIGINT) + CAST(n_chars > b2 AS BIGINT)
+         + CAST(n_chars > b3 AS BIGINT) AS quartile
+FROM documents, b
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -4991,4 +5136,7 @@ def registry() -> dict[str, tuple]:
         "source_vocab": (q_source_vocab, sql_source_vocab()),
         "weighted_sample": (q_weighted_sample, sql_weighted_sample()),
         "domain_stats": (q_domain_stats, sql_domain_stats()),
+        "autocomplete": (q_autocomplete, sql_autocomplete()),
+        "custdist": (q_custdist, sql_custdist()),
+        "quartile_assign": (q_quartile_assign, sql_quartile_assign()),
     }

@@ -564,3 +564,36 @@ class TestSourceVocab:
         g = got.set_index("source")
         assert g["n_tokens"].to_dict() == want_tokens.to_dict()
         assert g["vocab"].to_dict() == want_vocab.to_dict()
+
+
+class TestQuartileAssign:
+    def test_balanced_and_ordered(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_quartile_assign
+
+        out = q_quartile_assign(sf_tiny)
+        assert set(out["quartile"]) <= {1, 2, 3, 4}
+        # monotone: longer docs never land in a lower quartile
+        s = out.sort_values("n_chars")
+        assert (s["quartile"].diff().fillna(0) >= 0).all()
+        # quantile_disc boundaries → lower quartiles hold >= 25% each
+        counts = out["quartile"].value_counts()
+        assert counts.get(1, 0) >= len(out) * 0.25 - 1
+
+
+class TestCustdist:
+    def test_matches_pandas_leftjoin(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_custdist
+
+        got = q_custdist(sf_tiny)
+        want = duckdb.sql(f"""
+            WITH o AS (SELECT o_custkey, count(*) AS c_count
+                       FROM '{sf_tiny}/orders.parquet' GROUP BY 1)
+            SELECT coalesce(o.c_count, 0) AS c_count, count(*) AS custdist
+            FROM '{sf_tiny}/customer.parquet' c
+            LEFT JOIN o ON c.c_custkey = o.o_custkey GROUP BY 1
+        """).df()
+        g = got.set_index("c_count")["custdist"].to_dict()
+        w = want.set_index("c_count")["custdist"].to_dict()
+        assert g == {int(k): int(v) for k, v in w.items()}
