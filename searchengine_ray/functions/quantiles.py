@@ -134,3 +134,60 @@ def grouped_quantiles(
     return pd.DataFrame(rows, columns=[key, "q", "value"]).sort_values(
         [key, "q"]
     ).reset_index(drop=True)
+
+
+def _cont_from_counts(
+    values: np.ndarray, counts: np.ndarray, qs: list[float]
+) -> list:
+    """DuckDB ``quantile_cont`` (linear interpolation at ``q·(n-1)``)
+    evaluated from a (value, count) domain table — same distributed
+    shape as the disc variant, interpolation is two searchsorted hits."""
+    order = np.argsort(values, kind="stable")
+    v = values[order].astype(np.float64)
+    c = counts[order].astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append(None)
+            continue
+        pos = q * (n - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + 1, n - 1)
+        frac = pos - lo
+        vlo = v[int(np.searchsorted(cum, lo + 1, side="left"))]
+        vhi = v[int(np.searchsorted(cum, hi + 1, side="left"))]
+        out.append(vlo + frac * (vhi - vlo))
+    return out
+
+
+def exact_quantiles_cont(
+    ds,
+    column: str,
+    qs: list[float],
+    quantize: int | None = None,
+) -> pd.DataFrame:
+    """Exact ``quantile_cont`` (interpolated) values of ``column`` — the
+    same value-domain count shuffle as :func:`exact_quantiles`, with
+    linear interpolation in the driver-side select."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: "pa.Table") -> "pa.Table":
+        arr = b[column].combine_chunks()
+        x = arr.to_numpy(zero_copy_only=False)
+        x = x[~pd.isna(x)]
+        if quantize is not None:
+            x = np.round(x.astype(np.float64), quantize)
+        vals, cnts = np.unique(x, return_counts=True)
+        return pa.table({"v": pa.array(vals), "n_part": pa.array(cnts, pa.int64())})
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    sel = _cont_from_counts(counts["v"].to_numpy(), counts["n"].to_numpy(), qs)
+    return pd.DataFrame({"q": pd.Series(qs, dtype="float64"), "value": sel})

@@ -5003,6 +5003,179 @@ FROM documents, b
 """
 
 
+# --------------------------------------------------- basket co-occurrence
+
+
+def q_basket_pairs(sf_dir: str) -> pd.DataFrame:
+    """Event-type co-occurrence with lift (market-basket over user
+    sessions): distinct (user, type) → per-user type BITMASK (one int
+    per user through the second shuffle) → a ≤2^|types|-row mask
+    histogram, from which every pair count, marginal and lift derives
+    driver-side with pure combinatorics. Nothing user-cardinality-sized
+    ever leaves the cluster — the small-domain co-occurrence pattern."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    distinct = ds.groupby(["user_id", "event_type"]).aggregate(Count())
+    types = sorted(r["event_type"] for r in distinct.groupby("event_type").aggregate(Count()).take_all())
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "bit": pa.array(et.map(bit).to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    masks = (
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("bit", alias_name="mask"))  # bits distinct ⇒ Sum == OR
+        .groupby("mask")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    m = masks["mask"].to_numpy(np.int64)
+    nu_m = masks["n_users"].to_numpy(np.int64)
+    n_total = int(nu_m.sum())
+    single = {t: int(nu_m[(m & bit[t]) != 0].sum()) for t in types}
+    rows = []
+    for i, t1 in enumerate(types):
+        for t2 in types[i + 1:]:
+            n_ab = int(nu_m[((m & bit[t1]) != 0) & ((m & bit[t2]) != 0)].sum())
+            if n_ab:
+                lift = round(n_ab * n_total / float(single[t1] * single[t2]), 6)
+                rows.append((t1, t2, n_ab, lift))
+    out = pd.DataFrame(rows, columns=["t1", "t2", "n_ab", "lift"])
+    return out.sort_values(["t1", "t2"]).reset_index(drop=True).astype(
+        {"t1": "object", "t2": "object", "n_ab": "int64"}
+    )
+
+
+def sql_basket_pairs() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_ab
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2),
+s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+u AS (SELECT count(DISTINCT user_id) AS nu FROM events)
+SELECT p.t1, p.t2, p.n_ab,
+       round(p.n_ab * u.nu / CAST(sa.n * sb.n AS DOUBLE), 6) AS lift
+FROM p JOIN s sa ON sa.event_type = p.t1 JOIN s sb ON sb.event_type = p.t2
+CROSS JOIN u
+"""
+
+
+# ------------------------------------------------ interpolated percentiles
+
+
+def q_percentile_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated (quantile_cont) global percentiles of events.value —
+    the same value-domain count shuffle as the disc family, linear
+    interpolation at q·(n−1) on the driver-side domain table."""
+    import ray.data as rd
+
+    from ..functions.quantiles import exact_quantiles_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = exact_quantiles_cont(ds, "value", [0.5, 0.9, 0.99], quantize=3)
+    out["value"] = out["value"].round(6)
+    return out
+
+
+def sql_percentile_cont() -> str:
+    return """
+SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q,
+       unnest([round(quantile_cont(round(value, 3), 0.5), 6),
+               round(quantile_cont(round(value, 3), 0.9), 6),
+               round(quantile_cont(round(value, 3), 0.99), 6)]) AS value
+FROM events
+"""
+
+
+# --------------------------------------------------- MAD robust outliers
+
+
+def q_mad_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-group robust outlier counting via MAD (median absolute
+    deviation): two exact grouped-quantile passes (median, then median
+    of |x−med|) with the tiny med/MAD table broadcast into a vectorized
+    counting scan — the outlier detector that, unlike z-scores, a few
+    huge values can't poison."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.quantiles import grouped_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    med = grouped_quantiles(ev, "event_type", "value", [0.5], quantize=3)
+    med_by = {r.event_type: r.value for r in med.itertuples()}
+    med_ref = ray.put(med_by)
+
+    def absdev(b: pa.Table, _r=med_ref) -> pa.Table:
+        mm = ray.get(_r)
+        t = b["event_type"].to_pandas()
+        x = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        m = t.map(mm).to_numpy(np.float64)
+        return pa.table(
+            {"event_type": b["event_type"], "value": pa.array(np.abs(x - m), pa.float64())}
+        )
+
+    dev = ev.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_quantiles(dev, "event_type", "value", [0.5], quantize=None)
+    mad_by = {r.event_type: r.value for r in mad.itertuples()}
+    mad_ref = ray.put(mad_by)
+
+    def outliers(b: pa.Table, _m=med_ref, _d=mad_ref) -> pa.Table:
+        mm, dd = ray.get(_m), ray.get(_d)
+        t = b["event_type"].to_pandas()
+        x = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        m = t.map(mm).to_numpy(np.float64)
+        cut = 3.0 * t.map(dd).to_numpy(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "is_out": pa.array((np.abs(x - m) > cut).astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(outliers, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("is_out", alias_name="n_outliers"))
+        .to_pandas()
+    )
+    agg["median"] = agg["event_type"].map(med_by).round(6)
+    agg["mad"] = agg["event_type"].map(mad_by).round(6)
+    out = agg.sort_values("event_type").reset_index(drop=True)
+    return out[["event_type", "n", "median", "mad", "n_outliers"]].astype(
+        {"event_type": "object", "n": "int64", "n_outliers": "int64"}
+    )
+
+
+def sql_mad_scores() -> str:
+    return """
+WITH x AS (SELECT event_type, round(value, 3) AS v FROM events),
+med AS (SELECT event_type, quantile_disc(v, 0.5) AS m FROM x GROUP BY 1),
+dev AS (SELECT x.event_type, x.v, abs(x.v - med.m) AS d
+        FROM x JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(d, 0.5) AS md FROM dev GROUP BY 1)
+SELECT dev.event_type, count(*) AS n,
+       round(any_value(med.m), 6) AS median,
+       round(any_value(mad.md), 6) AS mad,
+       CAST(sum(CASE WHEN dev.d > 3.0 * mad.md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5139,4 +5312,7 @@ def registry() -> dict[str, tuple]:
         "autocomplete": (q_autocomplete, sql_autocomplete()),
         "custdist": (q_custdist, sql_custdist()),
         "quartile_assign": (q_quartile_assign, sql_quartile_assign()),
+        "basket_pairs": (q_basket_pairs, sql_basket_pairs()),
+        "percentile_cont": (q_percentile_cont, sql_percentile_cont()),
+        "mad_scores": (q_mad_scores, sql_mad_scores()),
     }

@@ -597,3 +597,75 @@ class TestCustdist:
         g = got.set_index("c_count")["custdist"].to_dict()
         w = want.set_index("c_count")["custdist"].to_dict()
         assert g == {int(k): int(v) for k, v in w.items()}
+
+
+class TestPercentileCont:
+    def test_interpolation_matches_numpy(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.quantiles import exact_quantiles_cont
+
+        rng = np.random.RandomState(7)
+        x = np.round(rng.lognormal(0, 1, 5000), 3)
+        ds = rd.from_arrow(pa.table({"value": pa.array(x)})).repartition(6)
+        got = exact_quantiles_cont(ds, "value", [0.0, 0.25, 0.5, 0.9, 1.0])
+        want = np.quantile(x, [0.0, 0.25, 0.5, 0.9, 1.0], method="linear")
+        np.testing.assert_allclose(got["value"].to_numpy(), want, rtol=1e-12)
+
+
+class TestBasketPairs:
+    def test_matches_bruteforce(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_basket_pairs
+
+        got = q_basket_pairs(sf_tiny)
+        df = duckdb.sql(
+            f"SELECT DISTINCT user_id, event_type FROM '{sf_tiny}/events.parquet'"
+        ).df()
+        by_user = df.groupby("user_id")["event_type"].apply(set)
+        n_total = len(by_user)
+        from collections import Counter
+
+        single = Counter(t for s in by_user for t in s)
+        pair = Counter()
+        for s in by_user:
+            ts = sorted(s)
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    pair[(ts[i], ts[j])] += 1
+        for r in got.itertuples():
+            assert pair[(r.t1, r.t2)] == r.n_ab
+            want_lift = round(
+                r.n_ab * n_total / (single[r.t1] * single[r.t2]), 6
+            )
+            assert abs(r.lift - want_lift) < 1e-9
+        assert len(got) == len(pair)
+
+
+class TestMadScores:
+    def test_outlier_counts_match_pandas(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_mad_scores
+
+        got = q_mad_scores(sf_tiny)
+        df = duckdb.sql(
+            f"SELECT event_type, round(value,3) AS v FROM '{sf_tiny}/events.parquet'"
+        ).df()
+
+        def disc_median(s):
+            v = np.sort(s.to_numpy())
+            import math
+
+            return v[max(0, math.ceil(0.5 * len(v)) - 1)]
+
+        for r in got.itertuples():
+            sub = df[df["event_type"] == r.event_type]["v"]
+            m = disc_median(sub)
+            d = (sub - m).abs()
+            md = disc_median(d)
+            assert abs(r.median - round(m, 6)) < 1e-9
+            assert abs(r.mad - round(md, 6)) < 1e-9
+            assert r.n_outliers == int((d > 3.0 * md).sum())
