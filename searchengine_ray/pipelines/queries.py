@@ -5176,6 +5176,208 @@ GROUP BY dev.event_type
 """
 
 
+# -------------------------------------------------- session length funnel
+
+
+def q_session_lengths(sf_dir: str) -> pd.DataFrame:
+    """Session-length distribution + bounce share: composes the
+    gaps-and-islands sessionizer with a count-of-counts histogram —
+    the engagement metric read off the already-aggregated session
+    table, so the second shuffle is the tiny length domain."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.windows import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    sess = sessionize(
+        ds, user_col="user_id", ts_col="ts", value_col="value",
+        gap_us=1_800_000_000, id_col="event_id",
+    )
+    hist = (
+        sess.groupby("n_events").aggregate(Count(alias_name="n_sessions")).to_pandas()
+    )
+    total = float(hist["n_sessions"].sum())
+    hist["share"] = (hist["n_sessions"] / total).round(6)
+    hist = hist.sort_values("n_events").reset_index(drop=True)
+    return hist.astype({"n_events": "int64", "n_sessions": "int64"})
+
+
+def sql_session_lengths() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session
+  FROM b
+), sess AS (
+  SELECT user_id, session, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT n_events, count(*) AS n_sessions,
+       round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM sess), 6) AS share
+FROM sess GROUP BY n_events
+"""
+
+
+# ----------------------------------------------------- corpus term drift
+
+
+TERM_DRIFT_K = 10
+
+
+def q_term_drift(sf_dir: str) -> pd.DataFrame:
+    """Corpus drift detection: Laplace-smoothed log-frequency-ratio of
+    every term between two corpus halves (doc_id parity as the time
+    axis), top-10 rising and falling movers. One vocabulary-sized
+    shuffle carrying two partial counts per term — the monitoring job
+    that flags vocabulary shift between crawl snapshots before a model
+    trains on them."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def halves(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(b["text"].to_pandas())
+        lens = toks.map(len).to_numpy(np.int64)
+        half = np.repeat(ids % 2, lens)
+        df = pd.DataFrame({"term": [t for ts in toks for t in ts], "h": half})
+        g = df.groupby(["term", "h"], as_index=False).size()
+        return pa.table(
+            {
+                "term": pa.array(g["term"].to_numpy(object), pa.string()),
+                "n0": pa.array(np.where(g["h"] == 0, g["size"], 0).astype(np.int64)),
+                "n1": pa.array(np.where(g["h"] == 1, g["size"], 0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(halves, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n0", alias_name="n0"), Sum("n1", alias_name="n1"))
+        .to_pandas()
+    )
+    v = float(len(agg))
+    tot0, tot1 = float(agg["n0"].sum()), float(agg["n1"].sum())
+    agg["lr"] = np.round(
+        np.log((agg["n1"] + 1.0) / (tot1 + v)) - np.log((agg["n0"] + 1.0) / (tot0 + v)),
+        6,
+    )
+    rising = agg.sort_values(["lr", "term"], ascending=[False, True]).head(TERM_DRIFT_K)
+    falling = agg.sort_values(["lr", "term"], ascending=[True, True]).head(TERM_DRIFT_K)
+    out = pd.concat(
+        [rising.assign(direction="rising"), falling.assign(direction="falling")],
+        ignore_index=True,
+    )
+    return out[["direction", "term", "n0", "n1", "lr"]].astype(
+        {"direction": "object", "term": "object", "n0": "int64", "n1": "int64"}
+    )
+
+
+def sql_term_drift() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id % 2 AS h, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+agg AS (
+  SELECT term,
+         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM tok GROUP BY term),
+c AS (SELECT count(*) AS v, sum(n0) AS tot0, sum(n1) AS tot1 FROM agg),
+lr AS (
+  SELECT term, n0, n1,
+         round(ln((n1 + 1.0) / (tot1 + v)) - ln((n0 + 1.0) / (tot0 + v)), 6) AS lr
+  FROM agg CROSS JOIN c),
+rising AS (SELECT 'rising' AS direction, term, n0, n1, lr
+           FROM lr ORDER BY lr DESC, term LIMIT {TERM_DRIFT_K}),
+falling AS (SELECT 'falling' AS direction, term, n0, n1, lr
+            FROM lr ORDER BY lr ASC, term LIMIT {TERM_DRIFT_K})
+SELECT * FROM rising UNION ALL SELECT * FROM falling
+"""
+
+
+# ------------------------------------------------ deterministic 3-way split
+
+
+def q_dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Reproducible train/val/test split (80/10/10 by id-hash) with
+    per-split audit stats: the split key is a pure function of doc_id
+    (md5 % 10), so a re-run, a retried shard or a different engine
+    assigns every doc to the same split; the checksum is a
+    Sum-composable content digest proving both engines saw identical
+    member sets — the split-manifest audit a training pipeline records
+    before shipping data."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = b["text"].to_pandas()
+        bucket = np.empty(len(ids), np.int64)
+        csum = np.empty(len(ids), np.int64)
+        for i, (d, t) in enumerate(zip(ids, txt)):
+            bucket[i] = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little") % 10
+            csum[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little") % 1_000_003
+        split = np.where(bucket < 8, "train", np.where(bucket == 8, "val", "test"))
+        return pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "n_chars": b["n_chars"],
+                "csum": pa.array(csum, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Sum("csum", alias_name="checksum"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("split")
+        .reset_index(drop=True)
+        .astype({"split": "object", "n_docs": "int64", "total_chars": "int64", "checksum": "int64"})
+    )
+
+
+def sql_dataset_split() -> str:
+    return """
+WITH t AS (
+  SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 8 THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars,
+         CAST(md5_number_lower(text) % 1000003 AS BIGINT) AS csum
+  FROM documents)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(csum) AS BIGINT) AS checksum
+FROM t GROUP BY split
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5315,4 +5517,7 @@ def registry() -> dict[str, tuple]:
         "basket_pairs": (q_basket_pairs, sql_basket_pairs()),
         "percentile_cont": (q_percentile_cont, sql_percentile_cont()),
         "mad_scores": (q_mad_scores, sql_mad_scores()),
+        "session_lengths": (q_session_lengths, sql_session_lengths()),
+        "term_drift": (q_term_drift, sql_term_drift()),
+        "dataset_split": (q_dataset_split, sql_dataset_split()),
     }

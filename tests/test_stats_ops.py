@@ -669,3 +669,38 @@ class TestMadScores:
             assert abs(r.median - round(m, 6)) < 1e-9
             assert abs(r.mad - round(md, 6)) < 1e-9
             assert r.n_outliers == int((d > 3.0 * md).sum())
+
+
+class TestDatasetSplit:
+    def test_split_shares_and_totals(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_dataset_split
+
+        out = q_dataset_split(sf_tiny).set_index("split")
+        n = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
+        assert int(out["n_docs"].sum()) == n
+        # 80/10/10 within hash noise
+        assert 0.6 < out.loc["train", "n_docs"] / n < 0.95
+        assert set(out.index) == {"train", "val", "test"}
+
+    def test_split_is_reproducible(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_dataset_split
+
+        a = q_dataset_split(sf_tiny)
+        b = q_dataset_split(sf_tiny)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestTermDrift:
+    def test_directions_and_bounds(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_term_drift
+
+        out = q_term_drift(sf_tiny)
+        r = out[out["direction"] == "rising"]
+        f = out[out["direction"] == "falling"]
+        assert len(r) == 10 and len(f) == 10
+        assert r["lr"].min() >= f["lr"].max()  # movers don't overlap
+        # a term only in half 1 must have positive lr, only-half-0 negative
+        only1 = out[(out["n0"] == 0) & (out["n1"] > 0)]
+        assert (only1["lr"] > 0).all()
