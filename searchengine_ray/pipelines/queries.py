@@ -31,6 +31,17 @@ from ..analysis.stopwords import EN_STOP_WORDS, STOP_WORDS
 
 CACHE_ROOT = Path("/tmp/searchengine_ray_cache")
 
+
+def round_half_away(x, nd: int = 6):
+    """DuckDB-compatible round (half away from zero). np.round is
+    half-even, which disagrees with SQL ``round()`` whenever a value
+    lands EXACTLY on the decimal grid half — ratios of small integers
+    do (e.g. 195/384 = 0.5078125 at 6dp). Use this for any rounded
+    integer-ratio column that an oracle recomputes."""
+    x = np.asarray(x, np.float64)
+    p = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
+
 SQL_TOKENS_CTE = r"""
 toks AS (
     SELECT doc_id, t AS term, count(*) AS tf
@@ -4293,7 +4304,7 @@ def q_ctr_wilson(sf_dir: str) -> pd.DataFrame:
     lb = (p + z * z / (2 * n) - z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
         1 + z * z / n
     )
-    agg["ctr"] = np.round(p, 6)
+    agg["ctr"] = round_half_away(p)
     agg["wilson_lb"] = np.round(lb, 6)
     out = agg.sort_values("bucket").reset_index(drop=True)
     return out.astype({"bucket": "int64", "n": "int64", "clicks": "int64"})
@@ -4731,7 +4742,7 @@ def q_source_vocab(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("tf", alias_name="n_tokens"), Count(alias_name="vocab"))
         .to_pandas()
     )
-    out["ttr"] = (out["vocab"] / out["n_tokens"]).round(6)
+    out["ttr"] = round_half_away(out["vocab"] / out["n_tokens"])
     return (
         out.sort_values("source")
         .reset_index(drop=True)
@@ -4835,7 +4846,7 @@ def q_domain_stats(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
         .to_pandas()
     )
-    out["avg_chars"] = (out["total_chars"] / out["n_docs"]).round(6)
+    out["avg_chars"] = round_half_away(out["total_chars"] / out["n_docs"])
     return (
         out.sort_values("host")
         .reset_index(drop=True)
@@ -4889,7 +4900,7 @@ def q_autocomplete(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     total = float(agg["n"].sum())
-    agg["p"] = (agg["n"] / total).round(6)
+    agg["p"] = round_half_away(agg["n"] / total)
     out = agg.sort_values(["n", "t2"], ascending=[False, True]).head(5)
     out = out.rename(columns={"t2": "next_term"}).reset_index(drop=True)
     return out[["next_term", "n", "p"]].astype({"next_term": "object", "n": "int64"})
@@ -5048,7 +5059,7 @@ def q_basket_pairs(sf_dir: str) -> pd.DataFrame:
         for t2 in types[i + 1:]:
             n_ab = int(nu_m[((m & bit[t1]) != 0) & ((m & bit[t2]) != 0)].sum())
             if n_ab:
-                lift = round(n_ab * n_total / float(single[t1] * single[t2]), 6)
+                lift = float(round_half_away(n_ab * n_total / float(single[t1] * single[t2])))
                 rows.append((t1, t2, n_ab, lift))
     out = pd.DataFrame(rows, columns=["t1", "t2", "n_ab", "lift"])
     return out.sort_values(["t1", "t2"]).reset_index(drop=True).astype(
@@ -5199,7 +5210,7 @@ def q_session_lengths(sf_dir: str) -> pd.DataFrame:
         sess.groupby("n_events").aggregate(Count(alias_name="n_sessions")).to_pandas()
     )
     total = float(hist["n_sessions"].sum())
-    hist["share"] = (hist["n_sessions"] / total).round(6)
+    hist["share"] = round_half_away(hist["n_sessions"] / total)
     hist = hist.sort_values("n_events").reset_index(drop=True)
     return hist.astype({"n_events": "int64", "n_sessions": "int64"})
 

@@ -704,3 +704,20 @@ class TestTermDrift:
         # a term only in half 1 must have positive lr, only-half-0 negative
         only1 = out[(out["n0"] == 0) & (out["n1"] > 0)]
         assert (only1["lr"] > 0).all()
+
+
+class TestRoundHalfAway:
+    def test_matches_duckdb_on_grid_halves(self):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import round_half_away
+
+        # 195/384 = 0.5078125: exactly on the 6dp half — np.round gives
+        # .507812 (half-even), SQL round() gives .507813
+        vals = [195 / 384, 0.1234565, -0.5078125, 1.25e-6, 0.0]
+        got = [float(round_half_away(v)) for v in vals]
+        want = [
+            duckdb.sql(f"SELECT round({v!r}::DOUBLE, 6)").fetchone()[0] for v in vals
+        ]
+        assert got == want
+        assert float(round_half_away(195 / 384)) != float(np.round(195 / 384, 6))
