@@ -5114,61 +5114,56 @@ FROM events
 
 def q_mad_scores(sf_dir: str) -> pd.DataFrame:
     """Per-group robust outlier counting via MAD (median absolute
-    deviation): two exact grouped-quantile passes (median, then median
-    of |x−med|) with the tiny med/MAD table broadcast into a vectorized
-    counting scan — the outlier detector that, unlike z-scores, a few
-    huge values can't poison."""
+    deviation) in ONE distributed pass: the per-(group, rounded-value)
+    count shuffle collapses the stream to its value domain, and median,
+    MAD AND the outlier count are all exact functions of that tiny
+    domain table — the 3dp quantization bounds it regardless of row
+    count, so no second scan ever runs. The outlier detector that,
+    unlike z-scores, a few huge values can't poison."""
+    import math
+
     import pyarrow as pa
-    import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    from ..functions.quantiles import grouped_quantiles
-
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
-    med = grouped_quantiles(ev, "event_type", "value", [0.5], quantize=3)
-    med_by = {r.event_type: r.value for r in med.itertuples()}
-    med_ref = ray.put(med_by)
-
-    def absdev(b: pa.Table, _r=med_ref) -> pa.Table:
-        mm = ray.get(_r)
+    def partial(b: pa.Table) -> pa.Table:
         t = b["event_type"].to_pandas()
         x = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
-        m = t.map(mm).to_numpy(np.float64)
-        return pa.table(
-            {"event_type": b["event_type"], "value": pa.array(np.abs(x - m), pa.float64())}
+        g = pd.DataFrame({"event_type": t, "v": x}).groupby(
+            ["event_type", "v"], as_index=False, sort=False
+        ).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_part"}), preserve_index=False
         )
 
-    dev = ev.map_batches(absdev, batch_format="pyarrow")
-    mad = grouped_quantiles(dev, "event_type", "value", [0.5], quantize=None)
-    mad_by = {r.event_type: r.value for r in mad.itertuples()}
-    mad_ref = ray.put(mad_by)
-
-    def outliers(b: pa.Table, _m=med_ref, _d=mad_ref) -> pa.Table:
-        mm, dd = ray.get(_m), ray.get(_d)
-        t = b["event_type"].to_pandas()
-        x = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
-        m = t.map(mm).to_numpy(np.float64)
-        cut = 3.0 * t.map(dd).to_numpy(np.float64)
-        return pa.table(
-            {
-                "event_type": b["event_type"],
-                "is_out": pa.array((np.abs(x - m) > cut).astype(np.int64), pa.int64()),
-            }
-        )
-
-    agg = (
-        ev.map_batches(outliers, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("is_out", alias_name="n_outliers"))
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n_part", alias_name="n"))
         .to_pandas()
     )
-    agg["median"] = agg["event_type"].map(med_by).round(6)
-    agg["mad"] = agg["event_type"].map(mad_by).round(6)
-    out = agg.sort_values("event_type").reset_index(drop=True)
-    return out[["event_type", "n", "median", "mad", "n_outliers"]].astype(
-        {"event_type": "object", "n": "int64", "n_outliers": "int64"}
-    )
+
+    def disc_median(v: np.ndarray, n: np.ndarray) -> float:
+        o = np.argsort(v, kind="stable")
+        v, n = v[o], n[o]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        idx = max(0, math.ceil(0.5 * total) - 1)
+        return float(v[int(np.searchsorted(cum, idx + 1, side="left"))])
+
+    rows = []
+    for et, sub in counts.groupby("event_type", sort=True):
+        v = sub["v"].to_numpy(np.float64)
+        n = sub["n"].to_numpy(np.int64)
+        med = disc_median(v, n)
+        d = np.abs(v - med)
+        mad = disc_median(d, n)
+        n_out = int(n[d > 3.0 * mad].sum())
+        rows.append((et, int(n.sum()), round(med, 6), round(mad, 6), n_out))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "median", "mad", "n_outliers"]
+    ).astype({"event_type": "object", "n": "int64", "n_outliers": "int64"})
 
 
 def sql_mad_scores() -> str:
