@@ -246,3 +246,33 @@ def hll_estimate(registers: pd.DataFrame, p: int = HLL_P) -> float:
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+def grouped_hll_registers(ds, key: str, column: str, p: int = HLL_P) -> pd.DataFrame:
+    """Per-group HLL register tables in one shuffle: per-batch partial
+    max-rho per (key, register) — ≤ groups·2^p rows per batch — then a
+    Max groupby. The mergeable-sketch shape for distinct-count over any
+    slicing (per day, per shard, per source): merging two groups is the
+    same Max, so windowed or hierarchical rollups never rescan data."""
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[column].to_numpy(zero_copy_only=False)
+        h = _md5_lower64_ints(vals)
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        _, bl = np.frexp(w.astype(np.float64))
+        rho = (64 - p + 1) - bl.astype(np.int64)
+        df = pd.DataFrame({key: b[key].to_pandas(), "register": reg, "rho": rho})
+        part = df.groupby([key, "register"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key, "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+        .sort_values([key, "register"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"register": "int64", "rho": "int64"})

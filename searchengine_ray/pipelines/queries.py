@@ -5384,6 +5384,131 @@ FROM t GROUP BY split
 """
 
 
+# ---------------------------------------------- rolling distinct via HLL
+
+
+def q_rolling_hll(sf_dir: str) -> pd.DataFrame:
+    """7-day rolling distinct users per day WITHOUT rescanning: per-day
+    HLL register tables (one mergeable-sketch shuffle), then every
+    day's window estimate is a register-Max over its 7 sketches — the
+    pattern that makes distinct-over-window O(days·2^p) instead of a
+    per-window rescan at 100 TB. Integer register summaries are the
+    exactness proof (both engines build identical sketches); the float
+    estimate is additionally pytest-bounded vs exact distinct."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.sketches import HLL_P, grouped_hll_registers
+
+    def day_of(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()), 86400000000.0)), pa.int64())
+        return pa.table({"day": day, "user_id": b["user_id"]})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]).map_batches(
+        day_of, batch_format="pyarrow"
+    )
+    regs = grouped_hll_registers(ds, "day", "user_id")
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    days = np.sort(regs["day"].unique())
+    for d in days:
+        win = regs[(regs["day"] >= d - 6) & (regs["day"] <= d)]
+        merged = win.groupby("register")["rho"].max()
+        nonzero = int(len(merged))
+        sum_rho = int(merged.sum())
+        s = float(np.power(2.0, -merged.to_numpy(np.float64)).sum()) + (m - nonzero)
+        e = alpha * m * m / s
+        if e <= 2.5 * m and nonzero < m:
+            e = m * np.log(m / (m - nonzero))
+        rows.append((int(d), nonzero, sum_rho, round(e, 4)))
+    return pd.DataFrame(
+        rows, columns=["day", "nonzero", "sum_rho", "est_users"]
+    ).astype({"day": "int64", "nonzero": "int64", "sum_rho": "int64"})
+
+
+def sql_rolling_hll() -> str:
+    return """
+WITH h AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+  FROM events),
+rr AS (
+  SELECT day, CAST(hv >> 52 AS BIGINT) AS register,
+         CASE WHEN (hv & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+              ELSE 53 - length(bin(hv & ((1::UBIGINT << 52) - 1))) END AS rho
+  FROM h),
+dreg AS (SELECT day, register, max(rho) AS rho FROM rr GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM dreg),
+win AS (SELECT d.day, r.register, max(r.rho) AS rho
+        FROM days d JOIN dreg r ON r.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1, 2),
+agg AS (SELECT day, count(*) AS nonzero, CAST(sum(rho) AS BIGINT) AS sum_rho,
+               sum(pow(2.0, -rho)) AS s_nz
+        FROM win GROUP BY day),
+est AS (SELECT day, nonzero, sum_rho,
+               (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               / (s_nz + (4096 - nonzero)) AS e
+        FROM agg)
+SELECT day, nonzero, sum_rho,
+       round(CASE WHEN e <= 2.5 * 4096.0 AND nonzero < 4096
+                  THEN 4096.0 * ln(4096.0 / (4096 - nonzero)) ELSE e END, 4) AS est_users
+FROM est
+"""
+
+
+# --------------------------------------------------- time-decayed counts
+
+
+def q_decayed_counts(sf_dir: str) -> pd.DataFrame:
+    """Exponentially time-decayed event counts (trending detection):
+    weight exp(−Δt/τ), τ = 7 days, anchored at the corpus max ts (a
+    broadcast scalar). Decayed sums are plain Sum-composable partials —
+    the streaming-freshness metric with zero extra shuffle structure."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    tmax = ds.aggregate(Max("ts"))["max(ts)"]
+    tmax_us = int(pd.Timestamp(tmax).value // 1000)
+    tau = 7.0 * 86400000000.0
+
+    def weigh(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.exp((us - tmax_us) / tau)
+        return pa.table({"event_type": b["event_type"], "w": pa.array(w, pa.float64())})
+
+    out = (
+        ds.map_batches(weigh, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("w", alias_name="decayed"))
+        .to_pandas()
+    )
+    out["decayed"] = out["decayed"].round(6)
+    return (
+        out.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype({"event_type": "object", "n": "int64"})
+    )
+
+
+def sql_decayed_counts() -> str:
+    return """
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT event_type, count(*) AS n,
+       round(sum(exp((epoch_us(ts) - t.tmax) / (7.0 * 86400000000.0))), 6) AS decayed
+FROM events CROSS JOIN t
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5526,4 +5651,6 @@ def registry() -> dict[str, tuple]:
         "session_lengths": (q_session_lengths, sql_session_lengths()),
         "term_drift": (q_term_drift, sql_term_drift()),
         "dataset_split": (q_dataset_split, sql_dataset_split()),
+        "rolling_hll": (q_rolling_hll, sql_rolling_hll()),
+        "decayed_counts": (q_decayed_counts, sql_decayed_counts()),
     }

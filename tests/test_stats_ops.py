@@ -721,3 +721,42 @@ class TestRoundHalfAway:
         ]
         assert got == want
         assert float(round_half_away(195 / 384)) != float(np.round(195 / 384, 6))
+
+
+class TestRollingHll:
+    def test_estimate_tracks_exact_rolling_distinct(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_rolling_hll
+
+        got = q_rolling_hll(sf_tiny)
+        exact = duckdb.sql(f"""
+            WITH e AS (SELECT CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS day,
+                              user_id FROM '{sf_tiny}/events.parquet'),
+            days AS (SELECT DISTINCT day FROM e)
+            SELECT d.day, count(DISTINCT e.user_id) AS n
+            FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY 1
+        """).df().set_index("day")["n"]
+        for r in got.itertuples():
+            rel = abs(r.est_users - exact[r.day]) / max(exact[r.day], 1)
+            assert rel < 0.12, (r.day, r.est_users, exact[r.day])
+
+    def test_grouped_registers_match_split_singles(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.functions.sketches import (
+            grouped_hll_registers,
+            hll_registers,
+        )
+
+        ids = np.arange(3000, dtype=np.int64)
+        g = ids % 3
+        ds = rd.from_arrow(pa.table({"g": g, "user_id": ids})).repartition(5)
+        got = grouped_hll_registers(ds, "g", "user_id")
+        for k in range(3):
+            single = hll_registers(
+                rd.from_arrow(pa.table({"user_id": ids[g == k]})), "user_id"
+            )
+            sub = got[got["g"] == k][["register", "rho"]].reset_index(drop=True)
+            pd.testing.assert_frame_equal(sub, single)
