@@ -45,6 +45,8 @@ def add_payload_batch(batch: pa.Table, kind: str = "img", id_column: str = "doc_
         payloads = [synth_bmp_payload(int(i)) for i in ids]
     elif kind == "png":
         payloads = [synth_png_payload(int(i)) for i in ids]
+    elif kind == "gif":
+        payloads = [synth_gif_payload(int(i)) for i in ids]
     elif kind == "wav":
         payloads = [synth_wav_payload(int(i)) for i in ids]
     else:
@@ -232,6 +234,11 @@ class DecodeStage:
                 img = decode_png(p)
                 body = img.ravel() if img.ndim == 2 else img[:, :, 0].ravel()
                 kinds.append("image/png")
+                heights[i], widths[i] = img.shape[:2]
+            elif p[:6] in (b"GIF87a", b"GIF89a"):  # real GIF decode (own LZW)
+                img = decode_gif(p)
+                body = img.ravel()
+                kinds.append("image/gif")
                 heights[i], widths[i] = img.shape[:2]
             else:
                 magic, (w, h) = p[:7], struct.unpack("<HH", p[7:11])
@@ -475,3 +482,193 @@ def synth_png_payload(doc_id: int) -> bytes:
     y = np.arange(h, dtype=np.int64)[:, None]
     gray = ((3 * x + 11 * y + doc_id) % 256).astype(np.uint8)
     return encode_png(gray, filter_type=(doc_id % 5))
+
+
+# --------------------------------------------------------- real GIF codec
+#
+# GIF87a with the variable-width LZW the format specifies — a different
+# compression family from PNG's DEFLATE, implemented from the public
+# spec with no image library. Grayscale global palette (i, i, i), so
+# palette indices ARE intensities. Width-growth pairing is the standard
+# one (encoder grows at next_code == 2^width + 1, decoder at
+# next_code == 2^width — the encoder's table runs one entry ahead);
+# verified by dense roundtrips incl. 12-bit growth + dictionary resets,
+# and by decoding the canonical 1×1 spec fixture.
+
+_GIF_MAX_CODE = 4096
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int = 8) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    w = b""
+    for k in indices.tobytes():
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= _GIF_MAX_CODE - 1:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, mcs + 1
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_pixels, np.uint8)
+    pos = 0
+    acc = 0
+    nbits = 0
+    bi = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, bi
+        while nbits < width:
+            if bi >= len(data):
+                return eoi  # stream ended without explicit EOI (legal)
+            acc |= data[bi] << nbits
+            bi += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    prev: bytes | None = None
+    while pos < n_pixels:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} > table {len(table)}")
+        out[pos : pos + len(entry)] = np.frombuffer(entry, np.uint8)
+        pos += len(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if pos != n_pixels:
+        raise ValueError(f"GIF pixel underrun: {pos}/{n_pixels}")
+    return out
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 gray → GIF87a bytes (256-entry grayscale palette)."""
+    h, w = pixels.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW min code size
+    lzw = _gif_lzw_encode(np.ascontiguousarray(pixels).ravel())
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → (h, w) uint8 intensity (palette red channel).
+
+    Handles GIF87a/89a, global palette, extension blocks (skipped),
+    one image descriptor, variable-width LZW with resets."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif intro == 0x2C:
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            if palette is None:
+                raise ValueError("GIF without a palette")
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+            return palette[idx, 0].reshape(h, w)
+        elif intro == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{intro:02x}")
+    raise ValueError("GIF without an image descriptor")
+
+
+def synth_gif_payload(doc_id: int) -> bytes:
+    """Deterministic grayscale GIF per doc id: pixel (y, x) value
+    ``(5*x + 7*y + doc_id) % 256`` — closed-form for the SQL oracle."""
+    w = 8 + (doc_id % 7)
+    h = 8 + (doc_id % 6)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    gray = ((5 * x + 7 * y + doc_id) % 256).astype(np.uint8)
+    return encode_gif(gray)

@@ -3848,6 +3848,40 @@ GROUP BY d.doc_id
 """
 
 
+def q_multimodal_gif(sf_dir: str) -> pd.DataFrame:
+    """REAL GIF decode — the format's variable-width LZW implemented
+    from the public spec (a different compression family from PNG's
+    DEFLATE), grayscale palette indices as intensities, decoded by the
+    actor-pool DecodeStage. Oracle recomputes width/height and the
+    exact pixel sum from the closed form; roundtrip + the canonical
+    1×1 spec fixture are pytest-verified."""
+    import ray.data as rd
+
+    from ..functions.multimodal import DecodeStage, add_payload_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(lambda b: add_payload_batch(b, kind="gif"), batch_format="pyarrow")
+        .map_batches(DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .to_pandas()
+    )
+    out = out[["doc_id", "kind", "width", "height", "sum_intensity"]]
+    return out.astype(
+        {"doc_id": "int64", "width": "int64", "height": "int64", "sum_intensity": "int64"}
+    )
+
+
+def sql_multimodal_gif() -> str:
+    return """
+SELECT d.doc_id, 'image/gif' AS kind,
+       8 + d.doc_id % 7 AS width, 8 + d.doc_id % 6 AS height,
+       CAST(sum((5 * x.range + 7 * y.range + d.doc_id) % 256) AS BIGINT) AS sum_intensity
+FROM documents d, range(15) x, range(14) y
+WHERE x.range < 8 + d.doc_id % 7 AND y.range < 8 + d.doc_id % 6
+GROUP BY d.doc_id
+"""
+
+
 # ------------------------------------------------ product analytics (events)
 
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -5653,4 +5687,5 @@ def registry() -> dict[str, tuple]:
         "dataset_split": (q_dataset_split, sql_dataset_split()),
         "rolling_hll": (q_rolling_hll, sql_rolling_hll()),
         "decayed_counts": (q_decayed_counts, sql_decayed_counts()),
+        "multimodal_gif": (q_multimodal_gif, sql_multimodal_gif()),
     }

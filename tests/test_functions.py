@@ -696,3 +696,39 @@ class TestContainmentPairs:
         out = ngram_containment_pairs(ds, threshold=0.8)
         got = {(r.contained, r.container): r.containment for r in out.itertuples()}
         assert got == want
+
+
+class TestGifCodec:
+    def test_roundtrip_grid(self):
+        from searchengine_ray.functions.multimodal import decode_gif, encode_gif
+
+        rng = np.random.RandomState(3)
+        for shape in [(1, 1), (8, 13), (64, 64), (200, 300)]:
+            img = rng.randint(0, 256, shape).astype(np.uint8)
+            assert (decode_gif(encode_gif(img)) == img).all()
+
+    def test_gradient_forces_width_growth_and_reset(self):
+        from searchengine_ray.functions.multimodal import decode_gif, encode_gif
+
+        # low-entropy image: long LZW matches → dictionary passes 4096
+        img = np.tile(np.arange(256, dtype=np.uint8), (128, 2))
+        assert (decode_gif(encode_gif(img)) == img).all()
+
+    def test_canonical_spec_fixture(self):
+        import base64
+
+        from searchengine_ray.functions.multimodal import decode_gif
+
+        g = base64.b64decode(
+            "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+        )
+        out = decode_gif(g)  # GIF89a + graphic-control extension skipped
+        assert out.shape == (1, 1)
+
+    def test_rejects_non_gif(self):
+        import pytest
+
+        from searchengine_ray.functions.multimodal import decode_gif
+
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTAGIF000")
