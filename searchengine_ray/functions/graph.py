@@ -35,6 +35,7 @@ orientation-independent.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 _KNUTH = np.uint64(2654435761)
@@ -330,3 +331,95 @@ def common_neighbor_scores(edges_ds, src: str = "src", dst: str = "dst",
         .reset_index(drop=True)
         .astype({"node_a": "int64", "node_b": "int64", "common": "int64"})
     )
+
+
+KCORE_DENSE_GATE = 100_000  # below: driver numpy peel; above: Dataset rounds
+
+
+def k_core(edges: np.ndarray, n_nodes: int, k: int, max_iter: int = 12) -> pd.DataFrame:
+    """k-core decomposition by iterative peeling: drop every node whose
+    degree (within the surviving subgraph) is < k until a fixpoint.
+
+    Returns (node, deg) for the core members with their within-core
+    degree, sorted by node. Raises if ``max_iter`` rounds don't reach
+    the fixpoint (callers pick max_iter ≥ the peel depth so a SQL
+    oracle can unroll the same fixed number of rounds).
+
+    Tiers (the components/pagerank convention): below ``_DENSE_GATE``
+    nodes a driver numpy peel is the right engineering — per-iteration
+    Dataset overhead dominates at that size; above it each round is one
+    endpoint-exploded ``groupby(node).count()`` plus a batch-local
+    alive-mask filter (mask broadcast via ``ray.put``, id-dense graphs).
+    The arbitrary-id 100-TB path replaces the mask with the same
+    co-partition node⋈edge join ``connected_components`` uses — one
+    hash join per round on the SAME key, so partitioning is reused."""
+    edges = np.asarray(edges, dtype=np.int64)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    a = np.minimum(edges[:, 0], edges[:, 1])
+    b = np.maximum(edges[:, 0], edges[:, 1])
+    packed = np.unique(a.astype(np.uint64) * np.uint64(n_nodes) + b.astype(np.uint64))
+    a = (packed // np.uint64(n_nodes)).astype(np.int64)
+    b = (packed % np.uint64(n_nodes)).astype(np.int64)
+
+    if n_nodes < KCORE_DENSE_GATE:
+        alive = np.ones(n_nodes, bool)
+        for _ in range(max_iter):
+            keep = alive[a] & alive[b]
+            deg = np.bincount(a[keep], minlength=n_nodes) + np.bincount(
+                b[keep], minlength=n_nodes
+            )
+            nxt = alive & (deg >= k)
+            if (nxt == alive).all():
+                break
+            alive = nxt
+        else:
+            raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+        keep = alive[a] & alive[b]
+        deg = np.bincount(a[keep], minlength=n_nodes) + np.bincount(
+            b[keep], minlength=n_nodes
+        )
+        nodes = np.flatnonzero(alive)
+        return pd.DataFrame({"node": nodes, "deg": deg[nodes]}).astype(
+            {"node": "int64", "deg": "int64"}
+        )
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    eds = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ).repartition(max(8, len(a) // 500_000))
+    eds = eds.materialize()
+    alive = np.ones(n_nodes, bool)
+    for it in range(max_iter + 1):
+        ref = ray.put(alive)
+
+        def live_ends(t: pa.Table, _r=ref) -> pa.Table:
+            m = ray.get(_r)
+            aa = t["a"].to_numpy(zero_copy_only=False)
+            bb = t["b"].to_numpy(zero_copy_only=False)
+            keep = m[aa] & m[bb]
+            both = np.concatenate([aa[keep], bb[keep]])
+            return pa.table({"node": pa.array(both, pa.int64())})
+
+        deg = (
+            eds.map_batches(live_ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="deg"))
+            .to_pandas()
+        )
+        nxt = np.zeros(n_nodes, bool)
+        ok = deg[deg["deg"] >= k]
+        nxt[ok["node"].to_numpy(np.int64)] = True
+        nxt &= alive
+        if (nxt == alive).all():
+            core = deg[alive[deg["node"].to_numpy(np.int64)] & (deg["deg"] >= k).to_numpy()]
+            return (
+                core.sort_values("node")
+                .reset_index(drop=True)
+                .astype({"node": "int64", "deg": "int64"})
+            )
+        alive = nxt
+    raise RuntimeError(f"k_core did not converge in {max_iter} rounds")

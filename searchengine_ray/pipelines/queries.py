@@ -5543,6 +5543,123 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------- TPC-H Q18
+
+
+def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): order-grain quantity
+    rollup → HAVING filter (big orders are rare, so everything after
+    the first groupby is small) → co-partition joins back to orders and
+    customer → per-block partial top-20 before the driver merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    big = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["sum_qty"], 250.0)), batch_format="pyarrow"
+        )
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    joined = big.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    ).join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+    out = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True]).head(20)
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    out["sum_qty"] = out["sum_qty"].round(4)
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})
+    return out[
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True).astype({"o_custkey": "int64", "o_orderkey": "int64"})
+
+
+def sql_tpch_q18() -> str:
+    return """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 4) AS o_totalprice, round(b.sum_qty, 4) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ k-core
+
+
+KCORE_K = 4
+KCORE_ITERS = 12
+
+
+def q_k_core(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition (k=4) of a deterministic quadratic doc graph
+    — iterative peeling, a different iterative-graph shape from
+    pagerank (fixpoint set shrinkage, not value propagation). The SQL
+    oracle unrolls the same fixed rounds; the Ray path asserts the
+    fixpoint was reached so both see the converged core."""
+    import pyarrow.parquet as pq
+
+    from ..functions.graph import k_core
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * ids + 3) % n], axis=1),
+            np.stack([ids, (ids * ids * 7 + ids + 1) % n], axis=1),
+            np.stack([ids, (ids * 13 + 17) % n], axis=1),
+        ]
+    )
+    return k_core(edges, n, k=KCORE_K, max_iter=KCORE_ITERS)
+
+
+def sql_k_core() -> str:
+    # every CTE MATERIALIZED: each level references the previous twice,
+    # so default inlining expands 2^iters times (and exhausts file
+    # handles re-opening the documents view)
+    steps = []
+    for t in range(1, KCORE_ITERS + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT n AS node, count(*) AS c FROM (
+    SELECT e.a AS n FROM e JOIN a{t-1} x ON e.a = x.node JOIN a{t-1} y ON e.b = y.node
+    UNION ALL
+    SELECT e.b FROM e JOIN a{t-1} x ON e.a = x.node JOIN a{t-1} y ON e.b = y.node
+  ) GROUP BY 1),
+a{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE c >= {KCORE_K})""")
+    chain = ",".join(steps)
+    t = KCORE_ITERS
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+e0 AS (
+  SELECT i AS a, (i * i + 3) % n AS b FROM ids
+  UNION ALL SELECT i, (i * i * 7 + i + 1) % n FROM ids
+  UNION ALL SELECT i, (i * 13 + 17) % n FROM ids),
+e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM e0 WHERE a <> b),
+a0 AS MATERIALIZED (SELECT i AS node FROM ids),{chain}
+SELECT node, CAST(c AS BIGINT) AS deg FROM d{t} JOIN a{t} USING (node)
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5688,4 +5805,6 @@ def registry() -> dict[str, tuple]:
         "rolling_hll": (q_rolling_hll, sql_rolling_hll()),
         "decayed_counts": (q_decayed_counts, sql_decayed_counts()),
         "multimodal_gif": (q_multimodal_gif, sql_multimodal_gif()),
+        "tpch_q18": (q_tpch_q18, sql_tpch_q18()),
+        "k_core": (q_k_core, sql_k_core()),
     }

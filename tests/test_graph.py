@@ -5,6 +5,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -117,3 +118,52 @@ class TestLinkPrediction:
             if c > 0:
                 want[(u, v)] = c
         assert got == want
+
+
+class TestKCore:
+    def _random_edges(self, n, m, seed=0):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, n, size=(m, 2)).astype(np.int64)
+
+    def test_matches_peeling_bruteforce(self, ray_session):
+        from searchengine_ray.functions.graph import k_core
+
+        n, k = 200, 3
+        edges = self._random_edges(n, 500)
+        got = k_core(edges, n, k=k, max_iter=50)
+        # reference peel with sets
+        E = {(min(a, b), max(a, b)) for a, b in edges.tolist() if a != b}
+        nodes = set(range(n))
+        while True:
+            deg: dict[int, int] = {}
+            for x, y in E:
+                deg[x] = deg.get(x, 0) + 1
+                deg[y] = deg.get(y, 0) + 1
+            keep = {v for v in nodes if deg.get(v, 0) >= k}
+            if keep == nodes:
+                break
+            nodes = keep
+            E = {(x, y) for x, y in E if x in nodes and y in nodes}
+        assert set(got["node"]) == nodes
+        for r in got.itertuples():
+            assert deg[r.node] == r.deg
+
+    def test_dataset_tier_identity(self, ray_session, monkeypatch):
+        import searchengine_ray.functions.graph as G
+
+        n, k = 300, 3
+        edges = self._random_edges(n, 900, seed=7)
+        dense = G.k_core(edges, n, k=k, max_iter=50)
+        monkeypatch.setattr(G, "KCORE_DENSE_GATE", 1)
+        dist = G.k_core(edges, n, k=k, max_iter=50)
+        pd.testing.assert_frame_equal(dense, dist)
+
+    def test_nonconvergence_raises(self, ray_session):
+        import pytest
+
+        from searchengine_ray.functions.graph import k_core
+
+        n = 100
+        edges = self._random_edges(n, 160, seed=3)
+        with pytest.raises(RuntimeError):
+            k_core(edges, n, k=3, max_iter=0)
