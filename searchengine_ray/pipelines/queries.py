@@ -5660,6 +5660,80 @@ SELECT node, CAST(c AS BIGINT) AS deg FROM d{t} JOIN a{t} USING (node)
 """
 
 
+# ------------------------------------------------- nearest duplicate report
+
+
+def q_nearest_dup(sf_dir: str) -> pd.DataFrame:
+    """Per-doc nearest-duplicate report: for every doc that shares any
+    shingle with another, its single best match by exact Jaccard
+    (tie → lowest partner id). Built on the same shingle-inverted-index
+    pair counts as dedup_ngram, finished with a per-doc argmax — the
+    human-reviewable 'what would dedup delete' audit table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.dedup import _shingle_pair_counts
+    from ..functions.sampling import group_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counted = _shingle_pair_counts(ds, 3, "text")
+
+    def directed(b: pa.Table) -> pa.Table:
+        pair = b["pair"].to_numpy(zero_copy_only=False)
+        c = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = b["min(sa)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = b["min(sb)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        a_id = (pair >> np.uint64(32)).astype(np.int64)
+        b_id = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        j = c / (sa + sb - c)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a_id, b_id]), pa.int64()),
+                "partner": pa.array(np.concatenate([b_id, a_id]), pa.int64()),
+                "jaccard": pa.array(
+                    round_half_away(np.concatenate([j, j])), pa.float64()
+                ),
+            }
+        )
+
+    pairs = counted.map_batches(directed, batch_format="pyarrow")
+    # group_topk ranks (order_col DESC, tie_col ASC): lowest partner wins ties
+    best = group_topk(pairs, "doc_id", "jaccard", "partner", k=1).to_pandas()
+    out = best[["doc_id", "partner", "jaccard"]].sort_values("doc_id")
+    return out.reset_index(drop=True).astype({"doc_id": "int64", "partner": "int64"})
+
+
+def sql_nearest_dup() -> str:
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                          '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ts) = 0 THEN []
+                WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                ELSE list_transform(range(1, len(ts) - 1),
+                                    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))
+           END AS shingles
+    FROM toks
+), sets AS (SELECT doc_id, list_distinct(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS partner,
+         len(list_intersect(a.s, b.s)) AS c, len(a.s) AS sa, len(b.s) AS sb
+  FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) > 0),
+scored AS (
+  SELECT doc_id, partner,
+         round(c / CAST(sa + sb - c AS DOUBLE), 6) AS jaccard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(c / CAST(sa + sb - c AS DOUBLE), 6) DESC, partner) AS rn
+  FROM pairs)
+SELECT doc_id, partner, jaccard FROM scored WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5807,4 +5881,5 @@ def registry() -> dict[str, tuple]:
         "multimodal_gif": (q_multimodal_gif, sql_multimodal_gif()),
         "tpch_q18": (q_tpch_q18, sql_tpch_q18()),
         "k_core": (q_k_core, sql_k_core()),
+        "nearest_dup": (q_nearest_dup, sql_nearest_dup()),
     }
