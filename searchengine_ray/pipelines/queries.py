@@ -5734,6 +5734,130 @@ SELECT doc_id, partner, jaccard FROM scored WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------- TPC-H Q19
+
+
+def q_tpch_q19(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR-branches coupling part attributes with lineitem quantity.
+    The part side prunes to candidate brands and broadcasts as three
+    key sets; each lineitem batch evaluates the whole disjunction
+    vectorized — zero shuffle, one scalar reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    branches = [
+        ("Brand#1", 10, 1.0, 15.0),
+        ("Brand#2", 20, 10.0, 25.0),
+        ("Brand#3", 30, 20.0, 35.0),
+    ]
+    keysets = []
+    for brand, max_size, _, _ in branches:
+        m = pc.and_(
+            pc.equal(part["p_brand"], brand), pc.less_equal(part["p_size"], max_size)
+        )
+        keysets.append(part.filter(m)["p_partkey"].to_numpy(zero_copy_only=False))
+    ref = ray.put(keysets)
+
+    def rev(b: pa.Table, _r=ref) -> pa.Table:
+        ks = ray.get(_r)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(pk), bool)
+        for (brand, _s, qlo, qhi), keys in zip(branches, ks):
+            mask |= np.isin(pk, keys) & (qty >= qlo) & (qty <= qhi)
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)[mask]
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "rev": pa.array(price * (1.0 - disc), pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev, batch_format="pyarrow")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_lines"))
+    )
+    return pd.DataFrame(
+        {"revenue": [round(out["revenue"], 4)], "n_lines": [int(out["n_lines"])]}
+    ).astype({"n_lines": "int64"})
+
+
+def sql_tpch_q19() -> str:
+    return """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size <= 20 AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size <= 30 AND l.l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# ------------------------------------------------- token-set exact dedup
+
+
+def q_tokenset_dedup(sf_dir: str) -> pd.DataFrame:
+    """Order- and multiplicity-insensitive exact dedup: canonical key =
+    md5 of the sorted distinct token set, so reshuffled or
+    repeated-sentence rewrites of the same vocabulary collapse into one
+    group — the third exactness tier beside byte-exact (`dedup_exact`)
+    and similarity (`dedup_ngram`). One hash-key groupby; keys are
+    fixed-width digests, never the token sets themselves."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.textstats import _token_lists
+
+    def canon(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        keys = [
+            hashlib.md5(" ".join(sorted(set(ts))).encode()).hexdigest() for ts in toks
+        ]
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "doc_id": b["doc_id"].cast(pa.int64())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keep_doc"))
+        .to_pandas()
+    )
+    out = out[out["n_docs"] > 1].sort_values("key").reset_index(drop=True)
+    return out[["key", "n_docs", "keep_doc"]].astype(
+        {"key": "object", "n_docs": "int64", "keep_doc": "int64"}
+    )
+
+
+def sql_tokenset_dedup() -> str:
+    return r"""
+WITH c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                            '[ \t\n\x0b\f\r]+'), t -> t <> ''))), ' ')) AS key
+  FROM documents)
+SELECT key, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM c GROUP BY key HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -5882,4 +6006,6 @@ def registry() -> dict[str, tuple]:
         "tpch_q18": (q_tpch_q18, sql_tpch_q18()),
         "k_core": (q_k_core, sql_k_core()),
         "nearest_dup": (q_nearest_dup, sql_nearest_dup()),
+        "tpch_q19": (q_tpch_q19, sql_tpch_q19()),
+        "tokenset_dedup": (q_tokenset_dedup, sql_tokenset_dedup()),
     }

@@ -760,3 +760,27 @@ class TestRollingHll:
             )
             sub = got[got["g"] == k][["register", "rho"]].reset_index(drop=True)
             pd.testing.assert_frame_equal(sub, single)
+
+
+class TestTokensetDedup:
+    def test_reordered_text_collapses(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import searchengine_ray.pipelines.queries as Q
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta gamma",
+                    "gamma alpha beta alpha",  # same token set, reordered+repeated
+                    "alpha beta delta",
+                    "unrelated words here",
+                ],
+            }
+        )
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = Q.q_tokenset_dedup(str(tmp_path))
+        assert len(out) == 1
+        assert out.iloc[0]["n_docs"] == 2 and out.iloc[0]["keep_doc"] == 1
