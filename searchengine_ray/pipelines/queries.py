@@ -5858,6 +5858,80 @@ FROM c GROUP BY key HAVING count(*) > 1
 """
 
 
+# ------------------------------------------- contrastive training pairs
+
+
+TP_NEGATIVES = 20
+
+
+def q_training_pairs(sf_dir: str) -> pd.DataFrame:
+    """Contrastive training-pair generation for a retriever: positives =
+    BM25 top-10 for the query; negatives = the first 20 non-positive
+    docs in deterministic md5-hash order — the corpus-scale negative
+    sampler (hash order ⇒ no shuffle, reproducible across engines and
+    retried shards; each batch ships only its bottom-k candidates)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    eng = _engine(sf_dir)
+    seed_terms = list(dict.fromkeys(eng.analyze(QE_SEED)))
+    res = eng.search_bm25(seed_terms, topk=None)
+    pos = (
+        pd.DataFrame({"doc_id": [d for d, _ in res], "s": [round(s, 6) for _, s in res]})
+        .sort_values(["s", "doc_id"], ascending=[False, True])
+        .head(10)["doc_id"]
+        .tolist()
+    )
+    pos_set = set(pos)
+
+    def cand(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.empty(len(ids), np.uint64)
+        for i, d in enumerate(ids):
+            h[i] = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:], "little")
+        keep = ~np.isin(ids, list(pos_set))
+        ids, h = ids[keep], h[keep]
+        o = np.lexsort((ids, h))[:TP_NEGATIVES]  # batch-local bottom-k
+        return pa.table(
+            {"doc_id": pa.array(ids[o], pa.int64()), "h": pa.array(h[o], pa.uint64())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    negs = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+    negs = negs.sort_values(["h", "doc_id"]).head(TP_NEGATIVES)["doc_id"].tolist()
+    out = pd.DataFrame(
+        {
+            "role": ["pos"] * len(pos) + ["neg"] * len(negs),
+            "rank": list(range(1, len(pos) + 1)) + list(range(1, len(negs) + 1)),
+            "doc_id": pos + negs,
+        }
+    )
+    return out.astype({"role": "object", "rank": "int64", "doc_id": "int64"})
+
+
+def sql_training_pairs() -> str:
+    seed_vals = ", ".join(f"('{t}')" for t in ["fast", "scan"])
+    return f"""
+WITH {sql_tokens_cte()},
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+q1(term) AS (VALUES {seed_vals}),
+s1 AS ({_sql_bm25_scored("q1")}),
+pos AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rank
+        FROM s1 QUALIFY rank <= 10),
+neg AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM pos)
+        QUALIFY rank <= {TP_NEGATIVES})
+SELECT 'pos' AS role, rank, doc_id FROM pos
+UNION ALL SELECT 'neg', rank, doc_id FROM neg
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6010,4 +6084,5 @@ def registry() -> dict[str, tuple]:
         "nearest_dup": (q_nearest_dup, sql_nearest_dup()),
         "tpch_q19": (q_tpch_q19, sql_tpch_q19()),
         "tokenset_dedup": (q_tokenset_dedup, sql_tokenset_dedup()),
+        "training_pairs": (q_training_pairs, sql_training_pairs()),
     }
