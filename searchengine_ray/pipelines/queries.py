@@ -5932,6 +5932,92 @@ UNION ALL SELECT 'neg', rank, doc_id FROM neg
 """
 
 
+# ------------------------------------------------------ session path mining
+
+
+def q_event_paths(sf_dir: str) -> pd.DataFrame:
+    """Top-10 3-step event paths within sessions (behavioral sequence
+    mining): per-user bucket shuffle → vectorized gaps-and-islands
+    sessionize + within-session trigram counts per bucket (partials)
+    → one path-vocabulary groupby. The n-gram-over-event-streams
+    analogue of the text bigram combiner."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    GAP_US = 1_800_000_000
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
+        t = g["t"].to_numpy(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        new_run = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP_US)
+        sess = np.cumsum(new_run)
+        ok = np.zeros(max(len(g) - 2, 0), bool)
+        if len(g) > 2:
+            ok = sess[2:] == sess[:-2]  # all three events in one session
+        paths = [
+            f"{et[i]}>{et[i+1]}>{et[i+2]}" for i in np.flatnonzero(ok)
+        ]
+        if not paths:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n_part": pd.Series([], dtype="int64")})
+        s = pd.Series(paths).value_counts()
+        return pd.DataFrame({"path": s.index, "n_part": s.to_numpy(np.int64)})
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.compute.cast(b["ts"], pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow")
+    out = (
+        ds.groupby("user_id")
+        .map_groups(trigrams, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "path"], ascending=[False, True]).head(10)
+    return out.reset_index(drop=True).astype({"path": "object", "n": "int64"})
+
+
+def sql_event_paths() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), b AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session
+  FROM b
+), o AS (
+  SELECT user_id, session, event_type,
+         row_number() OVER (PARTITION BY user_id, session ORDER BY t, event_id) AS rn
+  FROM s
+)
+SELECT a.event_type || '>' || m.event_type || '>' || z.event_type AS path,
+       count(*) AS n
+FROM o a
+JOIN o m ON m.user_id = a.user_id AND m.session = a.session AND m.rn = a.rn + 1
+JOIN o z ON z.user_id = a.user_id AND z.session = a.session AND z.rn = a.rn + 2
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6085,4 +6171,5 @@ def registry() -> dict[str, tuple]:
         "tpch_q19": (q_tpch_q19, sql_tpch_q19()),
         "tokenset_dedup": (q_tokenset_dedup, sql_tokenset_dedup()),
         "training_pairs": (q_training_pairs, sql_training_pairs()),
+        "event_paths": (q_event_paths, sql_event_paths()),
     }

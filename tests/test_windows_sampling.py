@@ -362,3 +362,31 @@ class TestAnalytics:
         want = df.groupby("user_id").size()
         got = out.set_index("user_id")[["click", "error", "purchase", "signup", "view"]].sum(axis=1)
         assert got.sort_index().equals(want.sort_index())
+
+
+class TestEventPaths:
+    def test_trigrams_respect_session_boundaries(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import searchengine_ray.pipelines.queries as Q
+
+        us = 1_000_000
+        rows = []
+        # user 1: a>b>c then a 31-min gap, then d>e>f (two sessions)
+        for i, (et, t) in enumerate(
+            [("a", 0), ("b", 60), ("c", 120), ("d", 120 + 31 * 60), ("e", 120 + 32 * 60), ("f", 120 + 33 * 60)]
+        ):
+            rows.append((i, t * us, 1, et))
+        t = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = Q.q_event_paths(str(tmp_path))
+        got = dict(zip(out["path"], out["n"]))
+        assert got == {"a>b>c": 1, "d>e>f": 1}  # no cross-gap trigrams
