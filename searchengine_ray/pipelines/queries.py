@@ -6018,6 +6018,105 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 10
 """
 
 
+# ------------------------------------------------- personalized PageRank
+
+
+PPR_ITERS = 20
+PPR_SEED_TERM = "dup"
+
+
+def q_personalized_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Topic-sensitive PageRank: teleport mass concentrated on the docs
+    containing the seed term — the classic query-dependent authority
+    signal. Same synthetic edge set and damping as `pagerank`; fixed 20
+    iterations so the unrolled SQL oracle reaches the identical fixed
+    point."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..functions.textstats import _token_lists
+    from ..rank.pagerank import personalized_pagerank_numpy
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+
+    import pyarrow as pa
+
+    def seed_hits(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        hit = toks.map(lambda ts: PPR_SEED_TERM in ts).to_numpy(bool)
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64()).filter(pa.array(hit))})
+
+    seeds = np.sort(
+        np.asarray(
+            [
+                r["doc_id"]
+                for r in rd.read_parquet(
+                    f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+                )
+                .map_batches(seed_hits, batch_format="pyarrow")
+                .take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    scores = personalized_pagerank_numpy(edges, n, seeds, num_iterations=PPR_ITERS)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "score": pd.Series(np.round(scores, 6), dtype="float64"),
+        }
+    )
+
+
+def sql_personalized_pagerank() -> str:
+    head = f"""nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids
+),
+edges AS MATERIALIZED (SELECT src, dst FROM edges_raw WHERE src <> dst),
+outdeg AS MATERIALIZED (SELECT src, count(*) AS c FROM edges GROUP BY src),
+seeds AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM toks WHERE term = '{PPR_SEED_TERM}'),
+tele AS MATERIALIZED (
+    SELECT i.id,
+           CASE WHEN s.id IS NOT NULL
+                THEN (SELECT c FROM nn) * 1.0 / (SELECT count(*) FROM seeds)
+                ELSE 0.0 END AS t
+    FROM ids i LEFT JOIN seeds s USING (id)),
+p0 AS MATERIALIZED (SELECT id AS node, t AS rank FROM tele)"""
+    steps = []
+    for i in range(PPR_ITERS):
+        steps.append(
+            f""",
+p{i + 1} AS MATERIALIZED (
+    SELECT te.id AS node,
+           0.15 * te.t + 0.85 * coalesce(s.contrib, 0.0) AS rank
+    FROM tele te LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / o.c) AS contrib
+        FROM edges e JOIN outdeg o ON e.src = o.src
+        JOIN p{i} r ON r.node = e.src
+        GROUP BY e.dst
+    ) s ON s.node = te.id)"""
+        )
+    return (
+        f"WITH {sql_tokens_cte()},\n"
+        + head
+        + "".join(steps)
+        + f"\nSELECT node AS doc_id, round(rank, 6) AS score FROM p{PPR_ITERS}"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6172,4 +6271,5 @@ def registry() -> dict[str, tuple]:
         "tokenset_dedup": (q_tokenset_dedup, sql_tokenset_dedup()),
         "training_pairs": (q_training_pairs, sql_training_pairs()),
         "event_paths": (q_event_paths, sql_event_paths()),
+        "personalized_pagerank": (q_personalized_pagerank, sql_personalized_pagerank()),
     }

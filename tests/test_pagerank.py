@@ -162,3 +162,48 @@ class TestHITS:
         auth_r, hub_r = hits_ray(rd.from_arrow(links_table(edges)), 300, num_iterations=8)
         np.testing.assert_allclose(auth_r, auth_np, rtol=1e-9)
         np.testing.assert_allclose(hub_r, hub_np, rtol=1e-9)
+
+
+class TestPersonalizedPagerank:
+    def test_teleport_concentrates_mass(self):
+        from searchengine_ray.rank.pagerank import personalized_pagerank_numpy
+
+        n = 100
+        ids = np.arange(n)
+        edges = np.stack([ids, (ids * 7 + 13) % n], axis=1)
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        seeds = np.array([3, 5])
+        s = personalized_pagerank_numpy(edges, n, seeds, num_iterations=30)
+        # seeds and their forward neighborhood dominate; far nodes get ~0
+        assert s[3] > s.mean() and s[5] > s.mean()
+        reach = {3, 5}
+        for _ in range(30):
+            reach |= {int((i * 7 + 13) % n) for i in list(reach)}
+        unreachable = [i for i in range(n) if i not in reach]
+        if unreachable:
+            assert s[unreachable].max() < 1e-6
+
+    def test_uniform_seed_matches_standard(self):
+        from searchengine_ray.rank.pagerank import (
+            pagerank_numpy,
+            personalized_pagerank_numpy,
+        )
+
+        n = 60
+        ids = np.arange(n)
+        edges = np.concatenate(
+            [np.stack([ids, (ids * 7 + 13) % n], 1), np.stack([ids, (ids * 31 + 5) % n], 1)]
+        )
+        edges = edges[edges[:, 0] != edges[:, 1]]
+        # seeding EVERY node with tele = n/n = 1 is exactly uniform pagerank
+        a = personalized_pagerank_numpy(edges, n, ids, num_iterations=40)
+        b = pagerank_numpy(edges, n, num_iterations=40, tol=None)
+        np.testing.assert_allclose(a, b, rtol=1e-9)
+
+    def test_empty_seed_raises(self):
+        import pytest
+
+        from searchengine_ray.rank.pagerank import personalized_pagerank_numpy
+
+        with pytest.raises(ValueError):
+            personalized_pagerank_numpy(np.zeros((0, 2)), 5, np.array([]), 3)
