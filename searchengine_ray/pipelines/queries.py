@@ -6117,6 +6117,64 @@ p{i + 1} AS MATERIALIZED (
     )
 
 
+# --------------------------------------------------- proximity-boosted rank
+
+
+def q_proximity_rank(sf_dir: str) -> pd.DataFrame:
+    """Proximity-weighted ranking: BM25 plus a 1/(1+mindist) bonus where
+    mindist is the per-doc minimum token distance between the two query
+    terms (positional index, composite-key nearest-neighbor — the same
+    machinery as NEAR search). Rewards docs where the terms form a
+    phrase-like cluster over docs that merely contain both."""
+    eng = _engine(sf_dir, "naive")
+    res = eng.search_bm25(["window", "merge"], topk=None)
+    base = pd.DataFrame({"doc_id": [d for d, _ in res], "bm25": [s for _, s in res]})
+    ids, dist = eng.min_term_distance("window", "merge")
+    prox = pd.DataFrame({"doc_id": ids, "d": dist})
+    out = base.merge(prox, on="doc_id", how="left")
+    bonus = np.where(np.isnan(out["d"]), 0.0, 1.0 / (1.0 + out["d"].fillna(0)))
+    out["score"] = np.round(out["bm25"].to_numpy() + bonus, 6)
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]).head(20)
+    out = out.reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "doc_id", "score"]].astype({"rank": "int64", "doc_id": "int64"})
+
+
+def sql_proximity_rank() -> str:
+    return rf"""
+WITH raw AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), tok AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM raw WHERE t <> ''
+),
+toks AS (SELECT doc_id, t AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+q1(term) AS (VALUES ('window'), ('merge')),
+s1 AS ({_sql_bm25_scored("q1")}),
+md AS (
+  SELECT a.doc_id, min(abs(a.p - b.p)) AS d
+  FROM tok a JOIN tok b USING (doc_id)
+  WHERE a.t = 'window' AND b.t = 'merge'
+  GROUP BY 1)
+SELECT rank, doc_id, score FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY round(s1.score + coalesce(1.0 / (1.0 + md.d), 0.0), 6) DESC, doc_id
+         ) AS BIGINT) AS rank,
+         doc_id,
+         round(s1.score + coalesce(1.0 / (1.0 + md.d), 0.0), 6) AS score
+  FROM s1 LEFT JOIN md USING (doc_id))
+WHERE rank <= 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6272,4 +6330,5 @@ def registry() -> dict[str, tuple]:
         "training_pairs": (q_training_pairs, sql_training_pairs()),
         "event_paths": (q_event_paths, sql_event_paths()),
         "personalized_pagerank": (q_personalized_pagerank, sql_personalized_pagerank()),
+        "proximity_rank": (q_proximity_rank, sql_proximity_rank()),
     }

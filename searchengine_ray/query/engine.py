@@ -698,6 +698,42 @@ class SearchEngine:
         hits_ord = np.unique(db[hit])
         return cand[hits_ord].astype(np.int64)
 
+    def min_term_distance(self, term_a: str, term_b: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc minimum |pos_a − pos_b| over all occurrence pairs, for
+        docs containing BOTH terms — the proximity signal for ranking
+        (same composite-key searchsorted as :meth:`search_near`: each
+        b-occurrence's nearest a-neighbor bounds the doc minimum).
+        Returns (doc_ids, min_dist), doc_ids ascending."""
+        if not self.manifest.positional:
+            raise RuntimeError("proximity ranking requires a positional index")
+        ta, tb = self.analyze(term_a), self.analyze(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("min_term_distance takes single analyzable terms")
+        posts = self._lookup([ta[0], tb[0]], positions=True)
+        if ta[0] not in posts or tb[0] not in posts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pa_, pb_ = posts[ta[0]], posts[tb[0]]
+        cand = pa_.doc_ids[np.isin(pa_.doc_ids, pb_.doc_ids, assume_unique=True)]
+        cand = self._remove_tombstones(cand)
+        if not len(cand):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        SHIFT = np.int64(1) << np.int64(32)
+        da, pos_a = self._gather_candidate_positions(pa_, cand)
+        db, pos_b = self._gather_candidate_positions(pb_, cand)
+        ka = da * SHIFT + pos_a
+        kb = db * SHIFT + pos_b
+        ins = np.searchsorted(ka, kb)
+        best = np.full(len(kb), np.iinfo(np.int64).max)
+        left = np.maximum(ins - 1, 0)
+        ok = da[left] == db
+        best[ok] = np.abs(pos_b - pos_a[left])[ok]
+        right = np.minimum(ins, len(ka) - 1)
+        ok = da[right] == db
+        best[ok] = np.minimum(best[ok], np.abs(pos_a[right] - pos_b)[ok])
+        out = np.full(len(cand), np.iinfo(np.int64).max)
+        np.minimum.at(out, db, best)
+        return cand.astype(np.int64), out
+
     # ---------- TF-IDF (reference formula) ----------
 
     def search_tfidf(self, keywords: list[str], topk: int | None) -> list[tuple[int, float]]:

@@ -294,3 +294,34 @@ class TestBooleanParser:
         toy = set(self._ids(engine, "toy"))
         house = set(self._ids(engine, "house"))
         assert got == sorted((cat & (dog | (pig & toy))) | house)
+
+
+class TestMinTermDistance:
+    def test_matches_bruteforce_positions(self, ray_session, sf_tiny):
+        import itertools
+
+        from searchengine_ray.pipelines.queries import _engine
+
+        eng = _engine(sf_tiny, "punct")
+        ids, dist = eng.min_term_distance("fast", "scan")
+        got = dict(zip(ids.tolist(), dist.tolist()))
+        # brute force from raw analyzed token streams
+        import duckdb
+
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+        ).df()
+        for r in docs.itertuples():
+            toks = [t for t in r.text.lower().replace(",", " ").replace(".", " ")
+                    .replace(";", " ").replace("?", " ").replace("!", " ").split()
+                    if t]
+            toks = [t for t in toks if t not in __import__(
+                "searchengine_ray.analysis.stopwords", fromlist=["STOP_WORDS"]
+            ).STOP_WORDS]
+            pa_ = [i for i, t in enumerate(toks) if t == "fast"]
+            pb_ = [i for i, t in enumerate(toks) if t == "scan"]
+            if pa_ and pb_:
+                want = min(abs(x - y) for x, y in itertools.product(pa_, pb_))
+                assert got.get(r.doc_id) == want, r.doc_id
+            else:
+                assert r.doc_id not in got
