@@ -6175,6 +6175,154 @@ WHERE rank <= 20
 """
 
 
+# --------------------------------------------------------------- TPC-H Q14
+
+
+def q_tpch_q14(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promo revenue share): one month of lineitem,
+    part-type lookup broadcast as a key set, both the promo and total
+    revenue accumulated in the SAME scan (conditional vectorized sums)
+    — zero shuffle, two scalars."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"].to_numpy(
+        zero_copy_only=False
+    )
+    ref = ray.put(promo)
+    lo = pa.scalar(pd.Timestamp("1997-03-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-04-01").to_pydatetime(), pa.timestamp("us"))
+
+    def rev(b: pa.Table, _r=ref) -> pa.Table:
+        keys = ray.get(_r)
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        b = b.filter(m)
+        r = (
+            b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        is_promo = np.isin(b["l_partkey"].to_numpy(zero_copy_only=False), keys)
+        return pa.table(
+            {
+                "promo": pa.array(np.where(is_promo, r, 0.0), pa.float64()),
+                "total": pa.array(r, pa.float64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev, batch_format="pyarrow")
+        .aggregate(Sum("promo", alias_name="p"), Sum("total", alias_name="t"))
+    )
+    share = round(100.0 * agg["p"] / agg["t"], 4)
+    return pd.DataFrame(
+        {"promo_revenue": [round(agg["p"], 4)], "promo_share_pct": [share]}
+    )
+
+
+def sql_tpch_q14() -> str:
+    return """
+SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END), 4)
+         AS promo_revenue,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS promo_share_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= '1997-03-01' AND l.l_shipdate < '1997-04-01'
+"""
+
+
+# ------------------------------------------------- posting-list gap stats
+
+
+def q_posting_gaps(sf_dir: str) -> pd.DataFrame:
+    """Index-compression analytics: per-term doc-id delta statistics
+    (df, mean gap, max gap) for the 20 highest-df terms — the numbers
+    that size a delta+varbyte posting layout (mean gap ⇒ bytes/posting).
+    Computed from the analyzed artifacts with a per-term vectorized
+    diff; one vocabulary-sized shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [sorted(set(ts)) for ts in toks]
+        lens = np.array([len(s) for s in sets], np.int64)
+        return pa.table(
+            {
+                "term": pa.array([t for s in sets for t in s], pa.string()),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            }
+        )
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "term": [g["term"].iloc[0]],
+                    "df": [len(g)],
+                    "sum_gap": [int(np.diff(np.sort(g["doc_id"].to_numpy())).sum())],
+                    "max_gap": [
+                        int(np.diff(np.sort(g["doc_id"].to_numpy())).max())
+                        if len(g) > 1
+                        else 0
+                    ],
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    rows["mean_gap"] = round_half_away(
+        rows["sum_gap"] / np.maximum(rows["df"] - 1, 1)
+    )
+    out = rows.sort_values(["df", "term"], ascending=[False, True]).head(20)
+    return out[["term", "df", "mean_gap", "max_gap"]].reset_index(drop=True).astype(
+        {"term": "object", "df": "int64", "max_gap": "int64"}
+    )
+
+
+def sql_posting_gaps() -> str:
+    return r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+g AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM tok),
+agg AS (
+  SELECT term, count(*) AS df,
+         coalesce(CAST(sum(gap) AS BIGINT), 0) AS sum_gap,
+         coalesce(CAST(max(gap) AS BIGINT), 0) AS max_gap
+  FROM g GROUP BY term)
+SELECT term, df,
+       round(sum_gap / CAST(greatest(df - 1, 1) AS DOUBLE), 6) AS mean_gap,
+       max_gap
+FROM agg ORDER BY df DESC, term LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6331,4 +6479,6 @@ def registry() -> dict[str, tuple]:
         "event_paths": (q_event_paths, sql_event_paths()),
         "personalized_pagerank": (q_personalized_pagerank, sql_personalized_pagerank()),
         "proximity_rank": (q_proximity_rank, sql_proximity_rank()),
+        "tpch_q14": (q_tpch_q14, sql_tpch_q14()),
+        "posting_gaps": (q_posting_gaps, sql_posting_gaps()),
     }
