@@ -6323,6 +6323,81 @@ FROM agg ORDER BY df DESC, term LIMIT 20
 """
 
 
+# ----------------------------------------------- incremental-ingest dedup
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental-ingest dedup: which NEW docs (the synthetic
+    increment: ids %5 == 0, re-crawled with the same token content)
+    duplicate an EXISTING doc — the production shape where the new
+    batch probes the corpus instead of re-pairing everything. One
+    token-set-hash groupby; per group the new docs pair with the
+    earliest old doc. New×new duplicates are NOT emitted (they dedup
+    within the increment's own ingest)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.textstats import _token_lists
+
+    def canon(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(b["text"].to_pandas())
+        keys = [
+            hashlib.md5(" ".join(sorted(set(ts))).encode()).hexdigest() for ts in toks
+        ]
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_new": pa.array((ids % 5 == 0).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["is_new"] == 0]
+        new = g[g["is_new"] == 1]
+        if not len(old) or not len(new):
+            return pd.DataFrame(
+                {"new_doc": pd.Series([], dtype="int64"),
+                 "dup_of": pd.Series([], dtype="int64")}
+            )
+        keep = int(old["doc_id"].min())
+        return pd.DataFrame(
+            {"new_doc": np.sort(new["doc_id"].to_numpy(np.int64)), "dup_of": keep}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = (
+        ds.map_batches(canon, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(pair, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.sort_values("new_doc")
+        .reset_index(drop=True)
+        .astype({"new_doc": "int64", "dup_of": "int64"})
+    )
+
+
+def sql_incremental_dedup() -> str:
+    return r"""
+WITH c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                            '[ \t\n\x0b\f\r]+'), t -> t <> ''))), ' ')) AS key,
+         doc_id % 5 = 0 AS is_new
+  FROM documents),
+old AS (SELECT key, min(doc_id) AS keep FROM c WHERE NOT is_new GROUP BY key)
+SELECT c.doc_id AS new_doc, o.keep AS dup_of
+FROM c JOIN old o USING (key)
+WHERE c.is_new
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6481,4 +6556,5 @@ def registry() -> dict[str, tuple]:
         "proximity_rank": (q_proximity_rank, sql_proximity_rank()),
         "tpch_q14": (q_tpch_q14, sql_tpch_q14()),
         "posting_gaps": (q_posting_gaps, sql_posting_gaps()),
+        "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup()),
     }
