@@ -6398,6 +6398,88 @@ WHERE c.is_new
 """
 
 
+# ------------------------------------------------- grouped skew / kurtosis
+
+
+def q_grouped_skew(sf_dir: str) -> pd.DataFrame:
+    """Per-group skewness and excess kurtosis from one-pass raw moments
+    (n, Σx, Σx², Σx³, Σx⁴) — four numbers per (group × batch) through
+    the shuffle; the population-moment formulas evaluate on the tiny
+    aggregate. Completes the distributed-moments family next to
+    `grouped_corr` (the distribution-shape QA signal for features)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "n": 1,
+                "s1": x,
+                "s2": x * x,
+                "s3": x * x * x,
+                "s4": x * x * x * x,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    m = agg["s1"] / n
+    m2 = agg["s2"] / n - m**2
+    m3 = agg["s3"] / n - 3 * m * agg["s2"] / n + 2 * m**3
+    m4 = agg["s4"] / n - 4 * m * agg["s3"] / n + 6 * m**2 * agg["s2"] / n - 3 * m**4
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "skewness": np.round(m3 / m2**1.5, 6),
+            "kurtosis": np.round(m4 / m2**2 - 3.0, 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sql_grouped_skew() -> str:
+    # identical raw-moment algebra on both sides (NOT DuckDB's builtin
+    # skewness(), which uses the sample-corrected estimator)
+    return """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3, sum(value*value*value*value) AS s4
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, n,
+         s1 / n AS m,
+         s2 / n - (s1/n)*(s1/n) AS m2,
+         s3 / n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+         s4 / n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+               - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+  FROM a)
+SELECT event_type, n,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6557,4 +6639,5 @@ def registry() -> dict[str, tuple]:
         "tpch_q14": (q_tpch_q14, sql_tpch_q14()),
         "posting_gaps": (q_posting_gaps, sql_posting_gaps()),
         "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup()),
+        "grouped_skew": (q_grouped_skew, sql_grouped_skew()),
     }
