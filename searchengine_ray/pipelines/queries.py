@@ -6480,6 +6480,71 @@ FROM m
 """
 
 
+# ------------------------------------------- rolling median (exact, merged)
+
+
+def q_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT 7-day rolling median per day without rescanning: per-day
+    value histograms (3dp domain) are the mergeable summary — summing
+    histograms over the window and selecting is exact, unlike
+    approximate quantile sketches. One (day, value) count shuffle;
+    every window evaluates on the merged domain table. The windowed
+    companion of `event_quantiles`/`rolling_hll`."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // 86400000000).astype(np.int64)
+        v = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        g = pd.DataFrame({"day": day, "v": v}).groupby(
+            ["day", "v"], as_index=False, sort=False
+        ).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_part"}), preserve_index=False
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "v"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for d in np.sort(counts["day"].unique()):
+        win = counts[(counts["day"] >= d - 6) & (counts["day"] <= d)]
+        g = win.groupby("v")["n"].sum().sort_index()
+        v = g.index.to_numpy(np.float64)
+        c = g.to_numpy(np.int64)
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        idx = max(0, math.ceil(0.5 * total) - 1)
+        med = float(v[int(np.searchsorted(cum, idx + 1, side="left"))])
+        rows.append((int(d), total, round(med, 6)))
+    return pd.DataFrame(rows, columns=["day", "n", "median"]).astype(
+        {"day": "int64", "n": "int64"}
+    )
+
+
+def sql_rolling_median() -> str:
+    return """
+WITH e AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         round(value, 3) AS v
+  FROM events),
+days AS (SELECT DISTINCT day FROM e)
+SELECT d.day, count(*) AS n, round(quantile_disc(e.v, 0.5), 6) AS median
+FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6640,4 +6705,5 @@ def registry() -> dict[str, tuple]:
         "posting_gaps": (q_posting_gaps, sql_posting_gaps()),
         "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup()),
         "grouped_skew": (q_grouped_skew, sql_grouped_skew()),
+        "rolling_median": (q_rolling_median, sql_rolling_median()),
     }
