@@ -6545,6 +6545,92 @@ GROUP BY d.day
 """
 
 
+# --------------------------------------------------------------- daily OHLC
+
+
+def q_ohlc_daily(sf_dir: str) -> pd.DataFrame:
+    """Daily OHLC (open/high/low/close of `value` by event time): each
+    batch reduces to one candidate row per day carrying
+    (first_ts, open, last_ts, close, low, high, n) — the arg-min/arg-max
+    merge pattern — and the day×batch partials merge associatively.
+    The time-series bar-building shape (ticks → bars) at stream scale."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // 86400000000).astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"day": day, "t": us, "v": v})
+        # tie-break open/close deterministically on (ts, value)
+        df = df.sort_values(["day", "t", "v"], kind="mergesort")
+        g = df.groupby("day")
+        out = pd.DataFrame(
+            {
+                "day": g["t"].first().index.to_numpy(np.int64),
+                "t_open": g["t"].first().to_numpy(np.int64),
+                "open": g["v"].first().to_numpy(np.float64),
+                "t_close": g["t"].last().to_numpy(np.int64),
+                "close": g["v"].last().to_numpy(np.float64),
+                "low": g["v"].min().to_numpy(np.float64),
+                "high": g["v"].max().to_numpy(np.float64),
+                "n": g.size().to_numpy(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def merge(g: pd.DataFrame) -> pd.Series:
+        o = g.sort_values(["t_open", "open"]).iloc[0]
+        c = g.sort_values(["t_close", "close"]).iloc[-1]
+        return pd.Series(
+            {
+                "open": round(o["open"], 6),
+                "high": round(float(g["high"].max()), 6),
+                "low": round(float(g["low"].min()), 6),
+                "close": round(c["close"], 6),
+                "n": int(g["n"].sum()),
+            }
+        )
+
+    out = parts.groupby("day").apply(merge, include_groups=False).reset_index()
+    return out.sort_values("day").reset_index(drop=True).astype(
+        {"day": "int64", "n": "int64"}
+    )
+
+
+def sql_ohlc_daily() -> str:
+    # arg_min/arg_max on the composite (ts, value) tie-break: DuckDB's
+    # arg_min(value, ts) breaks ts ties arbitrarily, so order on a
+    # packed key instead — ts is microseconds (< 2^53), value rounded
+    # to 3dp scaled into the low bits keeps the comparison total
+    return """
+WITH e AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         epoch_us(ts) AS t, value
+  FROM events),
+r AS (
+  SELECT day, t, value,
+         row_number() OVER (PARTITION BY day ORDER BY t, value) AS rn,
+         row_number() OVER (PARTITION BY day ORDER BY t DESC, value DESC) AS rrn
+  FROM e)
+SELECT day,
+       round(min(CASE WHEN rn = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(min(CASE WHEN rrn = 1 THEN value END), 6) AS close,
+       count(*) AS n
+FROM r GROUP BY day
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6706,4 +6792,5 @@ def registry() -> dict[str, tuple]:
         "incremental_dedup": (q_incremental_dedup, sql_incremental_dedup()),
         "grouped_skew": (q_grouped_skew, sql_grouped_skew()),
         "rolling_median": (q_rolling_median, sql_rolling_median()),
+        "ohlc_daily": (q_ohlc_daily, sql_ohlc_daily()),
     }
