@@ -6631,6 +6631,144 @@ FROM r GROUP BY day
 """
 
 
+# -------------------------------------------------------- conversion time
+
+
+def q_conversion_time(sf_dir: str) -> pd.DataFrame:
+    """Time-to-convert distribution: per user, seconds from first
+    'view' to the first 'purchase' AFTER it; exact quantiles of the
+    delta. One (user, type) min-ts shuffle feeds a per-user vectorized
+    delta, then the value-domain quantile pass — the funnel-latency
+    metric."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from ..functions.quantiles import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(b["event_type"], value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "t": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    firsts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Min("t", alias_name="t0"))
+    )
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        by = dict(zip(g["event_type"], g["t0"]))
+        if "view" in by and "purchase" in by:
+            # first purchase after the first view: with only min-ts per
+            # type available, require purchase_min > view_min
+            d = by["purchase"] - by["view"]
+            if d > 0:
+                return pd.DataFrame({"delta_s": [round(d / 1e6, 3)]})
+        return pd.DataFrame({"delta_s": pd.Series([], dtype="float64")})
+
+    dds = firsts.groupby("user_id").map_groups(deltas, batch_format="pandas")
+    q = exact_quantiles(dds, "delta_s", [0.25, 0.5, 0.75, 0.9])
+    q["value"] = q["value"].round(6)
+    return q
+
+
+def sql_conversion_time() -> str:
+    return """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p0
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id),
+d AS (
+  SELECT round((p0 - v0) / 1000000.0, 3) AS delta_s
+  FROM f WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0)
+SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q,
+       unnest([round(quantile_disc(delta_s, 0.25), 6),
+               round(quantile_disc(delta_s, 0.50), 6),
+               round(quantile_disc(delta_s, 0.75), 6),
+               round(quantile_disc(delta_s, 0.90), 6)]) AS value
+FROM d
+"""
+
+
+# ---------------------------------------------------- boilerplate shingles
+
+
+def q_boilerplate_shingles(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate detection: the 20 most document-frequent 5-token
+    shingles — repeated navigation/footer phrases surface as
+    high-DF long shingles. Per-batch DISTINCT shingles per doc
+    (combiner), one shingle-vocabulary groupby; the removal step would
+    broadcast this table back as a filter."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    K = 5
+
+    def shingles(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        out: dict[str, int] = {}
+        for ts in toks:
+            if len(ts) < K:
+                continue
+            seen = {" ".join(ts[i : i + K]) for i in range(len(ts) - K + 1)}
+            for s in seen:
+                out[s] = out.get(s, 0) + 1
+        if not out:
+            return pa.table(
+                {"shingle": pa.array([], pa.string()), "df_part": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(list(out.keys()), pa.string()),
+                "df_part": pa.array(np.fromiter(out.values(), np.int64), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    agg = (
+        ds.map_batches(shingles, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    out = agg.sort_values(["df", "shingle"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype({"shingle": "object", "df": "int64"})
+
+
+def sql_boilerplate_shingles() -> str:
+    return r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                          '[ \t\n\x0b\f\r]+'), t -> t <> '') AS ts
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(ts) - 3),
+                         i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2], ts[i+3], ts[i+4]))) AS s
+    FROM toks WHERE len(ts) >= 5
+)
+SELECT shingle, count(*) AS df
+FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)
+GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6793,4 +6931,6 @@ def registry() -> dict[str, tuple]:
         "grouped_skew": (q_grouped_skew, sql_grouped_skew()),
         "rolling_median": (q_rolling_median, sql_rolling_median()),
         "ohlc_daily": (q_ohlc_daily, sql_ohlc_daily()),
+        "conversion_time": (q_conversion_time, sql_conversion_time()),
+        "boilerplate_shingles": (q_boilerplate_shingles, sql_boilerplate_shingles()),
     }
