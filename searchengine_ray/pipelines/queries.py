@@ -6769,6 +6769,119 @@ GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20
 """
 
 
+# -------------------------------------------------- URL canonicalization
+
+
+def q_url_canonical(sf_dir: str) -> pd.DataFrame:
+    """Crawl-frontier URL dedup: messy synthetic variants (tracking
+    params when id%3==0, trailing slash when %4==0, uppercased host
+    when %5==0) normalize to a canonical form — lowercase host, query
+    stripped, trailing slash trimmed — and duplicates collapse in one
+    canonical-key groupby. The frontier-dedup step of a crawler."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def urls(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = []
+        for d in ids:
+            host = f"host{d % 20}.example.com"
+            if d % 5 == 0:
+                host = host.upper()
+            u = f"https://{host}/page/{d % 100}"
+            if d % 4 == 0:
+                u += "/"
+            if d % 3 == 0:
+                u += "?utm_source=feed&ref=rss"
+            raw.append(u)
+        arr = pa.array(raw, pa.string())
+        canon = pc.replace_substring_regex(arr, r"\?.*$", "")
+        canon = pc.replace_substring_regex(canon, r"/$", "")
+        canon = pc.utf8_lower(canon)
+        return pa.table({"canonical": canon, "doc_id": b["doc_id"].cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    out = (
+        ds.map_batches(urls, batch_format="pyarrow")
+        .groupby("canonical")
+        .aggregate(Count(alias_name="n_variants"), Min("doc_id", alias_name="first_doc"))
+        .to_pandas()
+    )
+    out = out[out["n_variants"] > 1].sort_values("canonical").reset_index(drop=True)
+    return out.astype({"canonical": "object", "n_variants": "int64", "first_doc": "int64"})
+
+
+def sql_url_canonical() -> str:
+    return r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 5 = 0
+              THEN upper('host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com')
+              ELSE 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' END ||
+         '/page/' || CAST(doc_id % 100 AS VARCHAR) ||
+         CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=rss' ELSE '' END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         lower(regexp_replace(regexp_replace(url, '\?.*$', ''), '/$', '')) AS canonical
+  FROM u)
+SELECT canonical, count(*) AS n_variants, min(doc_id) AS first_doc
+FROM c GROUP BY canonical HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------- crawl politeness slots
+
+
+def q_crawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """Per-host crawl scheduling: frontier urls round-robin into
+    politeness slots (one fetch per host per second); output the first
+    3 slots per host. group_topk in ASCENDING order — the scheduling
+    counterpart of the ranking top-k."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.sampling import group_topk
+
+    def frontier(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = pa.array([f"host{d % 20}" for d in ids], pa.string())
+        return pa.table({"host": host, "doc_id": b["doc_id"].cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    got = group_topk(
+        ds.map_batches(frontier, batch_format="pyarrow"),
+        group_col="host",
+        order_col="doc_id",
+        tie_col="doc_id",
+        k=3,
+        ascending=True,
+    ).to_pandas()
+    got = got.rename(columns={"rank": "slot"})
+    got["eta_s"] = (got["slot"] - 1).astype("float64")
+    out = got.sort_values(["host", "slot"]).reset_index(drop=True)
+    return out[["host", "slot", "doc_id", "eta_s"]].astype(
+        {"host": "object", "slot": "int64", "doc_id": "int64"}
+    )
+
+
+def sql_crawl_schedule() -> str:
+    return """
+WITH f AS (
+  SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) AS host, doc_id FROM documents),
+r AS (
+  SELECT host, doc_id,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS slot
+  FROM f)
+SELECT host, slot, doc_id, CAST(slot - 1 AS DOUBLE) AS eta_s
+FROM r WHERE slot <= 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -6933,4 +7046,6 @@ def registry() -> dict[str, tuple]:
         "ohlc_daily": (q_ohlc_daily, sql_ohlc_daily()),
         "conversion_time": (q_conversion_time, sql_conversion_time()),
         "boilerplate_shingles": (q_boilerplate_shingles, sql_boilerplate_shingles()),
+        "url_canonical": (q_url_canonical, sql_url_canonical()),
+        "crawl_schedule": (q_crawl_schedule, sql_crawl_schedule()),
     }
