@@ -6882,6 +6882,77 @@ FROM r WHERE slot <= 3
 """
 
 
+# ------------------------------------------------- embedding label outliers
+
+
+def q_embedding_outliers(sf_dir: str) -> pd.DataFrame:
+    """Mislabel detection: cosine of every embedding to its OWN label
+    centroid; the global bottom-10 are the most atypical members. The
+    centroid table (labels × dim) comes from the one-shuffle combiner
+    and broadcasts into a vectorized scoring scan with per-block
+    partial bottom-k — the data-QA pass before training on labels."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..functions.vectors import group_centroids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+    cents = group_centroids(ds, "label")
+    cmat = {
+        int(lbl): g.sort_values("dim")["c"].to_numpy(np.float64)
+        for lbl, g in cents.groupby("label")
+    }
+    ref = ray.put(cmat)
+
+    def score(b: pa.Table, _r=ref) -> pa.Table:
+        cm = ray.get(_r)
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(len(b), 1) if len(b) else 0
+        m = flat.reshape(-1, dim) if len(b) else np.zeros((0, 0))
+        lbl = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cen = np.stack([cm[int(x)] for x in lbl]) if len(b) else np.zeros((0, 0))
+        num = (m * cen).sum(axis=1)
+        den = np.linalg.norm(m, axis=1) * np.linalg.norm(cen, axis=1)
+        cos = np.round(num / np.maximum(den, 1e-300), 6)
+        t = pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "label": pa.array(lbl, pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+        order = np.lexsort((t["vec_id"].to_numpy(zero_copy_only=False), cos))[:10]
+        return t.take(pa.array(np.sort(order)))
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["cosine", "vec_id"], ascending=[True, True]).head(10)
+    return out.reset_index(drop=True).astype(
+        {"vec_id": "int64", "label": "int64", "cosine": "float64"}
+    )
+
+
+def sql_embedding_outliers() -> str:
+    return """
+WITH z AS (
+  SELECT label, u.i AS dim, u.v AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS i,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v) u),
+cent AS (
+  SELECT label, dim, round(avg(x), 6) AS c FROM z GROUP BY 1, 2),
+cl AS (
+  SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cl.cv), 6) AS cosine
+FROM embeddings e JOIN cl USING (label)
+ORDER BY cosine, vec_id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7048,4 +7119,5 @@ def registry() -> dict[str, tuple]:
         "boilerplate_shingles": (q_boilerplate_shingles, sql_boilerplate_shingles()),
         "url_canonical": (q_url_canonical, sql_url_canonical()),
         "crawl_schedule": (q_crawl_schedule, sql_crawl_schedule()),
+        "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
     }
