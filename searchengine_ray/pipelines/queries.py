@@ -6953,6 +6953,72 @@ ORDER BY cosine, vec_id LIMIT 10
 """
 
 
+# ---------------------------------------------- quality-by-length calibration
+
+
+def q_quality_by_length(sf_dir: str) -> pd.DataFrame:
+    """Curation calibration curve: mean quality score per exact
+    length-decile — answers 'is the quality filter just a length
+    filter?'. Composes the distributed quantile boundaries (broadcast
+    scalars) with the quality kernel in one scan + a 10-row groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.quantiles import exact_quantiles
+    from ..functions.textstats import quality_score_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    qs = [i / 10.0 for i in range(1, 10)]
+    bounds = exact_quantiles(
+        ds.select_columns(["n_chars"]), "n_chars", qs
+    )["value"].to_numpy(np.float64)
+
+    def score(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dec = 1 + np.searchsorted(bounds, x, side="left")  # quantile_disc bins
+        return pa.table(
+            {
+                "decile": pa.array(dec.astype(np.int64), pa.int64()),
+                "quality": q["quality"],
+            }
+        )
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Count(alias_name="n"), Sum("quality", alias_name="s"))
+        .to_pandas()
+    )
+    out["mean_quality"] = round_half_away(out["s"] / out["n"])
+    out = out.drop(columns=["s"]).sort_values("decile").reset_index(drop=True)
+    return out.astype({"decile": "int64", "n": "int64"})
+
+
+def sql_quality_by_length() -> str:
+    bound_cols = ", ".join(
+        f"quantile_disc(n_chars, {i/10.0}) AS b{i}" for i in range(1, 10)
+    )
+    dec_expr = " + ".join(f"CAST(n_chars > b{i} AS BIGINT)" for i in range(1, 10))
+    return f"""
+WITH b AS (SELECT {bound_cols} FROM documents),
+{_raw_tokens_cte()},
+qual AS (
+  SELECT p.doc_id,
+         0.4 * (p.n_stop / greatest(p.n_tokens, 1.0))
+         + 0.4 * least(1.0, p.n_tokens / 100.0)
+         + 0.2 * (1.0 - (length(d.text) - length(regexp_replace(d.text, '[,.;?!]', '', 'g')))
+                        / greatest(length(d.text), 1.0)) AS quality,
+         d.n_chars
+  FROM per_doc p JOIN documents d USING (doc_id))
+SELECT 1 + {dec_expr} AS decile, count(*) AS n,
+       round(avg(round(quality, 6)), 6) AS mean_quality
+FROM qual, b
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7120,4 +7186,5 @@ def registry() -> dict[str, tuple]:
         "url_canonical": (q_url_canonical, sql_url_canonical()),
         "crawl_schedule": (q_crawl_schedule, sql_crawl_schedule()),
         "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
+        "quality_by_length": (q_quality_by_length, sql_quality_by_length()),
     }
