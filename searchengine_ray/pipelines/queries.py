@@ -6978,20 +6978,25 @@ def q_quality_by_length(sf_dir: str) -> pd.DataFrame:
         q = quality_score_batch(b)
         x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         dec = 1 + np.searchsorted(bounds, x, side="left")  # quantile_disc bins
+        # integer micro-units: the decile SUM stays exact, so the mean is
+        # a ratio of identical integers in both engines (a float sum of
+        # rounded values differs by partial-sum order at the last ulp —
+        # enough to flip a grid-half mean)
+        micros = round_half_away(q["quality"].to_numpy(zero_copy_only=False) * 1e6, 0)
         return pa.table(
             {
                 "decile": pa.array(dec.astype(np.int64), pa.int64()),
-                "quality": q["quality"],
+                "q_micro": pa.array(micros.astype(np.int64), pa.int64()),
             }
         )
 
     out = (
         ds.map_batches(score, batch_format="pyarrow")
         .groupby("decile")
-        .aggregate(Count(alias_name="n"), Sum("quality", alias_name="s"))
+        .aggregate(Count(alias_name="n"), Sum("q_micro", alias_name="s"))
         .to_pandas()
     )
-    out["mean_quality"] = round_half_away(out["s"] / out["n"])
+    out["mean_quality"] = round_half_away(out["s"] / out["n"] / 1e6)
     out = out.drop(columns=["s"]).sort_values("decile").reset_index(drop=True)
     return out.astype({"decile": "int64", "n": "int64"})
 
@@ -7013,7 +7018,8 @@ qual AS (
          d.n_chars
   FROM per_doc p JOIN documents d USING (doc_id))
 SELECT 1 + {dec_expr} AS decile, count(*) AS n,
-       round(avg(round(quality, 6)), 6) AS mean_quality
+       round(CAST(sum(CAST(round(round(quality, 6) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0, 6) AS mean_quality
 FROM qual, b
 GROUP BY 1
 """
