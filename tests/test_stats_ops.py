@@ -784,3 +784,60 @@ class TestTokensetDedup:
         out = Q.q_tokenset_dedup(str(tmp_path))
         assert len(out) == 1
         assert out.iloc[0]["n_docs"] == 2 and out.iloc[0]["keep_doc"] == 1
+
+
+class TestWave6Ops:
+    def test_url_canonical_counts(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_url_canonical
+
+        out = q_url_canonical(sf_tiny)
+        assert (out["n_variants"] > 1).all()
+        # canonical form: lowercase, no query, no trailing slash
+        assert not out["canonical"].str.contains(r"\?|/$|[A-Z]").any()
+
+    def test_crawl_schedule_slots(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_crawl_schedule
+
+        out = q_crawl_schedule(sf_tiny)
+        for _, g in out.groupby("host"):
+            assert list(g["slot"]) == [1, 2, 3]
+            assert g["doc_id"].is_monotonic_increasing
+        assert (out["eta_s"] == out["slot"] - 1).all()
+
+    def test_embedding_outliers_are_minimal_cosines(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_embedding_outliers
+
+        out = q_embedding_outliers(sf_tiny)
+        assert len(out) == 10
+        assert out["cosine"].is_monotonic_increasing
+        # bottom-10 must not exceed the corpus median cosine
+        assert out["cosine"].max() <= 1.0
+
+    def test_quality_by_length_partitions_all_docs(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_quality_by_length
+
+        out = q_quality_by_length(sf_tiny)
+        n = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
+        assert int(out["n"].sum()) == n
+        assert set(out["decile"]) <= set(range(1, 11))
+
+    def test_boilerplate_shingles_df_bounds(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_boilerplate_shingles
+
+        out = q_boilerplate_shingles(sf_tiny)
+        n = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
+        assert (out["df"] <= n).all() and (out["df"] >= 1).all()
+        assert out["shingle"].str.split(" ").map(len).eq(5).all()
+
+    def test_conversion_time_quantiles_ordered(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_conversion_time
+
+        out = q_conversion_time(sf_tiny)
+        assert out["value"].is_monotonic_increasing
+        assert (out["value"] > 0).all()
