@@ -7025,6 +7025,188 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- TPC-H Q15
+
+
+def q_tpch_q15(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    then the argmax-with-ties cut (every supplier AT the max) and the
+    supplier lookup. The revenue rollup is the only wide stage; the
+    max is a scalar reduce over the already-aggregated table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01").to_pydatetime(), pa.timestamp("us"))
+
+    def rev(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        b = b.filter(m)
+        r = b["l_extendedprice"].to_numpy(zero_copy_only=False) * (
+            1.0 - b["l_discount"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"l_suppkey": b["l_suppkey"], "rev": pa.array(r, pa.float64())})
+
+    per_supp = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(rev, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev", alias_name="total_rev"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.schema.get_field_index("total_rev"),
+                "total_rev",
+                pa.compute.round(b["total_rev"], 4),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    best = per_supp.aggregate(Max("total_rev"))["max(total_rev)"]
+    top = per_supp.map_batches(
+        lambda b, _m=best: b.filter(pa.compute.equal(b["total_rev"], _m)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    out = top.merge(
+        supp.to_pandas(), left_on="l_suppkey", right_on="s_suppkey"
+    )
+    out = out.sort_values("l_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_rev"]].astype(
+        {"s_suppkey": "int64", "s_name": "object"}
+    )
+
+
+def sql_tpch_q15() -> str:
+    return """
+WITH r AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM r)
+"""
+
+
+# -------------------------------------------------------- geometric means
+
+
+def q_geo_mean(sf_dir: str) -> pd.DataFrame:
+    """Per-group geometric and harmonic means via one-pass log/reciprocal
+    sums — the multiplicative-process statistics (latencies, growth
+    rates) a plain mean distorts; same Sum-composable partial shape as
+    the moments family."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "lg": np.log(x),
+                "rc": 1.0 / x,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).agg(
+                lg=("lg", "sum"), rc=("rc", "sum"), n=("lg", "size")
+            ),
+            preserve_index=False,
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(parts, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("lg", alias_name="slg"),
+            Sum("rc", alias_name="src"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "geo_mean": np.round(np.exp(agg["slg"] / n), 6),
+            "harm_mean": np.round(n / agg["src"], 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sql_geo_mean() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       round(exp(sum(ln(value)) / count(*)), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / value), 6) AS harm_mean
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------- peak event rate
+
+
+def q_peak_rate(sf_dir: str) -> pd.DataFrame:
+    """Operational peak detection: the busiest minute per event type
+    (events per 1-min bucket, max + argmin-tie bucket) — the capacity
+    planning readout; bucket derivation in the map keeps the shuffle at
+    (type × minute) cardinality."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def buckets(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "minute": pa.array((us // 60_000_000).astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(buckets, batch_format="pyarrow")
+        .groupby(["event_type", "minute"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in counts.groupby("event_type", sort=True):
+        peak = int(g["n"].max())
+        m = int(g.loc[g["n"] == peak, "minute"].min())
+        rows.append((et, peak, m))
+    return pd.DataFrame(rows, columns=["event_type", "peak_per_min", "peak_minute"]).astype(
+        {"event_type": "object", "peak_per_min": "int64", "peak_minute": "int64"}
+    )
+
+
+def sql_peak_rate() -> str:
+    return """
+WITH c AS (
+  SELECT event_type, CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, max(n) AS peak FROM c GROUP BY 1)
+SELECT c.event_type, m.peak AS peak_per_min, min(c.minute) AS peak_minute
+FROM c JOIN m ON m.event_type = c.event_type AND c.n = m.peak
+GROUP BY c.event_type, m.peak
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7193,4 +7375,7 @@ def registry() -> dict[str, tuple]:
         "crawl_schedule": (q_crawl_schedule, sql_crawl_schedule()),
         "embedding_outliers": (q_embedding_outliers, sql_embedding_outliers()),
         "quality_by_length": (q_quality_by_length, sql_quality_by_length()),
+        "tpch_q15": (q_tpch_q15, sql_tpch_q15()),
+        "geo_mean": (q_geo_mean, sql_geo_mean()),
+        "peak_rate": (q_peak_rate, sql_peak_rate()),
     }
