@@ -7109,11 +7109,12 @@ def q_geo_mean(sf_dir: str) -> pd.DataFrame:
 
     def parts(b: pa.Table) -> pa.Table:
         x = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = x > 0  # multiplicative means are defined on positives only
         df = pd.DataFrame(
             {
-                "event_type": b["event_type"].to_pandas(),
-                "lg": np.log(x),
-                "rc": 1.0 / x,
+                "event_type": b["event_type"].to_pandas()[pos],
+                "lg": np.log(x[pos]),
+                "rc": 1.0 / x[pos],
             }
         )
         return pa.Table.from_pandas(
@@ -7151,7 +7152,7 @@ def sql_geo_mean() -> str:
 SELECT event_type, count(*) AS n,
        round(exp(sum(ln(value)) / count(*)), 6) AS geo_mean,
        round(count(*) / sum(1.0 / value), 6) AS harm_mean
-FROM events GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY event_type
 """
 
 
