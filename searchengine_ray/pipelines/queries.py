@@ -7208,6 +7208,87 @@ GROUP BY c.event_type, m.peak
 """
 
 
+# ----------------------------------------------------- wildcard dictionary
+
+
+INFIX_NEEDLE = "ind"
+
+
+def q_term_infix(sf_dir: str) -> pd.DataFrame:
+    """Wildcard (*ind*) dictionary lookup: top-10 terms by df containing
+    the needle — the honest full-dictionary metadata scan (contains
+    can't range-prune a term-sorted layout), postings never load."""
+    top = _engine(sf_dir).infix_terms(INFIX_NEEDLE, 10)
+    return pd.DataFrame(
+        {
+            "term": [t for t, _ in top],
+            "df": pd.Series([d for _, d in top], dtype="int64"),
+        }
+    )
+
+
+def sql_term_infix() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT term, count(*) AS df FROM toks WHERE term LIKE '%{INFIX_NEEDLE}%'
+GROUP BY term ORDER BY df DESC, term LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ grouped mode
+
+
+def q_grouped_mode(sf_dir: str) -> pd.DataFrame:
+    """Per-group mode (most frequent 1dp-rounded value, tie → smallest):
+    the value-domain count shuffle again — mode, like the exact
+    quantiles, is a pure function of the (group, value) domain table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        # half-away quantization: 2dp source values (x.25, x.75) are
+        # dyadic-EXACT doubles sitting on the 1dp half grid — np.round's
+        # half-even would bucket them differently from SQL round()
+        v = round_half_away(
+            b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 1
+        )
+        g = pd.DataFrame({"event_type": b["event_type"].to_pandas(), "v": v}).groupby(
+            ["event_type", "v"], as_index=False, sort=False
+        ).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n_part"}), preserve_index=False
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in counts.groupby("event_type", sort=True):
+        peak = int(g["n"].max())
+        v = float(g.loc[g["n"] == peak, "v"].min())
+        rows.append((et, round(v, 6), peak))
+    return pd.DataFrame(rows, columns=["event_type", "mode_value", "n"]).astype(
+        {"event_type": "object", "n": "int64"}
+    )
+
+
+def sql_grouped_mode() -> str:
+    return """
+WITH c AS (
+  SELECT event_type, round(value, 1) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, max(n) AS peak FROM c GROUP BY 1)
+SELECT c.event_type, round(min(c.v), 6) AS mode_value, m.peak AS n
+FROM c JOIN m ON m.event_type = c.event_type AND c.n = m.peak
+GROUP BY c.event_type, m.peak
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7379,4 +7460,6 @@ def registry() -> dict[str, tuple]:
         "tpch_q15": (q_tpch_q15, sql_tpch_q15()),
         "geo_mean": (q_geo_mean, sql_geo_mean()),
         "peak_rate": (q_peak_rate, sql_peak_rate()),
+        "term_infix": (q_term_infix, sql_term_infix()),
+        "grouped_mode": (q_grouped_mode, sql_grouped_mode()),
     }

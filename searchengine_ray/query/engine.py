@@ -548,6 +548,32 @@ class SearchEngine:
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return top
 
+    def infix_terms(self, needle: str, k: int = 10) -> list[tuple[str, int]]:
+        """Wildcard (*needle*) term lookup: the ``k`` highest-df
+        dictionary terms CONTAINING ``needle`` (ties by term ascending).
+        Unlike :meth:`prefix_terms` the term-sorted layout can't prune a
+        contains predicate, so this is the honest full-dictionary
+        metadata scan (block_id == 0 rows, (term, df) columns only) —
+        still vocabulary-sized, postings never load."""
+        if not needle:
+            raise ValueError("empty needle")
+        filt = pc.field("block_id") == 0
+        paths = [
+            p
+            for gen in list(self.manifest.generations)
+            for p in sorted((self.index_dir / gen).glob("shard=*.parquet"))
+        ]
+        tables = self._io_pool.map(
+            lambda p: pq.read_table(p, filters=filt, columns=["term", "df"]), paths
+        )
+        acc: dict[str, int] = {}
+        for tbl in tables:
+            mask = pc.match_substring(tbl["term"], needle)
+            sub = tbl.filter(mask)
+            for t, df in zip(sub["term"].to_pylist(), sub["df"].to_pylist()):
+                acc[t] = acc.get(t, 0) + int(df)
+        return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def doc_terms(self, doc_id: int) -> list[str]:
         """Distinct analyzed terms of one document — a doc_id-filtered
         point read of the (doc_id-sorted) ``analyzed/`` table, row-group
