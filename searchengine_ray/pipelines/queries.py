@@ -7289,6 +7289,162 @@ GROUP BY c.event_type, m.peak
 """
 
 
+# ------------------------------------------------ referential-integrity audit
+
+
+def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Warehouse FK audit: for every foreign-key edge, how many child
+    rows point at a missing parent. Dimension-sized parents broadcast
+    as key sets into batch-local membership probes (zero shuffle per
+    edge); the fact→fact edge (lineitem→orders) first collapses child
+    keys to distinct per batch so the probe volume is key-bounded. The
+    ingest data-quality gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for child, ck, parent, pk in edges:
+        keys = (
+            pq.read_table(f"{sf_dir}/{parent}.parquet", columns=[pk])[pk]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ref = ray.put(keys)
+
+        def orphans(b: pa.Table, _r=ref, _ck=ck) -> pa.Table:
+            ks = ray.get(_r)
+            v = b[_ck].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"bad": pa.array([int((~np.isin(v, ks)).sum())], pa.int64())}
+            )
+
+        agg = (
+            rd.read_parquet(f"{sf_dir}/{child}.parquet", columns=[ck])
+            .map_batches(orphans, batch_format="pyarrow")
+            .aggregate(Sum("bad", alias_name="orphans"))
+        )
+        rows.append((f"{child}.{ck}", f"{parent}.{pk}", int(agg["orphans"])))
+    return pd.DataFrame(rows, columns=["child", "parent", "orphans"]).astype(
+        {"child": "object", "parent": "object", "orphans": "int64"}
+    )
+
+
+def sql_fk_audit() -> str:
+    parts = []
+    for child, ck, parent, pk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]:
+        parts.append(f"""
+SELECT '{child}.{ck}' AS child, '{parent}.{pk}' AS parent,
+       CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS orphans
+FROM {child} c LEFT JOIN {parent} p ON p.{pk} = c.{ck}""")
+        parts.append("UNION ALL")
+    return "\n".join(parts[:-1])
+
+
+# -------------------------------------------------------- column profiling
+
+
+def q_events_profile(sf_dir: str) -> pd.DataFrame:
+    """Table profiling (the ingest schema-drift monitor): per column —
+    rows, nulls, exact distinct count, min/max. Distinct via the
+    two-level groupby; everything else is Sum/Min/Max-composable
+    partials in one scan."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    n_rows = ds.count()
+    rows = []
+    for col in ["event_type", "user_id", "value"]:
+
+        def key_of(b: pa.Table, _c=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            arr = b[_c]
+            if _c == "value":
+                arr = pc.round(arr, ndigits=3)
+            return pa.table({"k": arr.cast(pa.string())})
+
+        distinct = (
+            ds.map_batches(key_of, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Count())
+            .count()
+        )
+
+        def stats(b: pa.Table, _c=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            arr = b[_c]
+            return pa.table(
+                {
+                    "n_null": pa.array([arr.null_count], pa.int64()),
+                    "mn": pa.array([str(pc.min(arr).as_py())], pa.string()),
+                    "mx": pa.array([str(pc.max(arr).as_py())], pa.string()),
+                }
+            )
+
+        # one partial row per batch — never the column itself
+        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+        n_null = int(parts["n_null"].sum())
+        if col == "value":
+            mn = str(round(parts["mn"].astype(float).min(), 6))
+            mx = str(round(parts["mx"].astype(float).max(), 6))
+        elif col == "user_id":  # numeric merge — string min would be lexicographic
+            mn = str(int(parts["mn"].astype(np.int64).min()))
+            mx = str(int(parts["mx"].astype(np.int64).max()))
+        else:
+            mn, mx = str(parts["mn"].min()), str(parts["mx"].max())
+        rows.append((col, n_rows, n_null, int(distinct), mn, mx))
+    return pd.DataFrame(
+        rows, columns=["col", "n", "n_null", "n_distinct", "min_v", "max_v"]
+    ).astype({"col": "object", "n": "int64", "n_null": "int64", "n_distinct": "int64"})
+
+
+def sql_events_profile() -> str:
+    return """
+SELECT 'event_type' AS col, count(*) AS n,
+       CAST(count(*) FILTER (WHERE event_type IS NULL) AS BIGINT) AS n_null,
+       count(DISTINCT event_type) AS n_distinct,
+       CAST(min(event_type) AS VARCHAR) AS min_v, CAST(max(event_type) AS VARCHAR) AS max_v
+FROM events
+UNION ALL
+SELECT 'user_id', count(*),
+       CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+       count(DISTINCT user_id),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT),
+       count(DISTINCT round(value, 3)),
+       CAST(round(min(value), 6) AS VARCHAR), CAST(round(max(value), 6) AS VARCHAR)
+FROM events
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7462,4 +7618,6 @@ def registry() -> dict[str, tuple]:
         "peak_rate": (q_peak_rate, sql_peak_rate()),
         "term_infix": (q_term_infix, sql_term_infix()),
         "grouped_mode": (q_grouped_mode, sql_grouped_mode()),
+        "fk_audit": (q_fk_audit, sql_fk_audit()),
+        "events_profile": (q_events_profile, sql_events_profile()),
     }
