@@ -7445,6 +7445,144 @@ FROM events
 """
 
 
+# ---------------------------------------------- chi-square independence
+
+
+def q_lang_source_chisq(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-square independence statistic for the (source, lang)
+    contingency table — 'does language depend on source?', the
+    stratification sanity check before per-source sampling. One
+    cell-count shuffle (cells = |sources|×|langs|); the statistic
+    evaluates on the tiny table with margins derived driver-side."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cells = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+        .groupby(["source", "lang"])
+        .aggregate(Count(alias_name="o"))
+        .to_pandas()
+    )
+    n = float(cells["o"].sum())
+    row = cells.groupby("source")["o"].sum()
+    col = cells.groupby("lang")["o"].sum()
+    # full grid including zero cells (they contribute e, not 0)
+    grid = pd.MultiIndex.from_product([row.index, col.index], names=["source", "lang"])
+    full = cells.set_index(["source", "lang"])["o"].reindex(grid, fill_value=0).reset_index()
+    e = full["source"].map(row).to_numpy(np.float64) * full["lang"].map(col).to_numpy(
+        np.float64
+    ) / n
+    o = full["o"].to_numpy(np.float64)
+    chi2 = float(((o - e) ** 2 / e).sum())
+    dof = (len(row) - 1) * (len(col) - 1)
+    return pd.DataFrame(
+        {"chi2": [round(chi2, 4)], "dof": [dof], "n_cells": [len(full)]}
+    ).astype({"dof": "int64", "n_cells": "int64"})
+
+
+def sql_lang_source_chisq() -> str:
+    return """
+WITH c AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT source, sum(o) AS rn FROM c GROUP BY 1),
+l AS (SELECT lang, sum(o) AS cn FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM c),
+grid AS (SELECT r.source, l.lang, r.rn, l.cn FROM r CROSS JOIN l),
+cells_full AS (
+  SELECT g.source, g.lang, coalesce(c.o, 0) AS o, g.rn * g.cn / n.n AS e
+  FROM grid g LEFT JOIN c USING (source, lang) CROSS JOIN n)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       CAST((SELECT count(*) - 1 FROM r) * (SELECT count(*) - 1 FROM l) AS BIGINT) AS dof,
+       CAST((SELECT count(*) FROM cells_full) AS BIGINT) AS n_cells
+FROM cells_full
+"""
+
+
+# ------------------------------------------------- source vocabulary overlap
+
+
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Corpus-slice similarity: Jaccard between every pair of sources'
+    vocabularies, top-10 most-similar pairs. Distinct (source, term)
+    rows collapse per batch; per-term source-pair expansion is bounded
+    by C(|sources|, 2) per term — the slice-drift companion of
+    `term_drift`."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        src = b["source"].to_pandas().to_numpy(object)
+        seen = set()
+        for s, ts in zip(src, toks):
+            for t in set(ts):
+                seen.add((s, t))
+        if not seen:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string())})
+        ss, tt = zip(*sorted(seen))
+        return pa.table({"source": pa.array(ss, pa.string()), "term": pa.array(tt, pa.string())})
+
+    distinct = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Count())
+    )
+    sizes = {
+        r["source"]: r["count()"]
+        for r in distinct.groupby("source").aggregate(Count()).take_all()
+    }
+
+    def term_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ss = sorted(g["source"].unique())
+        if len(ss) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        ia, ib = np.triu_indices(len(ss), k=1)
+        arr = np.asarray(ss, object)
+        return pd.DataFrame({"a": arr[ia], "b": arr[ib]})
+
+    shared = (
+        distinct.groupby("term")
+        .map_groups(term_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    sa = shared["a"].map(sizes).to_numpy(np.float64)
+    sb = shared["b"].map(sizes).to_numpy(np.float64)
+    inter = shared["inter"].to_numpy(np.float64)
+    shared["jaccard"] = round_half_away(inter / (sa + sb - inter))
+    out = shared.sort_values(["jaccard", "a", "b"], ascending=[False, True, True]).head(10)
+    return out[["a", "b", "inter", "jaccard"]].reset_index(drop=True).astype(
+        {"a": "object", "b": "object", "inter": "int64"}
+    )
+
+
+def sql_vocab_overlap() -> str:
+    return r"""
+WITH d AS (
+  SELECT DISTINCT source, t AS term
+  FROM (SELECT source,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+s AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+p AS (
+  SELECT x.source AS a, y.source AS b, count(*) AS inter
+  FROM d x JOIN d y ON x.term = y.term AND x.source < y.source
+  GROUP BY 1, 2)
+SELECT a, b, inter,
+       round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS jaccard
+FROM p JOIN s sa ON sa.source = p.a JOIN s sb ON sb.source = p.b
+ORDER BY jaccard DESC, a, b LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7620,4 +7758,6 @@ def registry() -> dict[str, tuple]:
         "grouped_mode": (q_grouped_mode, sql_grouped_mode()),
         "fk_audit": (q_fk_audit, sql_fk_audit()),
         "events_profile": (q_events_profile, sql_events_profile()),
+        "lang_source_chisq": (q_lang_source_chisq, sql_lang_source_chisq()),
+        "vocab_overlap": (q_vocab_overlap, sql_vocab_overlap()),
     }
