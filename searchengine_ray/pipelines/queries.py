@@ -7583,6 +7583,119 @@ ORDER BY jaccard DESC, a, b LIMIT 10
 """
 
 
+# ---------------------------------------------------------- sentence stats
+
+
+def q_sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Sentence segmentation + readability proxy per source: split on
+    [.?!], count sentences and words, emit avg sentences/doc and
+    words/sentence (the Flesch-style building blocks). Stateless
+    vectorized kernels; one source-cardinality groupby of integer
+    partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas().fillna("")
+        sents = texts.str.split(r"[.?!]", regex=True).map(
+            lambda ps: [p for p in ps if p.strip()]
+        )
+        n_sent = sents.map(len).to_numpy(np.int64)
+        n_words = sents.map(
+            lambda ps: sum(len([w for w in p.split() if w]) for p in ps)
+        ).to_numpy(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_sent": pa.array(n_sent, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_sent", alias_name="sents"),
+            Sum("n_words", alias_name="words"),
+        )
+        .to_pandas()
+    )
+    out["sent_per_doc"] = round_half_away(out["sents"] / out["n_docs"])
+    out["words_per_sent"] = round_half_away(out["words"] / np.maximum(out["sents"], 1))
+    out = out.sort_values("source").reset_index(drop=True)
+    return out[["source", "n_docs", "sents", "words", "sent_per_doc", "words_per_sent"]].astype(
+        {"source": "object", "n_docs": "int64", "sents": "int64", "words": "int64"}
+    )
+
+
+def sql_sentence_stats() -> str:
+    return r"""
+WITH seg AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[.?!]'), p -> trim(p) <> '')) AS n_sent,
+         len(list_filter(
+             flatten(list_transform(
+                 list_filter(string_split_regex(text, '[.?!]'), p -> trim(p) <> ''),
+                 p -> string_split_regex(p, '[ \t\n\x0b\f\r]+'))),
+             w -> w <> '')) AS n_words
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_sent) AS BIGINT) AS sents, CAST(sum(n_words) AS BIGINT) AS words,
+       round(sum(n_sent) / CAST(count(*) AS DOUBLE), 6) AS sent_per_doc,
+       round(sum(n_words) / CAST(greatest(sum(n_sent), 1) AS DOUBLE), 6) AS words_per_sent
+FROM seg GROUP BY source
+"""
+
+
+# ------------------------------------------------- vocabulary concentration
+
+
+def q_vocab_concentration(sf_dir: str) -> pd.DataFrame:
+    """Zipf audit: share of the token stream covered by the top-k terms
+    (k = 5, 10, 20) — the vocabulary-concentration curve that predicts
+    head-term skew in the postings shuffle. One term-count shuffle; the
+    curve reads off the sorted aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.ngrams import unigram_partial_counts
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(unigram_partial_counts, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(counts["n"].sum())
+    top = counts.sort_values(["n", "t"], ascending=[False, True])["n"].to_numpy(np.float64)
+    rows = []
+    for k in (5, 10, 20):
+        rows.append((k, float(round_half_away(top[:k].sum() / total))))
+    return pd.DataFrame(rows, columns=["k", "share"]).astype({"k": "int64"})
+
+
+def sql_vocab_concentration() -> str:
+    return r"""
+WITH tok AS (
+  SELECT t, count(*) AS n
+  FROM (SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY t),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rn FROM tok),
+tot AS (SELECT sum(n) AS s FROM tok)
+SELECT k, round(cum / tot.s, 6) AS share
+FROM (SELECT unnest([5, 10, 20]) AS k),
+LATERAL (SELECT sum(n) AS cum FROM r WHERE rn <= k) c, tot
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7760,4 +7873,6 @@ def registry() -> dict[str, tuple]:
         "events_profile": (q_events_profile, sql_events_profile()),
         "lang_source_chisq": (q_lang_source_chisq, sql_lang_source_chisq()),
         "vocab_overlap": (q_vocab_overlap, sql_vocab_overlap()),
+        "sentence_stats": (q_sentence_stats, sql_sentence_stats()),
+        "vocab_concentration": (q_vocab_concentration, sql_vocab_concentration()),
     }
