@@ -7696,6 +7696,83 @@ LATERAL (SELECT sum(n) AS cum FROM r WHERE rn <= k) c, tot
 """
 
 
+# ------------------------------------------------------------ label spread
+
+
+def q_label_spread(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding dispersion: trace of the covariance (mean
+    per-dim variance) — the intra-cluster cohesion metric next to
+    `embedding_outliers`. Per-batch Σx/Σx² PARTIAL VECTORS per label
+    (two vectors per label × batch through the shuffle, never rows),
+    population variance on the aggregate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def parts(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(b)
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.list_(pa.float64())),
+                             "s2": pa.array([], pa.list_(pa.float64()))})
+        dim = len(flat) // n
+        m = flat.reshape(n, dim)
+        lbl = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = []
+        for u in np.unique(lbl):
+            sel = m[lbl == u]
+            rows.append((int(u), len(sel), sel.sum(axis=0).tolist(), (sel * sel).sum(axis=0).tolist()))
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "s1": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+                "s2": pa.array([r[3] for r in rows], pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["n"].sum())
+        s1 = np.sum(np.stack(g["s1"].to_numpy()), axis=0)
+        s2 = np.sum(np.stack(g["s2"].to_numpy()), axis=0)
+        var = s2 / n - (s1 / n) ** 2
+        return pd.DataFrame(
+            {"label": [int(g["label"].iloc[0])], "n": [n],
+             "spread": [float(round_half_away(var.mean()))]}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+        .map_batches(parts, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("label").reset_index(drop=True).astype(
+        {"label": "int64", "n": "int64"}
+    )
+
+
+def sql_label_spread() -> str:
+    return """
+WITH z AS (
+  SELECT label, u.i AS dim, u.v AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(len(embedding))) AS i,
+                       unnest(CAST(embedding AS DOUBLE[])) AS v) u),
+v AS (
+  SELECT label, dim,
+         sum(x * x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)) AS var,
+         count(*) AS n
+  FROM z GROUP BY 1, 2)
+SELECT label, CAST(any_value(n) AS BIGINT) AS n, round(avg(var), 6) AS spread
+FROM v GROUP BY label
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7875,4 +7952,5 @@ def registry() -> dict[str, tuple]:
         "vocab_overlap": (q_vocab_overlap, sql_vocab_overlap()),
         "sentence_stats": (q_sentence_stats, sql_sentence_stats()),
         "vocab_concentration": (q_vocab_concentration, sql_vocab_concentration()),
+        "label_spread": (q_label_spread, sql_label_spread()),
     }
