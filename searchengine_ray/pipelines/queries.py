@@ -7773,6 +7773,127 @@ FROM v GROUP BY label
 """
 
 
+# -------------------------------------------------------- growth accounting
+
+
+def q_new_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Growth accounting: per day — active users, NEW users (first seen
+    that day), cumulative users to date, repeat share. Two shuffles,
+    both user/day-bounded: per-user min-day (first-seen), per-day
+    distinct actives; the cumulative sum runs over the ~30-row day
+    table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array((us // 86400000000).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    first = (
+        ds.groupby("user_id").aggregate(Min("day", alias_name="d0"))
+        .groupby("d0").aggregate(Count(alias_name="new_users"))
+        .to_pandas()
+        .rename(columns={"d0": "day"})
+    )
+    active = (
+        ds.groupby(["day", "user_id"]).aggregate(Count())
+        .groupby("day").aggregate(Count(alias_name="active"))
+        .to_pandas()
+    )
+    out = active.merge(first, on="day", how="left").fillna({"new_users": 0})
+    out = out.sort_values("day").reset_index(drop=True)
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum()
+    out["repeat_share"] = round_half_away(
+        (out["active"] - out["new_users"]) / out["active"]
+    )
+    return out[["day", "active", "new_users", "cum_users", "repeat_share"]].astype(
+        {"day": "int64", "active": "int64", "cum_users": "int64"}
+    )
+
+
+def sql_new_users_daily() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events),
+f AS (SELECT user_id, min(day) AS d0 FROM e GROUP BY 1),
+nu AS (SELECT d0 AS day, count(*) AS new_users FROM f GROUP BY 1),
+act AS (SELECT day, count(*) AS active FROM e GROUP BY 1)
+SELECT a.day, a.active,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+       round((a.active - coalesce(n.new_users, 0)) / CAST(a.active AS DOUBLE), 6)
+         AS repeat_share
+FROM act a LEFT JOIN nu n USING (day)
+"""
+
+
+# -------------------------------------------------- supplier percentile rank
+
+
+def q_supplier_pctrank(sf_dir: str) -> pd.DataFrame:
+    """Within-nation percentile rank of suppliers by account balance,
+    top-3 per nation: the window-function ranking shape — per-group
+    ordering derives from a nation-bucket shuffle with vectorized
+    per-bucket ranks; pct_rank = (rank−1)/(n−1)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        n = len(g)
+        g["rnk"] = np.arange(1, n + 1, dtype=np.int64)
+        g["pct_rank"] = round_half_away(
+            (g["rnk"] - 1) / max(n - 1, 1)
+        )
+        return g.head(3)
+
+    out = (
+        ds.groupby("s_nationkey")
+        .map_groups(ranks, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["s_nationkey", "rnk"])
+        .reset_index(drop=True)
+    )
+    out["s_acctbal"] = out["s_acctbal"].round(4)
+    return out[["s_nationkey", "rnk", "s_suppkey", "s_acctbal", "pct_rank"]].astype(
+        {"s_nationkey": "int64", "rnk": "int64", "s_suppkey": "int64"}
+    )
+
+
+def sql_supplier_pctrank() -> str:
+    return """
+WITH r AS (
+  SELECT s_nationkey, s_suppkey, round(s_acctbal, 4) AS s_acctbal,
+         CAST(row_number() OVER w AS BIGINT) AS rnk,
+         count(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM supplier
+  WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey))
+SELECT s_nationkey, rnk, s_suppkey, s_acctbal,
+       round((rnk - 1) / CAST(greatest(n - 1, 1) AS DOUBLE), 6) AS pct_rank
+FROM r WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -7953,4 +8074,6 @@ def registry() -> dict[str, tuple]:
         "sentence_stats": (q_sentence_stats, sql_sentence_stats()),
         "vocab_concentration": (q_vocab_concentration, sql_vocab_concentration()),
         "label_spread": (q_label_spread, sql_label_spread()),
+        "new_users_daily": (q_new_users_daily, sql_new_users_daily()),
+        "supplier_pctrank": (q_supplier_pctrank, sql_supplier_pctrank()),
     }
