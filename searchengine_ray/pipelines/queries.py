@@ -7894,6 +7894,132 @@ FROM r WHERE rnk <= 3
 """
 
 
+# --------------------------------------------------------------- TPC-H Q17
+
+
+def q_tpch_q17(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue): per-part average
+    quantity (vocabulary-sized aggregate) broadcasts back as a per-key
+    threshold into a second scan — the correlated-subquery pattern
+    decorrelated into aggregate + broadcast + filter."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    avgq = line.groupby("l_partkey").aggregate(Mean("l_quantity", alias_name="aq")).to_pandas()
+    thresh = dict(zip(avgq["l_partkey"].astype(np.int64), 0.2 * avgq["aq"].astype(np.float64)))
+    ref = ray.put(thresh)
+
+    def small(b: pa.Table, _r=ref) -> pa.Table:
+        th = ray.get(_r)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        cut = np.fromiter((th[int(k)] for k in pk), np.float64, len(pk))
+        keep = q < cut
+        return pa.table(
+            {"p": pa.array(b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep], pa.float64())}
+        )
+
+    agg = line.map_batches(small, batch_format="pyarrow").aggregate(
+        Sum("p", alias_name="s"), Count(alias_name="n_lines")
+    )
+    return pd.DataFrame(
+        {"avg_yearly": [round(agg["s"] / 7.0, 4)], "n_lines": [int(agg["n_lines"])]}
+    ).astype({"n_lines": "int64"})
+
+
+def sql_tpch_q17() -> str:
+    return """
+WITH t AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS cut FROM lineitem GROUP BY 1)
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly, count(*) AS n_lines
+FROM lineitem l JOIN t ON t.l_partkey = l.l_partkey
+WHERE l.l_quantity < t.cut
+"""
+
+
+# --------------------------------------------------------- co-purchase pairs
+
+
+def q_copurchase_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top-10 co-purchased part pairs (parts appearing in the same
+    order): orders hash into buckets, each bucket sorts by orderkey and
+    expands per-order part-set pairs vectorized (run-length segments +
+    triu — the shingle-pair machinery's shape on baskets); one
+    pair-count groupby finishes. Basket sizes are small, so pair volume
+    is Σ C(|basket|,2) ≈ linear in lineitems."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        pk = g["l_partkey"].to_numpy(np.int64)
+        new = np.ones(len(ok), bool)
+        new[1:] = ok[1:] != ok[:-1]
+        # distinct parts within order: drop adjacent dup parts per order
+        dup = np.zeros(len(ok), bool)
+        dup[1:] = (~new[1:]) & (pk[1:] == pk[:-1])
+        ok, pk = ok[~dup], pk[~dup]
+        new = np.ones(len(ok), bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ok)))
+        pa_l, pb_l = [], []
+        for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
+            ia, ib = np.triu_indices(int(k), k=1)
+            pa_l.append(pk[s:s + k][ia])
+            pb_l.append(pk[s:s + k][ib])
+        if not pa_l:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        a = np.concatenate(pa_l)
+        b = np.concatenate(pb_l)
+        # pack the pair into ONE int64 key (partkeys < 2^31): a single-
+        # column Arrow-block groupby — the two-column pandas-block
+        # aggregate was measured 20× slower at this group cardinality
+        key = a * np.int64(1 << 31) + b
+        uniq, n = np.unique(key, return_counts=True)
+        return pa.table(
+            {"key": pa.array(uniq, pa.int64()), "n_part": pa.array(n, pa.int64())}
+        )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "bkt", pa.array((ok % 64).astype(np.int32), pa.int32())
+        )
+
+    counts = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    counts["pa"] = (counts["key"] // (1 << 31)).astype("int64")
+    counts["pb"] = (counts["key"] % (1 << 31)).astype("int64")
+    out = counts.sort_values(["n", "pa", "pb"], ascending=[False, True, True]).head(10)
+    return out[["pa", "pb", "n"]].reset_index(drop=True).astype(
+        {"pa": "int64", "pb": "int64", "n": "int64"}
+    )
+
+
+def sql_copurchase_pairs() -> str:
+    return """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8076,4 +8202,6 @@ def registry() -> dict[str, tuple]:
         "label_spread": (q_label_spread, sql_label_spread()),
         "new_users_daily": (q_new_users_daily, sql_new_users_daily()),
         "supplier_pctrank": (q_supplier_pctrank, sql_supplier_pctrank()),
+        "tpch_q17": (q_tpch_q17, sql_tpch_q17()),
+        "copurchase_pairs": (q_copurchase_pairs, sql_copurchase_pairs()),
     }
