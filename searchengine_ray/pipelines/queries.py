@@ -8020,6 +8020,73 @@ GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 10
 """
 
 
+# ------------------------------------------------------------ day profiles
+
+
+def q_day_profiles(sf_dir: str) -> pd.DataFrame:
+    """Day-shape anomaly detection: each day's event-type count vector
+    is its behavioral profile; the 5 most-DISSIMILAR day pairs by
+    cosine flag regime changes (the profile companion of the z-score
+    `anomaly_days`). One (day, type) count shuffle; the 30×30 cosine
+    matrix is driver-side trivia."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array((us // 86400000000).astype(np.int64), pa.int64()),
+                "event_type": b["event_type"],
+            }
+        )
+
+    cells = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    piv = cells.pivot_table(index="day", columns="event_type", values="n", fill_value=0)
+    days = piv.index.to_numpy(np.int64)
+    m = piv.to_numpy(np.float64)
+    norm = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norm, norm)
+    ia, ib = np.triu_indices(len(days), k=1)
+    out = pd.DataFrame(
+        {
+            "day_a": days[ia],
+            "day_b": days[ib],
+            "cosine": round_half_away(cos[ia, ib]),
+        }
+    )
+    out = out.sort_values(["cosine", "day_a", "day_b"], ascending=[True, True, True]).head(5)
+    return out.reset_index(drop=True).astype({"day_a": "int64", "day_b": "int64"})
+
+
+def sql_day_profiles() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+days AS (SELECT DISTINCT day FROM c),
+grid AS (
+  SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+  FROM days d CROSS JOIN types t LEFT JOIN c USING (day, event_type)),
+v AS (SELECT day, list(CAST(n AS DOUBLE) ORDER BY event_type) AS vec FROM grid GROUP BY day)
+SELECT a.day AS day_a, b.day AS day_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+FROM v a JOIN v b ON a.day < b.day
+ORDER BY cosine, day_a, day_b LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8204,4 +8271,5 @@ def registry() -> dict[str, tuple]:
         "supplier_pctrank": (q_supplier_pctrank, sql_supplier_pctrank()),
         "tpch_q17": (q_tpch_q17, sql_tpch_q17()),
         "copurchase_pairs": (q_copurchase_pairs, sql_copurchase_pairs()),
+        "day_profiles": (q_day_profiles, sql_day_profiles()),
     }
