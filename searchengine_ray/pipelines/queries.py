@@ -8087,6 +8087,109 @@ ORDER BY cosine, day_a, day_b LIMIT 5
 """
 
 
+# ---------------------------------------------- population stability index
+
+
+def q_value_psi(sf_dir: str) -> pd.DataFrame:
+    """Feature-drift monitoring (PSI): `value` distribution of the
+    first half-month (reference) vs the rest (current) over 10
+    reference-quantile bins; PSI = Σ (c−r)·ln(c/r). The standard
+    go/no-go drift gate before retraining. Bin boundaries come from the
+    exact-quantile machinery on the reference slice; both halves bin in
+    one shared scan."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.quantiles import exact_quantiles
+
+    SPLIT_DAY = 15
+
+    from ray.data.aggregate import Min
+
+    raw = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    tmin = raw.aggregate(Min("ts"))["min(ts)"]
+    day_min = int(pd.Timestamp(tmin).value // 1000) // 86400000000
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day0 = us // 86400000000 - day_min  # global min day, a broadcast scalar
+        v = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        return pa.table(
+            {
+                "half": pa.array((day0 >= SPLIT_DAY).astype(np.int64), pa.int64()),
+                "v": pa.array(v, pa.float64()),
+            }
+        )
+
+    ds = raw.map_batches(prep, batch_format="pyarrow").materialize()
+    qs = [i / 10.0 for i in range(1, 10)]
+    ref_ds = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["half"], 0)), batch_format="pyarrow"
+    )
+    bounds = exact_quantiles(ref_ds, "v", qs)["value"].to_numpy(np.float64)
+
+    def binned(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        h = b["half"].to_numpy(zero_copy_only=False)
+        bin_ = 1 + np.searchsorted(bounds, v, side="left")
+        df = pd.DataFrame({"bin": bin_.astype(np.int64), "h": h})
+        g = df.groupby(["bin", "h"], as_index=False).size()
+        return pa.table(
+            {
+                "bin": pa.array(g["bin"].to_numpy(np.int64), pa.int64()),
+                "r": pa.array(np.where(g["h"] == 0, g["size"], 0).astype(np.int64)),
+                "c": pa.array(np.where(g["h"] == 1, g["size"], 0).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("r", alias_name="r"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    rp = agg["r"].to_numpy(np.float64) / agg["r"].sum()
+    cp = agg["c"].to_numpy(np.float64) / agg["c"].sum()
+    agg["psi_term"] = round_half_away((cp - rp) * np.log(cp / rp))
+    out = agg[["bin", "r", "c", "psi_term"]].astype(
+        {"bin": "int64", "r": "int64", "c": "int64"}
+    )
+    return out
+
+
+def sql_value_psi() -> str:
+    bound_cols = ", ".join(
+        f"quantile_disc(v, {i/10.0}) AS b{i}" for i in range(1, 10)
+    )
+    bin_expr = " + ".join(f"CAST(v > b{i} AS BIGINT)" for i in range(1, 10))
+    return f"""
+WITH e AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+         - (SELECT min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) FROM events)
+           AS day0,
+         round(value, 3) AS v
+  FROM events),
+h AS (SELECT CAST(day0 >= 15 AS BIGINT) AS half, v FROM e),
+b AS (SELECT {bound_cols} FROM h WHERE half = 0),
+binned AS (
+  SELECT 1 + {bin_expr} AS bin, half FROM h, b),
+agg AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM binned GROUP BY bin),
+tot AS (SELECT sum(r) AS tr, sum(c) AS tc FROM agg)
+SELECT bin, r, c,
+       round((c / tot.tc - r / tot.tr) * ln((c / tot.tc) / (r / tot.tr)), 6) AS psi_term
+FROM agg, tot
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8272,4 +8375,5 @@ def registry() -> dict[str, tuple]:
         "tpch_q17": (q_tpch_q17, sql_tpch_q17()),
         "copurchase_pairs": (q_copurchase_pairs, sql_copurchase_pairs()),
         "day_profiles": (q_day_profiles, sql_day_profiles()),
+        "value_psi": (q_value_psi, sql_value_psi()),
     }
