@@ -841,3 +841,61 @@ class TestWave6Ops:
         out = q_conversion_time(sf_tiny)
         assert out["value"].is_monotonic_increasing
         assert (out["value"] > 0).all()
+
+
+class TestWave11Ops:
+    def test_new_users_daily_invariants(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_new_users_daily
+
+        out = q_new_users_daily(sf_tiny)
+        total_users = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM '{sf_tiny}/events.parquet'"
+        ).fetchone()[0]
+        assert int(out["cum_users"].iloc[-1]) == total_users
+        assert (out["new_users"] <= out["active"]).all()
+        assert out["cum_users"].is_monotonic_increasing
+
+    def test_copurchase_matches_bruteforce(self, ray_session, sf_tiny):
+        import duckdb
+        from collections import Counter
+
+        from searchengine_ray.pipelines.queries import q_copurchase_pairs
+
+        got = q_copurchase_pairs(sf_tiny)
+        df = duckdb.sql(
+            f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_tiny}/lineitem.parquet'"
+        ).df()
+        pair = Counter()
+        for _, g in df.groupby("l_orderkey"):
+            ps = sorted(g["l_partkey"])
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    pair[(ps[i], ps[j])] += 1
+        want = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert [((r.pa, r.pb), r.n) for r in got.itertuples()] == [
+            ((int(a), int(b)), n) for (a, b), n in want
+        ]
+
+    def test_value_psi_bins_partition_both_halves(self, ray_session, sf_tiny):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import q_value_psi
+
+        out = q_value_psi(sf_tiny)
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf_tiny}/events.parquet'"
+        ).fetchone()[0]
+        assert int(out["r"].sum() + out["c"].sum()) == n
+        # reference deciles → each reference bin holds ~10%
+        rp = out["r"] / out["r"].sum()
+        assert rp.max() < 0.2 and rp.min() > 0.02
+
+    def test_day_profiles_bounds(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_day_profiles
+
+        out = q_day_profiles(sf_tiny)
+        assert len(out) == 5
+        assert ((out["cosine"] > 0) & (out["cosine"] <= 1.0)).all()
+        assert (out["day_a"] < out["day_b"]).all()
