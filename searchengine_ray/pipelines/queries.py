@@ -8190,6 +8190,69 @@ FROM agg, tot
 """
 
 
+# ------------------------------------------------------------ CSV roundtrip
+
+
+def q_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV interchange: events (ids, type, value) → sharded .csv via
+    write_csv → read_csv → per-type counts and integer value checksum
+    matching the parquet-source oracle — proves the quoting/parse cycle
+    preserves every row (the lowest-common-denominator export format,
+    same contract family as the WET and JSONL roundtrips)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = CACHE_ROOT / f"csv-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).write_csv(str(base))
+
+    def digest(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = np.round(b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        micro = np.asarray(round_half_away(v * 1e3, 0), np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "id_sum": b["event_id"].cast(pa.int64()),
+                "v_milli": pa.array(micro, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_csv(str(base))
+        .map_batches(digest, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("id_sum", alias_name="id_sum"),
+            Sum("v_milli", alias_name="v_milli"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype({"event_type": "object", "n": "int64", "id_sum": "int64", "v_milli": "int64"})
+    )
+
+
+def sql_csv_roundtrip() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT) AS v_milli
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8376,4 +8439,5 @@ def registry() -> dict[str, tuple]:
         "copurchase_pairs": (q_copurchase_pairs, sql_copurchase_pairs()),
         "day_profiles": (q_day_profiles, sql_day_profiles()),
         "value_psi": (q_value_psi, sql_value_psi()),
+        "csv_roundtrip": (q_csv_roundtrip, sql_csv_roundtrip()),
     }
