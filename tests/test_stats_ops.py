@@ -899,3 +899,43 @@ class TestWave11Ops:
         assert len(out) == 5
         assert ((out["cosine"] > 0) & (out["cosine"] <= 1.0)).all()
         assert (out["day_a"] < out["day_b"]).all()
+
+
+class TestRoundingProperties:
+    def test_round_half_away_matches_duckdb_randomized(self):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import round_half_away
+
+        rng = np.random.RandomState(11)
+        # mix: arbitrary doubles, dyadic-exact ratios, negatives
+        vals = np.concatenate(
+            [
+                rng.uniform(-10, 10, 200),
+                rng.randint(1, 1000, 100) / rng.choice([2, 4, 8, 16, 32, 64], 100),
+                [0.0, -0.0000005, 0.0000005, 195 / 384],
+            ]
+        )
+        got = round_half_away(vals).tolist()
+        lits = ", ".join(f"({v!r}::DOUBLE)" for v in vals)
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT round(v, 6) FROM (VALUES {lits}) t(v)"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_round_half_away_nd_param(self):
+        import duckdb
+
+        from searchengine_ray.pipelines.queries import round_half_away
+
+        for nd in (0, 1, 3):
+            vals = [2.25, 2.35, -2.25, 0.5, 1.5, 2.5, 1.0005]
+            got = [float(round_half_away(v, nd)) for v in vals]
+            want = [
+                duckdb.sql(f"SELECT round({v!r}::DOUBLE, {nd})").fetchone()[0]
+                for v in vals
+            ]
+            assert got == want, nd
