@@ -8253,6 +8253,446 @@ FROM events GROUP BY event_type
 """
 
 
+# ------------------------------------- query likelihood (Dirichlet smoothing)
+
+QL_QUERY = "query window join"
+QL_MU = 2000.0
+
+
+def q_ql_dirichlet(sf_dir: str) -> pd.DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001) over the real index artifacts: exact collection frequencies
+    from the posting tfs, exact |C| from the manifest's total_tokens,
+    smoothed zero-tf contributions dense over the candidate union
+    (engine.search_ql_dirichlet)."""
+    res = _engine(sf_dir).search_ql_dirichlet(QL_QUERY, mu=QL_MU, topk=None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_ql_dirichlet() -> str:
+    qterms = ", ".join(f"('{t}')" for t in QL_QUERY.split())
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+cf AS (SELECT term, sum(tf) AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(tf) AS c FROM toks),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+qstats AS (SELECT qtf.term, qtf.qn, cf.cf FROM qtf JOIN cf USING (term)),
+cand AS (SELECT DISTINCT toks.doc_id FROM toks JOIN qstats USING (term)),
+scored AS (
+    SELECT cand.doc_id,
+           sum(qstats.qn * ln((coalesce(t.tf, 0) + {QL_MU} * qstats.cf / tot.c)
+                              / (dls.dl + {QL_MU}))) AS score
+    FROM cand CROSS JOIN qstats
+    LEFT JOIN toks t ON t.doc_id = cand.doc_id AND t.term = qstats.term
+    JOIN dls ON dls.doc_id = cand.doc_id
+    CROSS JOIN tot
+    GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+# ------------------------------------------------- TPC-H Q7 (two-nation trade)
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def q_tpch_q7(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    nation-filtered supplier and customer sides collapse to broadcast
+    key→nation lookup arrays (2/25-nation slices of dimension tables —
+    ``ray.put`` once, probed vectorized in every map task); the only
+    all-to-all is the honest fact-fact hash join lineitem⋈orders on
+    orderkey. Cross-nation pair filter applies vectorized post-join so
+    same-nation rows never reach the aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    name_by_key = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    keys = {v: k for k, v in name_by_key.items()}
+    nk_a, nk_b = keys[Q7_NATIONS[0]], keys[Q7_NATIONS[1]]
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nat = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_map = np.full(int(s_keys.max()) + 1, -1, np.int64)
+    sel = (s_nat == nk_a) | (s_nat == nk_b)
+    s_map[s_keys[sel]] = s_nat[sel]
+    supp_ref = ray.put(s_map)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c_keys = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_nat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c_map = np.full(int(c_keys.max()) + 1, -1, np.int64)
+    sel = (c_nat == nk_a) | (c_nat == nk_b)
+    c_map[c_keys[sel]] = c_nat[sel]
+    cust_ref = ray.put(c_map)
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(), pa.timestamp("us"))
+
+    def line_side(b: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref)
+        b = b.filter(pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.where(sk < len(smap), smap[np.minimum(sk, len(smap) - 1)], -1)
+        keep = snat >= 0
+        vol = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "supp_nk": pa.array(snat[keep], pa.int64()),
+                "l_year": pc.year(b["l_shipdate"]).to_numpy(zero_copy_only=False)[keep],
+                "volume": vol.to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    def order_side(b: pa.Table, _ref=cust_ref) -> pa.Table:
+        cmap = ray.get(_ref)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnat = np.where(ck < len(cmap), cmap[np.minimum(ck, len(cmap) - 1)], -1)
+        keep = cnat >= 0
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "cust_nk": pa.array(cnat[keep], pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_side, batch_format="pyarrow")
+
+    def cross_pairs(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["supp_nk"], b["cust_nk"]))
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(cross_pairs, batch_format="pyarrow")
+        .groupby(["supp_nk", "cust_nk", "l_year"])
+        .aggregate(Sum("volume", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["supp_nation"] = out["supp_nk"].map(name_by_key)
+    out["cust_nation"] = out["cust_nk"].map(name_by_key)
+    out["revenue"] = out["revenue"].round(4)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]].astype(
+        {"l_year": "int64", "revenue": "float64"}
+    )
+
+
+def sql_tpch_q7() -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{Q7_NATIONS[0]}' AND n2.n_name = '{Q7_NATIONS[1]}')
+    OR (n1.n_name = '{Q7_NATIONS[1]}' AND n2.n_name = '{Q7_NATIONS[0]}'))
+  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------- TPC-H Q8 (national market share)
+
+Q8_NATION = "NATION_6"
+Q8_REGION = "AMERICA"
+Q8_TYPE = "STANDARD"
+
+
+def q_tpch_q8(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): region-filtered customers,
+    type-filtered parts and the supplier→nation map all broadcast (dim
+    slices); one fact-fact hash join lineitem⋈orders on orderkey; the
+    share is a per-year ratio of two distributed Sums — the numerator
+    flag (supplier from the target nation) rides the rows, so no second
+    pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = region.filter(pc.equal(region["r_name"], Q8_REGION))["r_regionkey"][0].as_py()
+    region_nk = set(
+        nation.filter(pc.equal(nation["n_regionkey"], rk))["n_nationkey"].to_pylist()
+    )
+    target_nk = nation.filter(pc.equal(nation["n_name"], Q8_NATION))["n_nationkey"][0].as_py()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    c_in = np.zeros(int(ck.max()) + 1, bool)
+    c_in[ck[np.isin(cn, list(region_nk))]] = True
+    cust_ref = ray.put(c_in)
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.filter(pc.equal(part["p_type"], Q8_TYPE))["p_partkey"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    p_in = np.zeros(int(part["p_partkey"].to_numpy(zero_copy_only=False).max()) + 1, bool)
+    p_in[pk] = True
+    part_ref = ray.put(p_in)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_tgt = np.zeros(int(sk.max()) + 1, bool)
+    s_tgt[sk[supp["s_nationkey"].to_numpy(zero_copy_only=False) == target_nk]] = True
+    supp_ref = ray.put(s_tgt)
+
+    lo = pa.scalar(pd.Timestamp("1995-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(), pa.timestamp("us"))
+
+    def order_side(b: pa.Table, _ref=cust_ref) -> pa.Table:
+        cmap = ray.get(_ref)
+        b = b.filter(
+            pc.and_(pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi))
+        )
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ck < len(cmap)) & cmap[np.minimum(ck, len(cmap) - 1)]
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                "o_year": pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False)[keep],
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(order_side, batch_format="pyarrow")
+
+    def line_side(b: pa.Table, _pref=part_ref, _sref=supp_ref) -> pa.Table:
+        pmap, smap = ray.get(_pref), ray.get(_sref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (pk < len(pmap)) & pmap[np.minimum(pk, len(pmap) - 1)]
+        b = b.filter(pa.array(keep))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = (sk < len(smap)) & smap[np.minimum(sk, len(smap) - 1)]
+        vol = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "volume": pa.array(vol, pa.float64()),
+                "tgt_volume": pa.array(np.where(tgt, vol, 0.0), pa.float64()),
+            }
+        )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby("o_year")
+        .aggregate(
+            Sum("tgt_volume", alias_name="tgt"),
+            Sum("volume", alias_name="tot"),
+        )
+        .to_pandas()
+    )
+    out["mkt_share"] = round_half_away(out["tgt"] / out["tot"], 6)
+    out = out.sort_values("o_year").reset_index(drop=True)
+    return out[["o_year", "mkt_share"]].astype({"o_year": "int64", "mkt_share": "float64"})
+
+
+def sql_tpch_q8() -> str:
+    return f"""
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(sum(CASE WHEN nation = '{Q8_NATION}' THEN volume ELSE 0 END) / sum(volume), 6)
+           AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+      AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+) GROUP BY o_year
+"""
+
+
+# ------------------------------------------- TPC-H Q22 (global sales opportunity)
+
+
+def q_tpch_q22(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (customers with above-average balance and no
+    orders), adapted to the available columns (nationkey stands in for
+    the phone country code; "no orders" becomes "no orders since
+    1999-01-01" — every synthetic customer has SOME order, so the
+    classic predicate is degenerate on this data). The above-average
+    threshold compares in EXACT integer cents (balance_cents · n_pos >
+    sum_cents) so the boundary row can never flip between engines'
+    float summation orders; the lapsed-customer side is the broadcast
+    anti-join (functions/joins.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from searchengine_ray.functions.joins import semi_anti_join
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                "cents": cents,
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(to_cents, batch_format="pyarrow")
+
+    pos = cust.filter(expr="cents > 0")
+    thr = pos.aggregate(Count(alias_name="n"), Sum("cents", alias_name="s"))
+    n_pos, s_cents = int(thr["n"]), int(thr["s"])
+
+    rich = cust.filter(lambda r: r["cents"] * n_pos > s_cents)
+    cut = pa.scalar(pd.Timestamp("1999-01-01").to_pydatetime(), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], cut)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = (
+        semi_anti_join(rich, orders, "c_custkey", "o_custkey", anti=True)
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="numcust"), Sum("cents", alias_name="cents"))
+        .to_pandas()
+    )
+    if out.empty:
+        out = pd.DataFrame({"c_nationkey": [], "numcust": [], "cents": []})
+    out["totacctbal"] = (out["cents"] / 100.0).round(2)
+    out = out.rename(columns={"c_nationkey": "cntrycode"})
+    out = out.sort_values("cntrycode").reset_index(drop=True)
+    return out[["cntrycode", "numcust", "totacctbal"]].astype(
+        {"cntrycode": "int64", "numcust": "int64", "totacctbal": "float64"}
+    )
+
+
+def sql_tpch_q22() -> str:
+    return """
+WITH pos AS (
+    SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer WHERE c_acctbal > 0.0
+),
+thr AS (SELECT count(*) AS n, sum(cents) AS s FROM pos),
+eligible AS (
+    SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer, thr
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * thr.n > thr.s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, count(*) AS numcust,
+       round(sum(cents) / 100.0, 2) AS totacctbal
+FROM eligible GROUP BY 1
+"""
+
+
+# ------------------------------------------------- per-source char-class audit
+
+
+def q_charclass_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source character-class profile (webtext encoding/noise audit):
+    total chars, digits, spaces, sentence punctuation — all counted with
+    RE2 kernels (`pc.count_substring_regex`) inside one pruned scan, so
+    the shuffle carries four int64s per (source × batch)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def profile(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        return pa.table(
+            {
+                "source": b["source"],
+                "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+                "digits": pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.int64()),
+                "spaces": pc.cast(pc.count_substring(text, " "), pa.int64()),
+                "punct": pc.cast(pc.count_substring_regex(text, "[,.;?!]"), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(profile, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("chars", alias_name="chars"),
+            Sum("digits", alias_name="digits"),
+            Sum("spaces", alias_name="spaces"),
+            Sum("punct", alias_name="punct"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values("source").reset_index(drop=True)
+    return out.astype(
+        {
+            "source": "object",
+            "n_docs": "int64",
+            "chars": "int64",
+            "digits": "int64",
+            "spaces": "int64",
+            "punct": "int64",
+        }
+    )
+
+
+def sql_charclass_stats() -> str:
+    return """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT)
+           AS digits,
+       CAST(sum(length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS spaces,
+       CAST(sum(length(text) - length(regexp_replace(text, '[,.;?!]', '', 'g'))) AS BIGINT)
+           AS punct
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8440,4 +8880,9 @@ def registry() -> dict[str, tuple]:
         "day_profiles": (q_day_profiles, sql_day_profiles()),
         "value_psi": (q_value_psi, sql_value_psi()),
         "csv_roundtrip": (q_csv_roundtrip, sql_csv_roundtrip()),
+        "ql_dirichlet": (q_ql_dirichlet, sql_ql_dirichlet()),
+        "tpch_q7": (q_tpch_q7, sql_tpch_q7()),
+        "tpch_q8": (q_tpch_q8, sql_tpch_q8()),
+        "tpch_q22": (q_tpch_q22, sql_tpch_q22()),
+        "charclass_stats": (q_charclass_stats, sql_charclass_stats()),
     }

@@ -809,6 +809,63 @@ class SearchEngine:
             order = order[:topk]
         return [(int(uids[i]), float(score_vals[i])) for i in order]
 
+    # ---------- query likelihood (Dirichlet smoothing) ----------
+
+    def search_ql_dirichlet(
+        self, query: str | list[str], mu: float = 2000.0, topk: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Query-likelihood ranking with Dirichlet-prior smoothing
+        (Zhai & Lafferty 2001): score(d) = Σ_q qn · ln((tf + μ·cf_t/|C|)
+        / (dl_d + μ)) over the distinct query terms present in the
+        collection, for every doc containing ≥1 query term. cf_t is the
+        exact collection frequency (sum of the term's posting tfs — the
+        postings cover the whole corpus) and |C| is the manifest's exact
+        ``total_tokens``. Docs missing a term still receive its smoothed
+        background mass, so the zero-tf contribution is computed dense
+        over the candidate union. Returns (doc_id, score) sorted by
+        (-score, doc_id)."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms:
+            return []
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        total = float(self.manifest.total_tokens) or 1.0
+        # candidate union + per-candidate doc length (gathered from any
+        # posting where the doc occurs — dls is replicated per posting)
+        uids = np.unique(np.concatenate([posts[t].doc_ids for t in terms]))
+        if len(self._tombstones):
+            uids = uids[~np.isin(uids, self._tombstones)]
+        if not len(uids):
+            return []
+        dl = np.zeros(len(uids), dtype=np.float64)
+        for t in terms:
+            p = posts[t]
+            pos = np.searchsorted(uids, p.doc_ids)
+            ok = pos < len(uids)
+            dl[pos[ok]] = p.dls[ok]
+        scores = np.zeros(len(uids), dtype=np.float64)
+        denom = dl + mu
+        for t in terms:
+            p = posts[t]
+            cf = float(p.tfs.sum())
+            bg = mu * (cf / total)
+            tf_dense = np.zeros(len(uids), dtype=np.float64)
+            pos = np.searchsorted(uids, p.doc_ids)
+            tf_dense[pos] = p.tfs
+            scores += qtf[t] * np.log((tf_dense + bg) / denom)
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
+
     def _is_tombstone(self, doc: int) -> bool:
         if len(self._tombstones) == 0:
             return False

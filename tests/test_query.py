@@ -325,3 +325,68 @@ class TestMinTermDistance:
                 assert got.get(r.doc_id) == want, r.doc_id
             else:
                 assert r.doc_id not in got
+
+
+class TestQLDirichlet:
+    """Dirichlet query-likelihood (engine.search_ql_dirichlet) vs an
+    independent brute-force recomputation from the raw corpus: exact
+    cf/|C| accounting, smoothed zero-tf contributions, mu sensitivity,
+    (-score, doc_id) ordering, OOV and topk contracts."""
+
+    def _brute(self, engine, query, mu):
+        import collections
+        import math as m
+
+        tok_by_doc = {d: engine.analyze(t) for d, t in DOCS.items()}
+        cf = collections.Counter()
+        for toks in tok_by_doc.values():
+            cf.update(toks)
+        total = sum(cf.values())
+        qtoks = engine.analyze(query)
+        qterms = [t for t in dict.fromkeys(qtoks) if cf[t] > 0]
+        qn = collections.Counter(qtoks)
+        out = {}
+        for d, toks in tok_by_doc.items():
+            tf = collections.Counter(toks)
+            if not any(tf[t] for t in qterms):
+                continue
+            dl = len(toks)
+            out[d] = sum(
+                qn[t] * m.log((tf[t] + mu * cf[t] / total) / (dl + mu)) for t in qterms
+            )
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    @pytest.mark.parametrize("query", ["cat dog", "pizza summer house", "toy"])
+    @pytest.mark.parametrize("mu", [10.0, 2000.0])
+    def test_matches_brute_force(self, engine, query, mu):
+        got = engine.search_ql_dirichlet(query, mu=mu, topk=None)
+        want = self._brute(engine, query, mu)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert np.allclose([s for _, s in got], [s for _, s in want], rtol=1e-12)
+
+    def test_candidates_are_union_not_intersection(self, engine):
+        # doc 3 has dog but not cat: must still be scored (smoothed cat mass)
+        got = dict(engine.search_ql_dirichlet("cat dog", topk=None))
+        assert 3 in got
+        # doc 6 has neither → absent
+        assert 6 not in got
+
+    def test_oov_term_skipped_not_fatal(self, engine):
+        with_oov = engine.search_ql_dirichlet("cat zzzunseen", topk=None)
+        without = engine.search_ql_dirichlet("cat", topk=None)
+        assert [d for d, _ in with_oov] == [d for d, _ in without]
+
+    def test_all_oov_empty(self, engine):
+        assert engine.search_ql_dirichlet("zzz qqq", topk=None) == []
+
+    def test_topk_prefix(self, engine):
+        full = engine.search_ql_dirichlet("cat dog toy", topk=None)
+        assert engine.search_ql_dirichlet("cat dog toy", topk=3) == full[:3]
+        assert engine.search_ql_dirichlet("cat dog toy", topk=0) == []
+
+    def test_duplicate_query_terms_weight(self, engine):
+        once = dict(engine.search_ql_dirichlet("cat dog", topk=None))
+        twice = dict(engine.search_ql_dirichlet("cat cat dog", topk=None))
+        # doubling a term's multiplicity doubles its contribution only
+        assert set(once) == set(twice)
+        assert any(abs(twice[d] - once[d]) > 1e-9 for d in once)
