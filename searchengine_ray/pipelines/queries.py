@@ -8693,6 +8693,665 @@ FROM documents GROUP BY source
 """
 
 
+# --------------------------------------------- TPC-H Q2 (minimum-cost supplier)
+
+Q2_TYPE = "STANDARD"
+Q2_SIZE_MAX = 10
+Q2_REGION = "AMERICA"
+
+
+def q_tpch_q2(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the classic correlated
+    subquery (cost = min cost over suppliers of the part) decorrelated
+    into two groupbys — per-(part, supplier) Min(cents), then per-part
+    Min — with the equality join back done against a broadcast per-part
+    minimum array (the filtered part set is a small dimension slice).
+    lineitem stands in for partsupp (no partsupp table in this schema);
+    cost is exact integer cents so the min can't tie-break differently
+    across engines. Part/supplier/nation filters are broadcast bool/int
+    lookup arrays; the only all-to-all is the (part, supp) groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_ok = np.zeros(int(pk.max()) + 1, bool)
+    sel = (
+        pc.and_(
+            pc.equal(part["p_type"], Q2_TYPE), pc.less_equal(part["p_size"], Q2_SIZE_MAX)
+        )
+        .to_numpy(zero_copy_only=False)
+    )
+    p_ok[pk[sel]] = True
+    part_ref = ray.put(p_ok)
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = region.filter(pc.equal(region["r_name"], Q2_REGION))["r_regionkey"][0].as_py()
+    region_nk = set(
+        nation.filter(pc.equal(nation["n_regionkey"], rk))["n_nationkey"].to_pylist()
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_name", "s_acctbal"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ok = np.zeros(int(sk.max()) + 1, bool)
+    s_ok[sk[np.isin(supp["s_nationkey"].to_numpy(zero_copy_only=False), list(region_nk))]] = True
+    supp_ref = ray.put(s_ok)
+
+    def pair_side(b: pa.Table, _pref=part_ref, _sref=supp_ref) -> pa.Table:
+        pmap, smap = ray.get(_pref), ray.get(_sref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            (lpk < len(pmap))
+            & pmap[np.minimum(lpk, len(pmap) - 1)]
+            & (lsk < len(smap))
+            & smap[np.minimum(lsk, len(smap) - 1)]
+        )
+        b = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"l_partkey": b["l_partkey"], "l_suppkey": b["l_suppkey"], "cents": cents}
+        )
+
+    pair_cost = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        )
+        .map_batches(pair_side, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Min("cents", alias_name="cents"))
+    )
+    # per-part minimum: a second (tiny — |filtered parts| rows) groupby,
+    # broadcast back as a dense array for the equality probe
+    best = pair_cost.groupby("l_partkey").aggregate(Min("cents", alias_name="mc")).to_pandas()
+    mc = np.full(int(p_ok.shape[0]), np.iinfo(np.int64).max, np.int64)
+    mc[best["l_partkey"].to_numpy().astype(np.int64)] = best["mc"].to_numpy()
+    mc_ref = ray.put(mc)
+
+    def is_best(b: pa.Table, _ref=mc_ref) -> pa.Table:
+        m = ray.get(_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(b["cents"].to_numpy(zero_copy_only=False) == m[lpk]))
+
+    out = pair_cost.map_batches(is_best, batch_format="pyarrow").to_pandas()
+    sup_pd = supp.to_pandas().merge(
+        nation.to_pandas()[["n_nationkey", "n_name"]],
+        left_on="s_nationkey",
+        right_on="n_nationkey",
+    )
+    out = out.merge(sup_pd[["s_suppkey", "s_name", "s_acctbal", "n_name"]],
+                    left_on="l_suppkey", right_on="s_suppkey")
+    out["cost"] = (out["cents"] / 100.0).round(2)
+    out = out.rename(columns={"l_partkey": "p_partkey"})
+    out = out.sort_values(["p_partkey", "s_name"]).reset_index(drop=True)
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey", "cost"]].astype(
+        {"s_acctbal": "float64", "p_partkey": "int64", "cost": "float64"}
+    )
+
+
+def sql_tpch_q2() -> str:
+    return f"""
+WITH pairc AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = '{Q2_TYPE}' AND p_size <= {Q2_SIZE_MAX} AND r_name = '{Q2_REGION}'
+  GROUP BY 1, 2
+), best AS (SELECT l_partkey, MIN(cents) AS mc FROM pairc GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, CAST(p.l_partkey AS BIGINT) AS p_partkey,
+       round(p.cents / 100.0, 2) AS cost
+FROM pairc p JOIN best b ON p.l_partkey = b.l_partkey AND p.cents = b.mc
+JOIN supplier ON s_suppkey = p.l_suppkey JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------- TPC-H Q9 (product-type profit)
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q_tpch_q9(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): part-name
+    filter and supplier→nation map broadcast as lookup arrays; profit
+    volume rides the lineitem rows through the one fact-fact hash join
+    (orders supplies the year); one (nation, year) groupby finishes.
+    Profit omits ps_supplycost (no partsupp table in this schema)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    name_by_key = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_ok = np.zeros(int(pk.max()) + 1, bool)
+    sel = pc.match_substring(part["p_name"], Q9_NAME_SUBSTR).to_numpy(zero_copy_only=False)
+    p_ok[pk[sel]] = True
+    part_ref = ray.put(p_ok)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_map = np.full(int(sk.max()) + 1, -1, np.int64)
+    s_map[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_ref = ray.put(s_map)
+
+    def line_side(b: pa.Table, _pref=part_ref, _sref=supp_ref) -> pa.Table:
+        pmap, smap = ray.get(_pref), ray.get(_sref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (lpk < len(pmap)) & pmap[np.minimum(lpk, len(pmap) - 1)]
+        b = b.filter(pa.array(keep))
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vol = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "supp_nk": pa.array(smap[lsk], pa.int64()),
+                "volume": vol,
+            }
+        )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_side, batch_format="pyarrow")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b["o_orderkey"], "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby(["supp_nk", "o_year"])
+        .aggregate(Sum("volume", alias_name="sum_profit"))
+        .to_pandas()
+    )
+    out["nation"] = out["supp_nk"].map(name_by_key)
+    out["sum_profit"] = out["sum_profit"].round(4)
+    out = out.sort_values(["nation", "o_year"]).reset_index(drop=True)
+    return out[["nation", "o_year", "sum_profit"]].astype(
+        {"o_year": "int64", "sum_profit": "float64"}
+    )
+
+
+def sql_tpch_q9() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%' GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- TPC-H Q11 (important stock)
+
+Q11_NATION = "NATION_3"
+Q11_MULT = 3  # keep parts worth more than 3x the mean part value (scale-invariant)
+
+
+def q_tpch_q11(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (important stock identification): the global
+    HAVING threshold (part value > fraction of the grand total) is the
+    classic scalar-decorrelation pattern — one per-part Sum groupby,
+    one scalar Sum over its output, then a broadcast-scalar filter.
+    Values are exact integer cents so the strict > compare can't flip
+    with float summation order; lineitem×nation-filtered-suppliers
+    stands in for partsupp."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = nation.filter(pc.equal(nation["n_name"], Q11_NATION))["n_nationkey"][0].as_py()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_ok = np.zeros(int(sk.max()) + 1, bool)
+    s_ok[sk[supp["s_nationkey"].to_numpy(zero_copy_only=False) == nk]] = True
+    supp_ref = ray.put(s_ok)
+
+    def line_side(b: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (lsk < len(smap)) & smap[np.minimum(lsk, len(smap) - 1)]
+        b = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_partkey": b["l_partkey"], "cents": cents})
+
+    vals = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+        )
+        .map_batches(line_side, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+    from ray.data.aggregate import Count
+
+    thr = vals.aggregate(Sum("cents", alias_name="t"), Count(alias_name="n"))
+    total, n_parts = int(thr["t"]), int(thr["n"])
+
+    out = (
+        vals.filter(lambda r: r["cents"] * n_parts > Q11_MULT * total)
+        .to_pandas()
+        .rename(columns={"l_partkey": "p_partkey"})
+    )
+    if out.empty:
+        out = pd.DataFrame({"p_partkey": [], "cents": []})
+    out["value"] = (out["cents"] / 100.0).round(2)
+    out = out.sort_values("p_partkey").reset_index(drop=True)
+    return out[["p_partkey", "value"]].astype({"p_partkey": "int64", "value": "float64"})
+
+
+def sql_tpch_q11() -> str:
+    return f"""
+WITH vals AS (
+  SELECT l_partkey, SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}' GROUP BY 1
+), tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM vals)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, round(cents / 100.0, 2) AS value
+FROM vals, tot WHERE cents * n > {Q11_MULT} * t
+"""
+
+
+# --------------------------------------------- TPC-H Q12 (shipping priority)
+
+
+def q_tpch_q12(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): lineitems
+    shipped in 1996 and late (shipdate > orderdate + 90 days — a
+    fact-fact column compare, so an honest co-partition hash join on
+    orderkey), counted per returnflag (stands in for shipmode, which
+    this schema lacks) split by urgent/non-urgent order priority.
+    Both counts ride as 0/1 ints through one groupby-Sum."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(), pa.timestamp("us"))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def tally(b: pa.Table) -> pa.Table:
+        cut = pc.add(b["o_orderdate"], pa.scalar(_dt.timedelta(days=90)))
+        b = b.filter(pc.greater(b["l_shipdate"], cut))
+        hi_flag = pc.is_in(
+            b["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        hi64 = pc.cast(hi_flag, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "high_line_count": hi64,
+                "low_line_count": pc.subtract(1, hi64),
+            }
+        )
+
+    out = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(tally, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()
+    )
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    return out[["l_returnflag", "high_line_count", "low_line_count"]].astype(
+        {"high_line_count": "int64", "low_line_count": "int64"}
+    )
+
+
+def sql_tpch_q12() -> str:
+    return """
+SELECT l_returnflag,
+ CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+     AS high_line_count,
+ CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+     AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
+# --------------------------------------------- TPC-H Q16 (supplier counts)
+
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+Q16_EXCL_BRAND = "Brand#1"
+
+
+def q_tpch_q16(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size) over the lineitem part↔supplier
+    relation, excluding bad-standing suppliers (negative acctbal stands
+    in for the complaints NOT-IN subquery — broadcast as a bool array).
+    COUNT(DISTINCT) is two groupbys: dedup on the quadruple, then
+    Count per triple — both on the same key prefix so the second
+    shuffle is small."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(pk.max()) + 1
+    keep_part = (
+        pc.and_(
+            pc.not_equal(part["p_brand"], Q16_EXCL_BRAND),
+            pc.is_in(part["p_size"], value_set=pa.array(list(Q16_SIZES))),
+        )
+        .to_numpy(zero_copy_only=False)
+    )
+    p_ok = np.zeros(n, bool)
+    p_ok[pk[keep_part]] = True
+    # dictionary-encode brand/type driver-side; ship int codes through the shuffle
+    brands = sorted(set(part["p_brand"].to_pylist()))
+    types = sorted(set(part["p_type"].to_pylist()))
+    b_code = {s: i for i, s in enumerate(brands)}
+    t_code = {s: i for i, s in enumerate(types)}
+    p_brand = np.zeros(n, np.int32)
+    p_type = np.zeros(n, np.int32)
+    p_size = np.zeros(n, np.int32)
+    p_brand[pk] = np.array([b_code[s] for s in part["p_brand"].to_pylist()], np.int32)
+    p_type[pk] = np.array([t_code[s] for s in part["p_type"].to_pylist()], np.int32)
+    p_size[pk] = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int32)
+    attrs_ref = ray.put((p_ok, p_brand, p_type, p_size))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_bad = np.zeros(int(sk.max()) + 1, bool)
+    s_bad[sk[supp["s_acctbal"].to_numpy(zero_copy_only=False) < 0]] = True
+    bad_ref = ray.put(s_bad)
+
+    def quad(b: pa.Table, _aref=attrs_ref, _bref=bad_ref) -> pa.Table:
+        ok, br, ty, sz = ray.get(_aref)
+        bad = ray.get(_bref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            (lpk < len(ok))
+            & ok[np.minimum(lpk, len(ok) - 1)]
+            & ~((lsk < len(bad)) & bad[np.minimum(lsk, len(bad) - 1)])
+        )
+        lpk, lsk = lpk[keep], lsk[keep]
+        return pa.table(
+            {
+                "brand": pa.array(br[lpk], pa.int32()),
+                "type": pa.array(ty[lpk], pa.int32()),
+                "size": pa.array(sz[lpk], pa.int32()),
+                "suppkey": pa.array(lsk, pa.int64()),
+            }
+        )
+
+    distinct = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+        .map_batches(quad, batch_format="pyarrow")
+        .groupby(["brand", "type", "size", "suppkey"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    out = (
+        distinct.groupby(["brand", "type", "size"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    out["p_brand"] = out["brand"].map(dict(enumerate(brands)))
+    out["p_type"] = out["type"].map(dict(enumerate(types)))
+    out = out.rename(columns={"size": "p_size"})
+    out = out.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]].astype(
+        {"p_size": "int64", "supplier_cnt": "int64"}
+    )
+
+
+def sql_tpch_q16() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_size IN ({sizes})
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------- TPC-H Q20 (excess inventory)
+
+Q20_NAME_SUBSTR = "blue"
+
+
+def q_tpch_q20(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (suppliers with recent-concentrated part flow):
+    per (supplier, part) of the name-filtered parts, compare 1996
+    shipment volume against all-time volume (stands in for the
+    availqty > 0.5 × shipped subquery; quantities in exact integer
+    centi-units so 2·recent > total can't flip). One (supp, part)
+    groupby with a conditional Sum riding the rows; suppliers then
+    collapse to a per-supplier excess-pair count (tiny groupby) and
+    names/nations join on the driver against the supplier dimension."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p_ok = np.zeros(int(pk.max()) + 1, bool)
+    sel = pc.match_substring(part["p_name"], Q20_NAME_SUBSTR).to_numpy(zero_copy_only=False)
+    p_ok[pk[sel]] = True
+    part_ref = ray.put(p_ok)
+
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(), pa.timestamp("us"))
+
+    def pair_side(b: pa.Table, _ref=part_ref) -> pa.Table:
+        pmap = ray.get(_ref)
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (lpk < len(pmap)) & pmap[np.minimum(lpk, len(pmap) - 1)]
+        b = b.filter(pa.array(keep))
+        centi = pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)), pa.int64())
+        in96 = pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        y96 = pc.if_else(in96, centi, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "l_suppkey": b["l_suppkey"],
+                "l_partkey": b["l_partkey"],
+                "total_centi": centi,
+                "y96_centi": y96,
+            }
+        )
+
+    pairs = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"],
+        )
+        .map_batches(pair_side, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(
+            Sum("total_centi", alias_name="total_centi"),
+            Sum("y96_centi", alias_name="y96_centi"),
+        )
+        .filter(lambda r: 2 * r["y96_centi"] > r["total_centi"])
+    )
+    per_supp = pairs.groupby("l_suppkey").aggregate(Count(alias_name="excess_parts")).to_pandas()
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    out = per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nation[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values("s_name").reset_index(drop=True)
+    return out[["s_name", "n_name", "excess_parts"]].astype({"excess_parts": "int64"})
+
+
+def sql_tpch_q20() -> str:
+    return f"""
+WITH qty AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS total_centi,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS y96_centi
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{Q20_NAME_SUBSTR}%' GROUP BY 1, 2
+)
+SELECT s_name, n_name, COUNT(*) AS excess_parts FROM qty
+JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * y96_centi > total_centi GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- TPC-H Q21 (waiting suppliers)
+
+Q21_LATE_DAYS = 75
+
+
+def q_tpch_q21(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS / NOT-EXISTS pair decorrelated into per-order supplier
+    statistics. late = shipdate > orderdate + 75d (this schema's stand-in
+    for receipt > commit); per (order, supplier) Max(late), then per
+    order: supplier count, late-supplier count, and the unique late
+    supplier via Max(late ? suppkey : -1). Orders with ≥2 suppliers and
+    exactly one late one blame that supplier; a per-supplier Count and a
+    driver-side name join (supplier is a dimension) finish."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def late_flag(b: pa.Table) -> pa.Table:
+        cut = pc.add(b["o_orderdate"], pa.scalar(_dt.timedelta(days=Q21_LATE_DAYS)))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "late": pc.cast(pc.greater(b["l_shipdate"], cut), pa.int64()),
+            }
+        )
+
+    pair = (
+        line.join(orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+        .map_batches(late_flag, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late", alias_name="late"))
+    )
+
+    def blame_key(b: pa.Table) -> pa.Table:
+        late = b["late"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "late": b["late"],
+                "late_supp": pa.array(np.where(late == 1, sk, -1), pa.int64()),
+            }
+        )
+
+    per_order = (
+        pair.map_batches(blame_key, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Count(alias_name="nsupp"),
+            Sum("late", alias_name="nlate"),
+            Max("late_supp", alias_name="late_supp"),
+        )
+        .filter(lambda r: r["nsupp"] >= 2 and r["nlate"] == 1)
+    )
+    numwait = per_order.groupby("late_supp").aggregate(Count(alias_name="numwait")).to_pandas()
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = numwait.merge(supp, left_on="late_supp", right_on="s_suppkey")
+    out = out.sort_values("s_name").reset_index(drop=True)
+    return out[["s_name", "numwait"]].astype({"numwait": "int64"})
+
+
+def sql_tpch_q21() -> str:
+    return f"""
+WITH fo AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+pair AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN fo ON o_orderkey = l_orderkey GROUP BY 1, 2
+),
+ord AS (
+  SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate,
+         MAX(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS late_supp
+  FROM pair GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait FROM ord JOIN supplier ON s_suppkey = late_supp
+WHERE nsupp >= 2 AND nlate = 1 GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -8885,4 +9544,11 @@ def registry() -> dict[str, tuple]:
         "tpch_q8": (q_tpch_q8, sql_tpch_q8()),
         "tpch_q22": (q_tpch_q22, sql_tpch_q22()),
         "charclass_stats": (q_charclass_stats, sql_charclass_stats()),
+        "tpch_q2": (q_tpch_q2, sql_tpch_q2()),
+        "tpch_q9": (q_tpch_q9, sql_tpch_q9()),
+        "tpch_q11": (q_tpch_q11, sql_tpch_q11()),
+        "tpch_q12": (q_tpch_q12, sql_tpch_q12()),
+        "tpch_q16": (q_tpch_q16, sql_tpch_q16()),
+        "tpch_q20": (q_tpch_q20, sql_tpch_q20()),
+        "tpch_q21": (q_tpch_q21, sql_tpch_q21()),
     }
