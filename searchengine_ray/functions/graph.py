@@ -423,3 +423,132 @@ def k_core(edges: np.ndarray, n_nodes: int, k: int, max_iter: int = 12) -> pd.Da
             )
         alive = nxt
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+
+
+BFS_DENSE_GATE = 200_000  # edges; below: driver numpy relax, above: Dataset rounds
+
+
+def bfs_hops(
+    edges: np.ndarray,
+    n_nodes: int,
+    seed: int = 0,
+    max_iter: int = 30,
+    dense_gate: int = BFS_DENSE_GATE,
+) -> pd.DataFrame:
+    """Unweighted single-source shortest paths (BFS hop levels) over an
+    undirected edge array — the frontier-expansion iterative shape
+    (distinct from pagerank's value propagation and k_core's set
+    shrinkage). Returns (node, dist) for every REACHED node, seed
+    included at dist 0.
+
+    Scale path: labels live as a Dataset of reached nodes; each round is
+    edges ⋈ labels → Min(dist+1) per dst → union + Min — the same
+    one-key-per-round shuffle as connected-components min-label
+    propagation. dist values only ever decrease and the reached set only
+    grows, so the (count, sum) pair is a monotone potential: fixpoint ⇔
+    both scalars stop moving (two scalar aggregates per round, nothing
+    node-sized on the driver). Below ``dense_gate`` edges a driver-side
+    numpy relaxation produces the identical table without per-round
+    shuffle fixed costs. Rounds needed = graph eccentricity of the seed;
+    ``max_iter`` bounds it and the non-convergence raise makes a
+    truncated answer impossible to mistake for a converged one."""
+    edges = edges[edges[:, 0] != edges[:, 1]]
+
+    if len(edges) <= dense_gate:
+        src = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int64)
+        dst = np.concatenate([edges[:, 1], edges[:, 0]]).astype(np.int64)
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n_nodes, INF, np.int64)
+        dist[seed] = 0
+        for _ in range(max_iter):
+            cand = dist[src] + 1  # INF+1 wraps negative: mask unreached first
+            ok = dist[src] != INF
+            nxt = dist.copy()
+            np.minimum.at(nxt, dst[ok], cand[ok])
+            if (nxt == dist).all():
+                reached = np.flatnonzero(dist != INF)
+                return pd.DataFrame(
+                    {"node": reached, "dist": dist[reached]}
+                ).astype({"node": "int64", "dist": "int64"})
+            dist = nxt
+        raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    def undirect(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, c]), pa.int64()),
+                "dst": pa.array(np.concatenate([c, a]), pa.int64()),
+            }
+        )
+
+    eds = (
+        rd.from_arrow(
+            pa.table({"a": edges[:, 0].astype(np.int64), "b": edges[:, 1].astype(np.int64)})
+        )
+        .map_batches(undirect, batch_format="pyarrow")
+        .materialize()
+    )
+    # every edge-touched node starts at the UNREACHED sentinel (n_nodes >
+    # any real hop count); the seed starts at 0. Seeding ALL nodes keeps
+    # every hash partition of the join's right side non-empty — this Ray
+    # version's Arrow join rejects schema-less empty partitions.
+    sentinel = np.int64(n_nodes)
+
+    def init_label(b: pa.Table) -> pa.Table:
+        node = b["src"].to_numpy(zero_copy_only=False)
+        dist = np.where(node == seed, np.int64(0), sentinel)
+        return pa.table({"node": b["src"], "dist": pa.array(dist, pa.int64())})
+
+    labels = (
+        eds.groupby("src")
+        .aggregate(Count(alias_name="_d"))
+        .map_batches(init_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def potential(ls) -> tuple[int, int]:
+        reached = ls.filter(expr=f"dist < {int(sentinel)}")
+        agg = reached.aggregate(Count(alias_name="n"), Sum("dist", alias_name="s"))
+        return (int(agg["n"]), int(agg["s"] or 0))
+
+    # dist values only decrease and the reached set only grows, so the
+    # (reached count, reached dist sum) pair is a monotone potential:
+    # fixpoint ⇔ both scalars stop moving.
+    prev = potential(labels)
+    for _ in range(max_iter):
+        prop = (
+            eds.join(labels, join_type="inner", num_partitions=8,
+                     on=("src",), right_on=("node",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["dst"],
+                        "dist": pa.array(
+                            np.minimum(
+                                b["dist"].to_numpy(zero_copy_only=False) + 1, sentinel
+                            ),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        cur = potential(labels)
+        if cur == prev:
+            out = labels.to_pandas()
+            out = out[out["dist"] < int(sentinel)].sort_values("node").reset_index(drop=True)
+            return out.astype({"node": "int64", "dist": "int64"})
+        prev = cur
+    raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")

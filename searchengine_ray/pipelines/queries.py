@@ -9352,6 +9352,517 @@ WHERE nsupp >= 2 AND nlate = 1 GROUP BY 1
 """
 
 
+# ------------------------------------------------- trailing-window distinct (WAU)
+
+WAU_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def q_wau_daily(sf_dir: str) -> pd.DataFrame:
+    """Exact trailing-7-day active users per day (WAU — the windowed
+    COUNT DISTINCT every product-analytics stack needs): (day, user)
+    dedup groupby, then each distinct pair replicates to the ≤7 window
+    days it serves (np.repeat fan-out — bounded 7×), a second dedup on
+    (window_day, user), and a per-day Count. Nothing user-cardinality-
+    sized touches the driver; contrast with ``rolling_hll`` which trades
+    exactness for one pass."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def day_user(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        return pa.table(
+            {"day": pa.array(day, pa.int64()), "user_id": b["user_id"]}
+        )
+
+    du = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(day_user, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .materialize()
+    )
+    # observed-day set: tiny (calendar cardinality), broadcast for the fan-out filter
+    days_present = np.sort(du.groupby("day").aggregate(Count(alias_name="_c")).to_pandas()["day"].to_numpy())
+    present = set(days_present.tolist())
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        day = b["day"].to_numpy(zero_copy_only=False)
+        user = b["user_id"].to_numpy(zero_copy_only=False)
+        tgt = np.repeat(day, WAU_DAYS) + np.tile(np.arange(WAU_DAYS, dtype=np.int64), len(day))
+        usr = np.repeat(user, WAU_DAYS)
+        keep = np.isin(tgt, days_present)
+        return pa.table(
+            {"day": pa.array(tgt[keep], pa.int64()), "user_id": pa.array(usr[keep], pa.int64())}
+        )
+
+    out = (
+        du.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("day")
+        .aggregate(Count(alias_name="wau"))
+        .to_pandas()
+    )
+    out = out[out["day"].isin(present)].sort_values("day").reset_index(drop=True)
+    return out[["day", "wau"]].astype({"day": "int64", "wau": "int64"})
+
+
+def sql_wau_daily() -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day, user_id
+  FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS day, count(DISTINCT u.user_id) AS wau
+FROM days d JOIN du u ON u.day BETWEEN d.day - {WAU_DAYS - 1} AND d.day
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------- Markov event transitions
+
+
+def q_markov_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: the LEAD window (next event type per user in (ts, id)
+    order) via the repo's key-hash bucket shuffle + vectorized
+    per-bucket scan, partial (from, to) counts per bucket, one native
+    Sum groupby, and row-normalized probabilities on the ≤|types|²-row
+    result."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (pd.util.hash_array(users.to_numpy()) % np.uint64(32)).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype="object"),
+                    "to_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna()
+        part = (
+            pd.DataFrame({"from_type": g["event_type"][ok], "to_type": nxt[ok]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return part.astype({"n": "int64"})
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    row_tot = out.groupby("from_type")["n"].transform("sum")
+    out["prob"] = round_half_away(out["n"] * 1.0 / row_tot, 6)
+    out = out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    return out[["from_type", "to_type", "n", "prob"]].astype({"n": "int64", "prob": "float64"})
+
+
+def sql_markov_transitions() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS prob
+FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- per-nation revenue Gini
+
+
+def q_gini_revenue(sf_dir: str) -> pd.DataFrame:
+    """Supplier-revenue inequality per nation (Gini coefficient): the
+    heavy step is the distributed per-supplier revenue Sum in exact
+    integer cents; the per-nation rank formula
+    G = 2·Σ(r·x)/(n·Σx) − (n+1)/n runs vectorized per nation group
+    (supplier is a dimension — groups are tiny). Ties in revenue are
+    rank-order-invariant in Σ(r·x), so the cross-engine hash can't
+    flip on them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_map = np.full(int(sk.max()) + 1, -1, np.int64)
+    s_map[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp_ref = ray.put(s_map)
+
+    def cents_side(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_suppkey": b["l_suppkey"], "cents": cents})
+
+    rev = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+        .map_batches(cents_side, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def gini_of_nation(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "l_suppkey"], kind="mergesort").reset_index(drop=True)
+        x = g["cents"].to_numpy(np.int64)
+        n = len(x)
+        r = np.arange(1, n + 1, dtype=np.int64)
+        tot = int(x.sum())
+        srx = int((r * x).sum())
+        gini = (2.0 * srx) / (n * tot) - (n + 1.0) / n
+        return pd.DataFrame(
+            {
+                "nationkey": [int(g["nationkey"].iloc[0])],
+                "n_suppliers": [n],
+                "gini": [round_half_away(gini, 6)],
+            }
+        )
+
+    def attach_nation(b: pa.Table, _ref=supp_ref) -> pa.Table:
+        smap = ray.get(_ref)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("nationkey", pa.array(smap[lsk], pa.int64()))
+
+    out = (
+        rev.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("nationkey")
+        .map_groups(gini_of_nation, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    return out[["nationkey", "n_suppliers", "gini"]].astype(
+        {"nationkey": "int64", "n_suppliers": "int64", "gini": "float64"}
+    )
+
+
+def sql_gini_revenue() -> str:
+    return """
+WITH rev AS (
+  SELECT s_nationkey, l_suppkey,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1, 2),
+ranked AS (
+  SELECT s_nationkey, l_suppkey, cents,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY cents, l_suppkey) AS r
+  FROM rev)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round((2.0 * sum(r * cents)) / (count(*) * sum(cents))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY 1
+"""
+
+
+# ------------------------------------------------- Benford first-digit audit
+
+
+def q_benford_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-significant-digit audit over order totals
+    (the classic synthetic-data / fraud smell test): digits extracted
+    from exact integer cents (no float log10 — a power-of-ten boundary
+    can't misclassify), per-batch partial counts, one 9-row groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        x = cents[cents > 0].copy()
+        while (x >= 10).any():
+            big = x >= 10
+            x[big] //= 10
+        digit, n = np.unique(x, return_counts=True)
+        return pa.table(
+            {"digit": pa.array(digit, pa.int64()), "n": pa.array(n, pa.int64())}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    total = int(out["n_orders"].sum())
+    out["share"] = round_half_away(out["n_orders"] * 1.0 / total, 6)
+    out = out.sort_values("digit").reset_index(drop=True)
+    return out[["digit", "n_orders", "share"]].astype(
+        {"digit": "int64", "n_orders": "int64", "share": "float64"}
+    )
+
+
+def sql_benford_digits() -> str:
+    return """
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+tot AS (SELECT count(*) AS n FROM d)
+SELECT digit, count(*) AS n_orders,
+       round(count(*) * 1.0 / max(tot.n), 6) AS share
+FROM d, tot GROUP BY 1
+"""
+
+
+# ------------------------------------------------- per-day event-type entropy
+
+
+def q_daily_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the event-type mix per day (drift/regime
+    audit — a uniform day scores ln(|types|), a one-type day scores 0):
+    one distributed (day, type) Count groupby; the entropy itself runs
+    on the calendar-×-types-sized result, never on event rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def day_type(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        return pa.table({"day": pa.array(day, pa.int64()), "event_type": b["event_type"]})
+
+    cnt = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(day_type, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    tot = cnt.groupby("day")["n"].transform("sum")
+    p = cnt["n"] * 1.0 / tot
+    cnt["_term"] = p * np.log(p)
+    out = (
+        cnt.groupby("day")
+        .agg(n_events=("n", "sum"), entropy=("_term", lambda s: round_half_away(-s.sum(), 6)))
+        .reset_index()
+    )
+    out = out.sort_values("day").reset_index(drop=True)
+    return out[["day", "n_events", "entropy"]].astype(
+        {"day": "int64", "n_events": "int64", "entropy": "float64"}
+    )
+
+
+def sql_daily_entropy() -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT day, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.day AS day, CAST(max(t.tot) AS BIGINT) AS n_events,
+       round(-sum((n * 1.0 / t.tot) * ln(n * 1.0 / t.tot)), 6) AS entropy
+FROM c JOIN t USING (day) GROUP BY 1
+"""
+
+
+# ------------------------------------------------- association rules (conf/lift)
+
+ASSOC_MINSUP = 2
+
+
+def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Directed association rules ante→cons over order baskets with
+    confidence and lift: per-order distinct part pairs expand
+    vectorized inside orderkey-hash buckets (the copurchase machinery,
+    both directions), one packed-key pair-count groupby, then item
+    supports probe a broadcast count array — no second join. Rules
+    below {ASSOC_MINSUP} basket support are cut before the driver sees
+    anything."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("bkt", pa.array((ok % 64).astype(np.int32), pa.int32()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        pk = g["l_partkey"].to_numpy(np.int64)
+        new = np.ones(len(ok), bool)
+        new[1:] = ok[1:] != ok[:-1]
+        dup = np.zeros(len(ok), bool)
+        dup[1:] = (~new[1:]) & (pk[1:] == pk[:-1])
+        ok, pk = ok[~dup], pk[~dup]
+        new = np.ones(len(ok), bool)
+        new[1:] = ok[1:] != ok[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ok)))
+        a_l, b_l = [], []
+        for s, k in zip(starts[lens >= 2], lens[lens >= 2]):
+            ia, ib = np.triu_indices(int(k), k=1)
+            a_l.append(pk[s:s + k][ia])
+            b_l.append(pk[s:s + k][ib])
+        if not a_l:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n_pair": pa.array([], pa.int64())})
+        a = np.concatenate(a_l)
+        b = np.concatenate(b_l)
+        # both directions: ante→cons and cons→ante
+        key = np.concatenate([a * np.int64(1 << 31) + b, b * np.int64(1 << 31) + a])
+        uniq, n = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()), "n_pair": pa.array(n, pa.int64())})
+
+    pair_counts = (
+        base.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("n_pair", alias_name="n_pair"))
+        .filter(lambda r: r["n_pair"] >= ASSOC_MINSUP)
+    )
+
+    # item supports: distinct (order, part) → count per part → broadcast array
+    item = (
+        base.groupby(["l_orderkey", "l_partkey"])
+        .aggregate(Count(alias_name="_d"))
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    n_baskets = int(
+        base.groupby("l_orderkey").aggregate(Count(alias_name="_d")).count()
+    )
+    supp_arr = np.zeros(int(item["l_partkey"].max()) + 1, np.int64)
+    supp_arr[item["l_partkey"].to_numpy(np.int64)] = item["c"].to_numpy(np.int64)
+    supp_ref = ray.put(supp_arr)
+
+    def finish(b: pa.Table, _ref=supp_ref) -> pa.Table:
+        supp = ray.get(_ref)
+        key = b["key"].to_numpy(zero_copy_only=False)
+        n_pair = b["n_pair"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ante = (key // (1 << 31)).astype(np.int64)
+        cons = (key % (1 << 31)).astype(np.int64)
+        conf = n_pair / supp[ante]
+        lift = conf / (supp[cons] * 1.0 / n_baskets)
+        return pa.table(
+            {
+                "ante": pa.array(ante, pa.int64()),
+                "cons": pa.array(cons, pa.int64()),
+                "n_pair": b["n_pair"],
+                "confidence": pa.array(round_half_away(conf, 6), pa.float64()),
+                "lift": pa.array(round_half_away(lift, 6), pa.float64()),
+            }
+        )
+
+    out = pair_counts.map_batches(finish, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["ante", "cons"]).reset_index(drop=True)
+    return out.astype(
+        {"ante": "int64", "cons": "int64", "n_pair": "int64",
+         "confidence": "float64", "lift": "float64"}
+    )
+
+
+def sql_assoc_rules() -> str:
+    return f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+item AS (SELECT l_partkey, count(*) AS c FROM baskets GROUP BY 1),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS n_pair
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2)
+SELECT ante, cons, n_pair,
+       round(n_pair * 1.0 / ia.c, 6) AS confidence,
+       round((n_pair * 1.0 / ia.c) / (ic.c * 1.0 / nb.n), 6) AS lift
+FROM pairs JOIN item ia ON ia.l_partkey = ante
+JOIN item ic ON ic.l_partkey = cons, nb
+WHERE n_pair >= {ASSOC_MINSUP}
+"""
+
+
+# ------------------------------------------------- BFS hop levels from a seed
+
+BFS_ROUNDS = 12
+
+
+def q_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """BFS hop distance from doc 0 over the deterministic doc link graph
+    (frontier expansion — the third iterative-graph shape after
+    pagerank's value propagation and k_core's set peeling). The Ray
+    operator raises if the fixpoint isn't reached, so a truncated answer
+    can't silently pass; the SQL oracle unrolls the same {BFS_ROUNDS}
+    min-plus rounds as materialized CTEs."""
+    import pyarrow.parquet as pq
+
+    from ..functions.graph import bfs_hops
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * ids + 3) % n], axis=1),
+            np.stack([ids, (ids * ids * 7 + ids + 1) % n], axis=1),
+            np.stack([ids, (ids * 13 + 17) % n], axis=1),
+        ]
+    )
+    return bfs_hops(edges, n, seed=0, max_iter=BFS_ROUNDS)
+
+
+def sql_bfs_hops() -> str:
+    steps = []
+    for t in range(1, BFS_ROUNDS + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t-1}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + 1 AS dist FROM e JOIN d{t-1} p ON e.src = p.node
+  ) GROUP BY 1)""")
+    chain = ",".join(steps)
+    t = BFS_ROUNDS
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+e0 AS (
+  SELECT i AS a, (i * i + 3) % n AS b FROM ids
+  UNION ALL SELECT i, (i * i * 7 + i + 1) % n FROM ids
+  UNION ALL SELECT i, (i * 13 + 17) % n FROM ids),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0 WHERE a <> b
+  UNION SELECT b, a FROM e0 WHERE a <> b),
+d0 AS MATERIALIZED (SELECT 0 AS node, 0 AS dist),{chain}
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d{t}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -9551,4 +10062,11 @@ def registry() -> dict[str, tuple]:
         "tpch_q16": (q_tpch_q16, sql_tpch_q16()),
         "tpch_q20": (q_tpch_q20, sql_tpch_q20()),
         "tpch_q21": (q_tpch_q21, sql_tpch_q21()),
+        "wau_daily": (q_wau_daily, sql_wau_daily()),
+        "markov_transitions": (q_markov_transitions, sql_markov_transitions()),
+        "gini_revenue": (q_gini_revenue, sql_gini_revenue()),
+        "benford_digits": (q_benford_digits, sql_benford_digits()),
+        "daily_entropy": (q_daily_entropy, sql_daily_entropy()),
+        "assoc_rules": (q_assoc_rules, sql_assoc_rules()),
+        "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
     }
