@@ -276,3 +276,51 @@ def grouped_hll_registers(ds, key: str, column: str, p: int = HLL_P) -> pd.DataF
         .reset_index(drop=True)
     )
     return out.astype({"register": "int64", "rho": "int64"})
+
+
+# ------------------------------------------------------------- Bloom filter
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 2  # hash functions (derived from one md5-lower-64)
+
+
+def bloom_bits_batch(batch: pa.Table, column: str, m: int = BLOOM_M, k: int = BLOOM_K) -> pa.Table:
+    """Per-batch partial Bloom bit positions (batch-local distinct —
+    ≤ min(k·|batch|, m) rows through the shuffle). The j-th hash is a
+    20j-bit shift of md5-lower-64 mod m, exactly mirrorable in SQL as
+    ``(md5_number_lower(CAST(v AS VARCHAR)) >> 20j) % m``."""
+    vals = batch[column].to_numpy(zero_copy_only=False)
+    h = _md5_lower64_ints(vals)
+    parts = [((h >> np.uint64(20 * j)) % np.uint64(m)).astype(np.int64) for j in range(k)]
+    u = np.unique(np.concatenate(parts)) if parts else np.array([], np.int64)
+    return pa.table({"bit": pa.array(u, pa.int64())})
+
+
+def bloom_bits(ds, column: str, m: int = BLOOM_M, k: int = BLOOM_K) -> pd.DataFrame:
+    """Distributed Bloom-filter build: the sketch IS the sorted distinct
+    bit-position table (integer-exact, like the HLL register table), so
+    cross-engine correctness is exact equality; the membership/FP
+    behavior is derived from it (see :func:`bloom_probe`)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        ds.map_batches(lambda b: bloom_bits_batch(b, column, m, k), batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+        .sort_values("bit")
+        .reset_index(drop=True)
+    )
+    return out[["bit"]].astype({"bit": "int64"})
+
+
+def bloom_probe(bits: pd.DataFrame, values: np.ndarray, m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarray:
+    """Membership test against a built bit table: True iff every hash
+    bit is set — no false negatives by construction."""
+    mask = np.zeros(m, bool)
+    mask[bits["bit"].to_numpy(np.int64)] = True
+    h = _md5_lower64_ints(values)
+    ok = np.ones(len(values), bool)
+    for j in range(k):
+        ok &= mask[((h >> np.uint64(20 * j)) % np.uint64(m)).astype(np.int64)]
+    return ok

@@ -9863,6 +9863,295 @@ SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d{t}
 """
 
 
+# ------------------------------------------------- Bloom-filter sketch
+
+
+def q_bloom_filter(sf_dir: str) -> pd.DataFrame:
+    """Distributed Bloom-filter build over customer keys: per-batch
+    partial distinct bit positions (md5-lower-64, k=2 derived hashes)
+    → one groupby — the sketch is the integer bit table itself, exact
+    vs the SQL mirror; membership/FP behavior is pytest-asserted
+    (no false negatives; FP rate within the m,k envelope)."""
+    import ray.data as rd
+
+    from ..functions.sketches import bloom_bits
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return bloom_bits(ds, "c_custkey")
+
+
+def sql_bloom_filter() -> str:
+    from ..functions.sketches import BLOOM_M
+
+    return f"""
+WITH h AS (SELECT md5_number_lower(CAST(c_custkey AS VARCHAR)) AS hv FROM customer),
+bits AS (
+  SELECT CAST(hv % {BLOOM_M} AS BIGINT) AS bit FROM h
+  UNION
+  SELECT CAST((hv >> 20) % {BLOOM_M} AS BIGINT) AS bit FROM h)
+SELECT bit FROM bits
+"""
+
+
+# ------------------------------------------------- 2-D skyline (pareto front)
+
+
+def _skyline2_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Non-dominated mask for minimize-(price, size): a row is dominated
+    iff some strictly-cheaper row has size ≤ its size, or an equal-price
+    row has strictly smaller size. One lexsort + prefix-min — no O(n²)."""
+    order = np.lexsort((size, price))
+    p, s = price[order], size[order]
+    newg = np.ones(len(p), bool)
+    newg[1:] = p[1:] != p[:-1]
+    gid = np.cumsum(newg) - 1
+    gfirst = s[newg]  # min size within each price group (sorted by size)
+    prev_min = np.empty(len(gfirst))
+    prev_min[0] = np.inf
+    if len(gfirst) > 1:
+        prev_min[1:] = np.minimum.accumulate(gfirst)[:-1]
+    dominated = (prev_min[gid] <= s) | (gfirst[gid] < s)
+    mask = np.zeros(len(p), bool)
+    mask[order[~dominated]] = True
+    return mask
+
+
+def q_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / pareto-front query (minimize price AND size over part):
+    skyline is algebraic — skyline(∪ blocks) = skyline(∪ block
+    skylines) — so each batch emits its local front (O(log n) rows
+    expected on random data) and one tiny driver-side merge finishes.
+    The classic NOT EXISTS dominance subquery is the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def local_front(b: pa.Table) -> pa.Table:
+        price = b["p_retailprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = _skyline2_mask(price, size)
+        return b.filter(pa.array(keep))
+
+    locals_ = (
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+        )
+        .map_batches(local_front, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep = _skyline2_mask(
+        locals_["p_retailprice"].to_numpy(np.float64), locals_["p_size"].to_numpy(np.float64)
+    )
+    out = locals_[keep].sort_values("p_partkey").reset_index(drop=True)
+    return out[["p_partkey", "p_retailprice", "p_size"]].astype(
+        {"p_partkey": "int64", "p_retailprice": "float64", "p_size": "int64"}
+    )
+
+
+def sql_skyline() -> str:
+    return """
+SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+"""
+
+
+# ------------------------------------------------- single-edit identifier pairs
+
+TYPO_KEY_CAP = 2000  # deterministic slice: keys below this probe the pair space
+
+
+def q_typo_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-identical identifier audit (names at edit distance exactly
+    1) via deletion-neighborhood blocking: every name emits its |name|+1
+    single-deletion keys; names sharing a key are the ONLY possible
+    ed-1 pairs (substitution pairs share the deletion at the edited
+    position, insert/delete pairs share the shorter string itself), so
+    the quadratic verify runs per bucket on a few collisions, not on
+    the corpus. One groupby on the deletion key is the only shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def del_keys(b: pa.Table) -> pa.Table:
+        names = b["c_name"].to_pylist()
+        keys, owners = [], []
+        for nm in names:
+            keys.append(nm)
+            owners.append(nm)
+            for i in range(len(nm)):
+                keys.append(nm[:i] + nm[i + 1:])
+                owners.append(nm)
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "name": pa.array(owners, pa.string())}
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(set(g["name"]))
+        out_a, out_b = [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                if _edit1(names[i], names[j]):
+                    out_a.append(names[i])
+                    out_b.append(names[j])
+        return pd.DataFrame({"name_a": out_a, "name_b": out_b})
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+        .filter(expr=f"c_custkey < {TYPO_KEY_CAP}")
+        .map_batches(del_keys, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    # a pair can collide under several deletion keys — dedup driver-side
+    pairs = pairs.drop_duplicates().sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    return pairs.astype({"name_a": "object", "name_b": "object"})
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exactly one edit (substitute / insert / delete) apart."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1 or a == b:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def sql_typo_pairs() -> str:
+    return f"""
+WITH v AS (SELECT c_name AS t FROM customer WHERE c_custkey < {TYPO_KEY_CAP})
+SELECT a.t AS name_a, b.t AS name_b
+FROM v a JOIN v b
+  ON a.t < b.t AND abs(length(a.t) - length(b.t)) <= 1 AND levenshtein(a.t, b.t) = 1
+"""
+
+
+# ------------------------------------------------- two-proportion A/B z-test
+
+
+def q_ab_ztest(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test per event type with users split into arms
+    by id parity (the canonical A/B readout): one distributed
+    (type, arm) Count groupby produces the exact integer contingency
+    table; the z statistic derives from it driver-side with the pooled-
+    variance formula (sqrt is correctly rounded IEEE — deterministic
+    across engines on identical integer inputs)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def arm_of(b: pa.Table) -> pa.Table:
+        arm = b["user_id"].to_numpy(zero_copy_only=False) % 2
+        return pa.table(
+            {"event_type": b["event_type"], "arm": pa.array(arm, pa.int64())}
+        )
+
+    cnt = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(arm_of, batch_format="pyarrow")
+        .groupby(["event_type", "arm"])
+        .aggregate(Count(alias_name="x"))
+        .to_pandas()
+    )
+    piv = cnt.pivot(index="event_type", columns="arm", values="x").fillna(0).astype("int64")
+    na, nb = int(piv[0].sum()), int(piv[1].sum())
+    out = pd.DataFrame(
+        {
+            "event_type": piv.index,
+            "xa": piv[0].to_numpy(),
+            "na": na,
+            "xb": piv[1].to_numpy(),
+            "nb": nb,
+        }
+    )
+    p1 = out["xa"] * 1.0 / out["na"]
+    p2 = out["xb"] * 1.0 / out["nb"]
+    pp = (out["xa"] + out["xb"]) * 1.0 / (out["na"] + out["nb"])
+    z = (p1 - p2) / np.sqrt(pp * (1.0 - pp) * (1.0 / out["na"] + 1.0 / out["nb"]))
+    out["z"] = round_half_away(z, 6)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return out.astype(
+        {"xa": "int64", "na": "int64", "xb": "int64", "nb": "int64", "z": "float64"}
+    )
+
+
+def sql_ab_ztest() -> str:
+    return """
+WITH e AS (SELECT event_type, user_id % 2 AS arm FROM events),
+x AS (SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS xa,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+      FROM e GROUP BY 1),
+t AS (SELECT CAST(SUM(xa) AS BIGINT) AS na, CAST(SUM(xb) AS BIGINT) AS nb FROM x)
+SELECT event_type, xa, na, xb, nb,
+       round(((xa * 1.0 / na) - (xb * 1.0 / nb))
+             / sqrt(((xa + xb) * 1.0 / (na + nb)) * (1.0 - (xa + xb) * 1.0 / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM x, t
+"""
+
+
+# ------------------------------------------------- embedding Gram matrix
+
+
+def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """Distributed Gram matrix XᵀX over the embedding column (the
+    covariance/PCA building block): each batch contributes one d×d
+    partial via a float64 matmul (zero-copy FixedSizeList → (n,d)
+    ndarray), upper triangles Sum-merge in one ≤d² -row groupby —
+    the map-side-combine pattern for dense linear algebra."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(col)
+        d = len(flat) // max(n, 1)
+        mat = flat.reshape(n, d)
+        gram = mat.T @ mat
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu + 1, pa.int64()),
+                "j": pa.array(ju + 1, pa.int64()),
+                "g": pa.array(gram[iu, ju], pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(Sum("g", alias_name="g"))
+        .to_pandas()
+    )
+    out["g"] = round_half_away(out["g"], 6)
+    out = out.sort_values(["i", "j"]).reset_index(drop=True)
+    return out[["i", "j", "g"]].astype({"i": "int64", "j": "int64", "g": "float64"})
+
+
+def sql_embedding_gram() -> str:
+    return """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       round(sum(a.e * b.e), 6) AS g
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10069,4 +10358,9 @@ def registry() -> dict[str, tuple]:
         "daily_entropy": (q_daily_entropy, sql_daily_entropy()),
         "assoc_rules": (q_assoc_rules, sql_assoc_rules()),
         "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
+        "bloom_filter": (q_bloom_filter, sql_bloom_filter()),
+        "skyline": (q_skyline, sql_skyline()),
+        "typo_pairs": (q_typo_pairs, sql_typo_pairs()),
+        "ab_ztest": (q_ab_ztest, sql_ab_ztest()),
+        "embedding_gram": (q_embedding_gram, sql_embedding_gram()),
     }
