@@ -324,3 +324,65 @@ def bloom_probe(bits: pd.DataFrame, values: np.ndarray, m: int = BLOOM_M, k: int
     for j in range(k):
         ok &= mask[((h >> np.uint64(20 * j)) % np.uint64(m)).astype(np.int64)]
     return ok
+
+
+# --------------------------------------------------------- count-min sketch
+
+CMS_W = 1024  # columns
+CMS_D = 3  # rows (derived hashes)
+
+
+def cms_batch(batch: pa.Table, column: str, w: int = CMS_W, d: int = CMS_D) -> pa.Table:
+    """Per-batch partial count-min cells: (row, col, n) with batch-local
+    counts — ≤ d·w rows per batch through the shuffle regardless of
+    batch size (the combiner shape every mergeable sketch shares)."""
+    vals = batch[column].to_numpy(zero_copy_only=False)
+    h = _md5_lower64_ints(vals)
+    rows, cols, ns = [], [], []
+    for j in range(d):
+        col = ((h >> np.uint64(20 * j)) % np.uint64(w)).astype(np.int64)
+        cnt = np.bincount(col, minlength=w)
+        nz = np.flatnonzero(cnt)
+        rows.append(np.full(len(nz), j, np.int64))
+        cols.append(nz.astype(np.int64))
+        ns.append(cnt[nz].astype(np.int64))
+    return pa.table(
+        {
+            "row": pa.array(np.concatenate(rows), pa.int64()),
+            "col": pa.array(np.concatenate(cols), pa.int64()),
+            "n": pa.array(np.concatenate(ns), pa.int64()),
+        }
+    )
+
+
+def cms_counts(ds, column: str, w: int = CMS_W, d: int = CMS_D) -> pd.DataFrame:
+    """Distributed count-min sketch: the sketch is the integer (row,
+    col, count) cell table — Sum-mergeable, integer-exact vs the SQL
+    mirror. Point estimates (min over rows — never an underestimate)
+    derive from it via :func:`cms_estimate`."""
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(lambda b: cms_batch(b, column, w, d), batch_format="pyarrow")
+        .groupby(["row", "col"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    return out.astype({"row": "int64", "col": "int64", "n": "int64"})
+
+
+def cms_estimate(cells: pd.DataFrame, values: np.ndarray, w: int = CMS_W, d: int = CMS_D) -> np.ndarray:
+    """Count-min point estimates: min over the d cells each value hashes
+    to. By construction >= the true count (one-sided error)."""
+    table = np.zeros((d, w), np.int64)
+    table[cells["row"].to_numpy(np.int64), cells["col"].to_numpy(np.int64)] = cells[
+        "n"
+    ].to_numpy(np.int64)
+    h = _md5_lower64_ints(values)
+    est = np.full(len(values), np.iinfo(np.int64).max, np.int64)
+    for j in range(d):
+        col = ((h >> np.uint64(20 * j)) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, table[j, col])
+    return est

@@ -10152,6 +10152,193 @@ GROUP BY 1, 2
 """
 
 
+# ------------------------------------------------- Jelinek-Mercer QL ranking
+
+QLJM_LAMBDA = 0.5  # exact binary fraction: 1-λ is exact in both engines
+
+
+def q_ql_jm(sf_dir: str) -> pd.DataFrame:
+    """Jelinek-Mercer-smoothed query likelihood over the real index
+    artifacts (engine.search_ql_jm) — the fixed-interpolation
+    counterpart to ql_dirichlet, same exact-cf / dense-zero-tf
+    machinery."""
+    res = _engine(sf_dir).search_ql_jm(QL_QUERY, lam=QLJM_LAMBDA, topk=None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_ql_jm() -> str:
+    qterms = ", ".join(f"('{t}')" for t in QL_QUERY.split())
+    lam = QLJM_LAMBDA
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+cf AS (SELECT term, sum(tf) AS cf FROM toks GROUP BY term),
+tot AS (SELECT sum(tf) AS c FROM toks),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+qstats AS (SELECT qtf.term, qtf.qn, cf.cf FROM qtf JOIN cf USING (term)),
+cand AS (SELECT DISTINCT toks.doc_id FROM toks JOIN qstats USING (term)),
+scored AS (
+    SELECT cand.doc_id,
+           sum(qstats.qn * ln({lam} * (coalesce(t.tf, 0) * 1.0 / dls.dl)
+                              + (1.0 - {lam}) * qstats.cf / tot.c)) AS score
+    FROM cand CROSS JOIN qstats
+    LEFT JOIN toks t ON t.doc_id = cand.doc_id AND t.term = qstats.term
+    JOIN dls ON dls.doc_id = cand.doc_id
+    CROSS JOIN tot
+    GROUP BY cand.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+# ------------------------------------------------- metadata-filtered BM25
+
+BM25F_LANG = "en"
+
+
+def q_bm25_filtered(sf_dir: str) -> pd.DataFrame:
+    """BM25 over the index restricted to lang='{BM25F_LANG}' documents —
+    filtered search with the predicate pushed into the posting scan
+    (allowed-set probe BEFORE scoring; df/avgdl stay corpus-level).
+    The allowed set comes from one pruned metadata-column read; at
+    cluster scale it's a broadcast bitmap."""
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    import pyarrow.compute as pc
+
+    allowed = np.sort(
+        meta.filter(pc.equal(meta["lang"], BM25F_LANG))["doc_id"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+    )
+    res = _engine(sf_dir).search_bm25_filtered(BM25_QUERY, allowed, topk=None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_bm25_filtered() -> str:
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY.split())
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+scored AS (
+    SELECT toks.doc_id,
+           sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))
+               * qtf.qn) AS score
+    FROM toks
+    JOIN qtf USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    JOIN documents d ON d.doc_id = toks.doc_id AND d.lang = '{BM25F_LANG}'
+    CROSS JOIN n CROSS JOIN avgdl
+    GROUP BY toks.doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def q_cms_sketch(sf_dir: str) -> pd.DataFrame:
+    """Count-min sketch over events.user_id (d=3, w=1024): the cell
+    table itself — Sum-mergeable integer partials, exact vs the SQL
+    mirror; the one-sided point-estimate property is pytest-asserted."""
+    import ray.data as rd
+
+    from ..functions.sketches import cms_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_counts(ds, "user_id")
+
+
+def sql_cms_sketch() -> str:
+    from ..functions.sketches import CMS_D, CMS_W
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {j} AS row, CAST((hv >> {20 * j}) % {CMS_W} AS BIGINT) AS col FROM h"
+        for j in range(CMS_D)
+    )
+    return f"""
+WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv FROM events),
+cells AS ({arms})
+SELECT CAST(row AS BIGINT) AS row, col, count(*) AS n FROM cells GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- gzip JSONL roundtrip
+
+
+def q_jsonl_gz_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Compressed-interchange roundtrip (Common-Crawl convention —
+    .jsonl.gz shards): documents → per-block gzip JSONL shards written
+    inside map_batches (shard name = block's min doc_id, deterministic
+    and collision-free) → read back through Arrow's gzip stream →
+    per-doc md5. Matching md5(text) proves byte identity through
+    compress/parse."""
+    import gzip
+    import hashlib as _h
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = CACHE_ROOT / f"jsonlgz-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_shard(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        path = base / f"part-{min(ids):012d}.jsonl.gz"
+        with gzip.open(path, "wt", encoding="utf-8") as f:
+            for i, t in zip(ids, texts):
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        write_shard, batch_format="pyarrow"
+    ).materialize()
+
+    def digest(b: pa.Table) -> pa.Table:
+        md5 = [_h.md5(t.encode("utf-8")).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"].cast(pa.int64()), "md5": pa.array(md5, pa.string())}
+        )
+
+    out = (
+        rd.read_json(
+            [str(p) for p in sorted(base.glob("*.jsonl.gz"))],
+            arrow_open_stream_args={"compression": "gzip"},
+        )
+        .map_batches(digest, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_jsonl_gz_roundtrip() -> str:
+    return "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10363,4 +10550,8 @@ def registry() -> dict[str, tuple]:
         "typo_pairs": (q_typo_pairs, sql_typo_pairs()),
         "ab_ztest": (q_ab_ztest, sql_ab_ztest()),
         "embedding_gram": (q_embedding_gram, sql_embedding_gram()),
+        "ql_jm": (q_ql_jm, sql_ql_jm()),
+        "bm25_filtered": (q_bm25_filtered, sql_bm25_filtered()),
+        "cms_sketch": (q_cms_sketch, sql_cms_sketch()),
+        "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, sql_jsonl_gz_roundtrip()),
     }

@@ -866,6 +866,108 @@ class SearchEngine:
             order = order[:topk]
         return [(int(uids[i]), float(scores[i])) for i in order]
 
+    def search_ql_jm(
+        self, query: str | list[str], lam: float = 0.5, topk: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Query-likelihood ranking with Jelinek-Mercer (linear
+        interpolation) smoothing (Zhai & Lafferty 2001): score(d) =
+        Σ_q qn · ln(λ·tf/dl + (1−λ)·cf_t/|C|) — the fixed-mix
+        counterpart to :meth:`search_ql_dirichlet` (which adapts the mix
+        to document length). Same candidate-union / dense zero-tf
+        machinery; cf from the posting tfs, |C| from the manifest."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms:
+            return []
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        total = float(self.manifest.total_tokens) or 1.0
+        uids = np.unique(np.concatenate([posts[t].doc_ids for t in terms]))
+        if len(self._tombstones):
+            uids = uids[~np.isin(uids, self._tombstones)]
+        if not len(uids):
+            return []
+        dl = np.zeros(len(uids), dtype=np.float64)
+        for t in terms:
+            p = posts[t]
+            pos = np.searchsorted(uids, p.doc_ids)
+            ok = pos < len(uids)
+            dl[pos[ok]] = p.dls[ok]
+        scores = np.zeros(len(uids), dtype=np.float64)
+        for t in terms:
+            p = posts[t]
+            cf = float(p.tfs.sum())
+            bg = (1.0 - lam) * cf / total
+            tf_dense = np.zeros(len(uids), dtype=np.float64)
+            pos = np.searchsorted(uids, p.doc_ids)
+            tf_dense[pos] = p.tfs
+            scores += qtf[t] * np.log(lam * (tf_dense / dl) + bg)
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
+
+    def search_bm25_filtered(
+        self,
+        query: str | list[str],
+        allowed: np.ndarray,
+        topk: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """BM25 restricted to a metadata-selected doc set (filtered
+        search — e.g. lang='en'): ``allowed`` is a SORTED int64 array of
+        permitted doc ids (at cluster scale, a broadcast bitmap built
+        once from the metadata table's pruned columns). Postings are
+        filtered BEFORE scoring, so excluded docs cost nothing past the
+        membership probe; df/avgdl stay corpus-level — standard
+        filtered-search semantics, and per-doc float ops are identical
+        to the unfiltered scorer (verified post-filter-identical in
+        tests)."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        if not posts:
+            return []
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        weights = self._bm25_weights(posts, qtf)
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        ids_l, w_l = [], []
+        for t in terms:
+            p = posts[t]
+            pos = np.searchsorted(allowed, p.doc_ids)
+            pos_c = np.minimum(pos, len(allowed) - 1) if len(allowed) else pos
+            member = (
+                allowed[pos_c] == p.doc_ids if len(allowed) else np.zeros(len(p.doc_ids), bool)
+            )
+            ids_l.append(p.doc_ids[member])
+            w_l.append(weights[t][member])
+        all_ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        if not len(all_ids):
+            return []
+        all_w = np.concatenate(w_l)
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.zeros(len(uids))
+        np.add.at(scores, inv, all_w)
+        if len(self._tombstones):
+            keep = ~np.isin(uids, self._tombstones)
+            uids, scores = uids[keep], scores[keep]
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
+
     def _is_tombstone(self, doc: int) -> bool:
         if len(self._tombstones) == 0:
             return False
