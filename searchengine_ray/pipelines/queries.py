@@ -10339,6 +10339,441 @@ def sql_jsonl_gz_roundtrip() -> str:
     return "SELECT doc_id, md5(text) AS md5 FROM documents"
 
 
+# ------------------------------------------------- interval union coverage
+
+COVER_WINDOW_US = 600_000_000  # each event covers [ts, ts+10min)
+
+
+def q_interval_coverage(sf_dir: str) -> pd.DataFrame:
+    """Union length of overlapping per-event intervals per user (the
+    merge-overlapping-intervals classic — 'how long was the user
+    actually active', double-counting overlaps exactly once): one
+    user-hash bucket shuffle, per-bucket vectorized sweep (sort + group
+    cummax of interval ends); covered time in exact integer
+    microseconds."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (pd.util.hash_array(users.to_numpy()) % np.uint64(32)).astype(np.int32)
+        s = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "s": s,
+            }
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "covered_us": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "s"], kind="mergesort").reset_index(drop=True)
+        s = g["s"].to_numpy(np.int64)
+        e = s + COVER_WINDOW_US
+        # running max of interval end per user, shifted one row back
+        prev_max = pd.Series(e).groupby(g["user_id"].to_numpy(), sort=False).cummax().shift(1)
+        first = ~g["user_id"].duplicated()
+        prev = prev_max.to_numpy()
+        prev[first.to_numpy()] = np.iinfo(np.int64).min
+        start = np.maximum(s, prev.astype(np.int64))
+        add = np.maximum(e - start, 0)
+        out = pd.DataFrame({"user_id": g["user_id"], "add": add})
+        agg = out.groupby("user_id", as_index=False).agg(
+            covered_us=("add", "sum"), n_events=("add", "size")
+        )
+        return agg.astype({"user_id": "int64", "covered_us": "int64", "n_events": "int64"})
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sweep, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return out[["user_id", "covered_us", "n_events"]].astype(
+        {"user_id": "int64", "covered_us": "int64", "n_events": "int64"}
+    )
+
+
+def sql_interval_coverage() -> str:
+    return f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {COVER_WINDOW_US} AS e FROM events),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(prev_max, s)), 0)) AS BIGINT)
+           AS covered_us,
+       count(*) AS n_events
+FROM m GROUP BY 1
+"""
+
+
+# ------------------------------------------------- longest active-day streak
+
+
+def q_streaks(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands):
+    distinct (user, day) via one dedup groupby, then per-user-bucket
+    vectorized island detection (day − rank is constant within an
+    island). The SQL mirror is the textbook dense_rank trick."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def day_of(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        return pa.table({"user_id": b["user_id"], "day": pa.array(day, pa.int64())})
+
+    du = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(day_of, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (pd.util.hash_array(users.to_numpy()) % np.uint64(32)).astype(np.int32)
+        return pa.table(
+            {"_bucket": pa.array(bucket, pa.int32()), "user_id": b["user_id"], "day": b["day"]}
+        )
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "max_streak": pd.Series([], dtype="int64"),
+                    "n_active_days": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "day"], kind="mergesort").reset_index(drop=True)
+        rank = g.groupby("user_id", sort=False).cumcount()
+        island = g["day"].to_numpy(np.int64) - rank.to_numpy(np.int64)
+        grp = pd.DataFrame(
+            {"user_id": g["user_id"], "island": island}
+        ).groupby(["user_id", "island"], as_index=False).size()
+        agg = grp.groupby("user_id", as_index=False).agg(
+            max_streak=("size", "max"), n_islands=("size", "count")
+        )
+        days = g.groupby("user_id", as_index=False).size().rename(columns={"size": "n_active_days"})
+        out = agg.merge(days, on="user_id")
+        return out[["user_id", "max_streak", "n_active_days"]].astype(
+            {"user_id": "int64", "max_streak": "int64", "n_active_days": "int64"}
+        )
+
+    out = (
+        du.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(islands, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return out[["user_id", "max_streak", "n_active_days"]].astype(
+        {"user_id": "int64", "max_streak": "int64", "n_active_days": "int64"}
+    )
+
+
+def sql_streaks() -> str:
+    return f"""
+WITH du AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+  FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - (row_number() OVER (PARTITION BY user_id ORDER BY day) - 1) AS island
+  FROM du),
+runs AS (SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, max(len) AS max_streak, CAST(sum(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY 1
+"""
+
+
+# ------------------------------------------------- weighted median
+
+
+def q_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Revenue-weighted median supplier balance per nation (lower
+    weighted median: the smallest balance whose cumulative weight
+    reaches half the total — 2·cumw ≥ tot in exact integer cents so the
+    pick can't flip): the heavy step is the distributed per-supplier
+    revenue Sum; the per-nation scan runs on dimension-sized groups."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nmax = int(sk.max()) + 1
+    s_nat = np.full(nmax, -1, np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_bal = np.zeros(nmax, np.int64)
+    s_bal[sk] = np.round(
+        supp["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+    ref = ray.put((s_nat, s_bal))
+
+    def cents_side(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_suppkey": b["l_suppkey"], "w": cents})
+
+    rev = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"])
+        .map_batches(cents_side, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+    def attach(b: pa.Table, _r=ref) -> pa.Table:
+        nat, bal = ray.get(_r)
+        lsk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(nat[lsk], pa.int64()),
+                "bal_cents": pa.array(bal[lsk], pa.int64()),
+                "w": b["w"],
+            }
+        )
+
+    def wmed(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bal_cents", "w"], kind="mergesort").reset_index(drop=True)
+        w = g["w"].to_numpy(np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        i = int(np.argmax(2 * cum >= tot))
+        return pd.DataFrame(
+            {
+                "nationkey": [int(g["nationkey"].iloc[0])],
+                "wmedian_acctbal": [g["bal_cents"].iloc[i] / 100.0],
+            }
+        )
+
+    out = (
+        rev.map_batches(attach, batch_format="pyarrow")
+        .groupby("nationkey")
+        .map_groups(wmed, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values("nationkey").reset_index(drop=True)
+    return out[["nationkey", "wmedian_acctbal"]].astype(
+        {"nationkey": "int64", "wmedian_acctbal": "float64"}
+    )
+
+
+def sql_weighted_median() -> str:
+    return """
+WITH rev AS (
+  SELECT s_nationkey, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey GROUP BY 1, 2, l_suppkey),
+c AS (
+  SELECT s_nationkey, bal_cents, w,
+         sum(w) OVER (PARTITION BY s_nationkey ORDER BY bal_cents, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY s_nationkey) AS tot
+  FROM rev)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+       min(bal_cents) / 100.0 AS wmedian_acctbal
+FROM c WHERE 2 * cum >= tot GROUP BY 1
+"""
+
+
+# ------------------------------------------------- week-over-week change
+
+_WEEK_US = 7 * _DAY_US
+
+
+def q_wow_change(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week event-volume change per type: one distributed
+    (type, week) Count; the lag/percent step runs on the
+    calendar-×-types-sized result. First week of each type is dropped
+    (no baseline), matching SQL LAG semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def week_of(b: pa.Table) -> pa.Table:
+        wk = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // _WEEK_US
+        return pa.table({"event_type": b["event_type"], "week": pa.array(wk, pa.int64())})
+
+    cnt = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(week_of, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    cnt = cnt.sort_values(["event_type", "week"], kind="mergesort").reset_index(drop=True)
+    prev = cnt.groupby("event_type", sort=False)["n"].shift(1)
+    ok = prev.notna()
+    out = cnt[ok].copy()
+    out["pct_change"] = round_half_away(
+        (out["n"] - prev[ok]) * 100.0 / prev[ok], 6
+    )
+    out = out.sort_values(["event_type", "week"]).reset_index(drop=True)
+    return out[["event_type", "week", "n", "pct_change"]].astype(
+        {"week": "int64", "n": "int64", "pct_change": "float64"}
+    )
+
+
+def sql_wow_change() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(floor(epoch_us(ts) / {_WEEK_US}) AS BIGINT) AS week,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+l AS (
+  SELECT event_type, week, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+  FROM c)
+SELECT event_type, week, n, round((n - prev) * 100.0 / prev, 6) AS pct_change
+FROM l WHERE prev IS NOT NULL
+"""
+
+
+# ------------------------------------------------- bigram log-perplexity
+
+
+def q_bigram_logppl(sf_dir: str) -> pd.DataFrame:
+    """Per-doc bigram log-perplexity under an add-one-smoothed corpus
+    bigram LM (fluency filter one order above unigram_logppl): corpus
+    bigram/unigram counts come from the existing combiner aggregates
+    (Zipfian cardinality), broadcast once; the scoring pass re-tokenizes
+    each batch and scores its own docs vectorized (a doc never spans
+    batches). Broadcast holds while the bigram vocabulary fits one node
+    — the documented alternative above that is a (t1, t2) join."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..functions.ngrams import bigram_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    big = bigram_counts(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]))
+    pair_n = {(a, b): int(n) for a, b, n in zip(big["t1"], big["t2"], big["n"])}
+
+    # exact unigram counts over the same raw token stream (the bigram
+    # marginal would miss each doc's last token) + vocab size, via the
+    # same combiner-aggregate shape
+    def partial_uni(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..analysis.batch import _tokenize_arrow
+
+        toks = _tokenize_arrow(b["text"], "punct")
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        words = words[words != ""]
+        if not len(words):
+            return pa.table({"t": pa.array([], pa.string()), "c": pa.array([], pa.int64())})
+        terms, counts = np.unique(words, return_counts=True)
+        return pa.table({"t": pa.array(terms, pa.string()), "c": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    uni_df = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial_uni, batch_format="pyarrow")
+        .groupby("t")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    uni = dict(zip(uni_df["t"], uni_df["n"].astype(int)))
+    vocab_size = len(uni)
+    model_ref = ray.put((pair_n, uni, vocab_size))
+
+    def score(b: pa.Table, _m=model_ref) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..analysis.batch import _tokenize_arrow
+
+        pair_n, uni, V = ray.get(_m)
+        toks = _tokenize_arrow(b["text"], "punct")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        keep = words != ""
+        words, doc_idx = words[keep], doc_idx[keep]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(words) < 2:
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "logppl": pa.array(np.zeros(len(ids)), pa.float64()),
+                    "n_bigrams": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                }
+            )
+        same = doc_idx[1:] == doc_idx[:-1]
+        w1, w2, dix = words[:-1][same], words[1:][same], doc_idx[1:][same]
+        c12 = np.fromiter((pair_n.get((a, c), 0) for a, c in zip(w1, w2)), np.int64, len(w1))
+        c1 = np.fromiter((uni.get(a, 0) for a in w1), np.int64, len(w1))
+        ll = -np.log((c12 + 1.0) / (c1 + V))
+        sums = np.zeros(len(ids), np.float64)
+        np.add.at(sums, dix, ll)
+        nbg = np.bincount(dix, minlength=len(ids)).astype(np.int64)
+        ppl = np.where(nbg > 0, sums / np.maximum(nbg, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "logppl": pa.array(round_half_away(ppl, 6), pa.float64()),
+                "n_bigrams": pa.array(nbg, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_bigram_logppl() -> str:
+    return r"""
+WITH tokl AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \t\n\x0b\f\r]+') AS l
+  FROM documents),
+raw AS (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos FROM tokl),
+ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r
+  FROM raw WHERE t <> ''),
+bg AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.r = a.r + 1),
+bgc AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+unic AS (SELECT t, count(*) AS c1 FROM ftok GROUP BY 1),
+v AS (SELECT count(DISTINCT t) AS vs FROM ftok)
+SELECT d.doc_id,
+       coalesce(round(avg(-ln((bgc.c12 + 1.0) / (unic.c1 + v.vs))), 6), 0.0) AS logppl,
+       CAST(coalesce(count(bg.t1), 0) AS BIGINT) AS n_bigrams
+FROM documents d
+LEFT JOIN bg ON bg.doc_id = d.doc_id
+LEFT JOIN bgc ON bgc.t1 = bg.t1 AND bgc.t2 = bg.t2
+LEFT JOIN unic ON unic.t = bg.t1
+CROSS JOIN v
+GROUP BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10554,4 +10989,9 @@ def registry() -> dict[str, tuple]:
         "bm25_filtered": (q_bm25_filtered, sql_bm25_filtered()),
         "cms_sketch": (q_cms_sketch, sql_cms_sketch()),
         "jsonl_gz_roundtrip": (q_jsonl_gz_roundtrip, sql_jsonl_gz_roundtrip()),
+        "interval_coverage": (q_interval_coverage, sql_interval_coverage()),
+        "streaks": (q_streaks, sql_streaks()),
+        "weighted_median": (q_weighted_median, sql_weighted_median()),
+        "wow_change": (q_wow_change, sql_wow_change()),
+        "bigram_logppl": (q_bigram_logppl, sql_bigram_logppl()),
     }
