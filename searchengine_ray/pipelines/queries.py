@@ -10774,6 +10774,50 @@ GROUP BY d.doc_id
 """
 
 
+# ------------------------------------------------- index-vs-corpus audit
+
+
+def q_index_audit(sf_dir: str) -> pd.DataFrame:
+    """Global index integrity audit: vocabulary size and posting count
+    recomputed from the REAL on-disk index artifacts (one pruned
+    (term, n) scan over the posting shards — block rows Sum per term,
+    then counted), plus n_docs / total_tokens from the manifest. The
+    oracle recomputes all four from the raw corpus, so a lost block, a
+    double-written posting or a drifted manifest stat all fail the
+    hash. (Salting changes shard placement only, never the term
+    column, so Σn per term is salt-invariant.)"""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    idx = documents_index(sf_dir)
+    eng = _engine(sf_dir)
+    per_term = (
+        rd.read_parquet(f"{idx}/postings", columns=["term", "n"])
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="postings"))
+    )
+    agg = per_term.aggregate(Count(alias_name="n_terms"), Sum("postings", alias_name="n_postings"))
+    return pd.DataFrame(
+        {
+            "n_docs": [int(eng.manifest.n_docs)],
+            "n_terms": [int(agg["n_terms"])],
+            "n_postings": [int(agg["n_postings"])],
+            "total_tokens": [int(eng.manifest.total_tokens)],
+        }
+    ).astype("int64")
+
+
+def sql_index_audit() -> str:
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(DISTINCT term) AS n_terms,
+       count(*) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS total_tokens
+FROM toks
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -10994,4 +11038,5 @@ def registry() -> dict[str, tuple]:
         "weighted_median": (q_weighted_median, sql_weighted_median()),
         "wow_change": (q_wow_change, sql_wow_change()),
         "bigram_logppl": (q_bigram_logppl, sql_bigram_logppl()),
+        "index_audit": (q_index_audit, sql_index_audit()),
     }
