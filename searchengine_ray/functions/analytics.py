@@ -31,38 +31,56 @@ def retention_cohorts(events_ds, ts_column: str = "ts", user_column: str = "user
     cell (cohort_day, day_offset) = distinct users from that cohort
     active offset days later.
 
-    Plan: (1) groupby(user).min(day) — one aggregate; (2) hash-join the
-    cohort table back onto the event stream on user_id (both sides
-    distributed — no user-count assumption); (3) per-batch dedup of
-    (cohort, offset, user) triples, then a distinct-users count via one
-    more groupby. Returns (cohort_day, day_offset, n_users), ints."""
-    from ray.data.aggregate import Count, Min
+    Plan: one user-hash-bucket groupby co-locates each user's (day)
+    rows; inside a bucket a lexsort + run segmentation computes every
+    user's cohort (min day) and the DISTINCT (cohort, offset, user)
+    triples vectorized — a user lives in exactly one bucket, so
+    bucket-local dedup IS global dedup; then one vocabulary-small
+    groupby counts users per (cohort_day, day_offset). Two shuffles,
+    no join (this Ray version's hash join crashes on the schema-less
+    empty partitions a small input produces). Returns
+    (cohort_day, day_offset, n_users), ints."""
+    from ray.data.aggregate import Count
 
     def to_days(b: pa.Table) -> pa.Table:
+        u = b[user_column].cast(pa.int64())
+        un = u.to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "user_id": b[user_column].cast(pa.int64()),
+                "user_id": u,
                 "day": pa.array(_epoch_days(b[ts_column]), pa.int64()),
+                "bucket": pa.array(
+                    (un.astype(np.uint64) * np.uint64(2654435761) >> np.uint64(52)).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
-    days = events_ds.map_batches(to_days, batch_format="pyarrow").materialize()
-    cohorts = days.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
-
-    joined = days.join(cohorts, join_type="inner", num_partitions=8, on=("user_id",))
-
-    def triples(b: pa.Table) -> pa.Table:
-        u = b["user_id"].to_numpy(zero_copy_only=False)
-        d = b["day"].to_numpy(zero_copy_only=False)
-        c = b["cohort_day"].to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"cohort_day": c, "day_offset": d - c, "user_id": u})
-        df = df.drop_duplicates()  # batch-local dedup (combiner)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new_user = np.empty(len(u), bool)
+        new_user[:1] = True
+        new_user[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new_user) - 1
+        cohort = d[new_user][run_id]  # per-row cohort = first (=min) day of the run
+        off = d - cohort
+        keep = np.empty(len(u), bool)  # distinct (user, offset): sorted, so adjacent-dedup
+        keep[:1] = True
+        keep[1:] = (u[1:] != u[:-1]) | (off[1:] != off[:-1])
+        return pa.table(
+            {
+                "cohort_day": pa.array(cohort[keep], pa.int64()),
+                "day_offset": pa.array(off[keep], pa.int64()),
+            }
+        )
 
     out = (
-        joined.map_batches(triples, batch_format="pyarrow")
-        .groupby(["cohort_day", "day_offset", "user_id"])
-        .aggregate(Count(alias_name="_dup"))  # global dedup of triples
+        events_ds.map_batches(to_days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Count(alias_name="n_users"))
         .to_pandas()

@@ -428,6 +428,104 @@ def k_core(edges: np.ndarray, n_nodes: int, k: int, max_iter: int = 12) -> pd.Da
 BFS_DENSE_GATE = 200_000  # edges; below: driver numpy relax, above: Dataset rounds
 
 
+CC_DENSE_GATE = 200_000  # edges; below: driver numpy propagation, above: Dataset rounds
+
+
+def connected_components(
+    edges: np.ndarray,
+    n_nodes: int,
+    max_iter: int = 30,
+    dense_gate: int = CC_DENSE_GATE,
+) -> pd.DataFrame:
+    """Connected components of an undirected edge array by min-label
+    propagation: every node starts labeled with its own id; each round
+    every node takes the min of its own label and its neighbours'
+    labels; at the fixpoint each component is labeled with its smallest
+    member id. Returns (node, comp) for every node 0..n_nodes-1
+    (isolated nodes are their own singleton component).
+
+    The fourth iterative-graph shape in this module (after pagerank's
+    value propagation, k_core's set peeling and bfs_hops' frontier
+    expansion). Scale path: labels are a Dataset keyed by node; each
+    round is edges ⋈ labels → Min per dst → union + Min — one key-hash
+    shuffle per round. Labels only ever decrease, so Sum(comp) is a
+    monotone potential: fixpoint ⇔ the scalar stops moving (one scalar
+    aggregate per round; nothing node-sized on the driver). Rounds
+    needed = max eccentricity of each component's min node; the
+    non-convergence raise makes a truncated answer impossible to
+    mistake for a converged one. Below ``dense_gate`` edges a
+    driver-side numpy propagation produces the identical table.
+    """
+    edges = edges[edges[:, 0] != edges[:, 1]]
+
+    if len(edges) <= dense_gate:
+        src = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int64)
+        dst = np.concatenate([edges[:, 1], edges[:, 0]]).astype(np.int64)
+        comp = np.arange(n_nodes, dtype=np.int64)
+        for _ in range(max_iter):
+            nxt = comp.copy()
+            np.minimum.at(nxt, dst, comp[src])
+            if (nxt == comp).all():
+                return pd.DataFrame(
+                    {"node": np.arange(n_nodes, dtype=np.int64), "comp": comp}
+                )
+            comp = nxt
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def undirect(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, c]), pa.int64()),
+                "dst": pa.array(np.concatenate([c, a]), pa.int64()),
+            }
+        )
+
+    eds = (
+        rd.from_arrow(
+            pa.table({"a": edges[:, 0].astype(np.int64), "b": edges[:, 1].astype(np.int64)})
+        )
+        .map_batches(undirect, batch_format="pyarrow")
+        .materialize()
+    )
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                "comp": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def potential(ls) -> int:
+        return int(ls.aggregate(Sum("comp", alias_name="s"))["s"] or 0)
+
+    prev = potential(labels)
+    for _ in range(max_iter):
+        prop = eds.join(
+            labels, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "comp": b["comp"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("comp", alias_name="comp"))
+            .materialize()
+        )
+        cur = potential(labels)
+        if cur == prev:
+            out = labels.to_pandas().sort_values("node").reset_index(drop=True)
+            return out.astype({"node": "int64", "comp": "int64"})
+        prev = cur
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def bfs_hops(
     edges: np.ndarray,
     n_nodes: int,

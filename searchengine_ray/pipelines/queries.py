@@ -10818,6 +10818,242 @@ FROM toks
 """
 
 
+# ------------------------------------------------- connected components
+
+CC_ROUNDS = 12  # ≥ measured fixpoint rounds: 5 @ n=500, 7 @ 5k, 8 @ 50k
+
+
+def _component_edges(n: int) -> np.ndarray:
+    """Deterministic multi-component graph: 5 components by id residue
+    class; within a class, 3 quadratic-map edges per node snapped back
+    into the class (an expander, so min-label propagation converges in
+    O(log n) rounds — measured above)."""
+    ids = np.arange(n, dtype=np.int64)
+    cls = ids % 5
+    out = []
+    for f in [(ids * ids + 3) % n, (ids * 7 + 13) % n, (ids * ids * 11 + ids + 29) % n]:
+        snapped = f - ((f - cls) % 5)
+        snapped = np.where(snapped < 0, snapped + 5, snapped)
+        out.append(np.stack([ids, snapped], axis=1))
+    return np.concatenate(out)
+
+
+def q_connected_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components by min-label propagation (the fourth
+    iterative-graph shape: pagerank=value propagation, k_core=set
+    peeling, bfs_hops=frontier expansion, this=label fixpoint). The Ray
+    operator raises if the fixpoint isn't reached, so a truncated
+    answer can't silently pass; the SQL oracle unrolls the same
+    {CC_ROUNDS} min-label rounds as materialized CTEs."""
+    import pyarrow.parquet as pq
+
+    from ..functions.graph import connected_components
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return connected_components(_component_edges(n), n, max_iter=CC_ROUNDS)
+
+
+def sql_connected_components() -> str:
+    steps = []
+    for t in range(1, CC_ROUNDS + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT node, MIN(comp) AS comp FROM (
+    SELECT node, comp FROM d{t-1}
+    UNION ALL
+    SELECT e.dst AS node, p.comp FROM e JOIN d{t-1} p ON e.src = p.node
+  ) GROUP BY 1)""")
+    chain = ",".join(steps)
+    t = CC_ROUNDS
+    # NB: DuckDB's % keeps the dividend's sign (C semantics) while
+    # numpy's is always non-negative — hence the ((x-c)%5+5)%5 form.
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, doc_id % 5 AS c,
+         (SELECT count(*) FROM documents) AS n FROM documents),
+raw AS (
+  SELECT i, c, (i * i + 3) % n AS x FROM ids
+  UNION ALL SELECT i, c, (i * 7 + 13) % n FROM ids
+  UNION ALL SELECT i, c, (i * i * 11 + i + 29) % n FROM ids),
+snapped AS (
+  SELECT i AS a,
+         CASE WHEN x - (((x - c) % 5 + 5) % 5) < 0
+              THEN x - (((x - c) % 5 + 5) % 5) + 5
+              ELSE x - (((x - c) % 5 + 5) % 5) END AS b
+  FROM raw),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM snapped WHERE a <> b
+  UNION SELECT b, a FROM snapped WHERE a <> b),
+d0 AS MATERIALIZED (SELECT i AS node, i AS comp FROM ids),{chain}
+SELECT CAST(node AS BIGINT) AS node, CAST(comp AS BIGINT) AS comp FROM d{t}
+"""
+
+
+# ------------------------------------------------- link-graph degree distribution
+
+
+def q_degree_dist(sf_dir: str) -> pd.DataFrame:
+    """In-degree distribution of the deterministic directed link graph
+    (the same formula graph `pagerank` ranks): distinct self-loop-free
+    edges → per-node in-degree (native Count) → histogram (second
+    Count), with the zero-in-degree mass added as n - |nodes with
+    in-links| — the driver sees only the histogram. Edge distinctness
+    goes through one packed-int64 groupby (ids < 2^31 asserted), the
+    repo's copurchase_pairs pattern."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert n < 1 << 31
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    key = edges[:, 0] * np.int64(n) + edges[:, 1]
+    uniq = (
+        rd.from_arrow(pa.table({"k": pa.array(key, pa.int64())}))
+        .groupby("k")
+        .aggregate(Count(alias_name="_m"))
+        .map_batches(
+            lambda b: pa.table(
+                {"dst": pa.array(b["k"].to_numpy(zero_copy_only=False) % n, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    indeg = uniq.groupby("dst").aggregate(Count(alias_name="indeg"))
+    hist = (
+        indeg.groupby("indeg").aggregate(Count(alias_name="n_nodes")).to_pandas()
+    )
+    n_with = int(hist["n_nodes"].sum())
+    if n_with < n:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"indeg": [0], "n_nodes": [n - n_with]})],
+            ignore_index=True,
+        )
+    return (
+        hist.astype({"indeg": "int64", "n_nodes": "int64"})
+        .sort_values("indeg")
+        .reset_index(drop=True)
+    )
+
+
+def sql_degree_dist() -> str:
+    return """
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+e0 AS (
+  SELECT i AS src, (i * 7 + 13) % n AS dst FROM ids
+  UNION ALL SELECT i, (i * 31 + 5) % n FROM ids
+  UNION ALL SELECT i, i % 10 FROM ids),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+ind AS (
+  SELECT ids.i AS node, count(e.src) AS indeg
+  FROM ids LEFT JOIN e ON e.dst = ids.i GROUP BY 1)
+SELECT CAST(indeg AS BIGINT) AS indeg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM ind GROUP BY 1
+"""
+
+
+# ------------------------------------------------- link-graph reciprocity
+
+
+def q_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Per-source-bucket edge reciprocity of the directed link graph:
+    each distinct directed edge keyed by its unordered pair (packed
+    int64), direction encoded as a bit; one native groupby ORs the bits
+    (Max of 1|2 partials via Sum over distinct directed rows), then the
+    group re-emits its directed edges tagged reciprocal iff both bits
+    are present. No join, no broadcast; output is 8 bucket rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert n < 1 << 31
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    # distinct directed edges first (formula edges can repeat)
+    dkey = edges[:, 0] * np.int64(n) + edges[:, 1]
+    dkey = np.unique(dkey)  # fixture-gen step, O(edges) driver-side like the other synthetic graphs
+    src, dst = dkey // n, dkey % n
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    pair = lo * np.int64(n) + hi
+    bit = np.where(src < dst, np.int64(1), np.int64(2))
+    ds = rd.from_arrow(
+        pa.table(
+            {"pair": pa.array(pair, pa.int64()), "bit": pa.array(bit, pa.int64())}
+        )
+    )
+
+    def emit_directed(b: pa.Table) -> pa.Table:
+        p = b["pair"].to_numpy(zero_copy_only=False)
+        bits = b["bits"].to_numpy(zero_copy_only=False)
+        lo, hi = p // n, p % n
+        recip = (bits == 3).astype(np.int64)
+        srcs, rec = [], []
+        fwd = (bits & 1) > 0
+        rev = (bits & 2) > 0
+        srcs = np.concatenate([lo[fwd], hi[rev]])
+        rec = np.concatenate([recip[fwd], recip[rev]])
+        return pa.table(
+            {
+                "bucket": pa.array(srcs % 8, pa.int64()),
+                "recip": pa.array(rec, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.groupby("pair")
+        .aggregate(Sum("bit", alias_name="bits"))
+        .map_batches(emit_directed, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_edges"), Sum("recip", alias_name="n_recip"))
+        .to_pandas()
+    )
+    out["recip_ratio"] = out["n_recip"] / out["n_edges"]
+    return (
+        out.astype({"bucket": "int64", "n_edges": "int64", "n_recip": "int64"})
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+def sql_reciprocity() -> str:
+    return """
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+e0 AS (
+  SELECT i AS src, (i * 7 + 13) % n AS dst FROM ids
+  UNION ALL SELECT i, (i * 31 + 5) % n FROM ids
+  UNION ALL SELECT i, i % 10 FROM ids),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+tagged AS (
+  SELECT a.src, CASE WHEN b.src IS NULL THEN 0 ELSE 1 END AS recip
+  FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src)
+SELECT CAST(src % 8 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(recip) AS BIGINT) AS n_recip,
+       sum(recip) / CAST(count(*) AS DOUBLE) AS recip_ratio
+FROM tagged GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11039,4 +11275,7 @@ def registry() -> dict[str, tuple]:
         "wow_change": (q_wow_change, sql_wow_change()),
         "bigram_logppl": (q_bigram_logppl, sql_bigram_logppl()),
         "index_audit": (q_index_audit, sql_index_audit()),
+        "connected_components": (q_connected_components, sql_connected_components()),
+        "degree_dist": (q_degree_dist, sql_degree_dist()),
+        "reciprocity": (q_reciprocity, sql_reciprocity()),
     }

@@ -167,3 +167,65 @@ class TestKCore:
         edges = self._random_edges(n, 160, seed=3)
         with pytest.raises(RuntimeError):
             k_core(edges, n, k=3, max_iter=0)
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _random_edges(n: int, m: int, seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, n, size=(m, 2)).astype(np.int64)
+
+    @staticmethod
+    def _brute(edges: np.ndarray, n: int) -> dict[int, int]:
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a == b:
+                continue
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component label = min member id
+        members: dict[int, list[int]] = {}
+        for v in range(n):
+            members.setdefault(find(v), []).append(v)
+        return {v: min(vs) for r, vs in members.items() for v in vs}
+
+    def test_matches_union_find(self, ray_session):
+        from searchengine_ray.functions.graph import connected_components
+
+        n = 200
+        edges = self._random_edges(n, 150, seed=11)  # sparse: many components
+        got = connected_components(edges, n, max_iter=100)
+        want = self._brute(edges, n)
+        assert len(got) == n
+        assert {int(r.node): int(r.comp) for r in got.itertuples()} == want
+
+    def test_isolated_nodes_are_singletons(self, ray_session):
+        from searchengine_ray.functions.graph import connected_components
+
+        got = connected_components(np.array([[0, 1]], dtype=np.int64), 4, max_iter=10)
+        assert got["comp"].tolist() == [0, 0, 2, 3]
+
+    def test_dataset_tier_identity(self, ray_session):
+        from searchengine_ray.functions.graph import connected_components
+
+        n = 300
+        edges = self._random_edges(n, 400, seed=5)
+        dense = connected_components(edges, n, max_iter=100)
+        dist = connected_components(edges, n, max_iter=100, dense_gate=0)
+        pd.testing.assert_frame_equal(dense, dist)
+
+    def test_nonconvergence_raises(self, ray_session):
+        from searchengine_ray.functions.graph import connected_components
+
+        n = 50
+        edges = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)  # path: slow
+        with pytest.raises(RuntimeError):
+            connected_components(edges, n, max_iter=2)
