@@ -11054,6 +11054,608 @@ FROM tagged GROUP BY 1
 """
 
 
+# ------------------------------------------------- per-group OLS regression
+
+
+def q_grouped_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS of value on hour-of-day — slope / intercept / r²
+    from the same six one-pass moments `grouped_corr` ships (n, Σx, Σy,
+    Σxx, Σyy, Σxy): six numbers per (group × batch) through the
+    shuffle, closed-form finalize on the group-cardinality table. The
+    feature-drift trendline at 100 TB for the cost of one combiner
+    groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "x": pc.hour(b["ts"]).to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": b["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = 1
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    sxx_c = n * agg["sxx"] - agg["sx"] ** 2
+    sxy_c = n * agg["sxy"] - agg["sx"] * agg["sy"]
+    syy_c = n * agg["syy"] - agg["sy"] ** 2
+    slope = sxy_c / sxx_c
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "slope": np.round(slope, 6),
+            "intercept": np.round((agg["sy"] - slope * agg["sx"]) / n, 6),
+            "r2": np.round(sxy_c * sxy_c / (sxx_c * syy_c), 6),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sql_grouped_regression() -> str:
+    # explicit sum formulas (not regr_slope()) so both engines evaluate
+    # the identical algebraic expression
+    return """
+WITH a AS (
+  SELECT event_type, count(*) AS n,
+         sum(hr) AS sx, sum(value) AS sy,
+         sum(hr * hr) AS sxx, sum(value * value) AS syy, sum(hr * value) AS sxy
+  FROM (SELECT event_type, value, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS hr FROM events)
+  GROUP BY event_type)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM a
+"""
+
+
+# ------------------------------------------------------- one-way ANOVA F
+
+
+def q_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-statistic for value ~ event_type: between- vs
+    within-group variance from per-group (n, Σx, Σxx) — ONE combiner
+    groupby, finalize on the k-row aggregate. The does-the-group-matter
+    gate (A/B/n-way) that never ships a row per event."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "x": b["value"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["n"] = 1
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("xx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.float64)
+    k = float(len(g))
+    n_tot = n.sum()
+    grand = g["sx"].sum() / n_tot
+    ss_between = float((n * (g["sx"] / n - grand) ** 2).sum())
+    ss_within = float((g["sxx"] - g["sx"] ** 2 / n).sum())
+    f_stat = (ss_between / (k - 1)) / (ss_within / (n_tot - k))
+    return pd.DataFrame(
+        {
+            "k": [int(k)],
+            "n": [int(n_tot)],
+            "ss_between": [round(ss_between, 4)],
+            "ss_within": [round(ss_within, 4)],
+            "f_stat": [round(f_stat, 6)],
+        }
+    )
+
+
+def sql_anova_f() -> str:
+    return """
+WITH g AS (
+  SELECT event_type, count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+  FROM events GROUP BY event_type),
+t AS (SELECT count(*) AS k, sum(n) AS n_tot, sum(sx) / sum(n) AS grand FROM g),
+s AS (
+  SELECT (SELECT sum(n * (sx / n - t.grand) * (sx / n - t.grand)) FROM g) AS ssb,
+         (SELECT sum(sxx - sx * sx / n) FROM g) AS ssw,
+         t.k, t.n_tot
+  FROM t)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_tot AS BIGINT) AS n,
+       round(ssb, 4) AS ss_between, round(ssw, 4) AS ss_within,
+       round((ssb / (k - 1)) / (ssw / (n_tot - k)), 6) AS f_stat
+FROM s
+"""
+
+
+# ------------------------------------------------ KMV distinct-count sketch
+
+KMV_K = 32
+
+
+def q_kmv_sketch(sf_dir: str) -> pd.DataFrame:
+    """K-minimum-values distinct-user sketch per event_type: each batch
+    ships its k smallest DISTINCT md5-lower-64 user hashes per group (a
+    mergeable bounded register set — the Θ-sketch family), one groupby
+    merges registers, and the k-th smallest normalized hash gives the
+    (k−1)/θ estimator. Register-exact like `hll_sketch`: the oracle
+    recomputes the identical registers, so the hash compare is integer
+    bit-for-bit (hashes as strings — they exceed int64). ~k values per
+    (group × batch) through the shuffle, any row count."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "u": b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).drop_duplicates()
+        uniq = np.unique(df["u"].to_numpy())
+        hmap = {
+            int(u): int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:], "little")
+            for u in uniq
+        }
+        df["hv"] = df["u"].map(hmap).astype(np.uint64)
+        keep = (
+            df.sort_values(["event_type", "hv"])
+            .groupby("event_type", sort=False)
+            .head(KMV_K)
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(keep["event_type"].to_numpy(object)),
+                "hv": pa.array(keep["hv"].to_numpy(np.uint64), pa.uint64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        hv = np.unique(g["hv"].to_numpy(np.uint64))[:KMV_K]
+        est = (len(hv) - 1) / (hv[-1].astype(np.float64) / 2.0**64) if len(hv) == KMV_K else float(len(hv))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(hv),
+                "rn": np.arange(1, len(hv) + 1, dtype=np.int64),
+                "hv": [str(int(v)) for v in hv],
+                "est_distinct": np.round(est, 4),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "rn"]).reset_index(drop=True)
+
+
+def sql_kmv_sketch() -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+  FROM events),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_reg
+  FROM d),
+kth AS (
+  SELECT event_type,
+         CASE WHEN max(CASE WHEN rn = {KMV_K} THEN hv END) IS NOT NULL
+              THEN round(({KMV_K} - 1) / (CAST(max(CASE WHEN rn = {KMV_K} THEN hv END) AS DOUBLE) / 18446744073709551616.0), 4)
+              ELSE CAST(max(rn) AS DOUBLE) END AS est_distinct
+  FROM r GROUP BY event_type)
+SELECT r.event_type, CAST(r.rn AS BIGINT) AS rn, CAST(r.hv AS VARCHAR) AS hv,
+       kth.est_distinct
+FROM r JOIN kth ON kth.event_type = r.event_type
+WHERE r.rn <= {KMV_K}
+"""
+
+
+# ------------------------------------------------------- RFM segmentation
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary via one orders groupby, exact global quartile boundaries
+    per metric via the value-domain quantile pass (`exact_quantiles` —
+    never a global sort), broadcast boundaries into a vectorized
+    segment-code scan, then a ≤64-row code histogram. The marketing
+    cube at warehouse scale: two shuffles over per-customer rows, three
+    scalar-sized quantile aggregates."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.quantiles import exact_quantiles
+
+    def to_days(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "day": pa.array(
+                    b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                ),
+                "price": b["o_totalprice"],
+            }
+        )
+
+    per_cust = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(to_days, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("day", alias_name="last_day"),
+            Count(alias_name="freq"),
+            Sum("price", alias_name="monetary"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "last_day": t["last_day"],
+                    "freq": t["freq"].cast(pa.int64()),
+                    "monetary": pa.array(
+                        np.round(
+                            t["monetary"].to_numpy(zero_copy_only=False), 2
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    qs = [0.25, 0.5, 0.75]
+    b_rec = exact_quantiles(per_cust, "last_day", qs)["value"].to_numpy(np.float64)
+    b_frq = exact_quantiles(per_cust, "freq", qs)["value"].to_numpy(np.float64)
+    b_mon = exact_quantiles(per_cust, "monetary", qs)["value"].to_numpy(np.float64)
+
+    def code(t: pa.Table) -> pa.Table:
+        ld = t["last_day"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fq = t["freq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mn = t["monetary"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = 1 + (ld > b_rec[0]).astype(np.int64) + (ld > b_rec[1]) + (ld > b_rec[2])
+        f = 1 + (fq > b_frq[0]).astype(np.int64) + (fq > b_frq[1]) + (fq > b_frq[2])
+        m = 1 + (mn > b_mon[0]).astype(np.int64) + (mn > b_mon[1]) + (mn > b_mon[2])
+        return pa.table({"segment": pa.array(r * 100 + f * 10 + m, pa.int64())})
+
+    from ray.data.aggregate import Count as _Count
+
+    out = (
+        per_cust.map_batches(code, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(_Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    return out.sort_values("segment").reset_index(drop=True).astype(
+        {"segment": "int64", "n_customers": "int64"}
+    )
+
+
+def sql_rfm_segments() -> str:
+    return """
+WITH pc AS (
+  SELECT o_custkey,
+         max(CAST(floor(epoch_us(o_orderdate) / 86400000000) AS BIGINT)) AS last_day,
+         count(*) AS freq,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT quantile_disc(last_day, 0.25) AS r1, quantile_disc(last_day, 0.5) AS r2,
+         quantile_disc(last_day, 0.75) AS r3,
+         quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.5) AS f2,
+         quantile_disc(freq, 0.75) AS f3,
+         quantile_disc(monetary, 0.25) AS m1, quantile_disc(monetary, 0.5) AS m2,
+         quantile_disc(monetary, 0.75) AS m3
+  FROM pc),
+coded AS (
+  SELECT (1 + CAST(last_day > r1 AS BIGINT) + CAST(last_day > r2 AS BIGINT)
+            + CAST(last_day > r3 AS BIGINT)) * 100
+       + (1 + CAST(freq > f1 AS BIGINT) + CAST(freq > f2 AS BIGINT)
+            + CAST(freq > f3 AS BIGINT)) * 10
+       + (1 + CAST(monetary > m1 AS BIGINT) + CAST(monetary > m2 AS BIGINT)
+            + CAST(monetary > m3 AS BIGINT)) AS segment
+  FROM pc, b)
+SELECT segment, count(*) AS n_customers FROM coded GROUP BY 1
+"""
+
+
+# ------------------------------------------------------- event debouncing
+
+DEBOUNCE_US = 60_000_000  # 60 s
+
+
+def q_event_debounce(sf_dir: str) -> pd.DataFrame:
+    """Debounce duplicate user actions: an event is kept iff the SAME
+    (user, event_type) had no event within the previous 60 s (lag
+    semantics — gap measured to the immediately preceding event, exact
+    integer microseconds). One user-hash bucket shuffle + vectorized
+    per-bucket lexsort/shift (the `lag_delta` shape), partial counts
+    per type inside the bucket, vocabulary-small final groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(
+                    (u.astype(np.uint64) * np.uint64(2654435761) >> np.uint64(52)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n_total": pd.Series([], dtype="int64"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "event_type", "_ts", "event_id"], kind="mergesort"
+        )
+        prev = g.groupby(["user_id", "event_type"], sort=False)["_ts"].shift(1)
+        kept = prev.isna() | ((g["_ts"] - prev) > DEBOUNCE_US)
+        out = pd.DataFrame({"event_type": g["event_type"], "kept": kept.astype(np.int64)})
+        agg = out.groupby("event_type", as_index=False).agg(
+            n_total=("kept", "size"), n_kept=("kept", "sum")
+        )
+        return agg
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"), Sum("n_kept", alias_name="n_kept")
+        )
+        .to_pandas()
+    )
+    out["kept_ratio"] = (out["n_kept"] / out["n_total"]).map(
+        lambda v: round_half_away(v, 6)
+    )
+    return out.sort_values("event_type").reset_index(drop=True).astype(
+        {"n_total": "int64", "n_kept": "int64"}
+    )
+
+
+def sql_event_debounce() -> str:
+    return f"""
+WITH lagged AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type, count(*) AS n_total,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > {DEBOUNCE_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN gap IS NULL OR gap > {DEBOUNCE_US} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS kept_ratio
+FROM lagged GROUP BY 1
+"""
+
+
+# ------------------------------------------------------ Pareto revenue share
+
+
+def q_pareto_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration (the 80/20 audit): per-customer revenue via
+    one groupby, exact p80 boundary via the value-domain quantile pass,
+    then one filtered scalar aggregate for the top-quintile share.
+    Nothing customer-cardinality-sized on the driver."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.quantiles import exact_quantiles
+
+    per_cust = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="rev"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "rev": pa.array(
+                        np.round(t["rev"].to_numpy(zero_copy_only=False), 2),
+                        pa.float64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    thr = float(exact_quantiles(per_cust, "rev", [0.8])["value"].iloc[0])
+    agg = per_cust.map_batches(
+        lambda t: pa.table(
+            {
+                "rev": t["rev"],
+                "top": pa.array(
+                    (t["rev"].to_numpy(zero_copy_only=False) > thr).astype(np.float64)
+                    * t["rev"].to_numpy(zero_copy_only=False),
+                    pa.float64(),
+                ),
+                "is_top": pa.array(
+                    (t["rev"].to_numpy(zero_copy_only=False) > thr).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(
+        Sum("rev", alias_name="total"),
+        Sum("top", alias_name="top_rev"),
+        Sum("is_top", alias_name="n_top"),
+        Count(alias_name="n_cust"),
+    )
+    return pd.DataFrame(
+        {
+            "n_cust": [int(agg["n_cust"])],
+            "n_top": [int(agg["n_top"])],
+            "threshold": [round(thr, 2)],
+            "top_share": [round(float(agg["top_rev"]) / float(agg["total"]), 6)],
+        }
+    )
+
+
+def sql_pareto_share() -> str:
+    return """
+WITH pc AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),
+b AS (SELECT quantile_disc(rev, 0.8) AS thr FROM pc)
+SELECT count(*) AS n_cust,
+       CAST(sum(CASE WHEN rev > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+       round(max(thr), 2) AS threshold,
+       round(sum(CASE WHEN rev > thr THEN rev ELSE 0 END) / sum(rev), 6) AS top_share
+FROM pc, b
+"""
+
+
+# ---------------------------------------------------- daily autocorrelation
+
+ACF_LAGS = [1, 2, 3, 7]
+
+
+def q_acf_daily(sf_dir: str) -> pd.DataFrame:
+    """Lag-k autocorrelation of the daily event-count series (the
+    seasonality detector): one groupby(day) Count collapses the stream
+    to a calendar-bounded series; each lag's Pearson corr over the
+    overlapping (c_t, c_{t+k}) pairs evaluates on that tiny table —
+    integer-exact sums, identical algebra in the oracle's self-join."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pa.array(
+                    b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                )
+            }
+        )
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    by_day = dict(zip(daily["day"].astype(int), daily["n"].astype(int)))
+    rows = []
+    for k in ACF_LAGS:
+        x, y = [], []
+        for d, c in by_day.items():
+            if d + k in by_day:
+                x.append(float(c))
+                y.append(float(by_day[d + k]))
+        x, y = np.asarray(x), np.asarray(y)
+        n = float(len(x))
+        num = n * (x * y).sum() - x.sum() * y.sum()
+        den = math.sqrt(
+            (n * (x * x).sum() - x.sum() ** 2) * (n * (y * y).sum() - y.sum() ** 2)
+        )
+        rows.append((k, int(n), round(num / den, 6)))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf"])
+
+
+def sql_acf_daily() -> str:
+    lags = ", ".join(str(k) for k in ACF_LAGS)
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT k.lag, a.n AS x, b.n AS y
+  FROM (SELECT unnest([{lags}]) AS lag) k
+  JOIN daily a ON true
+  JOIN daily b ON b.day = a.day + k.lag)
+SELECT CAST(lag AS BIGINT) AS lag, count(*) AS n_pairs,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / sqrt((count(*) * sum(x * x) - sum(x) * sum(x))
+                    * (count(*) * sum(y * y) - sum(y) * sum(y))), 6) AS acf
+FROM pairs GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11278,4 +11880,11 @@ def registry() -> dict[str, tuple]:
         "connected_components": (q_connected_components, sql_connected_components()),
         "degree_dist": (q_degree_dist, sql_degree_dist()),
         "reciprocity": (q_reciprocity, sql_reciprocity()),
+        "grouped_regression": (q_grouped_regression, sql_grouped_regression()),
+        "anova_f": (q_anova_f, sql_anova_f()),
+        "kmv_sketch": (q_kmv_sketch, sql_kmv_sketch()),
+        "rfm_segments": (q_rfm_segments, sql_rfm_segments()),
+        "event_debounce": (q_event_debounce, sql_event_debounce()),
+        "pareto_share": (q_pareto_share, sql_pareto_share()),
+        "acf_daily": (q_acf_daily, sql_acf_daily()),
     }

@@ -939,3 +939,117 @@ class TestRoundingProperties:
                 for v in vals
             ]
             assert got == want, nd
+
+
+class TestStatsWave14:
+    def test_grouped_regression_matches_numpy(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_grouped_regression
+
+        out = q_grouped_regression(sf_tiny)
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        ev["hr"] = ev["ts"].dt.hour.astype(float)
+        for _, row in out.iterrows():
+            sub = ev[ev["event_type"] == row["event_type"]]
+            slope, intercept = np.polyfit(sub["hr"], sub["value"], 1)
+            assert row["n"] == len(sub)
+            assert abs(row["slope"] - slope) < 1e-4
+            assert abs(row["intercept"] - intercept) < 1e-4
+            r = np.corrcoef(sub["hr"], sub["value"])[0, 1]
+            assert abs(row["r2"] - r * r) < 1e-4
+
+    def test_anova_f_two_group_equals_ttest_sq(self, ray_session, sf_tiny):
+        # with k groups the F stat must be positive and finite; sanity
+        # vs the direct formula on the full frame
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_anova_f
+
+        out = q_anova_f(sf_tiny)
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        g = ev.groupby("event_type")["value"]
+        grand = ev["value"].mean()
+        ssb = float((g.count() * (g.mean() - grand) ** 2).sum())
+        ssw = float((g.apply(lambda s: ((s - s.mean()) ** 2).sum())).sum())
+        k, n = g.ngroups, len(ev)
+        want_f = (ssb / (k - 1)) / (ssw / (n - k))
+        row = out.iloc[0]
+        assert row["k"] == k and row["n"] == n
+        assert abs(row["f_stat"] - want_f) < 1e-3
+
+    def test_kmv_registers_are_k_smallest_distinct(self, ray_session, sf_tiny):
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import KMV_K, q_kmv_sketch
+
+        out = q_kmv_sketch(sf_tiny)
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        for et, sub in ev.groupby("event_type"):
+            hv = sorted(
+                {
+                    int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:], "little")
+                    for u in sub["user_id"].unique()
+                }
+            )[:KMV_K]
+            got = out[out["event_type"] == et].sort_values("rn")["hv"].map(int).tolist()
+            assert got == hv
+            # estimator within 50% of truth at k=32
+            est = out[out["event_type"] == et]["est_distinct"].iloc[0]
+            truth = sub["user_id"].nunique()
+            if len(hv) == KMV_K:
+                assert 0.5 * truth < est < 2.0 * truth
+
+    def test_rfm_segments_partition_customers(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_rfm_segments
+
+        out = q_rfm_segments(sf_tiny)
+        n_cust = pq.read_table(f"{sf_tiny}/orders.parquet").column("o_custkey")
+        assert out["n_customers"].sum() == len(set(n_cust.to_pylist()))
+        assert ((out["segment"] // 100).between(1, 4)).all()
+        assert ((out["segment"] % 10).between(1, 4)).all()
+
+    def test_event_debounce_matches_pandas(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import DEBOUNCE_US, q_event_debounce
+
+        out = q_event_debounce(sf_tiny)
+        ev = (
+            pq.read_table(f"{sf_tiny}/events.parquet")
+            .to_pandas()
+            .sort_values(["user_id", "event_type", "ts", "event_id"])
+        )
+        ev["us"] = ev["ts"].astype("int64")
+        prev = ev.groupby(["user_id", "event_type"])["us"].shift(1)
+        kept = prev.isna() | ((ev["us"] - prev) > DEBOUNCE_US)
+        want = (
+            pd.DataFrame({"event_type": ev["event_type"], "kept": kept})
+            .groupby("event_type")
+            .agg(n_total=("kept", "size"), n_kept=("kept", "sum"))
+            .reset_index()
+        )
+        merged = out.merge(want, on="event_type", suffixes=("", "_want"))
+        assert (merged["n_total"] == merged["n_total_want"]).all()
+        assert (merged["n_kept"] == merged["n_kept_want"]).all()
+
+    def test_pareto_share_bounds(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_pareto_share
+
+        out = q_pareto_share(sf_tiny).iloc[0]
+        assert 0 < out["top_share"] < 1
+        # top quintile by definition holds >= its population share of revenue
+        assert out["n_top"] <= 0.25 * out["n_cust"]
+        assert out["top_share"] >= out["n_top"] / out["n_cust"]
+
+    def test_acf_daily_pairs_and_range(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_acf_daily
+
+        out = q_acf_daily(sf_tiny)
+        assert (out["acf"].abs() <= 1.0 + 1e-9).all()
+        # longer lags can only have fewer-or-equal overlapping pairs
+        assert (out.sort_values("lag")["n_pairs"].diff().dropna() <= 0).all()
