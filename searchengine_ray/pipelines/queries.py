@@ -3444,6 +3444,41 @@ SELECT event_type, day, n, z FROM zs WHERE abs(z) >= 1.8
 CHUNK_W, CHUNK_STRIDE = 32, 24
 
 
+def _chunk_batch(batch):
+    """Vectorized-per-doc passage chunker shared by `passage_chunks`
+    and `passage_dedup` (windows of CHUNK_W tokens at CHUNK_STRIDE,
+    last partial window kept iff it adds new tokens)."""
+    import pyarrow as pa
+
+    from searchengine_ray.functions.textstats import _token_lists
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = _token_lists(batch["text"].to_pandas())
+    o_id, o_ck, o_n, o_tx = [], [], [], []
+    for i, tl in zip(ids, toks):
+        n = len(tl)
+        if n == 0:
+            continue
+        starts = range(0, max(n - CHUNK_W, 0) + 1, CHUNK_STRIDE)
+        # plus a tail chunk when the stride grid stops short
+        last = list(starts)[-1] if starts else 0
+        tail = [] if last + CHUNK_W >= n else [last + CHUNK_STRIDE]
+        for ck, s in enumerate(list(starts) + tail):
+            win = tl[s : s + CHUNK_W]
+            o_id.append(int(i))
+            o_ck.append(ck)
+            o_n.append(len(win))
+            o_tx.append(" ".join(win))
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "chunk_id": pa.array(o_ck, pa.int64()),
+            "n_tokens": pa.array(o_n, pa.int64()),
+            "text": pa.array(o_tx, pa.string()),
+        }
+    )
+
+
 def q_passage_chunks(sf_dir: str) -> pd.DataFrame:
     """RAG-style passage chunking: each doc → overlapping windows of
     CHUNK_W tokens at stride CHUNK_STRIDE (last partial window kept iff
@@ -3451,41 +3486,11 @@ def q_passage_chunks(sf_dir: str) -> pd.DataFrame:
     streaming pass; output is the (doc_id, chunk_id, n_tokens, text)
     table a retrieval embedder consumes. Chunk count per doc is
     ⌈max(0, n−W)/stride⌉ + 1."""
-    import pyarrow as pa
     import ray.data as rd
-
-    from searchengine_ray.functions.textstats import _token_lists
-
-    def chunk(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = _token_lists(batch["text"].to_pandas())
-        o_id, o_ck, o_n, o_tx = [], [], [], []
-        for i, tl in zip(ids, toks):
-            n = len(tl)
-            if n == 0:
-                continue
-            starts = range(0, max(n - CHUNK_W, 0) + 1, CHUNK_STRIDE)
-            # plus a tail chunk when the stride grid stops short
-            last = list(starts)[-1] if starts else 0
-            tail = [] if last + CHUNK_W >= n else [last + CHUNK_STRIDE]
-            for ck, s in enumerate(list(starts) + tail):
-                win = tl[s : s + CHUNK_W]
-                o_id.append(int(i))
-                o_ck.append(ck)
-                o_n.append(len(win))
-                o_tx.append(" ".join(win))
-        return pa.table(
-            {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "chunk_id": pa.array(o_ck, pa.int64()),
-                "n_tokens": pa.array(o_n, pa.int64()),
-                "text": pa.array(o_tx, pa.string()),
-            }
-        )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return (
-        ds.map_batches(chunk, batch_format="pyarrow")
+        ds.map_batches(_chunk_batch, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["doc_id", "chunk_id"])
         .reset_index(drop=True)
@@ -11656,6 +11661,444 @@ FROM pairs GROUP BY 1
 """
 
 
+# -------------------------------------------------- Spearman rank correlation
+
+
+def q_spearman_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Spearman rank correlation (value 3dp-quantized vs
+    hour-of-day), exact average-rank tie handling: per-batch counts per
+    (group, value, hour) CELL collapse the stream to its joint value
+    domain (bounded: 24 hours × 3dp value grid) before the shuffle;
+    the per-group finalize derives both marginals' average ranks from
+    the cell table and evaluates weighted Pearson on ranks. All rank
+    sums are quarter-integer-exact in float64 (< 2^53/4), so the oracle
+    — which ranks per ROW with window functions — lands bit-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_pandas(),
+                "v": np.round(
+                    b["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3
+                ),
+                "hr": pc.hour(b["ts"]).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v", "hr"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.float64)
+        n = c.sum()
+
+        def avg_ranks(keys: np.ndarray) -> np.ndarray:
+            # average rank per distinct key = (#smaller) + (ties+1)/2
+            order = np.argsort(keys, kind="mergesort")
+            k_sorted, c_sorted = keys[order], c[order]
+            # collapse runs of equal keys
+            new = np.empty(len(k_sorted), bool)
+            new[:1] = True
+            new[1:] = k_sorted[1:] != k_sorted[:-1]
+            run_tot = np.add.reduceat(c_sorted, np.flatnonzero(new))
+            before = np.concatenate(([0.0], np.cumsum(run_tot)[:-1]))
+            rank_per_run = before + (run_tot + 1.0) / 2.0
+            # map back to cells
+            run_id = np.cumsum(new) - 1
+            ranks_sorted = rank_per_run[run_id]
+            out = np.empty(len(keys), np.float64)
+            out[order] = ranks_sorted
+            return out
+
+        x = avg_ranks(g["v"].to_numpy(np.float64))
+        y = avg_ranks(g["hr"].to_numpy(np.float64))
+        sx, sy = (c * x).sum(), (c * y).sum()
+        sxx, syy, sxy = (c * x * x).sum(), (c * y * y).sum(), (c * x * y).sum()
+        num = n * sxy - sx * sy
+        den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [int(n)],
+                "spearman": [round(num / den, 6)],
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "v", "hr"])
+        .aggregate(Sum("c", alias_name="c"))
+        .groupby("event_type")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def sql_spearman_corr() -> str:
+    return """
+WITH base AS (
+  SELECT event_type, round(value, 3) AS v,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr
+  FROM events),
+ranked AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY v)
+           + (count(*) OVER (PARTITION BY event_type, v) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY event_type ORDER BY hr)
+           + (count(*) OVER (PARTITION BY event_type, hr) - 1) / 2.0 AS ry
+  FROM base)
+SELECT event_type, count(*) AS n,
+       round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+             / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+                    * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 6) AS spearman
+FROM ranked GROUP BY 1
+"""
+
+
+# ------------------------------------------------- two-sample KS statistic
+
+
+def q_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the value distributions
+    of the two lexicographically-first event types, exact on the
+    3dp-quantized value domain: per-(value, sample) counts collapse
+    both streams to the bounded domain table; the ECDF sweep and
+    sup-difference run on that table, never on rows. Ratio-of-integers
+    ECDFs make the float algebra engine-identical."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    types = sorted(
+        r["event_type"] for r in ds.groupby("event_type").aggregate(Count()).take_all()
+    )[:2]
+    t1, t2 = types
+
+    def cells(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        keep = et.isin([t1, t2]).to_numpy()
+        v = np.round(b["value"].to_numpy(zero_copy_only=False)[keep], 3)
+        s1 = (et.to_numpy()[keep] == t1).astype(np.int64)
+        g = (
+            pd.DataFrame({"v": v, "c1": s1, "c2": 1 - s1})
+            .groupby("v", as_index=False, sort=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dom = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("c1", alias_name="c1"), Sum("c2", alias_name="c2"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    n1 = float(dom["c1"].sum())
+    n2 = float(dom["c2"].sum())
+    diff = np.abs(
+        np.cumsum(dom["c1"].to_numpy(np.float64)) / n1
+        - np.cumsum(dom["c2"].to_numpy(np.float64)) / n2
+    )
+    return pd.DataFrame(
+        {
+            "t1": [t1],
+            "t2": [t2],
+            "n1": [int(n1)],
+            "n2": [int(n2)],
+            "d_stat": [round(float(diff.max()), 6)],
+        }
+    )
+
+
+def sql_ks_test() -> str:
+    return """
+WITH two AS (SELECT event_type FROM (
+    SELECT DISTINCT event_type FROM events ORDER BY 1 LIMIT 2)),
+t1 AS (SELECT min(event_type) AS t FROM two),
+t2 AS (SELECT max(event_type) AS t FROM two),
+dom AS (
+  SELECT round(value, 3) AS v,
+         sum(CASE WHEN event_type = (SELECT t FROM t1) THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN event_type = (SELECT t FROM t2) THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN (SELECT event_type FROM two)
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1, CAST(sum(c2) AS DOUBLE) AS n2 FROM dom),
+ecdf AS (
+  SELECT abs(sum(c1) OVER (ORDER BY v) / tot.n1
+           - sum(c2) OVER (ORDER BY v) / tot.n2) AS diff
+  FROM dom, tot)
+SELECT (SELECT t FROM t1) AS t1, (SELECT t FROM t2) AS t2,
+       CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       round((SELECT max(diff) FROM ecdf), 6) AS d_stat
+FROM tot
+"""
+
+
+# -------------------------------------------------- changepoint detection
+
+
+def q_changepoint_day(sf_dir: str) -> pd.DataFrame:
+    """Binary-segmentation changepoint over the daily event-count
+    series: one groupby(day) Count bounds the series by the calendar;
+    the split score |mean_before − mean_after|·√(n_b·n_a/k) evaluates
+    at every split of that tiny table from prefix sums. Argmax split
+    (smallest day on ties) is the detected regime change."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pa.array(
+                    b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // 86_400_000_000,
+                    pa.int64(),
+                )
+            }
+        )
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n = daily["n"].to_numpy(np.float64)
+    days = daily["day"].to_numpy(np.int64)
+    k = float(len(n))
+    cum = np.cumsum(n)
+    tot = cum[-1]
+    nb = np.arange(1, len(n) + 1, dtype=np.float64)
+    valid = slice(0, len(n) - 1)  # split after day i: before = [..i], after = (i..]
+    mean_b = cum[valid] / nb[valid]
+    mean_a = (tot - cum[valid]) / (k - nb[valid])
+    score = np.abs(mean_b - mean_a) * np.sqrt(nb[valid] * (k - nb[valid]) / k)
+    i = int(np.argmax(score))  # np.argmax returns first max — smallest day
+    return pd.DataFrame(
+        {
+            "split_day": [int(days[i])],
+            "n_days": [int(k)],
+            "score": [round(float(score[i]), 6)],
+            "mean_before": [round(float(mean_b[i]), 6)],
+            "mean_after": [round(float(mean_a[i]), 6)],
+        }
+    )
+
+
+def sql_changepoint_day() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS tot, CAST(count(*) AS DOUBLE) AS k FROM daily),
+pre AS (
+  SELECT day, sum(n) OVER (ORDER BY day) AS cum,
+         CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS nb
+  FROM daily),
+scored AS (
+  SELECT day,
+         cum / nb AS mean_b,
+         (t.tot - cum) / (t.k - nb) AS mean_a,
+         abs(cum / nb - (t.tot - cum) / (t.k - nb))
+           * sqrt(nb * (t.k - nb) / t.k) AS score,
+         t.k
+  FROM pre, t WHERE nb < t.k)
+SELECT day AS split_day, CAST(k AS BIGINT) AS n_days,
+       round(score, 6) AS score,
+       round(mean_b, 6) AS mean_before, round(mean_a, 6) AS mean_after
+FROM scored ORDER BY score DESC, day LIMIT 1
+"""
+
+
+# ---------------------------------------------------- passage-level dedup
+
+
+def q_passage_dedup(sf_dir: str) -> pd.DataFrame:
+    """Passage-granularity exact dedup audit (the RAG-corpus redundancy
+    gate): docs → overlapping chunks (shared `_chunk_batch`), each
+    chunk keyed by md5-lower-64 of its text, one hash groupby, then a
+    scalar second aggregate over the hash-group table — n_chunks,
+    distinct chunks, chunks sharing their text with another, and the
+    largest duplicate class. Nothing chunk-cardinality-sized on the
+    driver."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    def hash_chunks(b: pa.Table) -> pa.Table:
+        t = _chunk_batch(b)
+        hv = [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+            for s in t["text"].to_pylist()
+        ]
+        # reinterpret as int64 so the groupby key stays native Arrow
+        # (Ray's aggregate round-trips uint64 keys through Python ints,
+        # which overflow C long and fall back to pickled objects)
+        return pa.table(
+            {"hv": pa.array(np.asarray(hv, np.uint64).view(np.int64), pa.int64())}
+        )
+
+    groups = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(hash_chunks, batch_format="pyarrow")
+        .groupby("hv")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c": t["c"].cast(pa.int64()),
+                    "dup": pa.array(
+                        np.where(
+                            t["c"].to_numpy(zero_copy_only=False) > 1,
+                            t["c"].to_numpy(zero_copy_only=False),
+                            0,
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "one": pa.array(
+                        np.ones(len(t), np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            Sum("c", alias_name="n_chunks"),
+            Sum("one", alias_name="n_distinct"),
+            Sum("dup", alias_name="n_dup_chunks"),
+            Max("c", alias_name="max_class"),
+        )
+    )
+    n_chunks = int(groups["n_chunks"])
+    n_dup = int(groups["n_dup_chunks"])
+    return pd.DataFrame(
+        {
+            "n_chunks": [n_chunks],
+            "n_distinct": [int(groups["n_distinct"])],
+            "n_dup_chunks": [n_dup],
+            "max_class": [int(groups["max_class"])],
+            "dup_frac": [round_half_away(n_dup / n_chunks, 6)],
+        }
+    )
+
+
+def sql_passage_dedup() -> str:
+    w, st = CHUNK_W, CHUNK_STRIDE
+    return rf"""
+WITH tokl AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                        '[ \t\n\x0b\f\r]+'), x -> x <> '') AS l
+  FROM documents),
+spans AS (
+  SELECT doc_id, l, len(l) AS n,
+         unnest(range(0, CAST(ceil(greatest(len(l) - {w}, 0) / {st}.0) AS BIGINT) + 1)) AS ck
+  FROM tokl WHERE len(l) > 0),
+hashes AS (
+  SELECT md5_number_lower(array_to_string(l[ck * {st} + 1 : least(ck * {st} + {w}, n)], ' ')) AS hv
+  FROM spans),
+grp AS (SELECT hv, count(*) AS c FROM hashes GROUP BY hv)
+SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(max(c) AS BIGINT) AS max_class,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM grp
+"""
+
+
+# ------------------------------------------------- synonym-expanded search
+
+SYNONYMS: dict[str, list[str]] = {"merge": ["join", "hash"], "stream": ["batch"]}
+SYNONYM_QUERY = ["merge", "stream"]
+
+
+def q_synonym_search(sf_dir: str) -> pd.DataFrame:
+    """Query-rewrite search: each query term expands through a broadcast
+    synonym map before hitting the index; result is every doc matching
+    ≥1 expanded term with its distinct-matched-term count (the
+    coverage signal a reranker consumes). Per-term postings come from
+    the term-pruned segment reader — one point read per expanded term,
+    no corpus scan."""
+    expanded = sorted({t for q in SYNONYM_QUERY for t in [q, *SYNONYMS.get(q, [])]})
+    eng = _engine(sf_dir)
+    counts: dict[int, int] = {}
+    for term in expanded:
+        for d in eng.search_keyword(term):
+            counts[d] = counts.get(d, 0) + 1
+    out = pd.DataFrame(
+        {
+            "doc_id": pd.Series(list(counts.keys()), dtype="int64"),
+            "n_matched": pd.Series(list(counts.values()), dtype="int64"),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_synonym_search() -> str:
+    expanded = sorted({t for q in SYNONYM_QUERY for t in [q, *SYNONYMS.get(q, [])]})
+    terms = ", ".join(f"'{t}'" for t in expanded)
+    return f"""
+WITH {sql_tokens_cte()}
+SELECT doc_id, CAST(count(DISTINCT term) AS BIGINT) AS n_matched
+FROM toks WHERE term IN ({terms})
+GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ keyset pagination
+
+PAGE_SIZE = 10
+PAGE_OFFSET = 20  # i.e. page 3
+
+
+def q_search_after(sf_dir: str) -> pd.DataFrame:
+    """Deep pagination contract over the BM25 ranking: page 3 (rows
+    21-30) of results ordered by (rounded score DESC, doc_id ASC) — the
+    deterministic keyset a search API must expose so page N is stable
+    under re-execution. Scoring reuses the engine's full BM25 pass;
+    the slice is on the 6dp-rounded key both engines sort by."""
+    res = _engine(sf_dir).search_bm25(BM25_QUERY, topk=None)
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    page = df.iloc[PAGE_OFFSET : PAGE_OFFSET + PAGE_SIZE].reset_index(drop=True)
+    page.insert(0, "rank", np.arange(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page), dtype=np.int64))
+    return page
+
+
+def sql_search_after() -> str:
+    base = sql_bm25_all().strip().rstrip()
+    return f"""
+WITH paged AS ({base})
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, score
+FROM paged
+ORDER BY score DESC, doc_id
+LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -11887,4 +12330,10 @@ def registry() -> dict[str, tuple]:
         "event_debounce": (q_event_debounce, sql_event_debounce()),
         "pareto_share": (q_pareto_share, sql_pareto_share()),
         "acf_daily": (q_acf_daily, sql_acf_daily()),
+        "spearman_corr": (q_spearman_corr, sql_spearman_corr()),
+        "ks_test": (q_ks_test, sql_ks_test()),
+        "changepoint_day": (q_changepoint_day, sql_changepoint_day()),
+        "passage_dedup": (q_passage_dedup, sql_passage_dedup()),
+        "synonym_search": (q_synonym_search, sql_synonym_search()),
+        "search_after": (q_search_after, sql_search_after()),
     }

@@ -1053,3 +1053,109 @@ class TestStatsWave14:
         assert (out["acf"].abs() <= 1.0 + 1e-9).all()
         # longer lags can only have fewer-or-equal overlapping pairs
         assert (out.sort_values("lag")["n_pairs"].diff().dropna() <= 0).all()
+
+
+class TestStatsWave15:
+    def test_spearman_matches_scipy_free_impl(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_spearman_corr
+
+        out = q_spearman_corr(sf_tiny)
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        ev["v"] = ev["value"].round(3)
+        ev["hr"] = ev["ts"].dt.hour
+        for _, row in out.iterrows():
+            sub = ev[ev["event_type"] == row["event_type"]]
+            rx = sub["v"].rank(method="average")
+            ry = sub["hr"].rank(method="average")
+            want = np.corrcoef(rx, ry)[0, 1]
+            assert abs(row["spearman"] - want) < 1e-6, row["event_type"]
+            assert row["n"] == len(sub)
+
+    def test_ks_matches_bruteforce(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_ks_test
+
+        out = q_ks_test(sf_tiny).iloc[0]
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        a = np.sort(ev[ev["event_type"] == out["t1"]]["value"].round(3).to_numpy())
+        b = np.sort(ev[ev["event_type"] == out["t2"]]["value"].round(3).to_numpy())
+        grid = np.unique(np.concatenate([a, b]))
+        d = np.abs(
+            np.searchsorted(a, grid, side="right") / len(a)
+            - np.searchsorted(b, grid, side="right") / len(b)
+        ).max()
+        assert abs(out["d_stat"] - d) < 1e-6
+        assert out["n1"] == len(a) and out["n2"] == len(b)
+
+    def test_changepoint_score_is_max_over_splits(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_changepoint_day
+
+        out = q_changepoint_day(sf_tiny).iloc[0]
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        daily = (
+            (ev["ts"].astype("int64") // 86_400_000_000)
+            .value_counts()
+            .sort_index()
+            .astype(float)
+        )
+        n = daily.to_numpy()
+        k = len(n)
+        cum = np.cumsum(n)
+        nb = np.arange(1, k + 1, dtype=float)
+        sc = np.abs(cum[:-1] / nb[:-1] - (cum[-1] - cum[:-1]) / (k - nb[:-1])) * np.sqrt(
+            nb[:-1] * (k - nb[:-1]) / k
+        )
+        assert abs(out["score"] - sc.max()) < 1e-6
+        assert out["split_day"] == int(daily.index[int(np.argmax(sc))])
+
+    def test_passage_dedup_consistent_with_chunks(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_passage_chunks, q_passage_dedup
+
+        stats = q_passage_dedup(sf_tiny).iloc[0]
+        chunks = q_passage_chunks(sf_tiny)
+        vc = chunks["text"].value_counts()
+        assert stats["n_chunks"] == len(chunks)
+        assert stats["n_distinct"] == len(vc)
+        assert stats["n_dup_chunks"] == int(vc[vc > 1].sum())
+        assert stats["max_class"] == int(vc.max())
+
+    def test_synonym_search_superset_of_base_or(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import (
+            SYNONYM_QUERY,
+            SYNONYMS,
+            _engine,
+            q_synonym_search,
+        )
+
+        out = q_synonym_search(sf_tiny)
+        eng = _engine(sf_tiny)
+        base = set()
+        for t in SYNONYM_QUERY:
+            base |= set(eng.search_keyword(t))
+        got = set(out["doc_id"].tolist())
+        assert base <= got
+        n_terms = len({t for q in SYNONYM_QUERY for t in [q, *SYNONYMS.get(q, [])]})
+        assert out["n_matched"].between(1, n_terms).all()
+
+    def test_search_after_is_global_slice(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import (
+            BM25_QUERY,
+            PAGE_OFFSET,
+            PAGE_SIZE,
+            _engine,
+            q_search_after,
+        )
+
+        page = q_search_after(sf_tiny)
+        res = _engine(sf_tiny).search_bm25(BM25_QUERY, topk=None)
+        df = pd.DataFrame(
+            {"doc_id": [d for d, _ in res], "score": [round(s, 6) for _, s in res]}
+        ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        want = df.iloc[PAGE_OFFSET : PAGE_OFFSET + PAGE_SIZE]
+        assert page["doc_id"].tolist() == want["doc_id"].tolist()
+        assert page["rank"].tolist() == list(range(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page)))
