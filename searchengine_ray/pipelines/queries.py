@@ -12099,6 +12099,289 @@ LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
 """
 
 
+# --------------------------------------------------- Arrow IPC roundtrip
+
+
+def q_arrow_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Arrow IPC interchange: events → one .arrow (RecordBatchFile) per
+    block written inside map_batches (parallel, content under unique
+    names) → read_binary_files + zero-copy IPC open → the same
+    per-type digest contract as the CSV/JSONL/WET roundtrips. The
+    columnar spill/interchange format a Ray pipeline would use between
+    jobs — no parse cost on re-read, schema preserved exactly."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = CACHE_ROOT / f"arrow-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        path = base / f"{uuid.uuid4().hex}.arrow"
+        with pa.OSFile(str(path), "wb") as f:
+            with pa.ipc.new_file(f, b.schema) as w:
+                w.write_table(b)
+        return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+    rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(write_block, batch_format="pyarrow").materialize()
+
+    def parse(row: dict) -> pa.Table:
+        buf = pa.BufferReader(row["bytes"])
+        t = pa.ipc.open_file(buf).read_all()
+        v = np.round(t["value"].to_numpy(zero_copy_only=False).astype(np.float64), 3)
+        micro = np.asarray(round_half_away(v * 1e3, 0), np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "id_sum": t["event_id"].cast(pa.int64()),
+                "v_milli": pa.array(micro, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_binary_files(str(base))
+        .flat_map(lambda row: parse(row).to_pylist())
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("id_sum", alias_name="id_sum"),
+            Sum("v_milli", alias_name="v_milli"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype({"event_type": "object", "n": "int64", "id_sum": "int64", "v_milli": "int64"})
+    )
+
+
+def sql_arrow_roundtrip() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT) AS v_milli
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------- nearest-centroid classifier
+
+
+def q_centroid_classify(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid classification audit: per-label mean embeddings
+    (one combiner shuffle, 6dp-rounded — the published contract both
+    engines share), broadcast as a k×d matrix into a vectorized
+    squared-L2 assignment scan (`_l2_assign`, ties to the lowest
+    label), then a ≤k²-row confusion-matrix groupby. The
+    label-coherence gate for embedding quality at corpus scale."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.vectors import _l2_assign, group_centroids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    ).materialize()
+    cent_long = group_centroids(emb, "label")
+    labels = np.sort(cent_long["label"].unique()).astype(np.int64)
+    d = int(cent_long["dim"].max())
+    cent = (
+        cent_long.sort_values(["label", "dim"])["c"].to_numpy(np.float64).reshape(len(labels), d)
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        mat = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        idx = _l2_assign(mat, cent)
+        return pa.table(
+            {
+                "label": b["label"].cast(pa.int64()),
+                "assigned": pa.array(labels[idx], pa.int64()),
+            }
+        )
+
+    out = (
+        emb.map_batches(assign, batch_format="pyarrow")
+        .groupby(["label", "assigned"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["label", "assigned"]).reset_index(drop=True).astype(
+        {"label": "int64", "assigned": "int64", "n": "int64"}
+    )
+
+
+def sql_centroid_classify() -> str:
+    return """
+WITH z AS (
+  SELECT label, unnest(embedding)::DOUBLE AS e,
+         unnest(range(1, len(embedding)+1)) AS dim
+  FROM embeddings),
+cd AS (SELECT label, dim, round(avg(e), 6) AS c FROM z GROUP BY label, dim),
+cent AS (SELECT label AS clabel, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+dist AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, cent.clabel,
+         list_distance(CAST(e.embedding AS DOUBLE[]), cent.cv) AS d
+  FROM embeddings e CROSS JOIN cent),
+assigned AS (
+  SELECT vec_id, label, CAST(clabel AS BIGINT) AS assigned
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        FROM dist)
+  WHERE rn = 1)
+SELECT label, assigned, count(*) AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------ distinctive terms (log-odds)
+
+LOGODDS_TOPK = 5
+
+
+def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-source distinctive vocabulary by smoothed log-odds ratio
+    (Monroe et al.'s informative-Dirichlet shape with +1 pseudo-counts):
+    one (source, term) combiner groupby bounds the shuffle by the
+    vocabulary; marginals and the rest-of-corpus contrast derive on the
+    vocabulary-sized table; top-{LOGODDS_TOPK} per source by (score
+    DESC, term). Integer counts → ln of integer ratios → engine-equal."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        lens = [len(t) for t in toks]
+        flat_src = np.repeat(src.to_numpy(object), lens)
+        flat_tok = np.asarray([t for ts in toks for t in ts], object)
+        g = (
+            pd.DataFrame({"source": flat_src, "term": flat_tok})
+            .groupby(["source", "term"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g.rename(columns={"size": "c"}), preserve_index=False)
+
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    tot_s = vocab.groupby("source")["c"].sum()
+    tot_all = int(vocab["c"].sum())
+    term_all = vocab.groupby("term")["c"].sum()
+    v = vocab.copy()
+    v["ts"] = v["source"].map(tot_s).astype(np.int64)
+    v["ca"] = v["term"].map(term_all).astype(np.int64)
+    cs = v["c"].to_numpy(np.float64)
+    ts = v["ts"].to_numpy(np.float64)
+    cr = v["ca"].to_numpy(np.float64) - cs
+    tr = float(tot_all) - ts
+    score = np.log((cs + 1.0) / (ts - cs + 1.0)) - np.log((cr + 1.0) / (tr - cr + 1.0))
+    v["score"] = np.round(score, 6)
+    v = v.sort_values(["source", "score", "term"], ascending=[True, False, True])
+    top = v.groupby("source", sort=False).head(LOGODDS_TOPK)
+    return (
+        top[["source", "term", "c", "score"]]
+        .reset_index(drop=True)
+        .astype({"source": "object", "term": "object", "c": "int64"})
+    )
+
+
+def sql_distinctive_terms() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+v AS (SELECT source, t AS term, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT source, sum(c) AS ts FROM v GROUP BY 1),
+ta AS (SELECT term, sum(c) AS ca FROM v GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM v),
+scored AS (
+  SELECT v.source, v.term, v.c,
+         round(ln((v.c + 1.0) / (ts.ts - v.c + 1.0))
+             - ln((ta.ca - v.c + 1.0) / (tot.n - ts.ts - (ta.ca - v.c) + 1.0)), 6) AS score
+  FROM v JOIN ts USING (source) JOIN ta ON ta.term = v.term CROSS JOIN tot),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn
+  FROM scored)
+SELECT source, term, CAST(c AS BIGINT) AS c, score
+FROM ranked WHERE rn <= {LOGODDS_TOPK}
+"""
+
+
+# ------------------------------------------------- hour × weekday heatmap
+
+
+def q_hour_dow_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day × day-of-week activity heatmap (the ops-dashboard
+    staple): one small-domain groupby — 168 output cells regardless of
+    row count, with per-cell mean value alongside the count."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def keys(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        return pa.table(
+            {
+                # epoch day 0 = Thursday; ISO dow Monday=1
+                "dow": pa.array((day + 3) % 7 + 1, pa.int64()),
+                "hour": pa.array(
+                    pc.hour(b["ts"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+                "value": b["value"],
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        .map_batches(keys, batch_format="pyarrow")
+        .groupby(["dow", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sv"))
+        .to_pandas()
+    )
+    out["mean_value"] = (out["sv"] / out["n"]).round(6)
+    return (
+        out[["dow", "hour", "n", "mean_value"]]
+        .sort_values(["dow", "hour"])
+        .reset_index(drop=True)
+        .astype({"dow": "int64", "hour": "int64", "n": "int64"})
+    )
+
+
+def sql_hour_dow_heatmap() -> str:
+    return """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       count(*) AS n,
+       round(sum(value) / count(*), 6) AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12336,4 +12619,8 @@ def registry() -> dict[str, tuple]:
         "passage_dedup": (q_passage_dedup, sql_passage_dedup()),
         "synonym_search": (q_synonym_search, sql_synonym_search()),
         "search_after": (q_search_after, sql_search_after()),
+        "arrow_roundtrip": (q_arrow_roundtrip, sql_arrow_roundtrip()),
+        "centroid_classify": (q_centroid_classify, sql_centroid_classify()),
+        "distinctive_terms": (q_distinctive_terms, sql_distinctive_terms()),
+        "hour_dow_heatmap": (q_hour_dow_heatmap, sql_hour_dow_heatmap()),
     }

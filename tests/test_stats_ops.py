@@ -1159,3 +1159,66 @@ class TestStatsWave15:
         want = df.iloc[PAGE_OFFSET : PAGE_OFFSET + PAGE_SIZE]
         assert page["doc_id"].tolist() == want["doc_id"].tolist()
         assert page["rank"].tolist() == list(range(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page)))
+
+
+class TestStatsWave16:
+    def test_arrow_roundtrip_preserves_all_rows(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_arrow_roundtrip
+
+        out = q_arrow_roundtrip(sf_tiny)
+        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
+        want = ev.groupby("event_type").agg(
+            n=("event_id", "size"), id_sum=("event_id", "sum")
+        )
+        merged = out.merge(want, on="event_type", suffixes=("", "_w"))
+        assert (merged["n"] == merged["n_w"]).all()
+        assert (merged["id_sum"] == merged["id_sum_w"]).all()
+
+    def test_centroid_classify_matches_bruteforce(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_centroid_classify
+
+        out = q_centroid_classify(sf_tiny)
+        emb = pq.read_table(f"{sf_tiny}/embeddings.parquet").to_pandas()
+        mat = np.stack(emb["embedding"].map(lambda v: np.asarray(v, np.float64)))
+        labels = np.sort(emb["label"].unique())
+        cent = np.stack(
+            [np.round(mat[emb["label"].to_numpy() == l].mean(axis=0), 6) for l in labels]
+        )
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assigned = labels[d.argmin(axis=1)]
+        want = (
+            pd.DataFrame({"label": emb["label"].astype("int64"), "assigned": assigned})
+            .groupby(["label", "assigned"])
+            .size()
+            .reset_index(name="n")
+        )
+        pd.testing.assert_frame_equal(
+            out.astype({"assigned": "int64"}),
+            want.astype({"label": "int64", "assigned": "int64", "n": "int64"}),
+        )
+        assert out["n"].sum() == len(emb)
+
+    def test_distinctive_terms_topk_per_source(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import LOGODDS_TOPK, q_distinctive_terms
+
+        out = q_distinctive_terms(sf_tiny)
+        per = out.groupby("source").size()
+        assert (per <= LOGODDS_TOPK).all()
+        # scores are sorted descending within source
+        for _, sub in out.groupby("source"):
+            assert (sub["score"].diff().dropna() <= 1e-12).all()
+
+    def test_hour_dow_heatmap_totals(self, ray_session, sf_tiny):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.pipelines.queries import q_hour_dow_heatmap
+
+        out = q_hour_dow_heatmap(sf_tiny)
+        n_events = pq.read_metadata(f"{sf_tiny}/events.parquet").num_rows
+        assert out["n"].sum() == n_events
+        assert out["dow"].between(1, 7).all()
+        assert out["hour"].between(0, 23).all()
