@@ -12382,6 +12382,485 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------- co-occurrence window counts
+
+COOCCUR_TARGET = "window"
+COOCCUR_SLOP = 3
+COOCCUR_TOPK = 15
+
+
+def q_cooccur_window(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level positional co-occurrence: every term appearing
+    within ±{COOCCUR_SLOP} analyzed positions of '{COOCCUR_TARGET}'
+    (the window-context vocabulary a query-suggestion / word-vector
+    trainer consumes). Per-batch: whitespace positions per doc,
+    searchsorted windows around each target hit, neighbor partial
+    counts — so the shuffle is vocabulary-bounded, not token-bounded.
+    Top-{COOCCUR_TOPK} by (count DESC, term)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        counts: dict[str, int] = {}
+        for txt in texts:
+            toks = [t for t in txt.lower().split() if t]
+            if not toks:
+                continue
+            arr = np.asarray(toks, object)
+            hits = np.flatnonzero(arr == COOCCUR_TARGET)
+            if not len(hits):
+                continue
+            # union of ±slop windows, excluding the hit positions
+            mask = np.zeros(len(arr), bool)
+            for h in hits:
+                mask[max(0, h - COOCCUR_SLOP) : h + COOCCUR_SLOP + 1] = True
+            mask[hits] = False
+            for t in arr[mask]:
+                counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    out = out.sort_values(["c", "term"], ascending=[False, True]).head(COOCCUR_TOPK)
+    return out.reset_index(drop=True).astype({"term": "object", "c": "int64"})
+
+
+def sql_cooccur_window() -> str:
+    return rf"""
+WITH raw AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[ \t\n\x0b\f\r]+') AS l
+        FROM documents)
+), tok AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM raw WHERE t <> ''
+), near AS (
+  SELECT DISTINCT b.doc_id, b.p, b.t
+  FROM tok a JOIN tok b USING (doc_id)
+  WHERE a.t = '{COOCCUR_TARGET}' AND b.t <> '{COOCCUR_TARGET}'
+    AND abs(a.p - b.p) <= {COOCCUR_SLOP})
+SELECT t AS term, count(*) AS c
+FROM near GROUP BY t
+ORDER BY c DESC, term LIMIT {COOCCUR_TOPK}
+"""
+
+
+# ------------------------------------------------- TF-IDF doc-doc cosine
+
+DOC_COSINE_SRC = 42
+DOC_COSINE_TOPK = 10
+
+
+def q_doc_cosine(sf_dir: str) -> pd.DataFrame:
+    """Embedding-free document similarity: cosine between full TF-IDF
+    doc vectors (reference idf = log10(N/df + 1)) of doc
+    {DOC_COSINE_SRC} and every other doc. Two vocabulary-bounded
+    aggregates (df table, per-doc norms), the source vector broadcast
+    into a per-batch sparse dot product — the corpus never pivots into
+    dense vectors. Top-{DOC_COSINE_TOPK} by (cosine DESC, doc_id)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    from ..functions.textstats import _token_lists
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def doc_terms(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(b["text"].to_pandas())
+        lens = [len(t) for t in toks]
+        g = (
+            pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, lens),
+                    "term": np.asarray([t for ts in toks for t in ts], object),
+                }
+            )
+            .groupby(["doc_id", "term"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(g.rename(columns={"size": "tf"}), preserve_index=False)
+
+    tf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(doc_terms, batch_format="pyarrow")
+        .groupby(["doc_id", "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()
+    )
+    df_tab = (
+        tf.map_batches(
+            lambda t: pa.table({"term": t["term"], "one": pa.array(np.ones(len(t), np.int64))}),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("one", alias_name="df"))
+        .to_pandas()
+    )
+    idf = {
+        t: math.log10(n_docs / d + 1.0)
+        for t, d in zip(df_tab["term"], df_tab["df"].astype(float))
+    }
+    src = tf.filter(lambda r: r["doc_id"] == DOC_COSINE_SRC).to_pandas()
+    src_w = {t: c * idf[t] for t, c in zip(src["term"], src["tf"].astype(float))}
+    src_norm = math.sqrt(sum(w * w for w in src_w.values()))
+
+    def score(b: pa.Table) -> pa.Table:
+        d = pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "term": b["term"].to_pandas(),
+                "tf": b["tf"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        w = d["tf"] * d["term"].map(idf)
+        dot = np.where(d["term"].isin(src_w), w * d["term"].map(src_w).fillna(0.0), 0.0)
+        g = pd.DataFrame({"doc_id": d["doc_id"], "dot": dot, "sq": w * w}).groupby(
+            "doc_id", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        tf.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("dot", alias_name="dot"), Sum("sq", alias_name="sq"))
+        .to_pandas()
+    )
+    agg = agg[agg["doc_id"] != DOC_COSINE_SRC]
+    agg["cosine"] = np.round(
+        agg["dot"] / (np.sqrt(agg["sq"]) * src_norm), 6
+    )
+    out = agg.sort_values(["cosine", "doc_id"], ascending=[False, True]).head(
+        DOC_COSINE_TOPK
+    )
+    return out[["doc_id", "cosine"]].reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def sql_doc_cosine() -> str:
+    # raw punct tokens WITHOUT the stoplist — mirrors _token_lists,
+    # which q_doc_cosine tokenizes with (unlike the index entries)
+    return rf"""
+WITH rawt AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+toks AS (SELECT doc_id, t AS term, count(*) AS tf FROM rawt GROUP BY 1, 2),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+w AS (
+  SELECT toks.doc_id, toks.term,
+         toks.tf * log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS w
+  FROM toks JOIN stats USING (term) CROSS JOIN n),
+src AS (SELECT term, w FROM w WHERE doc_id = {DOC_COSINE_SRC}),
+srcn AS (SELECT sqrt(sum(w * w)) AS nrm FROM src),
+scored AS (
+  SELECT w.doc_id,
+         sum(CASE WHEN src.term IS NOT NULL THEN w.w * src.w ELSE 0 END) AS dot,
+         sum(w.w * w.w) AS sq
+  FROM w LEFT JOIN src ON src.term = w.term
+  WHERE w.doc_id <> {DOC_COSINE_SRC}
+  GROUP BY w.doc_id)
+SELECT doc_id, round(dot / (sqrt(sq) * srcn.nrm), 6) AS cosine
+FROM scored, srcn
+ORDER BY dot / (sqrt(sq) * srcn.nrm) DESC, doc_id
+LIMIT {DOC_COSINE_TOPK}
+"""
+
+
+# --------------------------------------------------- Kaplan-Meier survival
+
+SURVIVAL_EVENT = "purchase"
+
+
+def q_survival_table(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier time-to-first-'{SURVIVAL_EVENT}' table: per-user
+    first-activity / first-event days via ONE groupby with conditional
+    Min partials; users who never convert are right-censored at their
+    last day. The life table (n_risk, n_event, n_censored, hazard,
+    survival) evaluates on the duration-domain table — bounded by the
+    calendar, not the user count. Survival = exp(Σ ln(1−d/n)) in BOTH
+    engines so the float path is identical."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    def days(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        et = b["event_type"].to_pandas().to_numpy()
+        # conversion day, int64 max when this row isn't the event
+        conv = np.where(et == SURVIVAL_EVENT, day, np.iinfo(np.int64).max)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(day, pa.int64()),
+                "conv": pa.array(conv, pa.int64()),
+            }
+        )
+
+    users = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        .map_batches(days, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("day", alias_name="first_day"),
+            Max("day", alias_name="last_day"),
+            Min("conv", alias_name="conv_day"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "duration": pa.array(
+                        np.where(
+                            t["conv_day"].to_numpy(zero_copy_only=False)
+                            != np.iinfo(np.int64).max,
+                            t["conv_day"].to_numpy(zero_copy_only=False)
+                            - t["first_day"].to_numpy(zero_copy_only=False),
+                            t["last_day"].to_numpy(zero_copy_only=False)
+                            - t["first_day"].to_numpy(zero_copy_only=False),
+                        ),
+                        pa.int64(),
+                    ),
+                    "event": pa.array(
+                        (
+                            t["conv_day"].to_numpy(zero_copy_only=False)
+                            != np.iinfo(np.int64).max
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from ray.data.aggregate import Count, Sum
+
+    life = (
+        users.groupby("duration")
+        .aggregate(Count(alias_name="n_at"), Sum("event", alias_name="n_event"))
+        .to_pandas()
+        .sort_values("duration")
+        .reset_index(drop=True)
+    )
+    n_at = life["n_at"].to_numpy(np.int64)
+    n_ev = life["n_event"].to_numpy(np.int64)
+    total = int(n_at.sum())
+    n_risk = total - np.concatenate(([0], np.cumsum(n_at)[:-1]))
+    # a duration where every at-risk user converts pins survival to 0
+    # from there on — guard its ln(0) and apply the zero explicitly
+    factor = 1.0 - n_ev / n_risk.astype(np.float64)
+    surv = np.exp(np.cumsum(np.log(np.where(n_ev == n_risk, 1.0, factor))))
+    surv = np.where(np.cumsum(n_ev == n_risk) > 0, 0.0, surv)
+    return pd.DataFrame(
+        {
+            "duration": life["duration"].astype("int64"),
+            "n_risk": n_risk.astype("int64"),
+            "n_event": n_ev.astype("int64"),
+            "n_censored": (n_at - n_ev).astype("int64"),
+            "hazard": np.round(n_ev / n_risk.astype(np.float64), 6),
+            "survival": np.round(surv, 6),
+        }
+    )
+
+
+def sql_survival_table() -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         event_type
+  FROM events),
+u AS (
+  SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+         min(CASE WHEN event_type = '{SURVIVAL_EVENT}' THEN day END) AS conv_day
+  FROM d GROUP BY user_id),
+dur AS (
+  SELECT CASE WHEN conv_day IS NOT NULL THEN conv_day - first_day
+              ELSE last_day - first_day END AS duration,
+         CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM u),
+life AS (
+  SELECT duration, count(*) AS n_at, sum(event) AS n_event
+  FROM dur GROUP BY duration),
+tot AS (SELECT sum(n_at) AS total FROM life),
+risk AS (
+  SELECT duration, n_at, n_event,
+         tot.total - coalesce(sum(n_at) OVER (ORDER BY duration
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM life, tot)
+SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_event AS BIGINT) AS n_event,
+       CAST(n_at - n_event AS BIGINT) AS n_censored,
+       round(n_event / CAST(n_risk AS DOUBLE), 6) AS hazard,
+       round(CASE WHEN sum(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY duration) > 0
+             THEN 0.0
+             ELSE exp(sum(ln(CASE WHEN n_event = n_risk THEN 1.0
+                             ELSE 1.0 - n_event / CAST(n_risk AS DOUBLE) END))
+                      OVER (ORDER BY duration)) END, 6) AS survival
+FROM risk
+"""
+
+
+# ----------------------------------------------- dense-rank top-k with ties
+
+
+def q_dense_topk(sf_dir: str) -> pd.DataFrame:
+    """WITH TIES top-k: customers holding the top-2 DISTINCT rounded
+    account balances per nation (dense_rank ≤ 2 — every tied row
+    surfaces, unlike `group_topk`'s row_number cut). Per-batch partial:
+    keep rows whose balance is among the batch's top-2 distinct values
+    per nation (a superset of the global answer), then one small
+    groupby finalize. Monotone-safe combiner: the global top-2 distinct
+    values are each batch-local top-2 somewhere."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "c_nationkey": b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "bal": np.round(
+                    b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64), 0
+                ),
+            }
+        )
+        keep = []
+        for _, sub in df.groupby("c_nationkey"):
+            top2 = np.sort(sub["bal"].unique())[::-1][:2]
+            keep.append(sub[sub["bal"].isin(top2)])
+        out = pd.concat(keep) if keep else df.iloc[:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    keep = []
+    for _, sub in cand.groupby("c_nationkey"):
+        top2 = np.sort(sub["bal"].unique())[::-1][:2]
+        sub = sub[sub["bal"].isin(top2)].copy()
+        rank_map = {v: i + 1 for i, v in enumerate(top2)}
+        sub["rnk"] = sub["bal"].map(rank_map).astype(np.int64)
+        keep.append(sub)
+    out = pd.concat(keep).sort_values(["c_nationkey", "rnk", "c_custkey"])
+    return out[["c_nationkey", "c_custkey", "bal", "rnk"]].reset_index(drop=True).astype(
+        {"c_nationkey": "int64", "c_custkey": "int64", "rnk": "int64"}
+    )
+
+
+def sql_dense_topk() -> str:
+    return """
+WITH r AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey,
+         round(c_acctbal, 0) AS bal,
+         dense_rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 0) DESC) AS rnk
+  FROM customer)
+SELECT c_nationkey, c_custkey, bal, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+"""
+
+
+# ------------------------------------------------- document-frequency histogram
+
+
+def q_df_histogram(sf_dir: str) -> pd.DataFrame:
+    """Zipf audit of the dictionary: document-frequency histogram in
+    log2 buckets — term df table (vocabulary-bounded combiner groupby)
+    → bucket = floor(log2(df)) → ≤40-bucket second groupby. The
+    skew-planning table head-term salting is sized from."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(b["text"].to_pandas())
+        rows = {(int(i), t) for i, ts in zip(ids, toks) for t in set(ts)}
+        if not rows:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "one": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "term": pa.array([t for _, t in rows], pa.string()),
+                "one": pa.array(np.ones(len(rows), np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("one", alias_name="df"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pa.array(
+                        np.floor(
+                            np.log2(t["df"].to_numpy(zero_copy_only=False).astype(np.float64))
+                        ).astype(np.int64),
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n_terms"))
+        .to_pandas()
+    )
+    return out.sort_values("bucket").reset_index(drop=True).astype(
+        {"bucket": "int64", "n_terms": "int64"}
+    )
+
+
+def sql_df_histogram() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+dfs AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+SELECT CAST(floor(log2(df)) AS BIGINT) AS bucket, count(*) AS n_terms
+FROM dfs GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -12623,4 +13102,9 @@ def registry() -> dict[str, tuple]:
         "centroid_classify": (q_centroid_classify, sql_centroid_classify()),
         "distinctive_terms": (q_distinctive_terms, sql_distinctive_terms()),
         "hour_dow_heatmap": (q_hour_dow_heatmap, sql_hour_dow_heatmap()),
+        "cooccur_window": (q_cooccur_window, sql_cooccur_window()),
+        "doc_cosine": (q_doc_cosine, sql_doc_cosine()),
+        "survival_table": (q_survival_table, sql_survival_table()),
+        "dense_topk": (q_dense_topk, sql_dense_topk()),
+        "df_histogram": (q_df_histogram, sql_df_histogram()),
     }
