@@ -12861,6 +12861,96 @@ FROM dfs GROUP BY 1
 """
 
 
+# ------------------------------------------------------- column profiling
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_column_profile(sf_dir: str) -> pd.DataFrame:
+    """Ingest-gate column profile of the corpus table: per column the
+    null count, exact distinct cardinality, and blank count (empty or
+    whitespace-only strings; 0 for non-strings). One pass computes all
+    null/blank partials; distincts run as per-column `unique`-combiner
+    aggregates (per-batch dedup before the shuffle, so exchange volume
+    is batch-cardinality-bounded). At 100 TB the exact distincts for
+    near-unique columns would switch to the HLL estimator
+    (`hll_sketch`); the exact path is the small-scale oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        rows = []
+        for col in PROFILE_COLS:
+            arr = b[col]
+            nulls = arr.null_count
+            if pa.types.is_string(arr.type):
+                trimmed = pc.utf8_trim_whitespace(arr.combine_chunks())
+                blanks = int(
+                    pc.sum(
+                        pc.equal(trimmed, "").cast(pa.int64()), min_count=0
+                    ).as_py()
+                )
+            else:
+                blanks = 0
+            rows.append((col, int(nulls), blanks))
+        return pa.table(
+            {
+                "col_name": pa.array([r[0] for r in rows], pa.string()),
+                "n_null": pa.array([r[1] for r in rows], pa.int64()),
+                "n_blank": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=PROFILE_COLS)
+    nulls = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(Sum("n_null", alias_name="n_null"), Sum("n_blank", alias_name="n_blank"))
+        .to_pandas()
+    )
+
+    def uniq(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"v": pc.unique(b[col].combine_chunks().drop_null())})
+
+        return f
+
+    distincts = {}
+    for col in PROFILE_COLS:
+        distincts[col] = int(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[col])
+            .map_batches(uniq(col), batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Count(alias_name="n"))
+            .count()
+        )
+
+    nulls["n_distinct"] = nulls["col_name"].map(distincts).astype("int64")
+    out = nulls.sort_values("col_name").reset_index(drop=True)
+    return out[["col_name", "n_null", "n_blank", "n_distinct"]].astype(
+        {"n_null": "int64", "n_blank": "int64", "n_distinct": "int64"}
+    )
+
+
+def sql_column_profile() -> str:
+    parts = []
+    for col in PROFILE_COLS:
+        blank = (
+            f"sum(CASE WHEN trim({col}) = '' THEN 1 ELSE 0 END)"
+            if col in ("text", "lang", "source")
+            else "0"
+        )
+        parts.append(
+            f"SELECT '{col}' AS col_name, "
+            f"CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(coalesce({blank}, 0) AS BIGINT) AS n_blank, "
+            f"CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct FROM documents"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -13107,4 +13197,5 @@ def registry() -> dict[str, tuple]:
         "survival_table": (q_survival_table, sql_survival_table()),
         "dense_topk": (q_dense_topk, sql_dense_topk()),
         "df_histogram": (q_df_histogram, sql_df_histogram()),
+        "column_profile": (q_column_profile, sql_column_profile()),
     }

@@ -199,3 +199,31 @@ class TestDfHistogram:
         assert dict(zip(got["bucket"], got["n_terms"])) == buckets
         # histogram partitions the vocabulary
         assert got["n_terms"].sum() == len(df)
+
+
+class TestColumnProfile:
+    def test_matches_pandas_profile(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import PROFILE_COLS, q_column_profile
+
+        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet")
+        got = q_column_profile(sf_tiny).set_index("col_name")
+        assert sorted(got.index) == sorted(PROFILE_COLS)
+        for col in PROFILE_COLS:
+            assert got.loc[col, "n_null"] == int(docs[col].isna().sum())
+            assert got.loc[col, "n_distinct"] == int(docs[col].nunique())
+            if docs[col].dtype == object:
+                assert got.loc[col, "n_blank"] == int(
+                    (docs[col].str.strip() == "").sum()
+                )
+            else:
+                assert got.loc[col, "n_blank"] == 0
+
+    def test_doc_id_unique(self, ray_session, sf_tiny):
+        """doc_id is the primary key — profile must show it fully
+        distinct with no nulls."""
+        from searchengine_ray.pipelines.queries import q_column_profile
+
+        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id"])
+        got = q_column_profile(sf_tiny).set_index("col_name")
+        assert got.loc["doc_id", "n_distinct"] == len(docs)
+        assert got.loc["doc_id", "n_null"] == 0
