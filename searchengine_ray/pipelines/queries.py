@@ -12951,6 +12951,170 @@ def sql_column_profile() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+# ---------------------------------------------------------- Zipf-law slope
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf-law fit of the corpus: OLS of ln(freq) on ln(rank) over the
+    full rank-frequency table (rank by freq DESC, term ASC). One
+    vocabulary-bounded combiner groupby builds the frequency table; the
+    regression runs on the V-row result. Both engines evaluate the
+    identical closed-form sums. English text fits slope ≈ -1 — the law
+    head-term salting and block-max budgets assume."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def tf_pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        counts: dict[str, int] = {}
+        for ts in toks:
+            for t in ts:
+                counts[t] = counts.get(t, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(tf_pairs, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="freq"))
+        .to_pandas()
+        .sort_values(["freq", "term"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    n = len(freq)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(freq["freq"].to_numpy(np.float64))
+    sx, sy, sxx, syy, sxy = x.sum(), y.sum(), (x * x).sum(), (y * y).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame(
+        {
+            "n_terms": [np.int64(n)],
+            "slope": [round_half_away(slope, 6)],
+            "intercept": [round_half_away(intercept, 6)],
+            "r2": [round_half_away(r2, 6)],
+        }
+    ).astype({"n_terms": "int64"})
+
+
+def sql_zipf_slope() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+freq AS (SELECT t AS term, count(*) AS freq FROM tok GROUP BY t),
+ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, term)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM freq),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+# ----------------------------------------------------- burstiness (Fano)
+
+FANO_MIN_DAYS = 5
+FANO_TOPK = 20
+
+
+def q_fano_factor(sf_dir: str) -> pd.DataFrame:
+    """Burstiness audit: Fano factor (population variance / mean of a
+    user's daily event counts) for users active ≥{FANO_MIN_DAYS} days;
+    top-{FANO_TOPK} burstiest. Two bounded shuffles — (user, day)
+    counts, then per-user integer moments (n, Σc, Σc²) — so the float
+    path is a single finalize expression in both engines."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def days(b: pa.Table) -> pa.Table:
+        day = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table({"user_id": b["user_id"], "day": pa.array(day, pa.int64())})
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "c": t["c"].cast(pa.int64()),
+                    "c2": pa.array(
+                        t["c"].to_numpy(zero_copy_only=False).astype(np.int64) ** 2,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_days"),
+            Sum("c", alias_name="sc"),
+            Sum("c2", alias_name="sc2"),
+        )
+        .to_pandas()
+    )
+    daily = daily[daily["n_days"] >= FANO_MIN_DAYS].copy()
+    n = daily["n_days"].to_numpy(np.float64)
+    sc = daily["sc"].to_numpy(np.float64)
+    sc2 = daily["sc2"].to_numpy(np.float64)
+    mean = sc / n
+    var = sc2 / n - mean * mean
+    daily["fano"] = round_half_away(var / mean, 6)
+    daily["mean_daily"] = round_half_away(mean, 6)
+    out = daily.sort_values(["fano", "user_id"], ascending=[False, True]).head(FANO_TOPK)
+    return out[["user_id", "n_days", "mean_daily", "fano"]].reset_index(drop=True).astype(
+        {"user_id": "int64", "n_days": "int64"}
+    )
+
+
+def sql_fano_factor() -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT user_id, count(*) AS n, sum(c) AS sc, sum(c * c) AS sc2
+  FROM d GROUP BY user_id
+  HAVING count(*) >= {FANO_MIN_DAYS})
+SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       round(sc / CAST(n AS DOUBLE), 6) AS mean_daily,
+       round((sc2 / CAST(n AS DOUBLE)
+              - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE)))
+             / (sc / CAST(n AS DOUBLE)), 6) AS fano
+FROM m
+ORDER BY (sc2 / CAST(n AS DOUBLE)
+          - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE)))
+         / (sc / CAST(n AS DOUBLE)) DESC, user_id
+LIMIT {FANO_TOPK}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -13198,4 +13362,6 @@ def registry() -> dict[str, tuple]:
         "dense_topk": (q_dense_topk, sql_dense_topk()),
         "df_histogram": (q_df_histogram, sql_df_histogram()),
         "column_profile": (q_column_profile, sql_column_profile()),
+        "zipf_slope": (q_zipf_slope, sql_zipf_slope()),
+        "fano_factor": (q_fano_factor, sql_fano_factor()),
     }

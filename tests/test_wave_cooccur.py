@@ -227,3 +227,64 @@ class TestColumnProfile:
         got = q_column_profile(sf_tiny).set_index("col_name")
         assert got.loc["doc_id", "n_distinct"] == len(docs)
         assert got.loc["doc_id", "n_null"] == 0
+
+
+class TestZipfSlope:
+    def test_matches_numpy_polyfit(self, ray_session, sf_tiny):
+        from searchengine_ray.functions.textstats import _token_lists
+        from searchengine_ray.pipelines.queries import q_zipf_slope
+
+        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["text"])
+        counts: dict[str, int] = {}
+        for ts in _token_lists(docs["text"]):
+            for t in ts:
+                counts[t] = counts.get(t, 0) + 1
+        freq = np.asarray(
+            sorted(counts.values(), reverse=True), np.float64
+        )
+        x = np.log(np.arange(1, len(freq) + 1, dtype=np.float64))
+        y = np.log(freq)
+        slope, intercept = np.polyfit(x, y, 1)
+        got = q_zipf_slope(sf_tiny)
+        assert int(got["n_terms"].iloc[0]) == len(freq)
+        assert got["slope"].iloc[0] == pytest.approx(slope, abs=1e-5)
+        assert got["intercept"].iloc[0] == pytest.approx(intercept, abs=1e-5)
+        # natural-language corpus: negative slope, decent fit
+        assert got["slope"].iloc[0] < 0
+        assert 0 < got["r2"].iloc[0] <= 1
+
+
+class TestFanoFactor:
+    def test_matches_bruteforce(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import (
+            FANO_MIN_DAYS,
+            FANO_TOPK,
+            q_fano_factor,
+        )
+
+        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["user_id", "ts"])
+        ev["day"] = (
+            ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+        ).astype(int)
+        daily = ev.groupby(["user_id", "day"]).size().rename("c").reset_index()
+        rows = []
+        for uid, g in daily.groupby("user_id"):
+            c = g["c"].to_numpy(np.float64)
+            if len(c) < FANO_MIN_DAYS:
+                continue
+            rows.append((int(uid), len(c), c.mean(), c.var()))  # population var
+        rows.sort(key=lambda r: (-round(r[3] / r[2], 6), r[0]))
+        got = q_fano_factor(sf_tiny)
+        assert len(got) == min(FANO_TOPK, len(rows))
+        for (uid, nd, m, v), row in zip(rows[: len(got)], got.itertuples()):
+            assert row.user_id == uid
+            assert row.n_days == nd
+            assert row.mean_daily == pytest.approx(m, abs=1e-6)
+            assert row.fano == pytest.approx(v / m, abs=1e-6)
+
+    def test_fano_nonnegative_and_sorted(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_fano_factor
+
+        got = q_fano_factor(sf_tiny)
+        assert (got["fano"] >= 0).all()
+        assert (np.diff(got["fano"].to_numpy()) <= 1e-12).all()
