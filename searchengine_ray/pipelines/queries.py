@@ -13115,6 +13115,86 @@ LIMIT {FANO_TOPK}
 """
 
 
+# ---------------------------------------------------- hapax legomena ratio
+
+
+def q_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Frequency-spectrum audit per source slice: vocabulary size,
+    hapax-legomena count (terms occurring exactly once in the slice)
+    and their ratio — the spectrum statistic that predicts how much of
+    a dictionary is single-posting terms (and thus how much index
+    space block-max metadata wastes on them). One (source, term)
+    combiner groupby, then a source-bounded finalize."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        counts: dict[tuple, int] = {}
+        for s, ts in zip(srcs, toks):
+            for t in ts:
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t["source"],
+                    "hapax": pa.array(
+                        (t["c"].to_numpy(zero_copy_only=False) == 1).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="vocab"), Sum("hapax", alias_name="hapax"))
+        .to_pandas()
+    )
+    tf["hapax_ratio"] = round_half_away(
+        tf["hapax"].to_numpy(np.float64) / tf["vocab"].to_numpy(np.float64), 6
+    )
+    out = tf.sort_values("source").reset_index(drop=True)
+    return out[["source", "vocab", "hapax", "hapax_ratio"]].astype(
+        {"vocab": "int64", "hapax": "int64"}
+    )
+
+
+def sql_hapax_ratio() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS hapax_ratio
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -13364,4 +13444,5 @@ def registry() -> dict[str, tuple]:
         "column_profile": (q_column_profile, sql_column_profile()),
         "zipf_slope": (q_zipf_slope, sql_zipf_slope()),
         "fano_factor": (q_fano_factor, sql_fano_factor()),
+        "hapax_ratio": (q_hapax_ratio, sql_hapax_ratio()),
     }

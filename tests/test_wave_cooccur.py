@@ -288,3 +288,33 @@ class TestFanoFactor:
         got = q_fano_factor(sf_tiny)
         assert (got["fano"] >= 0).all()
         assert (np.diff(got["fano"].to_numpy()) <= 1e-12).all()
+
+
+class TestHapaxRatio:
+    def test_matches_bruteforce(self, ray_session, sf_tiny):
+        from searchengine_ray.functions.textstats import _token_lists
+        from searchengine_ray.pipelines.queries import q_hapax_ratio
+
+        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["source", "text"])
+        counts: dict[tuple, int] = {}
+        for s, ts in zip(docs["source"], _token_lists(docs["text"])):
+            for t in ts:
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+        per_src: dict[str, list] = {}
+        for (s, _), c in counts.items():
+            v = per_src.setdefault(s, [0, 0])
+            v[0] += 1
+            v[1] += int(c == 1)
+        got = q_hapax_ratio(sf_tiny).set_index("source")
+        assert sorted(got.index) == sorted(per_src)
+        for s, (vocab, hapax) in per_src.items():
+            assert got.loc[s, "vocab"] == vocab
+            assert got.loc[s, "hapax"] == hapax
+            assert got.loc[s, "hapax_ratio"] == pytest.approx(hapax / vocab, abs=1e-6)
+
+    def test_ratio_bounds(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_hapax_ratio
+
+        got = q_hapax_ratio(sf_tiny)
+        assert ((got["hapax_ratio"] >= 0) & (got["hapax_ratio"] <= 1)).all()
+        assert (got["hapax"] <= got["vocab"]).all()
