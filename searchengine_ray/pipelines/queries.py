@@ -13195,6 +13195,612 @@ FROM tf GROUP BY source ORDER BY source
 """
 
 
+# ------------------------------------------------ degree assortativity
+
+
+def q_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the deterministic directed link graph
+    (the same formula graph `pagerank`/`degree_dist` use): Pearson r
+    between out-degree(src) and in-degree(dst) over distinct directed
+    edges. Fully shuffle-native: half-edge rows are bucketed by node
+    hash, per-bucket vectorized degree annotation (every half-edge of
+    a node lands in its bucket), then a per-edge combine via native
+    Sum aggregates and one global integer-moment reduction — no joins,
+    nothing corpus-sized on the driver."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert n < 1 << 31
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    # distinct directed edges (fixture-gen step, O(edges) driver-side
+    # like the other synthetic graphs)
+    ekey = np.unique(edges[:, 0] * np.int64(n) + edges[:, 1])
+    src, dst = ekey // n, ekey % n
+    n_buckets = 64
+    half = pa.table(
+        {
+            "bucket": pa.array(
+                np.concatenate([src % n_buckets, dst % n_buckets]), pa.int64()
+            ),
+            "node": pa.array(np.concatenate([src, dst]), pa.int64()),
+            "ekey": pa.array(np.concatenate([ekey, ekey]), pa.int64()),
+            # side 0 = src endpoint (wants out-degree), 1 = dst (in-degree)
+            "side": pa.array(
+                np.concatenate(
+                    [np.zeros(len(ekey), np.int64), np.ones(len(ekey), np.int64)]
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+    def annotate(g: pd.DataFrame) -> pd.DataFrame:
+        node = g["node"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int64)
+        uniq, inv = np.unique(node, return_inverse=True)
+        outdeg = np.bincount(inv, weights=(side == 0), minlength=len(uniq))
+        indeg = np.bincount(inv, weights=(side == 1), minlength=len(uniq))
+        deg = np.where(side == 0, outdeg[inv], indeg[inv]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "ekey": g["ekey"].to_numpy(np.int64),
+                "dx": np.where(side == 0, deg, 0),
+                "dy": np.where(side == 1, deg, 0),
+            }
+        )
+
+    per_edge = (
+        rd.from_arrow(half)
+        .groupby("bucket")
+        .map_groups(annotate, batch_format="pandas")
+        .groupby("ekey")
+        .aggregate(Sum("dx", alias_name="dx"), Sum("dy", alias_name="dy"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        dx = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = t["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([len(dx)], pa.int64()),
+                "sx": pa.array([int(dx.sum())], pa.int64()),
+                "sy": pa.array([int(dy.sum())], pa.int64()),
+                "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+                "sxx": pa.array([int((dx * dx).sum())], pa.int64()),
+                "syy": pa.array([int((dy * dy).sum())], pa.int64()),
+            }
+        )
+
+    agg = per_edge.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("m", alias_name="m"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+    )
+    m = float(agg["m"])
+    sx, sy = float(agg["sx"]), float(agg["sy"])
+    sxy, sxx, syy = float(agg["sxy"]), float(agg["sxx"]), float(agg["syy"])
+    r = (m * sxy - sx * sy) / (
+        math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+    )
+    return pd.DataFrame(
+        {
+            "m": pd.array([int(agg["m"])], dtype="int64"),
+            "assortativity": [float(round_half_away(np.float64(r), 6))],
+        }
+    )
+
+
+def sql_assortativity() -> str:
+    return """
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+e0 AS (
+  SELECT i AS src, (i * 7 + 13) % n AS dst FROM ids
+  UNION ALL SELECT i, (i * 31 + 5) % n FROM ids
+  UNION ALL SELECT i, i % 10 FROM ids),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+idg AS (SELECT dst AS node, count(*) AS indeg FROM e GROUP BY 1),
+pairs AS (
+  SELECT od.outdeg AS dx, idg.indeg AS dy
+  FROM e JOIN od ON od.node = e.src JOIN idg ON idg.node = e.dst),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(dy * dy) AS DOUBLE) AS syy
+  FROM pairs)
+SELECT CAST(m AS BIGINT) AS m,
+       round((m * sxy - sx * sy)
+             / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy)), 6)
+         AS assortativity
+FROM s
+"""
+
+
+# -------------------------------------------- full-outer reconciliation
+
+
+def q_full_outer_recon(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN shape without a join: reconcile per-customer
+    order activity between two halves of the date range (before/after
+    1998-01-01). Each order emits a tagged partial; one groupby(custkey)
+    combines both halves, classifies the customer as both / first_only
+    / second_only, and a second tiny groupby reduces to three audit
+    rows (count + exact cent totals per half)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    split_us = int(pd.Timestamp("1998-01-01").value // 1000)
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        in_a = (ts < split_us).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": b["o_custkey"],
+                "n_a": pa.array(in_a, pa.int64()),
+                "n_b": pa.array(1 - in_a, pa.int64()),
+                "cents_a": pa.array(cents * in_a, pa.int64()),
+                "cents_b": pa.array(cents * (1 - in_a), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Sum("n_a", alias_name="n_a"),
+            Sum("n_b", alias_name="n_b"),
+            Sum("cents_a", alias_name="cents_a"),
+            Sum("cents_b", alias_name="cents_b"),
+        )
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        na = t["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        status = np.where(
+            (na > 0) & (nb > 0), "both", np.where(na > 0, "first_only", "second_only")
+        )
+        return pa.table(
+            {
+                "status": pa.array(status, pa.string()),
+                "cents_a": t["cents_a"],
+                "cents_b": t["cents_b"],
+            }
+        )
+
+    out = (
+        per_cust.map_batches(classify, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(
+            Count(alias_name="customers"),
+            Sum("cents_a", alias_name="cents_first"),
+            Sum("cents_b", alias_name="cents_second"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.astype(
+            {
+                "customers": "int64",
+                "cents_first": "int64",
+                "cents_second": "int64",
+            }
+        )
+        .sort_values("status")
+        .reset_index(drop=True)
+    )
+
+
+def sql_full_outer_recon() -> str:
+    return """
+WITH a AS (
+  SELECT o_custkey AS custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+b AS (
+  SELECT o_custkey AS custkey, count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+f AS (
+  SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+         CASE WHEN a.custkey IS NOT NULL AND b.custkey IS NOT NULL THEN 'both'
+              WHEN a.custkey IS NOT NULL THEN 'first_only'
+              ELSE 'second_only' END AS status,
+         COALESCE(a.cents, 0) AS cents_a, COALESCE(b.cents, 0) AS cents_b
+  FROM a FULL OUTER JOIN b ON a.custkey = b.custkey)
+SELECT status, CAST(count(*) AS BIGINT) AS customers,
+       CAST(sum(cents_a) AS BIGINT) AS cents_first,
+       CAST(sum(cents_b) AS BIGINT) AS cents_second
+FROM f GROUP BY status ORDER BY status
+"""
+
+
+# --------------------------------------------------- vocabulary set ops
+
+
+def q_set_ops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT/EXCEPT shape over source vocabularies: distinct terms
+    of the two lexicographically-first sources, classified into
+    common / only-A / only-B, plus the Jaccard of the two vocabularies.
+    Per-batch (source, term) sets → one term-keyed groupby with Max
+    presence bits → global integer sums. No driver-side vocab."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.textstats import _token_lists
+
+    srcs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()["source"]
+        .sort_values()
+        .tolist()
+    )
+    src_a, src_b = srcs[0], srcs[1]
+
+    def presence(b: pa.Table) -> pa.Table:
+        mask = np.isin(b["source"].to_numpy(zero_copy_only=False), [src_a, src_b])
+        if not mask.any():
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                }
+            )
+        sub = b.filter(pa.array(mask))
+        toks = _token_lists(sub["text"].to_pandas())
+        seen: dict[str, int] = {}
+        for s, ts in zip(sub["source"].to_pandas(), toks):
+            bit = 1 if s == src_a else 2
+            for t in ts:
+                seen[t] = seen.get(t, 0) | bit
+        terms = list(seen.keys())
+        bits = np.asarray(list(seen.values()), np.int64)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "a": pa.array((bits & 1).astype(np.int64), pa.int64()),
+                "b": pa.array((bits >> 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_term = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(presence, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b"))
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "common": pa.array([int((a & b).sum())], pa.int64()),
+                "only_a": pa.array([int((a & (1 - b)).sum())], pa.int64()),
+                "only_b": pa.array([int(((1 - a) & b).sum())], pa.int64()),
+            }
+        )
+
+    agg = per_term.map_batches(classify, batch_format="pyarrow").aggregate(
+        Sum("common", alias_name="common"),
+        Sum("only_a", alias_name="only_a"),
+        Sum("only_b", alias_name="only_b"),
+    )
+    common, only_a, only_b = (
+        int(agg["common"]),
+        int(agg["only_a"]),
+        int(agg["only_b"]),
+    )
+    jac = round_half_away(
+        np.float64(common) / np.float64(common + only_a + only_b), 6
+    )
+    return pd.DataFrame(
+        {
+            "src_a": [src_a],
+            "src_b": [src_b],
+            "common": pd.array([common], dtype="int64"),
+            "only_a": pd.array([only_a], dtype="int64"),
+            "only_b": pd.array([only_b], dtype="int64"),
+            "jaccard": [float(jac)],
+        }
+    )
+
+
+def sql_set_ops() -> str:
+    return r"""
+WITH ranked AS (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2),
+sa AS (SELECT min(source) AS s FROM ranked), sb AS (SELECT max(source) AS s FROM ranked),
+tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents WHERE source IN (SELECT s FROM sa UNION ALL SELECT s FROM sb))
+  WHERE t <> ''),
+va AS (SELECT DISTINCT t FROM tok WHERE source = (SELECT s FROM sa)),
+vb AS (SELECT DISTINCT t FROM tok WHERE source = (SELECT s FROM sb)),
+c AS (SELECT count(*) AS common FROM (SELECT t FROM va INTERSECT SELECT t FROM vb)),
+oa AS (SELECT count(*) AS only_a FROM (SELECT t FROM va EXCEPT SELECT t FROM vb)),
+ob AS (SELECT count(*) AS only_b FROM (SELECT t FROM vb EXCEPT SELECT t FROM va))
+SELECT (SELECT s FROM sa) AS src_a, (SELECT s FROM sb) AS src_b,
+       CAST(common AS BIGINT) AS common,
+       CAST(only_a AS BIGINT) AS only_a, CAST(only_b AS BIGINT) AS only_b,
+       round(common / CAST(common + only_a + only_b AS DOUBLE), 6) AS jaccard
+FROM c, oa, ob
+"""
+
+
+# ------------------------------------------------- per-doc token entropy
+
+
+DOC_ENTROPY_TOPK = 20
+
+
+def q_doc_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy of the token distribution
+    (H = log2(L) - Σ c·log2(c) / L), top-{DOC_ENTROPY_TOPK} by
+    (entropy DESC, doc_id ASC). Entirely doc-local — one map_batches
+    with per-batch top-k, driver merges batches×k rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.textstats import _token_lists
+
+    def entropy(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        toks = _token_lists(b["text"].to_pandas())
+        hs = np.empty(len(ids), np.float64)
+        ls = np.empty(len(ids), np.int64)
+        for i, ts in enumerate(toks):
+            arr = np.asarray(ts, dtype=object)
+            _, counts = np.unique(arr, return_counts=True)
+            L = int(counts.sum())
+            ls[i] = L
+            c = counts.astype(np.float64)
+            hs[i] = np.log2(np.float64(L)) - float((c * np.log2(c)).sum()) / L
+        h6 = round_half_away(hs, 6)
+        order = np.lexsort((ids, -h6))[:DOC_ENTROPY_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "n_tokens": pa.array(ls[order], pa.int64()),
+                "entropy": pa.array(h6[order], pa.float64()),
+            }
+        )
+
+    tops = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(entropy, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = tops.sort_values(
+        ["entropy", "doc_id"], ascending=[False, True]
+    ).head(DOC_ENTROPY_TOPK)
+    return out.reset_index(drop=True).astype({"doc_id": "int64", "n_tokens": "int64"})
+
+
+def sql_doc_entropy() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         round(log2(CAST(sum(c) AS DOUBLE))
+               - sum(c * log2(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+           AS entropy
+  FROM tf GROUP BY doc_id)
+SELECT doc_id, n_tokens, entropy FROM h
+ORDER BY entropy DESC, doc_id LIMIT {DOC_ENTROPY_TOPK}
+"""
+
+
+# ------------------------------------------------ Simpson diversity index
+
+
+def q_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source Simpson diversity of the term distribution,
+    1 - Σ c(c-1) / (N(N-1)) — the collision-probability complement.
+    Integer moments end-to-end ((source, term) combiner groupby, then
+    per-source Σc and Σc(c-1)); the only float op is the final ratio."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        counts: dict[tuple, int] = {}
+        for s, ts in zip(srcs, toks):
+            for t in ts:
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t["source"],
+                    "c": t["c"].cast(pa.int64()),
+                    "cc": pa.array(
+                        t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        * (t["c"].to_numpy(zero_copy_only=False).astype(np.int64) - 1),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="vocab"),
+            Sum("c", alias_name="n_tokens"),
+            Sum("cc", alias_name="coll"),
+        )
+        .to_pandas()
+    )
+    n = tf["n_tokens"].to_numpy(np.float64)
+    tf["simpson"] = round_half_away(
+        1.0 - tf["coll"].to_numpy(np.float64) / (n * (n - 1.0)), 6
+    )
+    out = tf.sort_values("source").reset_index(drop=True)
+    return out[["source", "vocab", "n_tokens", "simpson"]].astype(
+        {"vocab": "int64", "n_tokens": "int64"}
+    )
+
+
+def sql_simpson_diversity() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(1.0 - sum(c * (c - 1)) /
+             (CAST(sum(c) AS DOUBLE) * (CAST(sum(c) AS DOUBLE) - 1.0)), 6)
+         AS simpson
+FROM tf GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------- Welch's t per source
+
+
+def q_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's two-sample t-test of document length (n_chars) for each
+    source against the rest of the corpus, from one pass of integer
+    moments (n, Σx, Σx²) per source; the complement group is derived
+    by subtracting from the global moments — no second scan, no join.
+    Output: t statistic and Welch–Satterthwaite dof per source."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "x": pa.array(x, pa.int64()),
+                "x2": pa.array(x * x, pa.int64()),
+            }
+        )
+
+    per_src = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("x2", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n1 = per_src["n"].to_numpy(np.float64)
+    sx1 = per_src["sx"].to_numpy(np.float64)
+    sxx1 = per_src["sxx"].to_numpy(np.float64)
+    N, SX, SXX = n1.sum(), sx1.sum(), sxx1.sum()
+    n2, sx2, sxx2 = N - n1, SX - sx1, SXX - sxx1
+    m1, m2 = sx1 / n1, sx2 / n2
+    v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)
+    v2 = (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / np.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    out = pd.DataFrame(
+        {
+            "source": per_src["source"],
+            "n": per_src["n"].astype("int64"),
+            "mean_chars": round_half_away(m1, 6),
+            "t_stat": round_half_away(t, 6),
+            "dof": round_half_away(dof, 6),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def sql_welch_ttest() -> str:
+    return """
+WITH s AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n1,
+         CAST(sum(n_chars) AS DOUBLE) AS sx1,
+         CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE) AS sxx1
+  FROM documents GROUP BY source),
+g AS (SELECT sum(n1) AS nn, sum(sx1) AS ssx, sum(sxx1) AS ssxx FROM s),
+d AS (
+  SELECT source, n1, sx1, sxx1,
+         nn - n1 AS n2, ssx - sx1 AS sx2, ssxx - sxx1 AS sxx2
+  FROM s, g),
+e AS (
+  SELECT source, n1,
+         sx1 / n1 AS m1, sx2 / n2 AS m2,
+         ((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) / n1 AS se1,
+         ((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) / n2 AS se2,
+         n1 - 1.0 AS df1, n2 - 1.0 AS df2
+  FROM d)
+SELECT source, CAST(n1 AS BIGINT) AS n, round(m1, 6) AS mean_chars,
+       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       round((se1 + se2) * (se1 + se2)
+             / (se1 * se1 / df1 + se2 * se2 / df2), 6) AS dof
+FROM e ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -13445,4 +14051,10 @@ def registry() -> dict[str, tuple]:
         "zipf_slope": (q_zipf_slope, sql_zipf_slope()),
         "fano_factor": (q_fano_factor, sql_fano_factor()),
         "hapax_ratio": (q_hapax_ratio, sql_hapax_ratio()),
+        "assortativity": (q_assortativity, sql_assortativity()),
+        "full_outer_recon": (q_full_outer_recon, sql_full_outer_recon()),
+        "set_ops": (q_set_ops, sql_set_ops()),
+        "doc_entropy": (q_doc_entropy, sql_doc_entropy()),
+        "simpson_diversity": (q_simpson_diversity, sql_simpson_diversity()),
+        "welch_ttest": (q_welch_ttest, sql_welch_ttest()),
     }
