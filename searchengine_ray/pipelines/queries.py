@@ -13245,25 +13245,28 @@ def q_assortativity(sf_dir: str) -> pd.DataFrame:
         }
     )
 
-    def annotate(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].to_numpy(np.int64)
-        side = g["side"].to_numpy(np.int64)
+    def annotate(g: pa.Table) -> pa.Table:
+        # Arrow in/out: a pandas map_groups output would hand the next
+        # groupby pandas blocks — the pathological aggregate path the
+        # copurchase_pairs fix documented (19x slower here).
+        node = g["node"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(node, return_inverse=True)
         outdeg = np.bincount(inv, weights=(side == 0), minlength=len(uniq))
         indeg = np.bincount(inv, weights=(side == 1), minlength=len(uniq))
         deg = np.where(side == 0, outdeg[inv], indeg[inv]).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "ekey": g["ekey"].to_numpy(np.int64),
-                "dx": np.where(side == 0, deg, 0),
-                "dy": np.where(side == 1, deg, 0),
+                "ekey": g["ekey"],
+                "dx": pa.array(np.where(side == 0, deg, 0), pa.int64()),
+                "dy": pa.array(np.where(side == 1, deg, 0), pa.int64()),
             }
         )
 
     per_edge = (
         rd.from_arrow(half)
         .groupby("bucket")
-        .map_groups(annotate, batch_format="pandas")
+        .map_groups(annotate, batch_format="pyarrow")
         .groupby("ekey")
         .aggregate(Sum("dx", alias_name="dx"), Sum("dy", alias_name="dy"))
     )
