@@ -235,6 +235,211 @@ def triangle_count(
     return int(out["t"] or 0)
 
 
+def node_triangles(
+    edges_ds, src: str = "src", dst: str = "dst", n_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-node triangle participation counts AND degrees for the
+    undirected graph of ``edges_ds`` — the local-clustering-coefficient
+    primitive (coefficient = 2·tri / (deg·(deg−1))).
+
+    Same degree-oriented machinery as :func:`triangle_count` (Suri &
+    Vassilvitskii WWW'11), with two changes:
+
+    - wedge rows CARRY THEIR CENTER, so a closed wedge can credit all
+      three corners (center, p, q) instead of adding 1 to a global sum;
+    - the wedge/closing-edge union is resolved per (p, q)-hash bucket
+      with one vectorized pass (sorted-run scan) — the repo's
+      partition-bucket pattern — because the native-aggregate trick
+      used for the scalar count cannot emit per-wedge rows.
+
+    Degrees ride the same shuffles: the degree table is unioned with
+    the per-node triangle partials and combined by one Sum groupby, so
+    no node⋈node join is needed. Returns a pandas DataFrame
+    (node, deg, tri) for every edge-touched node — node-sized, the
+    vocabulary-tier output this repo lets reach the driver."""
+    from ray.data.aggregate import Sum
+
+    und = _canon_undirected(edges_ds, src, dst)
+
+    def directed(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        other = np.concatenate([v, u])
+        return pa.table(
+            {
+                "_bkt": pa.array(_bucket_of(node, n_buckets)),
+                "node": pa.array(node, pa.int64()),
+                "other": pa.array(other, pa.int64()),
+            }
+        )
+
+    def deg_halves(g) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        other = g["other"].to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, other = node[order], other[order]
+        uniq, inv, counts = np.unique(node, return_inverse=True, return_counts=True)
+        deg = counts[inv]
+        is_u = node < other
+        u = np.where(is_u, node, other)
+        v = np.where(is_u, other, node)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "du_p": pa.array(np.where(is_u, deg, 0), pa.int64()),
+                "dv_p": pa.array(np.where(is_u, 0, deg), pa.int64()),
+            }
+        )
+
+    with_deg = (
+        und.map_batches(directed, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(deg_halves, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("du_p", alias_name="du"), Sum("dv_p", alias_name="dv"))
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        cols = ("a", "b", "db", "da")
+        if not all(n in b.column_names for n in ("u", "v", "du", "dv")):
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        du = b["du"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {
+                "a": pa.array(np.where(u_first, u, v), pa.int64()),
+                "b": pa.array(np.where(u_first, v, u), pa.int64()),
+                "db": pa.array(np.where(u_first, dv, du), pa.int64()),
+                "da": pa.array(np.where(u_first, du, dv), pa.int64()),
+            }
+        )
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def tag_src(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bkt", pa.array(_bucket_of(a, n_buckets)))
+
+    def wedge_pairs(g) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        bb = g["b"].to_numpy(zero_copy_only=False)
+        db = g["db"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, db, a))
+        a, bb = a[order], bb[order]
+        _, starts, lengths = np.unique(a, return_index=True, return_counts=True)
+        fi, si = _pairs_within_runs(starts.astype(np.int64), lengths.astype(np.int64))
+        n = len(fi)
+        return pa.table(
+            {
+                "p": pa.array(bb[fi], pa.int64()),
+                "q": pa.array(bb[si], pa.int64()),
+                "ctr": pa.array(a[fi], pa.int64()),
+                "c": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(tag_src, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(wedge_pairs, batch_format="pyarrow")
+    )
+
+    def closing_edges(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "p": b["a"],
+                "q": b["b"],
+                "ctr": pa.array(np.full(n, -1, np.int64)),
+                "c": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False)
+        q = b["q"].to_numpy(zero_copy_only=False)
+        mix = (p.astype(np.uint64) * _KNUTH) ^ q.astype(np.uint64)
+        bkt = ((mix * _KNUTH) % np.uint64(2**32) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return b.append_column("_bkt", pa.array(bkt))
+
+    def credit_corners(g) -> pa.Table:
+        p = g["p"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        ctr = g["ctr"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((q, p))
+        p, q, ctr, c = p[order], q[order], ctr[order], c[order]
+        # run boundaries over the sorted (p, q) pairs
+        new_run = np.ones(len(p), bool)
+        if len(p) > 1:
+            new_run[1:] = (p[1:] != p[:-1]) | (q[1:] != q[:-1])
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1 if len(p) else 0
+        closed = np.zeros(n_runs, bool)
+        np.logical_or.at(closed, run_id, c > 0)
+        hit = (c == 0) & closed[run_id]
+        nodes = np.concatenate([ctr[hit], p[hit], q[hit]])
+        uniq, counts = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "deg_p": pa.array(np.zeros(len(uniq), np.int64)),
+                "tri_p": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tri_partials = (
+        wedges.union(oriented.map_batches(closing_edges, batch_format="pyarrow"))
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(credit_corners, batch_format="pyarrow")
+    )
+
+    # degrees ride the same node groupby: the oriented edge table knows
+    # both endpoint degrees, so each batch emits one (node, deg) row per
+    # node it sees; a node's degree repeats across batches with the same
+    # value, so Max (not Sum) recovers it in the combining aggregate.
+    def deg_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        da = b["da"].to_numpy(zero_copy_only=False)
+        db = b["db"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, bb])
+        deg = np.concatenate([da, db])
+        # batch-local dedup: one (node, deg) row per node per batch
+        uniq, idx = np.unique(node, return_index=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "deg_p": pa.array(deg[idx], pa.int64()),
+                "tri_p": pa.array(np.zeros(len(uniq), np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    per_node = (
+        tri_partials.union(oriented.map_batches(deg_rows, batch_format="pyarrow"))
+        .groupby("node")
+        .aggregate(Max("deg_p", alias_name="_deg_max"), Sum("tri_p", alias_name="tri"))
+        .to_pandas()
+    )
+    out = per_node.rename(columns={"_deg_max": "deg"})
+    return (
+        out[["node", "deg", "tri"]]
+        .sort_values("node")
+        .reset_index(drop=True)
+        .astype({"node": "int64", "deg": "int64", "tri": "int64"})
+    )
+
+
 def common_neighbor_scores(edges_ds, src: str = "src", dst: str = "dst",
                            top_k: int = 20, n_buckets: int = 64):
     """Link prediction by common-neighbor count (the classic

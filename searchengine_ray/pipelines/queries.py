@@ -13804,6 +13804,549 @@ FROM e ORDER BY source
 """
 
 
+# ------------------------------------------- local clustering coefficient
+
+
+LOCAL_CLUSTERING_TOPK = 20
+
+
+def q_local_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node local clustering coefficient (2·tri / (deg·(deg−1)))
+    over the deterministic doc-id link graph, top-{TOPK} by
+    (coef DESC, node ASC) among nodes with deg ≥ 2. Per-node triangle
+    credits come from the degree-oriented wedge machinery
+    (``node_triangles``) — wedges carry their center so a closed wedge
+    credits all three corners; degrees ride the same shuffles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from searchengine_ray.functions.graph import node_triangles
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    t = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    nt = node_triangles(rd.from_arrow(t))
+    nt = nt[nt["deg"] >= 2].copy()
+    deg = nt["deg"].to_numpy(np.float64)
+    nt["coef"] = round_half_away(
+        2.0 * nt["tri"].to_numpy(np.float64) / (deg * (deg - 1.0)), 6
+    )
+    out = (
+        nt.sort_values(["coef", "node"], ascending=[False, True])
+        .head(LOCAL_CLUSTERING_TOPK)
+        .reset_index(drop=True)
+    )
+    return out[["node", "deg", "tri", "coef"]].astype(
+        {"node": "int64", "deg": "int64", "tri": "int64"}
+    )
+
+
+def sql_local_clustering() -> str:
+    """Naive id-oriented per-node triangle credit — counts are
+    orientation-independent, so this verifies the degree-oriented Ray
+    path exactly (same contract as ``sql_triangle_count``)."""
+    return f"""
+WITH nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges_raw WHERE src <> dst
+),
+tris AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pertri AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris)
+    GROUP BY node
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM und
+        UNION ALL SELECT v AS node FROM und)
+    GROUP BY node
+)
+SELECT d.node, d.deg, coalesce(p.tri, 0) AS tri,
+       round(2.0 * coalesce(p.tri, 0) / (d.deg * (d.deg - 1.0)), 6) AS coef
+FROM deg d LEFT JOIN pertri p USING (node)
+WHERE d.deg >= 2
+ORDER BY coef DESC, d.node LIMIT {LOCAL_CLUSTERING_TOPK}
+"""
+
+
+# ------------------------------------------------ ranking evaluation (IR)
+
+
+EVAL_QUERIES = [["join", "window"], ["merge", "query", "sort"], ["hash", "scan"]]
+
+
+def q_eval_ndcg(sf_dir: str) -> pd.DataFrame:
+    """Search-quality evaluation harness: NDCG@10, MRR and P@10 of the
+    engine's TF-IDF ranker for a fixed query set, with deterministic
+    graded relevance rel(d, q) = number of distinct query terms present
+    in d (a full match — rel = |q| — counts as "relevant" for MRR/P@10).
+    Everything is index-native: the ranking comes from
+    ``search_tfidf`` (scores rounded to 6dp before ranking, ties by
+    doc_id — reproducible bit-for-bit by the SQL oracle) and the grades
+    from per-term posting lookups. The evaluation loop is per-query
+    driver work over index lookups — the query path, not a scan."""
+    eng = _engine(sf_dir)
+    rows = []
+    for qid, terms in enumerate(EVAL_QUERIES):
+        res = eng.search_tfidf(terms, None)
+        docs = np.asarray([d for d, _ in res], np.int64)
+        scores = np.asarray([round(s, 6) for _, s in res], np.float64)
+        order = np.lexsort((docs, -scores))
+        top = docs[order][:10]
+
+        term_sets = [set(int(x) for x in eng.search_keyword(t)) for t in terms]
+        cand = sorted(set().union(*term_sets))
+        cand_rel = {d: sum(d in s for s in term_sets) for d in cand}
+
+        rel_top = np.asarray([cand_rel.get(int(d), 0) for d in top], np.float64)
+        ranks = np.arange(1, len(top) + 1, dtype=np.float64)
+        dcg = float(((2.0**rel_top - 1.0) / np.log2(ranks + 1.0)).sum())
+
+        ideal = np.sort(
+            np.asarray([cand_rel[d] for d in cand], np.float64)
+        )[::-1][:10]
+        iranks = np.arange(1, len(ideal) + 1, dtype=np.float64)
+        idcg = float(((2.0**ideal - 1.0) / np.log2(iranks + 1.0)).sum())
+
+        full = len(terms)
+        full_hits = np.flatnonzero(rel_top == full)
+        mrr = 1.0 / (full_hits[0] + 1.0) if len(full_hits) else 0.0
+        rows.append(
+            {
+                "qid": qid,
+                "n_results": len(docs),
+                "ndcg10": float(round_half_away(dcg / idcg, 6)),
+                "mrr_full": float(round_half_away(mrr, 6)),
+                "p10": float(round_half_away(len(full_hits) / 10.0, 6)),
+            }
+        )
+    return pd.DataFrame(rows).astype({"qid": "int64", "n_results": "int64"})
+
+
+def sql_eval_ndcg() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in enumerate(EVAL_QUERIES) for t in terms
+    )
+    return f"""
+WITH {sql_tokens_cte()},
+q(qid, term) AS (VALUES {vals}),
+nq AS (SELECT qid, count(*) AS qn FROM q GROUP BY qid),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+idf AS (
+    SELECT q.qid, q.term, log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS idf
+    FROM q JOIN stats USING (term) CROSS JOIN n
+),
+scored AS (
+    SELECT idf.qid, toks.doc_id,
+           sum((toks.tf * idf.idf) * (1 * idf.idf)) AS dot,
+           sum((toks.tf * idf.idf) * (toks.tf * idf.idf)) AS len
+    FROM toks JOIN idf USING (term)
+    GROUP BY idf.qid, toks.doc_id
+),
+s AS (SELECT qid, doc_id, round(dot / sqrt(len), 6) AS score
+      FROM scored WHERE len > 0),
+rel AS (
+    SELECT q.qid, toks.doc_id, count(DISTINCT q.term) AS rel
+    FROM toks JOIN q USING (term) GROUP BY 1, 2
+),
+ranked AS (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+    FROM s
+),
+top AS (
+    SELECT r.qid, r.rnk, rel.rel
+    FROM ranked r JOIN rel USING (qid, doc_id) WHERE r.rnk <= 10
+),
+ideal AS (
+    SELECT qid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irnk
+    FROM rel
+),
+idcg AS (
+    SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(irnk + 1.0)) AS idcg
+    FROM ideal WHERE irnk <= 10 GROUP BY qid
+),
+met AS (
+    SELECT t.qid,
+           sum((pow(2.0, t.rel) - 1.0) / log2(t.rnk + 1.0)) AS dcg,
+           min(CASE WHEN t.rel = nq.qn THEN t.rnk END) AS firstfull,
+           count(CASE WHEN t.rel = nq.qn THEN 1 END) AS nfull
+    FROM top t JOIN nq ON nq.qid = t.qid GROUP BY t.qid
+),
+nres AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_results FROM s GROUP BY qid)
+SELECT m.qid, nres.n_results,
+       round(m.dcg / i.idcg, 6) AS ndcg10,
+       round(CASE WHEN m.firstfull IS NULL THEN 0.0
+                  ELSE 1.0 / m.firstfull END, 6) AS mrr_full,
+       round(m.nfull / 10.0, 6) AS p10
+FROM met m JOIN idcg i USING (qid) JOIN nres USING (qid)
+ORDER BY m.qid
+"""
+
+
+# ------------------------------------------------- Mann-Whitney U rank test
+
+
+def q_mannwhitney_u(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: are 'click' event
+    values distributed like 'purchase' values? Values are quantized to
+    3dp (bounded value domain — the same milli-int contract as the
+    roundtrip digests), so the distributed shape is one value-domain
+    groupby: (v_milli → n per group) leaves only a value-histogram for
+    the driver, which computes midranks from cumulative counts and the
+    tie-corrected normal approximation. Nothing row-sized leaves the
+    cluster; the histogram is bounded by the value range × 1000, not by
+    corpus size."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def quantize(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        v = b["value"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        g1 = (et[keep] == "click").astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(milli, pa.int64()),
+                "n1": pa.array(g1, pa.int64()),
+                "n2": pa.array(1 - g1, pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(quantize, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    n1v = hist["n1"].to_numpy(np.float64)
+    n2v = hist["n2"].to_numpy(np.float64)
+    tc = n1v + n2v
+    below = np.concatenate([[0.0], np.cumsum(tc)[:-1]])
+    midrank = below + (tc + 1.0) / 2.0
+    N1, N2 = n1v.sum(), n2v.sum()
+    N = N1 + N2
+    r1 = float((n1v * midrank).sum())
+    u1 = r1 - N1 * (N1 + 1.0) / 2.0
+    tie_term = float((tc**3 - tc).sum())
+    sigma = np.sqrt(N1 * N2 / 12.0 * ((N + 1.0) - tie_term / (N * (N - 1.0))))
+    z = (u1 - N1 * N2 / 2.0) / sigma
+    return pd.DataFrame(
+        {
+            "n1": pd.Series([int(N1)], dtype="int64"),
+            "n2": pd.Series([int(N2)], dtype="int64"),
+            "u_stat": pd.Series(round_half_away([u1], 6), dtype="float64"),
+            "z": pd.Series(round_half_away([z], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_mannwhitney_u() -> str:
+    return """
+WITH s AS (
+    SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g1,
+           CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS v
+    FROM events WHERE event_type IN ('click', 'purchase')),
+r AS (
+    SELECT g1,
+           CAST(rank() OVER (ORDER BY v) AS DOUBLE)
+             + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS midrank,
+           v
+    FROM s),
+ties AS (
+    SELECT sum(CAST(tc AS DOUBLE) * tc * tc - tc) AS t3t FROM (
+        SELECT count(*) AS tc FROM s GROUP BY v)),
+agg AS (
+    SELECT sum(CASE WHEN g1 = 1 THEN midrank ELSE 0 END) AS r1,
+           CAST(sum(g1) AS DOUBLE) AS n1,
+           CAST(count(*) AS DOUBLE) AS nn
+    FROM r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(nn - n1 AS BIGINT) AS n2,
+       round(r1 - n1 * (n1 + 1.0) / 2.0, 6) AS u_stat,
+       round((r1 - n1 * (n1 + 1.0) / 2.0 - n1 * (nn - n1) / 2.0)
+             / sqrt(n1 * (nn - n1) / 12.0
+                    * ((nn + 1.0) - t3t / (nn * (nn - 1.0)))), 6) AS z
+FROM agg, ties
+"""
+
+
+# -------------------------------------------------- last-touch attribution
+
+
+def q_attribution(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution: every 'purchase' event's value is
+    credited to the user's most recent PRECEDING non-purchase event
+    type (the marketing-analytics asof shape). One user-hash bucket
+    shuffle, then a vectorized per-bucket scan — sort by (user, ts,
+    id), forward-fill the last non-purchase type, pick out purchases.
+    Revenue is summed as exact milli-ints (order-independent across
+    engines); purchases with no prior touch are excluded."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value": b["value"],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "attrib_type": pd.Series([], dtype="object"),
+                    "n_p": pd.Series([], dtype="int64"),
+                    "rev_p": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort")
+        touch = g["event_type"].where(g["event_type"] != "purchase")
+        last_touch = touch.groupby(g["user_id"], sort=False).ffill()
+        is_p = (g["event_type"] == "purchase") & last_touch.notna()
+        v = g.loc[is_p, "value"].to_numpy(np.float64)
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        out = pd.DataFrame(
+            {"attrib_type": last_touch[is_p].to_numpy(), "rev_p": milli}
+        )
+        agg = (
+            out.groupby("attrib_type", sort=False)
+            .agg(n_p=("rev_p", "size"), rev_p=("rev_p", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"n_p": "int64", "rev_p": "int64"})
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+        .groupby("attrib_type")
+        .aggregate(Sum("n_p", alias_name="n"), Sum("rev_p", alias_name="rev_milli"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values("attrib_type")
+        .reset_index(drop=True)
+        .astype({"attrib_type": "object", "n": "int64", "rev_milli": "int64"})
+    )
+
+
+def sql_attribution() -> str:
+    return """
+WITH lt AS (
+    SELECT event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attrib_type
+    FROM events)
+SELECT attrib_type, count(*) AS n,
+       CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT)
+         AS rev_milli
+FROM lt
+WHERE event_type = 'purchase' AND attrib_type IS NOT NULL
+GROUP BY attrib_type ORDER BY attrib_type
+"""
+
+
+# ----------------------------------------------------- unpivot (wide→long)
+
+
+def q_unpivot_metrics(sf_dir: str) -> pd.DataFrame:
+    """Wide→long melt (UNPIVOT): per-nation customer metrics computed
+    wide in one combiner groupby chain, then melted into
+    (c_nationkey, metric, value) rows — the tidy-data export shape.
+    Money is exact cents-ints so every metric fits one BIGINT value
+    column."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(bal, 2) * 100.0, 0), np.int64)
+        return pa.table(
+            {
+                "nat": b["c_nationkey"].cast(pa.int64()),
+                "seg": b["c_mktsegment"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    per_seg = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_nationkey", "c_acctbal", "c_mktsegment"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["nat", "seg"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    wide = (
+        per_seg.groupby("nat")
+        .aggregate(
+            Sum("n", alias_name="n_customers"),
+            Sum("cents", alias_name="acct_cents"),
+            Count(alias_name="n_segments"),
+        )
+        .to_pandas()
+    )
+
+    long = wide.melt(
+        id_vars=["nat"],
+        value_vars=["acct_cents", "n_customers", "n_segments"],
+        var_name="metric",
+        value_name="value",
+    )
+    out = long.sort_values(["nat", "metric"]).reset_index(drop=True)
+    out = out.rename(columns={"nat": "c_nationkey"})
+    return out.astype({"c_nationkey": "int64", "metric": "object", "value": "int64"})
+
+
+def sql_unpivot_metrics() -> str:
+    return """
+WITH w AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT)) AS BIGINT)
+             AS acct_cents,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer GROUP BY 1)
+SELECT c_nationkey, metric, value FROM (
+    SELECT c_nationkey, 'acct_cents' AS metric, acct_cents AS value FROM w
+    UNION ALL SELECT c_nationkey, 'n_customers', n_customers FROM w
+    UNION ALL SELECT c_nationkey, 'n_segments', n_segments FROM w)
+ORDER BY c_nationkey, metric
+"""
+
+
+# --------------------------------------------------------- ORC roundtrip
+
+
+def q_orc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """ORC interchange: lineitem → one .orc file per block written
+    inside ``map_batches`` (parallel, unique names) → read back via
+    ``read_binary_files`` + ``pyarrow.orc`` → the per-type digest
+    contract of the other roundtrips (CSV/JSONL/WET/Arrow-IPC). ORC is
+    the columnar format the Hadoop-side half of a migration hands
+    over, so the codec path deserves the same end-to-end proof."""
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = CACHE_ROOT / f"orc-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        path = base / f"{uuid.uuid4().hex}.orc"
+        paorc.write_table(b, str(path))
+        return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+    rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    ).map_batches(write_block, batch_format="pyarrow").materialize()
+
+    def parse(row: dict) -> pa.Table:
+        t = paorc.ORCFile(pa.BufferReader(row["bytes"])).read()
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        centi = np.asarray(round_half_away(np.round(q, 2) * 100.0, 0), np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "key_sum": t["l_orderkey"].cast(pa.int64()),
+                "qty_centi": pa.array(centi, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_binary_files(str(base))
+        .flat_map(lambda row: parse(row).to_pylist())
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("key_sum", alias_name="key_sum"),
+            Sum("qty_centi", alias_name="qty_centi"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("l_returnflag")
+        .reset_index(drop=True)
+        .astype(
+            {"l_returnflag": "object", "n": "int64", "key_sum": "int64", "qty_centi": "int64"}
+        )
+    )
+
+
+def sql_orc_roundtrip() -> str:
+    return """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(round(round(l_quantity, 2) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS qty_centi
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -14060,4 +14603,10 @@ def registry() -> dict[str, tuple]:
         "doc_entropy": (q_doc_entropy, sql_doc_entropy()),
         "simpson_diversity": (q_simpson_diversity, sql_simpson_diversity()),
         "welch_ttest": (q_welch_ttest, sql_welch_ttest()),
+        "local_clustering": (q_local_clustering, sql_local_clustering()),
+        "eval_ndcg": (q_eval_ndcg, sql_eval_ndcg()),
+        "mannwhitney_u": (q_mannwhitney_u, sql_mannwhitney_u()),
+        "attribution": (q_attribution, sql_attribution()),
+        "unpivot_metrics": (q_unpivot_metrics, sql_unpivot_metrics()),
+        "orc_roundtrip": (q_orc_roundtrip, sql_orc_roundtrip()),
     }
