@@ -630,6 +630,119 @@ def k_core(edges: np.ndarray, n_nodes: int, k: int, max_iter: int = 12) -> pd.Da
     raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
 
 
+POINTER_DENSE_GATE = 200_000  # nodes; below: driver numpy jumping, above: Dataset rounds
+
+
+def resolve_pointers(
+    nodes: np.ndarray,
+    ptrs: np.ndarray,
+    max_iter: int = 40,
+    dense_gate: int = POINTER_DENSE_GATE,
+) -> pd.DataFrame:
+    """Resolve every node of a functional graph to its terminal by
+    POINTER DOUBLING (path compression): each round composes the
+    pointer map with itself (f ← f∘f), so a chain of depth d resolves
+    in ⌈log₂ d⌉ rounds — the redirect-chain / symlink-resolution /
+    union-find-flatten shape, the fifth iterative-graph pattern in this
+    module (value propagation, set peeling, frontier expansion,
+    min-label propagation, and now doubling).
+
+    ``ptrs[i]`` is where ``nodes[i]`` points; a self-pointer marks a
+    terminal. Pointers must be ACYCLIC apart from self-loops (callers'
+    redirect tables are; a cycle would never converge and hits the
+    ``max_iter`` raise). Hops grow monotonically toward each node's
+    true depth, so Sum(hops) is a monotone potential: fixpoint ⇔ the
+    scalar stops moving (one scalar aggregate per round, nothing
+    node-sized on the driver).
+
+    Scale path: the map is a Dataset keyed by node; one self-join per
+    round (same num_partitions co-partition as connected_components),
+    hops accumulate through the composition. Below ``dense_gate`` nodes
+    the identical numpy jumping runs on the driver. Returns
+    (node, terminal, hops) sorted by node."""
+    nodes = np.asarray(nodes, np.int64)
+    ptrs = np.asarray(ptrs, np.int64)
+
+    if len(nodes) <= dense_gate:
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        ptr = ptrs.copy()
+        hops = (ptr != nodes).astype(np.int64)
+        pos = np.asarray([idx[int(p)] for p in ptr], np.int64)
+        for _ in range(max_iter):
+            nxt = ptr[pos]
+            if (nxt == ptr).all():
+                return pd.DataFrame(
+                    {"node": nodes, "terminal": ptr, "hops": hops}
+                ).sort_values("node").reset_index(drop=True).astype(
+                    {"node": "int64", "terminal": "int64", "hops": "int64"}
+                )
+            hops = hops + hops[pos]
+            ptr = nxt
+            pos = np.asarray([idx[int(p)] for p in ptr], np.int64)
+        raise RuntimeError(f"resolve_pointers did not converge in {max_iter} rounds")
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    f = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "ptr": pa.array(ptrs, pa.int64()),
+                "hops": pa.array((ptrs != nodes).astype(np.int64), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def potential(ds) -> int:
+        return int(ds.aggregate(Sum("hops", alias_name="s"))["s"] or 0)
+
+    # hops grow monotonically toward each node's true depth, so
+    # Sum(hops) is a monotone potential: fixpoint ⇔ the scalar stops.
+    prev = potential(f)
+    for _ in range(max_iter):
+        # f ← f∘f: look up each row's ptr in the map itself; the right
+        # side is renamed so the self-join output is unambiguous.
+        rhs = f.map_batches(
+            lambda b: pa.table(
+                {"tnode": b["node"], "tptr": b["ptr"], "thops": b["hops"]}
+            ),
+            batch_format="pyarrow",
+        )
+        f = (
+            f.join(
+                rhs,
+                join_type="inner",
+                num_partitions=8,
+                on=("ptr",),
+                right_on=("tnode",),
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "ptr": b["tptr"],
+                        "hops": pa.array(
+                            b["hops"].to_numpy(zero_copy_only=False)
+                            + b["thops"].to_numpy(zero_copy_only=False),
+                            pa.int64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur = potential(f)
+        if cur == prev:
+            out = f.to_pandas().rename(columns={"ptr": "terminal"})
+            return out.sort_values("node").reset_index(drop=True).astype(
+                {"node": "int64", "terminal": "int64", "hops": "int64"}
+            )
+        prev = cur
+    raise RuntimeError(f"resolve_pointers did not converge in {max_iter} rounds")
+
+
 BFS_DENSE_GATE = 200_000  # edges; below: driver numpy relax, above: Dataset rounds
 
 

@@ -14347,6 +14347,273 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# ----------------------------------- trigram-pruned substring search (grep)
+
+
+SUBSTRING_PATTERN = "merge the"
+
+
+def q_substring_search(sf_dir: str) -> pd.DataFrame:
+    """Substring (grep) search accelerated by a character-trigram
+    index — the Google-Code-Search candidate-pruning design (public:
+    R. Cox, "Regular Expression Matching with a Trigram Index"):
+    docs whose text contains ALL of the pattern's trigrams are
+    candidates; only candidates are re-read and verified with a real
+    substring match, so the expensive scan touches a tiny slice.
+
+    Trigram extraction is fully vectorized on the raw bytes (3-byte
+    windows packed into int32 keys, per-doc dedup via one np.unique on
+    packed (doc, gram) keys — no Python loop over rows or chars); the
+    candidate intersection is one Count groupby over the pattern's
+    grams only (the posting read is pre-pruned to the query grams, the
+    persisted-index analogue of a term-filtered dictionary read)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    pat = SUBSTRING_PATTERN.encode()
+    qa = np.frombuffer(pat, np.uint8).astype(np.int32)
+    qgrams = np.unique(qa[:-2] * 65536 + qa[1:-1] * 256 + qa[2:])
+    n_q = len(qgrams)
+
+    def gram_hits(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [t.encode() for t in b["text"].to_pylist()]
+        blob = np.frombuffer(b"\x00".join(texts), np.uint8).astype(np.int32)
+        if len(blob) < 3:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        lens = np.asarray([len(t) for t in texts], np.int64)
+        # doc index of every byte position (separators belong to the
+        # preceding doc; their grams are masked below)
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens + 1)[
+            : len(blob)
+        ]
+        keys = blob[:-2] * 65536 + blob[1:-1] * 256 + blob[2:]
+        ok = (blob[:-2] != 0) & (blob[1:-1] != 0) & (blob[2:] != 0)
+        ok &= np.isin(keys, qgrams)
+        pairs = np.unique(doc_of[:-2][ok] * np.int64(2**24) + keys[ok])
+        return pa.table(
+            {"doc_id": pa.array(ids[pairs >> np.int64(24)], pa.int64())}
+        )
+
+    cands = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(gram_hits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="ng"))
+        .filter(expr=f"ng == {n_q}")
+        .to_pandas()
+    )
+    cand_set = pa.array(sorted(cands["doc_id"].astype(np.int64)), pa.int64())
+
+    def verify(b: pa.Table) -> pa.Table:
+        hit = pc.is_in(b["doc_id"], value_set=cand_set)
+        sub = b.filter(hit)
+        m = pc.match_substring(sub["text"], SUBSTRING_PATTERN)
+        return pa.table({"doc_id": sub.filter(m)["doc_id"].cast(pa.int64())})
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(verify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype({"doc_id": "int64"})
+
+
+def sql_substring_search() -> str:
+    return f"""
+SELECT doc_id FROM documents
+WHERE text LIKE '%{SUBSTRING_PATTERN}%'
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------- Poisson bootstrap CI (mean)
+
+
+BOOTSTRAP_B = 32
+
+
+def q_bootstrap_ci(sf_dir: str) -> pd.DataFrame:
+    """Poisson-bootstrap confidence interval for the mean purchase
+    value — the streaming bootstrap (public: Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", Google 2012): resample
+    weights are Poisson(1) draws derived DETERMINISTICALLY from a
+    Park–Miller LCG keyed on (event_id, replicate), so every engine
+    reproduces the identical resamples with exact integer arithmetic —
+    no shared random state, no second pass, mergeable across any
+    partitioning. Values ride as exact milli-ints; each batch emits
+    {B} per-replicate partial (Σw, Σw·x) rows, one {B}-row groupby
+    later the driver sorts {B} replicate means and reads the CI off
+    order statistics (2nd smallest / 2nd largest, ≈ the 3%/97%
+    quantiles at B=32; the point estimate is the unweighted mean)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    B = BOOTSTRAP_B
+    MOD = 2147483647
+
+    def partials(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        if not keep.any():
+            return pa.table(
+                {
+                    "b": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "wx": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                }
+            )
+        ids = b["event_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        reps = np.arange(B, dtype=np.int64)
+        key = (ids[:, None] * 131071 + reps[None, :] * 524287) % MOD
+        x = (16807 * key) % MOD
+        u = x.astype(np.float64) / MOD
+        # Poisson(1) inverse CDF (cumulative e^-1 * sum 1/k!)
+        thresholds = np.array(
+            [
+                0.36787944117144233,
+                0.7357588823428847,
+                0.919698602928606,
+                0.9810118431238462,
+                0.9963401531726563,
+                0.9994058151824183,
+            ]
+        )
+        w = np.searchsorted(thresholds, u, side="right").astype(np.int64)
+        wsum = w.sum(axis=0)
+        wxsum = (w * milli[:, None]).sum(axis=0)
+        return pa.table(
+            {
+                "b": pa.array(reps, pa.int64()),
+                "w": pa.array(wsum, pa.int64()),
+                "wx": pa.array(wxsum, pa.int64()),
+                "n": pa.array(np.full(B, len(ids), np.int64), pa.int64()),
+                "x": pa.array(np.full(B, milli.sum(), np.int64), pa.int64()),
+            }
+        )
+
+    per_rep = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(
+            Sum("w", alias_name="w"),
+            Sum("wx", alias_name="wx"),
+            Sum("n", alias_name="n"),
+            Sum("x", alias_name="x"),
+        )
+        .to_pandas()
+        .sort_values("b")
+    )
+    means = np.sort(
+        per_rep["wx"].to_numpy(np.float64) / per_rep["w"].to_numpy(np.float64)
+    )
+    n = int(per_rep["n"].iloc[0])
+    mean = float(per_rep["x"].iloc[0]) / n / 1e3
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "mean_value": pd.Series(round_half_away([mean], 6), dtype="float64"),
+            "ci_lo_milli": pd.Series(round_half_away([means[1]], 6), dtype="float64"),
+            "ci_hi_milli": pd.Series(
+                round_half_away([means[B - 2]], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_bootstrap_ci() -> str:
+    return f"""
+WITH p AS (
+    SELECT event_id,
+           CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS milli
+    FROM events WHERE event_type = 'purchase'),
+reps AS (SELECT unnest(range({BOOTSTRAP_B})) AS b),
+draws AS (
+    SELECT reps.b, p.milli,
+           ((16807 * ((p.event_id * 131071 + reps.b * 524287) % 2147483647))
+            % 2147483647) / 2147483647.0 AS u
+    FROM p CROSS JOIN reps),
+weighted AS (
+    SELECT b, milli,
+           CASE WHEN u < 0.36787944117144233 THEN 0
+                WHEN u < 0.7357588823428847 THEN 1
+                WHEN u < 0.919698602928606 THEN 2
+                WHEN u < 0.9810118431238462 THEN 3
+                WHEN u < 0.9963401531726563 THEN 4
+                WHEN u < 0.9994058151824183 THEN 5
+                ELSE 6 END AS w
+    FROM draws),
+rep_means AS (
+    SELECT b, sum(w * milli) / CAST(sum(w) AS DOUBLE) AS m
+    FROM weighted GROUP BY b),
+ranked AS (
+    SELECT m, row_number() OVER (ORDER BY m) AS rn FROM rep_means),
+base AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(milli) / CAST(count(*) AS DOUBLE) / 1000.0 AS mean_value
+    FROM p)
+SELECT base.n, round(base.mean_value, 6) AS mean_value,
+       round((SELECT m FROM ranked WHERE rn = 2), 6) AS ci_lo_milli,
+       round((SELECT m FROM ranked WHERE rn = {BOOTSTRAP_B - 1}), 6) AS ci_hi_milli
+FROM base
+"""
+
+
+# -------------------------------------------- redirect chains (ptr doubling)
+
+
+def q_redirect_chains(sf_dir: str) -> pd.DataFrame:
+    """Redirect-chain resolution over a deterministic functional graph
+    of doc urls (url i 301-redirects to i−50; urls < 50 are terminal
+    pages): every url resolves to its terminal in ⌈log₂ depth⌉ pointer-
+    doubling rounds (``resolve_pointers``), then one groupby summarizes
+    per terminal — chain membership and the longest chain. The SQL
+    oracle walks the same chains with a recursive CTE; the doubling
+    path produces identical (terminal, hops) in logarithmically fewer
+    rounds."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.graph import resolve_pointers
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = np.arange(n, dtype=np.int64)
+    ptrs = np.where(nodes >= 50, nodes - 50, nodes)
+    res = resolve_pointers(nodes, ptrs)
+    out = (
+        res.groupby("terminal")
+        .agg(n_urls=("node", "size"), max_hops=("hops", "max"))
+        .reset_index()
+        .sort_values("terminal")
+        .reset_index(drop=True)
+    )
+    return out.astype({"terminal": "int64", "n_urls": "int64", "max_hops": "int64"})
+
+
+def sql_redirect_chains() -> str:
+    return """
+WITH RECURSIVE ids AS (
+    SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+walk(node, cur, hops) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM ids
+    UNION ALL
+    SELECT node, cur - 50, hops + 1 FROM walk WHERE cur >= 50)
+SELECT cur AS terminal, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(max(hops) AS BIGINT) AS max_hops
+FROM walk WHERE cur < 50
+GROUP BY cur ORDER BY cur
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -14609,4 +14876,7 @@ def registry() -> dict[str, tuple]:
         "attribution": (q_attribution, sql_attribution()),
         "unpivot_metrics": (q_unpivot_metrics, sql_unpivot_metrics()),
         "orc_roundtrip": (q_orc_roundtrip, sql_orc_roundtrip()),
+        "substring_search": (q_substring_search, sql_substring_search()),
+        "bootstrap_ci": (q_bootstrap_ci, sql_bootstrap_ci()),
+        "redirect_chains": (q_redirect_chains, sql_redirect_chains()),
     }

@@ -189,3 +189,83 @@ class TestOrcRoundtrip:
             assert int(got.loc[flag, "n"]) == len(grp)
             assert int(got.loc[flag, "key_sum"]) == int(grp["l_orderkey"].sum())
             assert int(got.loc[flag, "qty_centi"]) == centi
+
+
+class TestSubstringSearch:
+    def test_matches_python_containment(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import SUBSTRING_PATTERN, q_substring_search
+
+        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+        expect = sorted(
+            int(d) for d, t in zip(docs["doc_id"], docs["text"]) if SUBSTRING_PATTERN in t
+        )
+        got = q_substring_search(sf_tiny)
+        assert list(got["doc_id"]) == expect
+
+    def test_trigram_pruning_is_lossless(self, ray_session, sf_tiny):
+        # candidates (all-trigrams-present) must be a superset of true
+        # matches: verify stage can only shrink, never invent
+        import searchengine_ray.pipelines.queries as Q
+
+        old = Q.SUBSTRING_PATTERN
+        Q.SUBSTRING_PATTERN = "scan slow"
+        try:
+            docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+            expect = sorted(int(d) for d, t in zip(docs["doc_id"], docs["text"]) if "scan slow" in t)
+            got = Q.q_substring_search(sf_tiny)
+            assert list(got["doc_id"]) == expect
+        finally:
+            Q.SUBSTRING_PATTERN = old
+
+
+class TestBootstrapCI:
+    def test_matches_bruteforce_lcg(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import BOOTSTRAP_B, q_bootstrap_ci
+
+        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["event_id", "event_type", "value"])
+        p = ev[ev["event_type"] == "purchase"]
+        ids = p["event_id"].to_numpy(np.int64)
+        v = np.round(p["value"].to_numpy(np.float64), 3)
+        milli = (np.floor(np.abs(v * 1e3) + 0.5) * np.sign(v * 1e3)).astype(np.int64)
+        MOD = 2147483647
+        thresholds = np.array([0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+                               0.9810118431238462, 0.9963401531726563, 0.9994058151824183])
+        means = []
+        for b in range(BOOTSTRAP_B):
+            key = (ids * 131071 + b * 524287) % MOD
+            u = ((16807 * key) % MOD) / MOD
+            w = np.searchsorted(thresholds, u, side="right")
+            means.append(float((w * milli).sum()) / float(w.sum()))
+        means = np.sort(np.asarray(means))
+        got = q_bootstrap_ci(sf_tiny)
+        assert int(got["n"].iloc[0]) == len(ids)
+        assert abs(got["mean_value"].iloc[0] - milli.mean() / 1e3) < 1e-6
+        assert abs(got["ci_lo_milli"].iloc[0] - means[1]) < 1e-6
+        assert abs(got["ci_hi_milli"].iloc[0] - means[BOOTSTRAP_B - 2]) < 1e-6
+        assert got["ci_lo_milli"].iloc[0] <= got["mean_value"].iloc[0] * 1e3 <= got["ci_hi_milli"].iloc[0]
+
+
+class TestRedirectChains:
+    def test_matches_walk(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_redirect_chains
+
+        n = len(pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id"]))
+        nodes = np.arange(n, dtype=np.int64)
+        term = np.where(nodes < 50, nodes, nodes % 50)
+        hops = nodes // 50
+        got = q_redirect_chains(sf_tiny).set_index("terminal")
+        for t in np.unique(term):
+            assert int(got.loc[t, "n_urls"]) == int((term == t).sum())
+            assert int(got.loc[t, "max_hops"]) == int(hops[term == t].max())
+
+    def test_dataset_tier_identity(self, ray_session):
+        # the pointer-doubling Dataset path must equal the numpy tier
+        from searchengine_ray.functions.graph import resolve_pointers
+
+        n = 900
+        nodes = np.arange(n, dtype=np.int64)
+        ptrs = np.where(nodes % 7 == 0, nodes, np.maximum(nodes - 13, 0))
+        # ensure acyclic: node 0 is terminal (0 % 7 == 0)
+        dense = resolve_pointers(nodes, ptrs, dense_gate=10**9)
+        dist = resolve_pointers(nodes, ptrs, dense_gate=0)
+        pd.testing.assert_frame_equal(dense, dist)
