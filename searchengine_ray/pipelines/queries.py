@@ -14614,6 +14614,405 @@ GROUP BY cur ORDER BY cur
 """
 
 
+# --------------------------------------------------- DBSCAN over embeddings
+
+
+DBSCAN_SIM_T = 0.35  # neighbor iff cosine >= this
+DBSCAN_MINPTS = 3  # core iff >= this many neighbors (self excluded)
+
+
+def q_dbscan_clusters(sf_dir: str) -> pd.DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) over the
+    embedding table with a cosine neighborhood: neighbors are pairs
+    with cosine ≥ {SIM_T}, cores have ≥ {MINPTS} neighbors, clusters
+    are connected components of the core-core graph, borders attach to
+    the smallest adjacent core cluster, noise is dropped. Composition
+    of two existing scale paths: pair generation is
+    ``embedding_neardup_pairs`` (brute = oracle-exact tier here; the
+    LSH-bucketed tier takes over past the documented row gate) and the
+    component step is ``connected_components`` (numpy tier at this
+    node count, Dataset min-label rounds above it). Output: one row
+    per cluster — label (min core vec_id), core/border sizes."""
+    import ray.data as rd
+
+    from ..functions.dedup import embedding_neardup_pairs
+    from ..functions.graph import connected_components
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=DBSCAN_SIM_T, mode="brute")
+    a = pairs["vec_a"].to_numpy(np.int64)
+    b = pairs["vec_b"].to_numpy(np.int64)
+    n_nodes = int(max(a.max(), b.max())) + 1 if len(a) else 0
+
+    deg = np.bincount(a, minlength=n_nodes) + np.bincount(b, minlength=n_nodes)
+    core = deg >= DBSCAN_MINPTS
+
+    cc_edges = np.stack([a, b], axis=1)[core[a] & core[b]]
+    comp = connected_components(cc_edges, n_nodes)["comp"].to_numpy(np.int64)
+
+    core_ids = np.flatnonzero(core)
+    # cluster label: smallest CORE id in each component
+    lbl_of_comp: dict[int, int] = {}
+    for cid in core_ids:
+        c = int(comp[cid])
+        if c not in lbl_of_comp or cid < lbl_of_comp[c]:
+            lbl_of_comp[c] = int(cid)
+    core_cluster = {int(cid): lbl_of_comp[int(comp[cid])] for cid in core_ids}
+
+    border_cluster: dict[int, int] = {}
+    for x, y in zip(a, b):
+        for u, v in ((int(x), int(y)), (int(y), int(x))):
+            if core[v] and not core[u]:
+                cand = core_cluster[v]
+                if u not in border_cluster or cand < border_cluster[u]:
+                    border_cluster[u] = cand
+
+    rows: dict[int, list[int]] = {}
+    for cid, cl in core_cluster.items():
+        rows.setdefault(cl, [0, 0])[0] += 1
+    for _, cl in border_cluster.items():
+        rows.setdefault(cl, [0, 0])[1] += 1
+    out = pd.DataFrame(
+        [(cl, nc, nb) for cl, (nc, nb) in sorted(rows.items())],
+        columns=["cluster", "n_core", "n_border"],
+    )
+    return out.astype({"cluster": "int64", "n_core": "int64", "n_border": "int64"})
+
+
+def sql_dbscan_clusters() -> str:
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nbr AS MATERIALIZED (
+    SELECT a.vec_id AS x, b.vec_id AS y
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {DBSCAN_SIM_T}),
+deg AS (SELECT x AS node, count(*) AS d FROM nbr GROUP BY x),
+core AS (SELECT node FROM deg WHERE d >= {DBSCAN_MINPTS}),
+ce AS MATERIALIZED (
+    SELECT n.x, n.y FROM nbr n
+    JOIN core c1 ON c1.node = n.x JOIN core c2 ON c2.node = n.y),
+-- transitive closure over the core-core graph: every core learns every
+-- reachable core id; cluster label = min reachable (UNION dedups rows)
+reach(node, via) AS (
+    SELECT node, node FROM core
+    UNION
+    SELECT ce.y, reach.via FROM reach JOIN ce ON ce.x = reach.node),
+closure AS (
+    SELECT node, min(via) AS cluster FROM reach GROUP BY node),
+border AS (
+    SELECT n.x AS node, min(cl.cluster) AS cluster
+    FROM nbr n
+    JOIN closure cl ON cl.node = n.y
+    LEFT JOIN core c ON c.node = n.x
+    WHERE c.node IS NULL
+    GROUP BY n.x),
+sizes AS (
+    SELECT cluster,
+           CAST(count(*) FILTER (WHERE is_core) AS BIGINT) AS n_core,
+           CAST(count(*) FILTER (WHERE NOT is_core) AS BIGINT) AS n_border
+    FROM (
+        SELECT cluster, TRUE AS is_core FROM closure
+        UNION ALL SELECT cluster, FALSE FROM border)
+    GROUP BY cluster)
+SELECT cluster, n_core, n_border FROM sizes ORDER BY cluster
+"""
+
+
+# ------------------------------------------------ MMR diversified retrieval
+
+
+MMR_K = 5
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+
+
+def q_mmr_diversify(sf_dir: str) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98): from the top-{POOL} cosine candidates for query vec 0,
+    greedily pick {K} results maximizing λ·rel − (1−λ)·max-sim-to-
+    selected — the diversity-aware retrieval layer over the exact
+    ``similarity_topk`` baseline. Relevance and pairwise sims are
+    rounded to 6dp BEFORE the greedy loop (ties by vec_id), so the
+    argmax sequence is reproducible bit-for-bit by the SQL unroll. The
+    candidate fetch is the distributed top-k; the greedy runs on the
+    {POOL}-row pool."""
+    import pyarrow.parquet as pq
+
+    from ..functions.similarity import cosine_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(t.filter(pa_eq(t, "vec_id", 0))["embedding"][0].as_py(), np.float64)
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = cosine_topk(ds, qvec, k=MMR_POOL + 12)
+    # re-rank on the rounded score with vec_id ties, then keep the pool
+    top = top.sort_values(["cosine", "vec_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    assert top["cosine"].iloc[MMR_POOL + 5] < top["cosine"].iloc[MMR_POOL - 1], (
+        "rounded-score tie spans the pool boundary; enlarge the fetch"
+    )
+    pool = top.head(MMR_POOL)
+    ids = pool["vec_id"].to_numpy(np.int64)
+    rel = pool["cosine"].to_numpy(np.float64)
+
+    sub = t.filter(pa_isin(t, "vec_id", ids))
+    sids = np.asarray(sub["vec_id"].to_pylist(), np.int64)
+    vecs = np.stack([np.asarray(v, np.float64) for v in sub["embedding"].to_pylist()])
+    vecs = vecs[np.argsort(sids)][np.argsort(np.argsort(ids))]
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.asarray(round_half_away(norm @ norm.T, 6), np.float64)
+
+    chosen: list[int] = []
+    rows = []
+    avail = np.ones(len(ids), bool)
+    for rank in range(1, MMR_K + 1):
+        if chosen:
+            penalty = sims[:, chosen].max(axis=1)
+        else:
+            penalty = np.zeros(len(ids))
+        score = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * penalty
+        score[~avail] = -np.inf
+        best = min(
+            (int(i) for i in np.flatnonzero(score == score.max())),
+            key=lambda i: int(ids[i]),
+        )
+        rows.append((rank, int(ids[best]), float(round_half_away(score[best], 6))))
+        chosen.append(best)
+        avail[best] = False
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "mmr"]).astype(
+        {"rank": "int64", "vec_id": "int64"}
+    )
+
+
+def pa_isin(t, col, vals):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.is_in(t[col], value_set=pa.array(np.asarray(vals, np.int64), pa.int64()))
+
+
+def sql_mmr_diversify() -> str:
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    stages = [
+        "sel0(vec_id, mmr) AS (SELECT vec_id, rel FROM cand "
+        "ORDER BY rel DESC, vec_id LIMIT 1)"
+    ]
+    for k in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(k - 1)
+        )
+        stages.append(
+            f"""sel{k - 1}(vec_id, mmr) AS (
+    SELECT c.vec_id,
+           {lam} * c.rel - {om} * (
+               SELECT max(s.s) FROM sim s
+               WHERE s.a = c.vec_id AND s.b IN ({sel_union})) AS mmr
+    FROM cand c WHERE c.vec_id NOT IN ({sel_union})
+    ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+        )
+    sel_all = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS rank, vec_id, round({lam} * (SELECT rel FROM cand WHERE cand.vec_id = sel{i}.vec_id), 6) AS mmr FROM sel{i}"
+        if i == 0
+        else f"SELECT {i + 1}, vec_id, round(mmr, 6) FROM sel{i}"
+        for i in range(MMR_K)
+    )
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS MATERIALIZED (
+    SELECT e.vec_id, round(list_cosine_similarity(e.v, q.v), 6) AS rel
+    FROM e CROSS JOIN q
+    ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}),
+sim AS MATERIALIZED (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS s
+    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+{stage_sql}
+SELECT rank, vec_id, mmr FROM ({sel_all}) ORDER BY rank
+"""
+
+
+# -------------------------------------------------------- Kendall tau-b
+
+
+def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b rank correlation between two per-nation series —
+    total customer account cents vs supplier count — with full tie
+    correction. Both series are EXACT integers (cents / counts), so
+    concordance signs are engine-independent; the distributed work is
+    two combiner groupbys, the τ arithmetic runs on the nation-sized
+    result."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "nat": b["c_nationkey"].cast(pa.int64()),
+                "cents": pa.array(
+                    np.asarray(round_half_away(np.round(bal, 2) * 100.0, 0), np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    x = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(Sum("cents", alias_name="x"))
+        .to_pandas()
+    )
+    y = (
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+        .map_batches(
+            lambda b: pa.table({"nat": b["s_nationkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("nat")
+        .aggregate(Count(alias_name="y"))
+        .to_pandas()
+    )
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    m = (
+        nat.rename(columns={"n_nationkey": "nat"})
+        .astype({"nat": "int64"})
+        .merge(x, on="nat", how="left")
+        .merge(y, on="nat", how="left")
+        .fillna(0)
+        .sort_values("nat")
+    )
+    xv = m["x"].to_numpy(np.int64)
+    yv = m["y"].to_numpy(np.int64)
+    n = len(m)
+    dx = np.sign(xv[:, None] - xv[None, :])
+    dy = np.sign(yv[:, None] - yv[None, :])
+    iu = np.triu_indices(n, 1)
+    s = dx[iu] * dy[iu]
+    conc = int((s > 0).sum())
+    disc = int((s < 0).sum())
+    n0 = n * (n - 1) // 2
+    _, tx = np.unique(xv, return_counts=True)
+    _, ty = np.unique(yv, return_counts=True)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    tau = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "concordant": pd.Series([conc], dtype="int64"),
+            "discordant": pd.Series([disc], dtype="int64"),
+            "tau_b": pd.Series(round_half_away([tau], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_kendall_tau() -> str:
+    return """
+WITH x AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           sum(CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT)) AS x
+    FROM customer GROUP BY 1),
+y AS (SELECT CAST(s_nationkey AS BIGINT) AS nat, count(*) AS y
+      FROM supplier GROUP BY 1),
+m AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS nat,
+           coalesce(x.x, 0) AS x, coalesce(y.y, 0) AS y
+    FROM nation LEFT JOIN x ON x.nat = n_nationkey
+                LEFT JOIN y ON y.nat = n_nationkey),
+p AS (
+    SELECT sign(a.x - b.x) * sign(a.y - b.y) AS s
+    FROM m a JOIN m b ON a.nat < b.nat),
+base AS (
+    SELECT (SELECT count(*) FROM m) AS n,
+           (SELECT count(*) FROM p WHERE s > 0) AS conc,
+           (SELECT count(*) FROM p WHERE s < 0) AS disc,
+           (SELECT count(*) FROM p) AS n0,
+           (SELECT coalesce(sum(c * (c - 1) / 2), 0)
+            FROM (SELECT count(*) AS c FROM m GROUP BY x)) AS n1,
+           (SELECT coalesce(sum(c * (c - 1) / 2), 0)
+            FROM (SELECT count(*) AS c FROM m GROUP BY y)) AS n2)
+SELECT CAST(n AS BIGINT) AS n, CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       round((conc - disc) / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 6)
+         AS tau_b
+FROM base
+"""
+
+
+# ---------------------------------------------- seasonal-naive forecast MASE
+
+
+def q_forecast_mase(sf_dir: str) -> pd.DataFrame:
+    """Forecast-quality audit: MASE of the seasonal-naive forecast
+    (predict today's purchase count with the count 7 days earlier)
+    against the one-step naive baseline — the standard scale-free
+    forecast error (Hyndman & Koehler 2006). Counts are exact ints;
+    the distributed work is one day-groupby, the error table is
+    month-sized."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    def day_of(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"day": pa.array(ts // US_DAY, pa.int64())})
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(day_of, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    cnt = dict(zip(daily["day"].astype(np.int64), daily["c"].astype(np.int64)))
+    e7 = [abs(cnt[d] - cnt[d - 7]) for d in cnt if d - 7 in cnt]
+    e1 = [abs(cnt[d] - cnt[d - 1]) for d in cnt if d - 1 in cnt]
+    mae7 = float(np.sum(e7)) / len(e7)
+    mae1 = float(np.sum(e1)) / len(e1)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(cnt)], dtype="int64"),
+            "mae_seasonal": pd.Series(round_half_away([mae7], 6), dtype="float64"),
+            "mae_naive": pd.Series(round_half_away([mae1], 6), dtype="float64"),
+            "mase": pd.Series(round_half_away([mae7 / mae1], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_forecast_mase() -> str:
+    return """
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1),
+e7 AS (
+    SELECT abs(a.c - b.c) AS e FROM daily a JOIN daily b ON b.day = a.day - 7),
+e1 AS (
+    SELECT abs(a.c - b.c) AS e FROM daily a JOIN daily b ON b.day = a.day - 1),
+m AS (
+    SELECT (SELECT count(*) FROM daily) AS n_days,
+           (SELECT sum(e) / CAST(count(*) AS DOUBLE) FROM e7) AS mae7,
+           (SELECT sum(e) / CAST(count(*) AS DOUBLE) FROM e1) AS mae1)
+SELECT CAST(n_days AS BIGINT) AS n_days, round(mae7, 6) AS mae_seasonal,
+       round(mae1, 6) AS mae_naive, round(mae7 / mae1, 6) AS mase
+FROM m
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -14879,4 +15278,8 @@ def registry() -> dict[str, tuple]:
         "substring_search": (q_substring_search, sql_substring_search()),
         "bootstrap_ci": (q_bootstrap_ci, sql_bootstrap_ci()),
         "redirect_chains": (q_redirect_chains, sql_redirect_chains()),
+        "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters()),
+        "mmr_diversify": (q_mmr_diversify, sql_mmr_diversify()),
+        "kendall_tau": (q_kendall_tau, sql_kendall_tau()),
+        "forecast_mase": (q_forecast_mase, sql_forecast_mase()),
     }
