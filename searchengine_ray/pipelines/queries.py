@@ -15013,6 +15013,278 @@ FROM m
 """
 
 
+# -------------------------------------------- percolation (reverse search)
+
+
+PERCOLATE_QUERIES = [
+    {"qid": 0, "must": ["join", "window"], "should": [], "must_not": []},
+    {"qid": 1, "must": [], "should": ["merge", "sort"], "must_not": []},
+    {"qid": 2, "must": ["hash"], "should": [], "must_not": ["slow"]},
+    {"qid": 3, "must": ["query"], "should": ["fast", "scan"], "must_not": []},
+    {"qid": 4, "must": ["table", "key"], "should": [], "must_not": ["batch"]},
+]
+
+
+def q_percolate(sf_dir: str) -> pd.DataFrame:
+    """Percolation — the REVERSE search an alerting pipeline runs:
+    stored boolean queries (must / should / must-not clauses) are
+    evaluated against every incoming document, answering "which saved
+    alerts does this doc trigger" instead of "which docs match this
+    query". The stored-query set is constant-sized (broadcast with the
+    closure), the doc stream is one tokenizing pass; each batch reports
+    per-query partial match counts and a doc-id digest, one tiny
+    groupby later the driver sees |queries| rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    queries = PERCOLATE_QUERIES
+
+    def match(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [set(ts) for ts in _token_lists(b["text"].to_pandas())]
+        qid_out, n_out, dig_out = [], [], []
+        for q in queries:
+            hits = np.fromiter(
+                (
+                    all(t in s for t in q["must"])
+                    and (not q["should"] or any(t in s for t in q["should"]))
+                    and not any(t in s for t in q["must_not"])
+                    for s in sets
+                ),
+                bool,
+                len(sets),
+            )
+            qid_out.append(q["qid"])
+            n_out.append(int(hits.sum()))
+            dig_out.append(int(ids[hits].sum()))
+        return pa.table(
+            {
+                "qid": pa.array(qid_out, pa.int64()),
+                "n": pa.array(n_out, pa.int64()),
+                "docid_sum": pa.array(dig_out, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(match, batch_format="pyarrow")
+        .groupby("qid")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("docid_sum", alias_name="docid_sum"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values("qid")
+        .reset_index(drop=True)
+        .astype({"qid": "int64", "n_docs": "int64", "docid_sum": "int64"})
+    )
+
+
+def sql_percolate() -> str:
+    def clause(q) -> str:
+        parts = []
+        for t in q["must"]:
+            parts.append(
+                f"EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{t}')"
+            )
+        if q["should"]:
+            ors = " OR ".join(
+                f"EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{t}')"
+                for t in q["should"]
+            )
+            parts.append(f"({ors})")
+        for t in q["must_not"]:
+            parts.append(
+                f"NOT EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = d.doc_id AND t.term = '{t}')"
+            )
+        return " AND ".join(parts) if parts else "TRUE"
+
+    arms = "\nUNION ALL ".join(
+        f"SELECT {q['qid']} AS qid, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(coalesce(sum(d.doc_id), 0) AS BIGINT) AS docid_sum "
+        f"FROM documents d WHERE {clause(q)}"
+        for q in PERCOLATE_QUERIES
+    )
+    # the raw-token CTE (no stoplist) — mirrors _token_lists exactly
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> '')
+{arms}
+ORDER BY qid
+"""
+
+
+# --------------------------------- Theil-Sen slope + Mann-Kendall trend test
+
+
+def q_theilsen_mk(sf_dir: str) -> pd.DataFrame:
+    """Robust trend of the daily event count: Theil–Sen slope (median
+    of all pairwise slopes — the 29%-breakdown robust regressor) plus
+    the Mann–Kendall S statistic and tie-corrected normal z. Counts
+    are exact ints; the distributed work is one day-groupby, the
+    pairwise O(days²) math runs on the month-sized series."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    n = len(d)
+    iu = np.triu_indices(n, 1)
+    slopes = (c[iu[1]] - c[iu[0]]).astype(np.float64) / (d[iu[1]] - d[iu[0]])
+    slope = float(np.median(slopes))
+    s = int(np.sign(c[iu[1]] - c[iu[0]]).sum())
+    _, tc = np.unique(c, return_counts=True)
+    var = (
+        n * (n - 1) * (2 * n + 5) - int((tc * (tc - 1) * (2 * tc + 5)).sum())
+    ) / 18.0
+    z = (s - 1) / np.sqrt(var) if s > 0 else ((s + 1) / np.sqrt(var) if s < 0 else 0.0)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([n], dtype="int64"),
+            "sen_slope": pd.Series(round_half_away([slope], 6), dtype="float64"),
+            "mk_s": pd.Series([s], dtype="int64"),
+            "mk_z": pd.Series(round_half_away([z], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_theilsen_mk() -> str:
+    return """
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+    FROM events GROUP BY 1),
+pairs AS (
+    SELECT (b.c - a.c) / CAST(b.day - a.day AS DOUBLE) AS slope,
+           sign(b.c - a.c) AS sgn
+    FROM daily a JOIN daily b ON a.day < b.day),
+ties AS (
+    SELECT coalesce(sum(tc * (tc - 1) * (2 * tc + 5)), 0) AS tt
+    FROM (SELECT count(*) AS tc FROM daily GROUP BY c)),
+agg AS (
+    SELECT (SELECT count(*) FROM daily) AS n,
+           (SELECT median(slope) FROM pairs) AS slope,
+           (SELECT sum(sgn) FROM pairs) AS s,
+           (SELECT tt FROM ties) AS tt)
+SELECT CAST(n AS BIGINT) AS n_days, round(slope, 6) AS sen_slope,
+       CAST(s AS BIGINT) AS mk_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                  WHEN s < 0 THEN (s + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                  ELSE 0.0 END, 6) AS mk_z
+FROM agg
+"""
+
+
+# --------------------------------------------- ordered string_agg top terms
+
+
+def q_top_terms_concat(sf_dir: str) -> pd.DataFrame:
+    """Per-source top-3 terms (by total tf, ties by term) concatenated
+    into one comma-joined string — the ordered string-aggregation
+    export shape (labels, tag clouds, report rows). The term ranking is
+    the distributed (source, term) combiner groupby + per-group top-k;
+    only 3 rows per source reach the concat."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        counts: dict[tuple, int] = {}
+        for s, ts in zip(srcs, toks):
+            for t in ts:
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="tf"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "term"], ascending=[False, True]).head(3)
+        return g
+
+    top = (
+        tf.groupby("source")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["source", "tf", "term"], ascending=[True, False, True])
+    )
+    out = (
+        top.groupby("source")
+        .agg(top_terms=("term", ",".join), total_tf=("tf", "sum"))
+        .reset_index()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return out.astype({"source": "object", "top_terms": "object", "total_tf": "int64"})
+
+
+def sql_top_terms_concat() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+by_src AS (
+    SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+ranked AS (
+    SELECT source, term, tf,
+           row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rn
+    FROM by_src)
+SELECT source,
+       string_agg(term, ',' ORDER BY tf DESC, term) AS top_terms,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM ranked WHERE rn <= 3
+GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -15282,4 +15554,7 @@ def registry() -> dict[str, tuple]:
         "mmr_diversify": (q_mmr_diversify, sql_mmr_diversify()),
         "kendall_tau": (q_kendall_tau, sql_kendall_tau()),
         "forecast_mase": (q_forecast_mase, sql_forecast_mase()),
+        "percolate": (q_percolate, sql_percolate()),
+        "theilsen_mk": (q_theilsen_mk, sql_theilsen_mk()),
+        "top_terms_concat": (q_top_terms_concat, sql_top_terms_concat()),
     }
