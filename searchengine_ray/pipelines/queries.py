@@ -15285,6 +15285,219 @@ GROUP BY source ORDER BY source
 """
 
 
+# ----------------------------------------- range-partitioned external sort
+
+
+SORT_PARTITIONS = 8
+
+
+def q_range_partition_sort(sf_dir: str) -> pd.DataFrame:
+    """The distributed-sort primitive, made inspectable: orders are
+    range-partitioned on total-price cents by exact rank cut points,
+    and the output is the per-partition audit — row count, key min/max
+    — proving disjoint ranges (partition i's max < partition i+1's
+    min, i.e. concatenating locally-sorted partitions yields the
+    global ORDER BY) and near-balance. Cut points come from the
+    repo's value-domain count shuffle (the ``percentile_cont`` /
+    ``mad_scores`` machinery): cents quantization bounds the domain
+    table regardless of row count, so nothing corpus-sized reaches the
+    driver — a production sort samples instead; exact cuts here keep
+    the partitioning reproducible by the SQL oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(p, 2) * 100.0, 0), np.int64)
+        g = pd.DataFrame({"cents": cents}).groupby("cents", as_index=False).size()
+        return pa.table(
+            {
+                "cents": pa.array(g["cents"].to_numpy(np.int64), pa.int64()),
+                "n_part": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("n_part", alias_name="c"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    vals = hist["cents"].to_numpy(np.int64)
+    cum = np.cumsum(hist["c"].to_numpy(np.int64))
+    n = int(cum[-1])
+    ranks = np.asarray(
+        [(i * n) // SORT_PARTITIONS for i in range(1, SORT_PARTITIONS)], np.int64
+    )
+    cuts = vals[np.searchsorted(cum, ranks, side="left")]
+
+    def assign(b: pa.Table) -> pa.Table:
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(p, 2) * 100.0, 0), np.int64)
+        pid = np.searchsorted(cuts, cents, side="right").astype(np.int64)
+        return pa.table(
+            {"pid": pa.array(pid, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("cents", alias_name="cents_min"),
+            Max("cents", alias_name="cents_max"),
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    kmin = out["cents_min"].to_numpy(np.int64)
+    kmax = out["cents_max"].to_numpy(np.int64)
+    assert (kmax[:-1] < kmin[1:]).all(), "range partitions overlap"
+    return out.astype(
+        {"pid": "int64", "n_rows": "int64", "cents_min": "int64", "cents_max": "int64"}
+    )
+
+
+def sql_range_partition_sort() -> str:
+    return f"""
+WITH k AS (
+    SELECT CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT) AS cents
+    FROM orders),
+h AS (SELECT cents, count(*) AS c FROM k GROUP BY cents),
+o AS (SELECT cents, sum(c) OVER (ORDER BY cents) AS cum FROM h),
+nn AS (SELECT count(*) AS n FROM k),
+cuts AS (
+    SELECT (SELECT min(cents) FROM o WHERE cum >= (i.range * nn.n) // {SORT_PARTITIONS})
+             AS cut
+    FROM range(1, {SORT_PARTITIONS}) i, nn),
+assigned AS (
+    SELECT k.cents,
+           (SELECT count(*) FROM cuts WHERE cuts.cut <= k.cents) AS pid
+    FROM k)
+SELECT CAST(pid AS BIGINT) AS pid, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(cents) AS BIGINT) AS cents_min, CAST(max(cents) AS BIGINT) AS cents_max
+FROM assigned GROUP BY pid ORDER BY pid
+"""
+
+
+# --------------------------------------------- late-arrival watermark audit
+
+
+LATE_GRACE_US = 300_000_000  # 5 min
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming watermark accounting: replaying each user's events in
+    arrival order (event_id), an event is LATE if its timestamp falls
+    more than the 5-minute grace behind the user's high-water mark (max
+    ts seen so far). The out-of-orderness audit every event-time
+    streaming job needs before choosing window grace. One user-bucket
+    shuffle + vectorized per-bucket scan (cummax over arrival order);
+    output is per-event-type late counts and the worst lateness."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "late_p": pd.Series([], dtype="int64"),
+                    "n_p": pd.Series([], dtype="int64"),
+                    "worst_p": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        hwm = g.groupby("user_id", sort=False)["_ts"].cummax()
+        prev_hwm = hwm.groupby(g["user_id"], sort=False).shift(1)
+        lateness = (prev_hwm - g["_ts"]).fillna(0).astype(np.int64).clip(lower=0)
+        late = lateness > LATE_GRACE_US
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "late_p": late.astype(np.int64).to_numpy(),
+                "n_p": np.ones(len(g), np.int64),
+                "worst_p": lateness.to_numpy(),
+            }
+        )
+        return (
+            out.groupby("event_type", sort=False)
+            .agg(late_p=("late_p", "sum"), n_p=("n_p", "sum"), worst_p=("worst_p", "max"))
+            .reset_index()
+            .astype({"late_p": "int64", "n_p": "int64", "worst_p": "int64"})
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("late_p", alias_name="n_late"),
+            Sum("n_p", alias_name="n_events"),
+            Max("worst_p", alias_name="worst_lateness_us"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("event_type")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "event_type": "object",
+                "n_late": "int64",
+                "n_events": "int64",
+                "worst_lateness_us": "int64",
+            }
+        )
+    )
+
+
+def sql_late_events() -> str:
+    return f"""
+WITH w AS (
+    SELECT event_type,
+           greatest(coalesce(
+               max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(ts), 0), 0) AS lateness
+    FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE lateness > {LATE_GRACE_US}) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(lateness) AS BIGINT) AS worst_lateness_us
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -15557,4 +15770,6 @@ def registry() -> dict[str, tuple]:
         "percolate": (q_percolate, sql_percolate()),
         "theilsen_mk": (q_theilsen_mk, sql_theilsen_mk()),
         "top_terms_concat": (q_top_terms_concat, sql_top_terms_concat()),
+        "range_partition_sort": (q_range_partition_sort, sql_range_partition_sort()),
+        "late_events": (q_late_events, sql_late_events()),
     }
