@@ -15498,6 +15498,279 @@ FROM w GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------ CUPED variance reduction
+
+
+CUPED_SPLIT_DAY = 19738  # 2024-01-16 in epoch days: pre = days 1-15
+
+
+def q_cuped_adjust(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. WSDM'13,
+    the industry-standard pre-period adjustment): users split into two
+    deterministic variants (user_id parity), pre-period spend (days
+    before {SPLIT}) is the covariate, post-period spend the metric;
+    θ = cov(pre, post)/var(pre) pooled, adjusted metric
+    y − θ·(x − x̄). Every moment is an exact milli-int sum (per-user
+    groupby, then per-variant Sums), so θ and the adjusted means are
+    identical doubles in both engines. Output: per-variant n, raw and
+    adjusted post means, plus the pooled variance-reduction ratio."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    US_DAY = 86_400_000_000
+
+    def per_user_partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        pre = (ts // US_DAY) < CUPED_SPLIT_DAY
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "x": pa.array(np.where(pre, milli, 0), pa.int64()),
+                "y": pa.array(np.where(pre, 0, milli), pa.int64()),
+            }
+        )
+
+    per_user = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+        .map_batches(per_user_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "variant": pa.array(u % 2, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "xy": pa.array(x * y, pa.int64()),
+                "yy": pa.array(y * y, pa.int64()),
+            }
+        )
+
+    m = (
+        per_user.map_batches(moments, batch_format="pyarrow")
+        .groupby("variant")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+            Sum("yy", alias_name="syy"),
+        )
+        .to_pandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    n = float(m["n"].sum())
+    sx, sy = float(m["sx"].sum()), float(m["sy"].sum())
+    sxx, sxy, syy = float(m["sxx"].sum()), float(m["sxy"].sum()), float(m["syy"].sum())
+    mean_x, mean_y = sx / n, sy / n
+    cov = sxy / n - mean_x * mean_y
+    var_x = sxx / n - mean_x * mean_x
+    var_y = syy / n - mean_y * mean_y
+    theta = cov / var_x
+    var_adj = var_y - theta * theta * var_x
+    nv = m["n"].to_numpy(np.float64)
+    mean_post = m["sy"].to_numpy(np.float64) / nv
+    mean_pre = m["sx"].to_numpy(np.float64) / nv
+    mean_adj = mean_post - theta * (mean_pre - mean_x)
+    return pd.DataFrame(
+        {
+            "variant": m["variant"].astype("int64"),
+            "n_users": m["n"].astype("int64"),
+            "mean_post_milli": round_half_away(mean_post, 6),
+            "mean_adj_milli": round_half_away(mean_adj, 6),
+            "theta": round_half_away(np.full(len(m), theta), 6),
+            "var_reduction": round_half_away(np.full(len(m), var_adj / var_y), 6),
+        }
+    )
+
+
+def sql_cuped_adjust() -> str:
+    return f"""
+WITH per_user AS (
+    SELECT user_id,
+           sum(CASE WHEN epoch_us(ts) // 86400000000 < {CUPED_SPLIT_DAY}
+                    THEN CAST(round(round(value, 3) * 1000, 0) AS BIGINT)
+                    ELSE 0 END) AS x,
+           sum(CASE WHEN epoch_us(ts) // 86400000000 < {CUPED_SPLIT_DAY}
+                    THEN 0
+                    ELSE CAST(round(round(value, 3) * 1000, 0) AS BIGINT) END) AS y
+    FROM events GROUP BY user_id),
+m AS (
+    SELECT user_id % 2 AS variant, count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+    FROM per_user GROUP BY 1),
+g AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS n, CAST(sum(sx) AS DOUBLE) AS sx,
+           CAST(sum(sy) AS DOUBLE) AS sy, CAST(sum(sxx) AS DOUBLE) AS sxx,
+           CAST(sum(sxy) AS DOUBLE) AS sxy, CAST(sum(syy) AS DOUBLE) AS syy
+    FROM m),
+th AS (
+    SELECT (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS theta,
+           sx / n AS mean_x,
+           (syy / n - (sy / n) * (sy / n)) AS var_y,
+           (sxx / n - (sx / n) * (sx / n)) AS var_x
+    FROM g)
+SELECT CAST(m.variant AS BIGINT) AS variant, CAST(m.n AS BIGINT) AS n_users,
+       round(CAST(m.sy AS DOUBLE) / m.n, 6) AS mean_post_milli,
+       round(CAST(m.sy AS DOUBLE) / m.n
+             - th.theta * (CAST(m.sx AS DOUBLE) / m.n - th.mean_x), 6) AS mean_adj_milli,
+       round(th.theta, 6) AS theta,
+       round((th.var_y - th.theta * th.theta * th.var_x) / th.var_y, 6) AS var_reduction
+FROM m, th ORDER BY variant
+"""
+
+
+# ----------------------------------------------- LRU cache hit-ratio replay
+
+
+LRU_CAPACITY = 8
+
+
+def q_lru_hit_ratio(sf_dir: str) -> pd.DataFrame:
+    """LRU cache simulation over each user's item-access stream (the
+    `props.k` item id, replayed in (ts, event_id) order against a
+    capacity-{C} LRU): cold misses (first access), capacity misses
+    (stack distance ≥ {C}) and hits. Cache state is inherently
+    sequential PER USER — the one shape a vectorized kernel can't
+    express — so the per-user replay runs as a stateful scan inside a
+    user-bucket shuffle (the actor-state-per-key pattern); buckets
+    parallelize across users. The SQL oracle uses the stack-distance
+    characterization instead of mutable state: an access hits iff
+    fewer than {C} DISTINCT items were touched since the item's
+    previous access."""
+    import json as _json
+    from collections import OrderedDict
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        items = np.asarray(
+            [_json.loads(p)["k"] for p in b["props"].to_pylist()], np.int64
+        )
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "item": pa.array(items, pa.int64()),
+            }
+        )
+
+    def replay(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "cold_p": pd.Series([], dtype="int64"),
+                    "cap_p": pd.Series([], dtype="int64"),
+                    "hit_p": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort")
+        cold = cap = hit = 0
+        cache: OrderedDict = OrderedDict()
+        seen: set = set()
+        cur_user = None
+        for u, item in zip(g["user_id"].to_numpy(), g["item"].to_numpy()):
+            if u != cur_user:
+                cache, seen, cur_user = OrderedDict(), set(), u
+            if item in cache:
+                cache.move_to_end(item)
+                hit += 1
+            else:
+                if item in seen:
+                    cap += 1
+                else:
+                    cold += 1
+                    seen.add(item)
+                cache[item] = True
+                if len(cache) > LRU_CAPACITY:
+                    cache.popitem(last=False)
+        return pd.DataFrame(
+            {
+                "cold_p": pd.Series([cold], dtype="int64"),
+                "cap_p": pd.Series([cap], dtype="int64"),
+                "hit_p": pd.Series([hit], dtype="int64"),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "props"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(replay, batch_format="pandas")
+        .aggregate(
+            Sum("cold_p", alias_name="cold"),
+            Sum("cap_p", alias_name="cap"),
+            Sum("hit_p", alias_name="hits"),
+        )
+    )
+    cold, cap, hits = int(out["cold"]), int(out["cap"]), int(out["hits"])
+    n = cold + cap + hits
+    return pd.DataFrame(
+        {
+            "n_accesses": pd.Series([n], dtype="int64"),
+            "cold_misses": pd.Series([cold], dtype="int64"),
+            "capacity_misses": pd.Series([cap], dtype="int64"),
+            "hits": pd.Series([hits], dtype="int64"),
+            "hit_rate": pd.Series(
+                round_half_away([hits / n], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_lru_hit_ratio() -> str:
+    return f"""
+WITH a AS (
+    SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events),
+p AS (
+    SELECT user_id, item, rn,
+           lag(rn) OVER (PARTITION BY user_id, item ORDER BY rn) AS prev_rn
+    FROM a),
+d AS (
+    SELECT p.user_id, p.rn, p.prev_rn,
+           CASE WHEN p.prev_rn IS NULL THEN NULL
+                ELSE (SELECT count(DISTINCT b.item) FROM a b
+                      WHERE b.user_id = p.user_id
+                        AND b.rn > p.prev_rn AND b.rn < p.rn) END AS stack_dist
+    FROM p)
+SELECT CAST(count(*) AS BIGINT) AS n_accesses,
+       CAST(count(*) FILTER (WHERE prev_rn IS NULL) AS BIGINT) AS cold_misses,
+       CAST(count(*) FILTER (WHERE stack_dist >= {LRU_CAPACITY}) AS BIGINT)
+         AS capacity_misses,
+       CAST(count(*) FILTER (WHERE stack_dist < {LRU_CAPACITY}) AS BIGINT) AS hits,
+       round(count(*) FILTER (WHERE stack_dist < {LRU_CAPACITY})
+             / CAST(count(*) AS DOUBLE), 6) AS hit_rate
+FROM d
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -15772,4 +16045,6 @@ def registry() -> dict[str, tuple]:
         "top_terms_concat": (q_top_terms_concat, sql_top_terms_concat()),
         "range_partition_sort": (q_range_partition_sort, sql_range_partition_sort()),
         "late_events": (q_late_events, sql_late_events()),
+        "cuped_adjust": (q_cuped_adjust, sql_cuped_adjust()),
+        "lru_hit_ratio": (q_lru_hit_ratio, sql_lru_hit_ratio()),
     }
