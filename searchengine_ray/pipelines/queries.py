@@ -15771,6 +15771,218 @@ FROM d
 """
 
 
+# ------------------------------------------- cross-source LM cross-entropy
+
+
+def q_cross_entropy_sources(sf_dir: str) -> pd.DataFrame:
+    """Train-on-X / evaluate-on-Y divergence: an add-1-smoothed unigram
+    LM is fit on each source's token counts and evaluated on every
+    OTHER source — cross-entropy in nats per token, the domain-shift
+    matrix a corpus-mixing pipeline reads before weighting sources.
+    One (source, term) combiner groupby feeds everything; the
+    source×source math runs on the vocabulary-tier count table (the
+    documented driver budget), with vocab = the union vocabulary."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        counts: dict[tuple, int] = {}
+        for s, ts in zip(srcs, toks):
+            for t in ts:
+                counts[(s, t)] = counts.get((s, t), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    tf = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    srcs = sorted(tf["source"].unique())[:3]
+    tf = tf[tf["source"].isin(srcs)]
+    vocab = int(tf["term"].nunique())
+    piv = tf.pivot_table(index="term", columns="source", values="c", fill_value=0)
+    rows = []
+    for tr in srcs:
+        n_tr = float(piv[tr].sum())
+        logp = np.log((piv[tr].to_numpy(np.float64) + 1.0) / (n_tr + vocab))
+        for ev in srcs:
+            if ev == tr:
+                continue
+            cev = piv[ev].to_numpy(np.float64)
+            ce = -float((cev * logp).sum()) / float(cev.sum())
+            rows.append((tr, ev, float(round_half_away(ce, 6))))
+    out = pd.DataFrame(rows, columns=["train_source", "eval_source", "cross_entropy"])
+    return out.sort_values(["train_source", "eval_source"]).reset_index(drop=True)
+
+
+def sql_cross_entropy_sources() -> str:
+    return r"""
+WITH tok AS (
+  SELECT source, t AS term FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+s3 AS (SELECT DISTINCT source FROM tok ORDER BY source LIMIT 3),
+tf AS (
+    SELECT source, term, count(*) AS c FROM tok
+    WHERE source IN (SELECT source FROM s3) GROUP BY 1, 2),
+vocab AS (SELECT count(DISTINCT term) AS v FROM tf),
+ntr AS (SELECT source, sum(c) AS n FROM tf GROUP BY source),
+pairs AS (SELECT a.source AS tr, b.source AS ev
+          FROM s3 a JOIN s3 b ON a.source <> b.source),
+ce AS (
+    SELECT p.tr, p.ev,
+           -sum(te.c * ln((coalesce(ta.c, 0) + 1.0) / (ntr.n + vocab.v)))
+             / sum(te.c) AS ce
+    FROM pairs p
+    JOIN tf te ON te.source = p.ev
+    LEFT JOIN tf ta ON ta.source = p.tr AND ta.term = te.term
+    JOIN ntr ON ntr.source = p.tr
+    CROSS JOIN vocab
+    GROUP BY p.tr, p.ev)
+SELECT tr AS train_source, ev AS eval_source, round(ce, 6) AS cross_entropy
+FROM ce ORDER BY tr, ev
+"""
+
+
+# --------------------------------------------------- greedy set-cover picks
+
+
+SET_COVER_K = 5
+
+
+def q_set_cover_docs(sf_dir: str) -> pd.DataFrame:
+    """Coverage-maximizing document selection: greedily pick {K} docs,
+    each covering the most BIGRAMS not covered by the picks so far (the
+    classic (1−1/e) greedy set cover — the summarization /
+    eval-set-selection shape; bigrams because this corpus's unigram
+    vocabulary fits in one doc). Each round is ONE distributed pass:
+    docs explode to distinct (doc, bigram), bigrams already covered are
+    filtered against a broadcast set (bounded by K × max doc bigrams),
+    a Count groupby ranks docs by fresh coverage (ties by doc_id).
+    Scores are exact ints, so the pick sequence is engine-independent;
+    the greedy stops early once coverage is complete."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.textstats import _token_lists
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = _token_lists(b["text"].to_pandas())
+        d_out, t_out = [], []
+        for d, ts in zip(ids, toks):
+            for g in {f"{a} {b2}" for a, b2 in zip(ts, ts[1:])}:
+                d_out.append(d)
+                t_out.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(d_out, np.int64), pa.int64()),
+                "term": pa.array(t_out, pa.string()),
+            }
+        )
+
+    pairs_ds = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    covered: set = set()
+    picks = []
+    for rank in range(1, SET_COVER_K + 1):
+        cov_arr = pa.array(sorted(covered), pa.string())
+
+        def fresh(b: pa.Table, _cov=cov_arr) -> pa.Table:
+            if len(_cov):
+                b = b.filter(pc.invert(pc.is_in(b["term"], value_set=_cov)))
+            return b
+
+        gains = (
+            pairs_ds.map_batches(fresh, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="gain"))
+            .to_pandas()
+        )
+        if not len(gains):
+            break
+        gains = gains.sort_values(["gain", "doc_id"], ascending=[False, True])
+        best = int(gains["doc_id"].iloc[0])
+        gain = int(gains["gain"].iloc[0])
+        picks.append((rank, best, gain, len(covered) + gain))
+        new_terms = (
+            pairs_ds.filter(expr=f"doc_id == {best}").to_pandas()["term"].tolist()
+        )
+        covered.update(t for t in new_terms)
+    return pd.DataFrame(
+        picks, columns=["rank", "doc_id", "new_terms", "covered_total"]
+    ).astype(
+        {"rank": "int64", "doc_id": "int64", "new_terms": "int64", "covered_total": "int64"}
+    )
+
+
+def sql_set_cover_docs() -> str:
+    prev_docs: list[str] = []
+    stages = []
+    for i in range(SET_COVER_K):
+        cov = (
+            f"(SELECT DISTINCT term FROM dt WHERE doc_id IN ({', '.join(prev_docs)}))"
+            if prev_docs
+            else "(SELECT term FROM dt WHERE FALSE)"
+        )
+        stages.append(
+            f"""pick{i} AS (
+    SELECT doc_id, count(*) AS gain
+    FROM dt WHERE term NOT IN {cov}
+    GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        prev_docs.append(f"(SELECT doc_id FROM pick{i})")
+    arms = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS rank, doc_id, CAST(gain AS BIGINT) AS new_terms FROM pick{i}"
+        for i in range(SET_COVER_K)
+    )
+    stage_sql = ",\n".join(stages)
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t, pos FROM (
+    SELECT doc_id,
+           unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                    '[ \t\n\x0b\f\r]+') AS l
+          FROM documents))
+  WHERE t <> ''),
+ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok),
+dt AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id, a.t || ' ' || b.t AS term
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+{stage_sql}
+SELECT rank, doc_id, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY rank) AS BIGINT) AS covered_total
+FROM ({arms}) ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -16047,4 +16259,6 @@ def registry() -> dict[str, tuple]:
         "late_events": (q_late_events, sql_late_events()),
         "cuped_adjust": (q_cuped_adjust, sql_cuped_adjust()),
         "lru_hit_ratio": (q_lru_hit_ratio, sql_lru_hit_ratio()),
+        "cross_entropy_sources": (q_cross_entropy_sources, sql_cross_entropy_sources()),
+        "set_cover_docs": (q_set_cover_docs, sql_set_cover_docs()),
     }
