@@ -746,6 +746,120 @@ def resolve_pointers(
 BFS_DENSE_GATE = 200_000  # edges; below: driver numpy relax, above: Dataset rounds
 
 
+SSSP_DENSE_GATE = 200_000  # edges; below: driver numpy relax, above: Dataset rounds
+
+
+def sssp_weighted(
+    edges: np.ndarray,
+    weights: np.ndarray,
+    n_nodes: int,
+    seed: int = 0,
+    max_iter: int = 60,
+    dense_gate: int = SSSP_DENSE_GATE,
+) -> pd.DataFrame:
+    """Single-source shortest paths with POSITIVE integer edge weights
+    over an undirected edge array — Bellman-Ford relaxation rounds, the
+    weighted sibling of :func:`bfs_hops` (same labels ⋈ edges → Min →
+    union+Min round shape; the candidate is dist+w instead of dist+1).
+    Returns (node, dist) for every reached node, seed at 0.
+
+    Weighted dists still only ever decrease and the reached set only
+    grows, so (count, sum) of reached dists is the monotone fixpoint
+    potential. Rounds needed ≤ longest shortest path in HOPS (≤ n−1);
+    ``max_iter`` bounds it and the non-convergence raise makes a
+    truncated answer impossible to mistake for a converged one. Below
+    ``dense_gate`` edges the identical numpy relaxation runs on the
+    driver."""
+    keep = edges[:, 0] != edges[:, 1]
+    edges, weights = edges[keep], np.asarray(weights, np.int64)[keep]
+
+    src = np.concatenate([edges[:, 0], edges[:, 1]]).astype(np.int64)
+    dst = np.concatenate([edges[:, 1], edges[:, 0]]).astype(np.int64)
+    w2 = np.concatenate([weights, weights])
+
+    if len(edges) <= dense_gate:
+        INF = np.iinfo(np.int64).max
+        dist = np.full(n_nodes, INF, np.int64)
+        dist[seed] = 0
+        for _ in range(max_iter):
+            ok = dist[src] != INF
+            cand = dist[src][ok] + w2[ok]
+            nxt = dist.copy()
+            np.minimum.at(nxt, dst[ok], cand)
+            if (nxt == dist).all():
+                reached = np.flatnonzero(dist != INF)
+                return pd.DataFrame({"node": reached, "dist": dist[reached]}).astype(
+                    {"node": "int64", "dist": "int64"}
+                )
+            dist = nxt
+        raise RuntimeError(f"sssp_weighted did not converge in {max_iter} rounds")
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(w2, pa.int64()),
+            }
+        )
+    ).materialize()
+    sentinel = np.int64(n_nodes) * (int(w2.max()) + 1)
+
+    def init_label(b: pa.Table) -> pa.Table:
+        node = b["src"].to_numpy(zero_copy_only=False)
+        dist = np.where(node == seed, np.int64(0), sentinel)
+        return pa.table({"node": b["src"], "dist": pa.array(dist, pa.int64())})
+
+    labels = (
+        eds.groupby("src")
+        .aggregate(Count(alias_name="_d"))
+        .map_batches(init_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def potential(ls) -> tuple[int, int]:
+        reached = ls.filter(expr=f"dist < {int(sentinel)}")
+        agg = reached.aggregate(Count(alias_name="n"), Sum("dist", alias_name="s"))
+        return (int(agg["n"]), int(agg["s"] or 0))
+
+    prev = potential(labels)
+    for _ in range(max_iter):
+        prop = eds.join(
+            labels, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "dist": pa.array(
+                        np.minimum(
+                            b["dist"].to_numpy(zero_copy_only=False)
+                            + b["w"].to_numpy(zero_copy_only=False),
+                            sentinel,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("dist", alias_name="dist"))
+            .materialize()
+        )
+        cur = potential(labels)
+        if cur == prev:
+            out = labels.to_pandas()
+            out = out[out["dist"] < int(sentinel)].sort_values("node").reset_index(drop=True)
+            return out.astype({"node": "int64", "dist": "int64"})
+        prev = cur
+    raise RuntimeError(f"sssp_weighted did not converge in {max_iter} rounds")
+
+
 CC_DENSE_GATE = 200_000  # edges; below: driver numpy propagation, above: Dataset rounds
 
 

@@ -15983,6 +15983,196 @@ FROM ({arms}) ORDER BY rank
 """
 
 
+# ------------------------------------------------- weighted shortest paths
+
+
+SSSP_MAX_DIST = 40  # assert-checked bound shared with the SQL recursion prune
+
+
+def q_sssp_weighted(sf_dir: str) -> pd.DataFrame:
+    """Weighted single-source shortest paths over the deterministic
+    doc-id link graph (edge weight 1 + (u+v) mod 5), Bellman-Ford
+    relaxation rounds from node 0 (``graph.sssp_weighted`` — numpy +
+    Dataset join-round tiers, (count, sum) fixpoint potential). Output
+    is the distance histogram. The SQL oracle walks paths recursively
+    with a {MAXD} pruning bound; the Ray side asserts every distance
+    is under that bound so the prune can never silently truncate."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.graph import sssp_weighted
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    weights = 1 + (edges[:, 0] + edges[:, 1]) % 5
+    res = sssp_weighted(edges, weights, n, seed=0)
+    assert int(res["dist"].max()) < SSSP_MAX_DIST, "raise SSSP_MAX_DIST"
+    out = (
+        res.groupby("dist")
+        .agg(n_nodes=("node", "size"))
+        .reset_index()
+        .sort_values("dist")
+        .reset_index(drop=True)
+    )
+    return out.astype({"dist": "int64", "n_nodes": "int64"})
+
+
+def sql_sssp_weighted() -> str:
+    return f"""
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges_raw WHERE src <> dst),
+eds AS (
+    SELECT u AS src, v AS dst, 1 + (u + v) % 5 AS w FROM und
+    UNION ALL SELECT v, u, 1 + (u + v) % 5 FROM und),
+walk(node, dist) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT eds.dst, walk.dist + eds.w
+    FROM walk JOIN eds ON eds.src = walk.node
+    WHERE walk.dist + eds.w < {SSSP_MAX_DIST}),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM best GROUP BY dist ORDER BY dist
+"""
+
+
+# -------------------------------------------- piecewise trend (struct break)
+
+
+def q_piecewise_trend(sf_dir: str) -> pd.DataFrame:
+    """Structural-break regression: fit two OLS lines to the daily
+    event-count series, split at the day that minimizes total SSE
+    (each segment ≥ 3 points) — the segmented-trend readout behind
+    'did the metric change regime, and to what slopes'. All candidate
+    SSEs come from cumulative exact-int moments of ONE day-groupby, so
+    the argmin (ties → earliest split) is engine-independent."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["c"].to_numpy(np.float64)
+    n = len(y)
+    x = np.arange(1, n + 1, dtype=np.float64)
+
+    def seg(sx, sy, sxx, sxy, syy, m):
+        vx = sxx - sx * sx / m
+        num = sxy - sx * sy / m
+        return num / vx, (syy - sy * sy / m) - num * num / vx
+
+    cx, cy = np.cumsum(x), np.cumsum(y)
+    cxx, cxy, cyy = np.cumsum(x * x), np.cumsum(x * y), np.cumsum(y * y)
+    best = None
+    for s in range(3, n - 2):
+        sl1, e1 = seg(cx[s - 1], cy[s - 1], cxx[s - 1], cxy[s - 1], cyy[s - 1], s)
+        sl2, e2 = seg(
+            cx[-1] - cx[s - 1],
+            cy[-1] - cy[s - 1],
+            cxx[-1] - cxx[s - 1],
+            cxy[-1] - cxy[s - 1],
+            cyy[-1] - cyy[s - 1],
+            n - s,
+        )
+        if best is None or e1 + e2 < best[0]:
+            best = (e1 + e2, s, sl1, sl2)
+    _, sse_full = seg(cx[-1], cy[-1], cxx[-1], cxy[-1], cyy[-1], n)
+    sse2, s, sl1, sl2 = best
+    return pd.DataFrame(
+        {
+            "split_index": pd.Series([s], dtype="int64"),
+            "split_day": pd.Series([int(daily["day"].iloc[s - 1])], dtype="int64"),
+            "slope_before": pd.Series(round_half_away([sl1], 6), dtype="float64"),
+            "slope_after": pd.Series(round_half_away([sl2], 6), dtype="float64"),
+            "sse_ratio": pd.Series(
+                round_half_away([sse2 / sse_full], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_piecewise_trend() -> str:
+    return """
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1),
+idx AS (
+    SELECT day, c, CAST(row_number() OVER (ORDER BY day) AS DOUBLE) AS i,
+           count(*) OVER () AS n
+    FROM daily),
+cum AS (
+    SELECT day, i, n,
+           sum(i) OVER w AS cx, sum(c) OVER w AS cy,
+           sum(i * i) OVER w AS cxx, sum(i * c) OVER w AS cxy,
+           sum(c * c) OVER w AS cyy
+    FROM idx WINDOW w AS (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (SELECT max(cx) AS tx, max(cy) AS ty, max(cxx) AS txx,
+               max(cxy) AS txy, max(cyy) AS tyy, max(n) AS n
+        FROM cum),
+parts AS (
+    SELECT cum.day, cum.i AS s,
+           cum.cxy - cum.cx * cum.cy / cum.i AS num1,
+           cum.cxx - cum.cx * cum.cx / cum.i AS vx1,
+           cum.cyy - cum.cy * cum.cy / cum.i AS vy1,
+           (tot.txy - cum.cxy)
+             - (tot.tx - cum.cx) * (tot.ty - cum.cy) / (tot.n - cum.i) AS num2,
+           (tot.txx - cum.cxx)
+             - (tot.tx - cum.cx) * (tot.tx - cum.cx) / (tot.n - cum.i) AS vx2,
+           (tot.tyy - cum.cyy)
+             - (tot.ty - cum.cy) * (tot.ty - cum.cy) / (tot.n - cum.i) AS vy2
+    FROM cum, tot
+    WHERE cum.i >= 3 AND cum.i <= tot.n - 3),
+cand AS (
+    SELECT day, s, num1 / vx1 AS sl1, vy1 - num1 * num1 / vx1 AS e1,
+           num2 / vx2 AS sl2, vy2 - num2 * num2 / vx2 AS e2
+    FROM parts),
+full_line AS (
+    SELECT (tyy - ty * ty / n)
+           - (txy - tx * ty / n) * (txy - tx * ty / n) / (txx - tx * tx / n) AS sse
+    FROM tot),
+best AS (
+    SELECT * FROM cand ORDER BY e1 + e2, s LIMIT 1)
+SELECT CAST(best.s AS BIGINT) AS split_index, best.day AS split_day,
+       round(best.sl1, 6) AS slope_before, round(best.sl2, 6) AS slope_after,
+       round((best.e1 + best.e2) / full_line.sse, 6) AS sse_ratio
+FROM best, full_line
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -16261,4 +16451,6 @@ def registry() -> dict[str, tuple]:
         "lru_hit_ratio": (q_lru_hit_ratio, sql_lru_hit_ratio()),
         "cross_entropy_sources": (q_cross_entropy_sources, sql_cross_entropy_sources()),
         "set_cover_docs": (q_set_cover_docs, sql_set_cover_docs()),
+        "sssp_weighted": (q_sssp_weighted, sql_sssp_weighted()),
+        "piecewise_trend": (q_piecewise_trend, sql_piecewise_trend()),
     }
