@@ -16173,6 +16173,314 @@ FROM best, full_line
 """
 
 
+# --------------------------------------------------------- XML roundtrip
+
+
+def q_xml_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """XML interchange: documents → one XML file per block written
+    inside ``map_batches`` (stdlib ElementTree, one <doc> element per
+    row with attributes + text payload) → ``read_binary_files`` +
+    ElementTree parse → the per-source digest contract of the other
+    roundtrips. XML is the wire format half the legacy web pipelines
+    hand over (sitemaps, feeds, dumps); the oracle digests the table
+    directly, so any escaping/encoding bug in either direction breaks
+    the hash."""
+    import shutil
+    import uuid
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    base = CACHE_ROOT / f"xml-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        root = ET.Element("docs")
+        for row in b.to_pylist():
+            el = ET.SubElement(
+                root,
+                "doc",
+                id=str(row["doc_id"]),
+                source=row["source"],
+                n_chars=str(row["n_chars"]),
+            )
+            el.text = row["text"]
+        path = base / f"{uuid.uuid4().hex}.xml"
+        ET.ElementTree(root).write(str(path), encoding="utf-8")
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
+
+    rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars", "text"],
+    ).map_batches(write_block, batch_format="pyarrow").materialize()
+
+    def parse(row: dict) -> pa.Table:
+        root = ET.fromstring(row["bytes"])
+        srcs, ids, chars, tlen = [], [], [], []
+        for el in root:
+            srcs.append(el.get("source"))
+            ids.append(int(el.get("id")))
+            chars.append(int(el.get("n_chars")))
+            tlen.append(len(el.text or ""))
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "id_sum": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+                "text_len": pa.array(tlen, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_binary_files(str(base))
+        .flat_map(lambda row: parse(row).to_pylist())
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("id_sum", alias_name="id_sum"),
+            Sum("n_chars", alias_name="chars_sum"),
+            Sum("text_len", alias_name="text_len_sum"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values("source")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "source": "object",
+                "n": "int64",
+                "id_sum": "int64",
+                "chars_sum": "int64",
+                "text_len_sum": "int64",
+            }
+        )
+    )
+
+
+def sql_xml_roundtrip() -> str:
+    return """
+SELECT source, count(*) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------- bloom-filtered join
+
+
+def q_bloom_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filtered distributed join — THE bandwidth optimization for
+    a selective fact⋈dim join at scale: the small side (customers in
+    BUILDING) builds a seeded double-hash Bloom filter (broadcast via
+    the closure, bytes not rows), the fact side drops non-members
+    INSIDE map_batches before anything shuffles, and the exact join
+    runs on the survivors. Bloom filters have no false negatives, so
+    the result is EXACTLY the plain join (the oracle); the false-
+    positive stragglers are eliminated by the join itself. Output also
+    reports the prefilter pass-through count so the pruning is
+    auditable."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    M_BITS = 1 << 15
+    K_HASH = 4
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+
+    bits = np.zeros(M_BITS, bool)
+    h1 = (keys.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    h2 = (keys.astype(np.uint64) * np.uint64(40503)) % np.uint64(2**32) | np.uint64(1)
+    for i in range(K_HASH):
+        bits[((h1 + np.uint64(i) * h2) % np.uint64(M_BITS)).astype(np.int64)] = True
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g1 = (ck.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        g2 = (ck.astype(np.uint64) * np.uint64(40503)) % np.uint64(2**32) | np.uint64(1)
+        ok = np.ones(len(ck), bool)
+        for i in range(K_HASH):
+            ok &= bits[((g1 + np.uint64(i) * g2) % np.uint64(M_BITS)).astype(np.int64)]
+        t = b.filter(pa.array(ok))
+        return t
+
+    def exact(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = np.isin(ck, keys)
+        p = b["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(p, 2) * 100.0, 0), np.int64)
+        return pa.table(
+            {
+                "passed_p": pa.array(np.ones(len(ck), np.int64)),
+                "match_p": pa.array(member.astype(np.int64), pa.int64()),
+                "cents_p": pa.array(np.where(member, cents, 0), pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+        .map_batches(prefilter, batch_format="pyarrow")
+        .map_batches(exact, batch_format="pyarrow")
+        .aggregate(
+            Sum("passed_p", alias_name="bloom_pass"),
+            Sum("match_p", alias_name="n_orders"),
+            Sum("cents_p", alias_name="cents"),
+        )
+    )
+    n_orders = int(agg["n_orders"] or 0)
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n_orders], dtype="int64"),
+            "cents": pd.Series([int(agg["cents"] or 0)], dtype="int64"),
+            "bloom_pass": pd.Series([int(agg["bloom_pass"] or 0)], dtype="int64"),
+        }
+    )
+
+
+def sql_bloom_join() -> str:
+    """The exact join result; bloom_pass is mirrored by recomputing the
+    same seeded double-hash membership in SQL (no false negatives, so
+    n_orders/cents must equal the plain join regardless)."""
+    return """
+WITH bkeys AS (
+    SELECT c_custkey AS k,
+           (c_custkey * 2654435761) % 4294967296 AS h1,
+           ((c_custkey * 40503) % 4294967296) | 1 AS h2
+    FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+    SELECT DISTINCT (h1 + i.range * h2) % 32768 AS bit
+    FROM bkeys, range(4) i),
+ord AS (
+    SELECT o_custkey, o_totalprice,
+           (o_custkey * 2654435761) % 4294967296 AS g1,
+           ((o_custkey * 40503) % 4294967296) | 1 AS g2
+    FROM orders),
+passed AS (
+    SELECT o.o_custkey, o.o_totalprice FROM ord o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM range(4) i
+        WHERE (o.g1 + i.range * o.g2) % 32768 NOT IN (SELECT bit FROM bits))),
+joined AS (
+    SELECT p.o_totalprice FROM passed p
+    JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+      ON c.c_custkey = p.o_custkey)
+SELECT CAST((SELECT count(*) FROM joined) AS BIGINT) AS n_orders,
+       CAST((SELECT coalesce(sum(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT)), 0)
+             FROM joined) AS BIGINT) AS cents,
+       CAST((SELECT count(*) FROM passed) AS BIGINT) AS bloom_pass
+"""
+
+
+# -------------------------------------------------- Z-order layout audit
+
+
+ZORDER_PARTS = 16
+
+
+def q_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Space-filling-curve data layout: orders are clustered by the
+    Z-ORDER (Morton) interleaving of (custkey bucket, order-day bucket)
+    — the multi-dimensional sort a lakehouse uses so BOTH
+    single-column predicates prune well. The audit ranges the curve
+    into {P} equal key slices and reports each slice's bounding box on
+    both dimensions; tight boxes on both axes are the property
+    row-group pruning exploits (a plain sort on one column would leave
+    the other column's boxes spanning the full domain). Bit
+    interleaving is exact integer math, mirrored bit-for-bit in SQL."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    US_DAY = 86_400_000_000
+    BITS = 8  # 256 buckets per dimension -> 16-bit Morton key
+
+    def morton(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False) // US_DAY
+        )
+        # bucket both dims to 0..255; the day range is the fixed TPC-H
+        # synthetic span 1995-01-01..2001-08-01 (epoch days 9131..11535),
+        # so bucketing is batch-independent
+        x = (ck % 256).astype(np.int64)
+        y = ((day - 9131) * 256 // (11535 - 9131 + 1)).astype(np.int64)
+        z = np.zeros(len(x), np.int64)
+        for i in range(BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+            }
+        )
+
+    def slice_of(b: pa.Table) -> pa.Table:
+        z = b["z"].to_numpy(zero_copy_only=False)
+        pid = z * ZORDER_PARTS // (1 << (2 * BITS))
+        return b.append_column("pid", pa.array(pid.astype(np.int64), pa.int64()))
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+        .map_batches(morton, batch_format="pyarrow")
+        .map_batches(slice_of, batch_format="pyarrow")
+        .groupby("pid")
+        .aggregate(
+            Count(alias_name="n_rows"),
+            Min("x", alias_name="x_min"),
+            Max("x", alias_name="x_max"),
+            Min("y", alias_name="y_min"),
+            Max("y", alias_name="y_max"),
+        )
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "pid": "int64",
+            "n_rows": "int64",
+            "x_min": "int64",
+            "x_max": "int64",
+            "y_min": "int64",
+            "y_max": "int64",
+        }
+    )
+
+
+def sql_zorder_layout() -> str:
+    zbits = " + ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+WITH m AS (
+    SELECT o_custkey % 256 AS x,
+           (CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) - 9131) * 256
+             // (11535 - 9131 + 1) AS y
+    FROM orders),
+z AS (SELECT x, y, {zbits} AS z FROM m),
+s AS (SELECT x, y, z * {ZORDER_PARTS} // 65536 AS pid FROM z)
+SELECT CAST(pid AS BIGINT) AS pid, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM s GROUP BY pid ORDER BY pid
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -16453,4 +16761,7 @@ def registry() -> dict[str, tuple]:
         "set_cover_docs": (q_set_cover_docs, sql_set_cover_docs()),
         "sssp_weighted": (q_sssp_weighted, sql_sssp_weighted()),
         "piecewise_trend": (q_piecewise_trend, sql_piecewise_trend()),
+        "xml_roundtrip": (q_xml_roundtrip, sql_xml_roundtrip()),
+        "bloom_join": (q_bloom_join, sql_bloom_join()),
+        "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
     }
