@@ -16481,6 +16481,259 @@ FROM s GROUP BY pid ORDER BY pid
 """
 
 
+# ------------------------------------------- multinomial Naive Bayes (lang)
+
+
+def q_naive_bayes_lang(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes trained IN the engine: docs split by
+    doc_id parity into train/test, per-(lang, term) add-1-smoothed
+    token counts from one combiner groupby become the model (a
+    vocabulary-tier log-prob table, broadcast to the scoring pass);
+    each test doc is scored ln(prior) + Σ count·ln p(term|lang) over
+    the TRAIN vocabulary and argmax-classified (ties → lang asc).
+    Output is the confusion matrix — the distributed text-classifier
+    train→eval loop as a single pipeline."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 2 == 0
+        langs = b["lang"].to_pandas()[keep]
+        toks = _token_lists(b["text"].to_pandas()[keep])
+        counts: dict[tuple, int] = {}
+        for lg, ts in zip(langs, toks):
+            for t in ts:
+                counts[(lg, t)] = counts.get((lg, t), 0) + 1
+        keys = list(counts.keys())
+        return pa.table(
+            {
+                "lang": pa.array([k[0] for k in keys], pa.string()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "c": pa.array(np.asarray(list(counts.values()), np.int64), pa.int64()),
+            }
+        )
+
+    train = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    langs = sorted(train["lang"].unique())
+    vocab = sorted(train["term"].unique())
+    V = len(vocab)
+    tidx = {t: i for i, t in enumerate(vocab)}
+    cnt = np.zeros((len(langs), V), np.int64)
+    for lg, t, c in train.itertuples(index=False):
+        cnt[langs.index(lg), tidx[t]] = c
+    n_c = cnt.sum(axis=1, keepdims=True).astype(np.float64)
+    logp = np.log((cnt + 1.0) / (n_c + V))
+
+    docs_meta = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    train_docs = docs_meta[docs_meta["doc_id"] % 2 == 0]
+    prior = np.log(
+        train_docs["lang"].value_counts().reindex(langs).to_numpy(np.float64)
+        / len(train_docs)
+    )
+
+    import ray
+
+    model = ray.put((langs, tidx, logp, prior))
+
+    def classify(b: pa.Table, _m=model) -> pa.Table:
+        langs_, tidx_, logp_, prior_ = ray.get(_m)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 2 == 1
+        true_l = b["lang"].to_pandas()[keep].to_numpy()
+        toks = _token_lists(b["text"].to_pandas()[keep])
+        preds = []
+        for ts in toks:
+            uniq, counts = np.unique(
+                np.asarray([t for t in ts if t in tidx_], dtype=object),
+                return_counts=True,
+            )
+            if len(uniq):
+                cols = np.asarray([tidx_[t] for t in uniq], np.int64)
+                score = prior_ + (logp_[:, cols] * counts).sum(axis=1)
+            else:
+                score = prior_
+            preds.append(langs_[int(np.argmax(score))])
+        return pa.table(
+            {
+                "true_lang": pa.array(true_l, pa.string()),
+                "pred_lang": pa.array(preds, pa.string()),
+                "n": pa.array(np.ones(len(preds), np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+        )
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["true_lang", "pred_lang"])
+        .reset_index(drop=True)
+        .astype({"true_lang": "object", "pred_lang": "object", "n": "int64"})
+    )
+
+
+def sql_naive_bayes_lang() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, lang, t AS term FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+train_tf AS (
+    SELECT lang, term, count(*) AS c FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+langs AS (SELECT DISTINCT lang FROM train_tf),
+vocab AS (SELECT DISTINCT term FROM train_tf),
+vn AS (SELECT count(*) AS v FROM vocab),
+nc AS (SELECT lang, sum(c) AS n FROM train_tf GROUP BY lang),
+prior AS (
+    SELECT lang, ln(count(*) / CAST((SELECT count(*) FROM documents
+                                     WHERE doc_id % 2 = 0) AS DOUBLE)) AS lp
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+test_tf AS (
+    SELECT doc_id, lang AS true_lang, term, count(*) AS c
+    FROM tok WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+scored AS (
+    SELECT t.doc_id, t.true_lang, l.lang,
+           prior.lp + coalesce(sum(
+               t.c * ln((coalesce(tf.c, 0) + 1.0) / (nc.n + vn.v))), 0) AS score
+    FROM test_tf t
+    JOIN vocab ON vocab.term = t.term
+    CROSS JOIN langs l
+    LEFT JOIN train_tf tf ON tf.lang = l.lang AND tf.term = t.term
+    JOIN nc ON nc.lang = l.lang
+    JOIN prior ON prior.lang = l.lang
+    CROSS JOIN vn
+    GROUP BY t.doc_id, t.true_lang, l.lang, prior.lp),
+alldocs AS (
+    SELECT DISTINCT doc_id, lang AS true_lang FROM documents WHERE doc_id % 2 = 1),
+allscored AS (
+    SELECT a.doc_id, a.true_lang, l.lang,
+           coalesce(s.score, p.lp) AS score
+    FROM alldocs a CROSS JOIN langs l
+    JOIN prior p ON p.lang = l.lang
+    LEFT JOIN scored s ON s.doc_id = a.doc_id AND s.lang = l.lang),
+pred AS (
+    SELECT doc_id, true_lang, lang AS pred_lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM allscored)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ------------------------------------------------ exact decision stump
+
+
+def q_decision_stump(sf_dir: str) -> pd.DataFrame:
+    """Exact 1D decision-stump training — the weak learner: over every
+    candidate threshold t (the distinct n_chars domain, a bounded
+    value-domain shuffle exactly like the quantile family), score the
+    rule "predict lang='en' iff n_chars ≤ t" AND its flipped polarity
+    by exact misclassification counts from cumulative sums; pick
+    (min error, polarity asc, t asc). Training as a data operation:
+    one groupby + a domain-sized scan, every count an exact int."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (b["lang"].to_pandas() == "en").to_numpy()
+        g = pd.DataFrame({"v": nch, "pos": en.astype(np.int64)})
+        agg = g.groupby("v", as_index=False).agg(
+            n_pos=("pos", "sum"), n_all=("pos", "size")
+        )
+        return pa.table(
+            {
+                "v": pa.array(agg["v"].to_numpy(np.int64), pa.int64()),
+                "n_pos": pa.array(agg["n_pos"].to_numpy(np.int64), pa.int64()),
+                "n_all": pa.array(agg["n_all"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n_pos", alias_name="pos"), Sum("n_all", alias_name="all"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    pos = hist["pos"].to_numpy(np.int64)
+    tot = hist["all"].to_numpy(np.int64)
+    cpos, ctot = np.cumsum(pos), np.cumsum(tot)
+    P, N = int(cpos[-1]), int(ctot[-1])
+    # polarity 0: en iff v <= t -> errors = (neg below) + (pos above)
+    err0 = (ctot - cpos) + (P - cpos)
+    # polarity 1: en iff v > t
+    err1 = cpos + ((N - ctot) - (P - cpos))
+    cand = np.concatenate([err0, err1])
+    polarity = np.concatenate([np.zeros(len(hist), np.int64), np.ones(len(hist), np.int64)])
+    thresh = np.concatenate([hist["v"].to_numpy(np.int64)] * 2)
+    order = np.lexsort((thresh, polarity, cand))
+    b0 = order[0]
+    best_err = int(cand[b0])
+    return pd.DataFrame(
+        {
+            "polarity": pd.Series([int(polarity[b0])], dtype="int64"),
+            "threshold": pd.Series([int(thresh[b0])], dtype="int64"),
+            "errors": pd.Series([best_err], dtype="int64"),
+            "n": pd.Series([N], dtype="int64"),
+            "error_rate": pd.Series(
+                round_half_away([best_err / N], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_decision_stump() -> str:
+    return """
+WITH h AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+           count(*) AS tot
+    FROM documents GROUP BY 1),
+c AS (
+    SELECT v,
+           sum(pos) OVER w AS cpos, sum(tot) OVER w AS ctot,
+           (SELECT sum(pos) FROM h) AS p, (SELECT sum(tot) FROM h) AS n
+    FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (
+    SELECT 0 AS polarity, v AS threshold,
+           (ctot - cpos) + (p - cpos) AS errors, n FROM c
+    UNION ALL
+    SELECT 1, v, cpos + ((n - ctot) - (p - cpos)), n FROM c),
+best AS (SELECT * FROM cand ORDER BY errors, polarity, threshold LIMIT 1)
+SELECT CAST(polarity AS BIGINT) AS polarity, CAST(threshold AS BIGINT) AS threshold,
+       CAST(errors AS BIGINT) AS errors, CAST(n AS BIGINT) AS n,
+       round(errors / CAST(n AS DOUBLE), 6) AS error_rate
+FROM best
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -16764,4 +17017,6 @@ def registry() -> dict[str, tuple]:
         "xml_roundtrip": (q_xml_roundtrip, sql_xml_roundtrip()),
         "bloom_join": (q_bloom_join, sql_bloom_join()),
         "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
+        "naive_bayes_lang": (q_naive_bayes_lang, sql_naive_bayes_lang()),
+        "decision_stump": (q_decision_stump, sql_decision_stump()),
     }
