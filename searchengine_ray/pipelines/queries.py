@@ -16734,6 +16734,184 @@ FROM best
 """
 
 
+# ------------------------------------------- empirical-Bayes rate shrinkage
+
+
+def q_eb_shrinkage(sf_dir: str) -> pd.DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates — the estimator that stops a 2-event user with one purchase
+    from outranking a 300-event regular: pooled rate m and
+    method-of-moments prior strength τ = m(1−m)/var(r̂) − 1 come from
+    one pass of exact per-user counts; each user's rate shrinks to
+    (k + τ·m)/(n + τ). Top-10 by (shrunk DESC, user ASC) with raw and
+    shrunk rates — small-sample users visibly pulled toward m."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    per_user = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "k": pa.array(
+                        (b["event_type"].to_pandas() == "purchase").to_numpy(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("k", alias_name="k"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    k = per_user["k"].to_numpy(np.float64)
+    n = per_user["n"].to_numpy(np.float64)
+    U = float(len(per_user))
+    m = k.sum() / n.sum()
+    r = k / n
+    var = (r * r).sum() / U - (r.sum() / U) ** 2
+    tau = max(m * (1.0 - m) / var - 1.0, 1.0)
+    shrunk = (k + tau * m) / (n + tau)
+    per_user["raw_rate"] = round_half_away(r, 6)
+    per_user["shrunk_rate"] = round_half_away(shrunk, 6)
+    out = (
+        per_user.sort_values(["shrunk_rate", "user_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "k", "n", "raw_rate", "shrunk_rate"]].astype(
+        {"user_id": "int64", "k": "int64", "n": "int64"}
+    )
+
+
+def sql_eb_shrinkage() -> str:
+    return """
+WITH pu AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
+           count(*) AS n
+    FROM events GROUP BY user_id),
+g AS (
+    SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS m,
+           sum((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n)) / count(*)
+             - (sum(CAST(k AS DOUBLE) / n) / count(*))
+               * (sum(CAST(k AS DOUBLE) / n) / count(*)) AS var
+    FROM pu),
+t AS (SELECT m, greatest(m * (1.0 - m) / var - 1.0, 1.0) AS tau FROM g)
+SELECT user_id, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(CAST(k AS DOUBLE) / n, 6) AS raw_rate,
+       round((k + t.tau * t.m) / (n + t.tau), 6) AS shrunk_rate
+FROM pu, t
+ORDER BY shrunk_rate DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------- BM25 hyperparameter sweep
+
+
+BM25_GRID = [(1.2, 0.75), (0.9, 0.4), (1.5, 0.75), (2.0, 0.3)]
+
+
+def q_bm25_grid(sf_dir: str) -> pd.DataFrame:
+    """Ranking hyperparameter sweep: NDCG@10 of the engine's BM25 for
+    every (k1, b) in a grid, against the same graded term-presence
+    relevance as ``eval_ndcg`` — the tuning loop that decides what the
+    index manifest's defaults should be. k1/b live in the manifest and
+    are read per query, so the sweep re-scores without rebuilding;
+    scores are rounded before ranking so the oracle reproduces every
+    ranking bit-for-bit."""
+    eng = _engine(sf_dir)
+    terms = BM25_QUERY.split()
+    term_sets = [set(int(x) for x in eng.search_keyword(t)) for t in terms]
+    cand = sorted(set().union(*term_sets))
+    cand_rel = {d: sum(d in s for s in term_sets) for d in cand}
+    ideal = np.sort(np.asarray([cand_rel[d] for d in cand], np.float64))[::-1][:10]
+    iranks = np.arange(1, len(ideal) + 1, dtype=np.float64)
+    idcg = float(((2.0**ideal - 1.0) / np.log2(iranks + 1.0)).sum())
+
+    rows = []
+    for k1, b in BM25_GRID:
+        eng.manifest.bm25_k1 = k1
+        eng.manifest.bm25_b = b
+        res = eng.search_bm25(BM25_QUERY, None, method="exhaustive")
+        docs = np.asarray([d for d, _ in res], np.int64)
+        scores = np.asarray([round(s, 6) for _, s in res], np.float64)
+        order = np.lexsort((docs, -scores))
+        top = docs[order][:10]
+        rel_top = np.asarray([cand_rel.get(int(d), 0) for d in top], np.float64)
+        ranks = np.arange(1, len(top) + 1, dtype=np.float64)
+        dcg = float(((2.0**rel_top - 1.0) / np.log2(ranks + 1.0)).sum())
+        rows.append(
+            {
+                "k1": k1,
+                "b": b,
+                "top1_doc": int(top[0]),
+                "ndcg10": float(round_half_away(dcg / idcg, 6)),
+            }
+        )
+    out = pd.DataFrame(rows).sort_values(["k1", "b"]).reset_index(drop=True)
+    return out.astype({"top1_doc": "int64"})
+
+
+def sql_bm25_grid() -> str:
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY.split())
+    combos = []
+    for k1, b in BM25_GRID:
+        combos.append(
+            f"""(
+  SELECT {k1} AS k1, {b} AS b, t.doc_id,
+         round(sum(((({k1} + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5)
+                                       / (stats.df + 0.5) + 1.0))
+                    * (t.tf / (t.tf + {k1} * (1.0 - {b} + {b} * dls.dl / avgdl.v)))
+                    * qtf.qn)), 6) AS score
+  FROM toks t
+  JOIN qtf USING (term) JOIN stats USING (term)
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY t.doc_id)"""
+        )
+    scored_union = "\nUNION ALL ".join(combos)
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+scored AS ({scored_union}),
+rel AS (
+    SELECT toks.doc_id, count(DISTINCT q.term) AS rel
+    FROM toks JOIN q USING (term) GROUP BY 1),
+ideal AS (
+    SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irnk FROM rel),
+idcg AS (
+    SELECT sum((pow(2.0, rel) - 1.0) / log2(irnk + 1.0)) AS v
+    FROM ideal WHERE irnk <= 10),
+ranked AS (
+    SELECT k1, b, doc_id,
+           row_number() OVER (PARTITION BY k1, b ORDER BY score DESC, doc_id) AS rnk
+    FROM scored),
+top AS (
+    SELECT r.k1, r.b, r.rnk, r.doc_id, rel.rel
+    FROM ranked r JOIN rel USING (doc_id) WHERE r.rnk <= 10),
+met AS (
+    SELECT k1, b,
+           sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+           min(CASE WHEN rnk = 1 THEN doc_id END) AS top1_doc
+    FROM top GROUP BY k1, b)
+SELECT m.k1, m.b, CAST(m.top1_doc AS BIGINT) AS top1_doc,
+       round(m.dcg / idcg.v, 6) AS ndcg10
+FROM met m CROSS JOIN idcg
+ORDER BY m.k1, m.b
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -17019,4 +17197,6 @@ def registry() -> dict[str, tuple]:
         "zorder_layout": (q_zorder_layout, sql_zorder_layout()),
         "naive_bayes_lang": (q_naive_bayes_lang, sql_naive_bayes_lang()),
         "decision_stump": (q_decision_stump, sql_decision_stump()),
+        "eb_shrinkage": (q_eb_shrinkage, sql_eb_shrinkage()),
+        "bm25_grid": (q_bm25_grid, sql_bm25_grid()),
     }
