@@ -16912,6 +16912,280 @@ ORDER BY m.k1, m.b
 """
 
 
+# ----------------------------------------------------- clustering silhouette
+
+
+def q_silhouette_score(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality audit: per-cluster mean silhouette of the
+    deterministic k-means assignment (k=8, 3 iters — the
+    SQL-mirrorable contract `kmeans` already verifies) under cosine
+    distance. The key reduction: multiplying the distance block by the
+    one-hot membership matrix collapses it to per-(vec, cluster)
+    distance SUMS (D@M), so silhouette is O(n·k) state per vector —
+    at this table's brute tier the matmul runs on the driver; past the
+    neardup row gate the identical D@M runs per batch against the
+    broadcast normalized matrix. a(i) divides by (n_c−1) (self's zero
+    distance drops out), b(i) is the min mean over other clusters."""
+    import ray.data as rd
+
+    from ..functions.vectors import kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent, labels = kmeans_fit(ds, k=8, iters=3)
+    lab = labels.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    c_of = lab["cluster"].to_numpy(np.int64)
+
+    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    k = int(c_of.max()) + 1
+    M = np.zeros((len(X), k), np.float64)
+    M[np.arange(len(X)), c_of] = 1.0
+    n_c = M.sum(axis=0)
+
+    D = 1.0 - Xn @ Xn.T
+    S = D @ M  # (i, c) -> sum of dists to cluster c
+    own = S[np.arange(len(X)), c_of]
+    a = np.where(n_c[c_of] > 1, own / np.maximum(n_c[c_of] - 1.0, 1.0), 0.0)
+    mean_other = S / n_c[None, :]
+    mean_other[np.arange(len(X)), c_of] = np.inf
+    b = mean_other.min(axis=1)
+    s = np.where(n_c[c_of] > 1, (b - a) / np.maximum(a, b), 0.0)
+
+    out = (
+        pd.DataFrame({"cluster": c_of, "s": s})
+        .groupby("cluster")
+        .agg(n=("s", "size"), silhouette=("s", "mean"))
+        .reset_index()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["silhouette"] = round_half_away(out["silhouette"].to_numpy(), 6)
+    return out.astype({"cluster": "int64", "n": "int64"})
+
+
+def sql_silhouette_score() -> str:
+    return f"""
+WITH {_kmeans_ctes(8, 3)},
+asg AS (SELECT vec_id, c AS cluster FROM a3),
+ev AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, asg.cluster
+       FROM embeddings e JOIN asg USING (vec_id)),
+nc AS (SELECT cluster, count(*) AS n FROM asg GROUP BY cluster),
+sums AS (
+    SELECT a.vec_id, a.cluster AS own, b.cluster AS other,
+           sum(1.0 - list_cosine_similarity(a.v, b.v)) AS d
+    FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, a.cluster, b.cluster),
+ab AS (
+    SELECT e.vec_id, e.cluster,
+           CASE WHEN nc.n > 1
+                THEN coalesce((SELECT d FROM sums s
+                               WHERE s.vec_id = e.vec_id AND s.other = e.cluster), 0)
+                     / (nc.n - 1.0)
+                ELSE 0.0 END AS a,
+           (SELECT min(s.d / nc2.n) FROM sums s JOIN nc nc2 ON nc2.cluster = s.other
+            WHERE s.vec_id = e.vec_id AND s.other <> e.cluster) AS b,
+           nc.n AS own_n
+    FROM ev e JOIN nc ON nc.cluster = e.cluster),
+sil AS (
+    SELECT cluster,
+           CASE WHEN own_n > 1 THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+    FROM ab)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS silhouette
+FROM sil GROUP BY cluster ORDER BY cluster
+"""
+
+
+# -------------------------------------------------- feature-hashing audit
+
+
+FEATURE_HASH_BUCKETS = 4096
+
+
+def q_feature_hashing(sf_dir: str) -> pd.DataFrame:
+    """Hashing-trick audit: the corpus vocabulary is hashed into
+    {B} feature buckets (the DuckDB-equal md5-lower-64 token hash the
+    SimHash path already proves bit-for-bit), and the output is the
+    bucket LOAD SPECTRUM — how many buckets carry 1, 2, 3… distinct
+    terms. The collision profile an ML pipeline checks before choosing
+    the hashed-feature width; exact ints end-to-end."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import _md5_hash_lists
+    from ..functions.textstats import _token_lists
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        uniq = sorted({t for ts in toks for t in ts})
+        hs = _md5_hash_lists(pd.Series([uniq]))[0] if uniq else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "bucket": pa.array(
+                    (hs % np.uint64(FEATURE_HASH_BUCKETS)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    per_bucket = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(term_rows, batch_format="pyarrow")
+        .groupby(["term", "bucket"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("bucket")
+        .aggregate(Count(alias_name="load"))
+        .to_pandas()
+    )
+    out = (
+        per_bucket.groupby("load")
+        .agg(n_buckets=("bucket", "size"))
+        .reset_index()
+        .sort_values("load")
+        .reset_index(drop=True)
+    )
+    return out.astype({"load": "int64", "n_buckets": "int64"})
+
+
+def sql_feature_hashing() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT t AS term FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+b AS (
+    SELECT CAST(md5_number_lower(term) % {FEATURE_HASH_BUCKETS} AS BIGINT) AS bucket,
+           count(*) AS load
+    FROM tok GROUP BY 1)
+SELECT CAST(load AS BIGINT) AS load, CAST(count(*) AS BIGINT) AS n_buckets
+FROM b GROUP BY load ORDER BY load
+"""
+
+
+# ------------------------------------------------ Simpson's-paradox audit
+
+
+def q_simpson_paradox(sf_dir: str) -> pd.DataFrame:
+    """Simpson's-paradox audit: the pooled OLS slope of customer
+    account cents on the customer's order count versus the per-nation
+    slopes — how many nations' trends point the other way from the
+    aggregate (the aggregation trap every dashboard needs flagged).
+    Per-customer covariates come from one orders groupby joined
+    batch-locally against a broadcast count map; slopes are closed
+    forms of exact int moments."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cnt_map = dict(
+        zip(orders["o_custkey"].astype(np.int64), orders["n_orders"].astype(np.int64))
+    )
+    ref = ray.put(cnt_map)
+
+    def moments(b: pa.Table, _r=ref) -> pa.Table:
+        m = ray.get(_r)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(bal, 2) * 100.0, 0), np.int64)
+        x = np.asarray([m.get(int(k), 0) for k in ck], np.int64)
+        return pa.table(
+            {
+                "nat": b["c_nationkey"].cast(pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(cents, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "xy": pa.array(x * cents, pa.int64()),
+            }
+        )
+
+    m = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+
+    def slope(n, sx, sy, sxx, sxy):
+        return (sxy - sx * sy / n) / (sxx - sx * sx / n)
+
+    pooled = slope(
+        float(m["n"].sum()),
+        float(m["sx"].sum()),
+        float(m["sy"].sum()),
+        float(m["sxx"].sum()),
+        float(m["sxy"].sum()),
+    )
+    gs = slope(
+        m["n"].to_numpy(np.float64),
+        m["sx"].to_numpy(np.float64),
+        m["sy"].to_numpy(np.float64),
+        m["sxx"].to_numpy(np.float64),
+        m["sxy"].to_numpy(np.float64),
+    )
+    opposite = int(((gs > 0) != (pooled > 0)).sum())
+    return pd.DataFrame(
+        {
+            "pooled_slope": pd.Series(round_half_away([pooled], 6), dtype="float64"),
+            "n_groups": pd.Series([len(m)], dtype="int64"),
+            "n_opposite_sign": pd.Series([opposite], dtype="int64"),
+        }
+    )
+
+
+def sql_simpson_paradox() -> str:
+    return """
+WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+cu AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS x,
+           CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT) AS y
+    FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+m AS (
+    SELECT nat, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM cu GROUP BY nat),
+g AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS n, CAST(sum(sx) AS DOUBLE) AS sx,
+           CAST(sum(sy) AS DOUBLE) AS sy, CAST(sum(sxx) AS DOUBLE) AS sxx,
+           CAST(sum(sxy) AS DOUBLE) AS sxy
+    FROM m),
+pooled AS (
+    SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope FROM g),
+grp AS (
+    SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope
+    FROM m)
+SELECT round(pooled.slope, 6) AS pooled_slope,
+       CAST((SELECT count(*) FROM grp) AS BIGINT) AS n_groups,
+       CAST((SELECT count(*) FROM grp, pooled
+             WHERE (grp.slope > 0) <> (pooled.slope > 0)) AS BIGINT)
+         AS n_opposite_sign
+FROM pooled
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -17199,4 +17473,7 @@ def registry() -> dict[str, tuple]:
         "decision_stump": (q_decision_stump, sql_decision_stump()),
         "eb_shrinkage": (q_eb_shrinkage, sql_eb_shrinkage()),
         "bm25_grid": (q_bm25_grid, sql_bm25_grid()),
+        "silhouette_score": (q_silhouette_score, sql_silhouette_score()),
+        "feature_hashing": (q_feature_hashing, sql_feature_hashing()),
+        "simpson_paradox": (q_simpson_paradox, sql_simpson_paradox()),
     }
