@@ -17186,6 +17186,308 @@ FROM pooled
 """
 
 
+# -------------------------------------------- content-defined chunking (CDC)
+
+
+CDC_WINDOW = 16
+CDC_MOD = 1_000_000_007
+CDC_BASE = 131
+CDC_MASK = 64  # boundary iff window hash % CDC_MASK == 0
+CDC_MAX_LEN = 4096  # SQL window-position bound; Ray side asserts it
+
+
+def q_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking — the rsync/LBFS boundary rule that
+    makes chunk-level dedup robust to insertions: a cut lands wherever
+    the {W}-codepoint polynomial rolling hash ≡ 0 (mod {M}) — so
+    identical content yields identical chunks regardless of its offset
+    in the document. Stateless variant (no min/max clamp, so every
+    qualifying window cuts — the sequential clamp is the documented
+    production delta). Hashing is fully vectorized: utf-32 decode
+    gives codepoints, one sliding dot with the precomputed base-power
+    vector under a sub-2^42 modulus keeps every term exact in int64.
+    Output: per-source chunk count, mean and max chunk length."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    powers = np.empty(CDC_WINDOW, np.int64)
+    p = 1
+    for j in range(CDC_WINDOW):
+        powers[CDC_WINDOW - 1 - j] = p
+        p = (p * CDC_BASE) % CDC_MOD
+
+    def chunks(b: pa.Table) -> pa.Table:
+        srcs = b["source"].to_pylist()
+        texts = b["text"].to_pylist()
+        out_src, out_n, out_len, out_max = [], [], [], []
+        for s, t in zip(srcs, texts):
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.int64)
+            L = len(cp)
+            assert L < CDC_MAX_LEN, "raise CDC_MAX_LEN (SQL window bound)"
+            if L < CDC_WINDOW:
+                cuts = np.empty(0, np.int64)
+            else:
+                terms = (cp[:, None] * powers[None, :]) % CDC_MOD
+                # window hash ending at i: sum of terms on the diagonal
+                win = np.zeros(L - CDC_WINDOW + 1, np.int64)
+                for j in range(CDC_WINDOW):
+                    win += terms[j : L - CDC_WINDOW + 1 + j, j]
+                win %= CDC_MOD
+                cuts = np.flatnonzero(win % CDC_MASK == 0) + CDC_WINDOW
+            bounds = np.concatenate([[0], cuts, [L]])
+            lens = np.diff(bounds)
+            lens = lens[lens > 0]
+            out_src.append(s)
+            out_n.append(len(lens))
+            out_len.append(int(lens.sum()))
+            out_max.append(int(lens.max()) if len(lens) else 0)
+        return pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "n_chunks": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+                "len_sum": pa.array(np.asarray(out_len, np.int64), pa.int64()),
+                "max_len": pa.array(np.asarray(out_max, np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(chunks, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("len_sum", alias_name="len_sum"),
+            Max("max_len", alias_name="max_chunk_len"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["mean_chunk_len"] = round_half_away(
+        out["len_sum"].to_numpy(np.float64) / out["n_chunks"].to_numpy(np.float64), 6
+    )
+    return out[["source", "n_chunks", "mean_chunk_len", "max_chunk_len"]].astype(
+        {"source": "object", "n_chunks": "int64", "max_chunk_len": "int64"}
+    )
+
+
+def sql_cdc_chunks() -> str:
+    powers = []
+    p = 1
+    for j in range(CDC_WINDOW):
+        powers.append(p)
+        p = (p * CDC_BASE) % CDC_MOD
+    powers = powers[::-1]
+    terms = " + ".join(
+        f"CAST(unicode(substr(d.text, w.i + {j}, 1)) AS BIGINT) * {powers[j]}"
+        for j in range(CDC_WINDOW)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, text, length(text) AS L FROM documents),
+w AS (
+    SELECT d.doc_id, i.range + 1 AS i
+    FROM d, range({CDC_MAX_LEN}) i
+    WHERE i.range + {CDC_WINDOW} <= d.L),
+h AS (
+    SELECT w.doc_id, w.i,
+           (({terms}) % {CDC_MOD}) % {CDC_MASK} AS hm
+    FROM w JOIN d USING (doc_id)),
+cuts AS (
+    SELECT doc_id, i + {CDC_WINDOW} - 1 AS cut FROM h WHERE hm = 0),
+inner_cuts AS (
+    SELECT c.doc_id, c.cut FROM cuts c JOIN d USING (doc_id) WHERE c.cut < d.L),
+lens AS (
+    SELECT doc_id,
+           cut - coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0)
+             AS clen
+    FROM inner_cuts
+    UNION ALL
+    SELECT d.doc_id,
+           d.L - coalesce((SELECT max(i.cut) FROM inner_cuts i
+                           WHERE i.doc_id = d.doc_id), 0)
+    FROM d),
+perdoc AS (
+    SELECT l.doc_id, count(*) AS n_chunks, sum(clen) AS len_sum,
+           max(clen) AS max_len
+    FROM lens l GROUP BY l.doc_id)
+SELECT d.source, CAST(sum(p.n_chunks) AS BIGINT) AS n_chunks,
+       round(sum(p.len_sum) / CAST(sum(p.n_chunks) AS DOUBLE), 6) AS mean_chunk_len,
+       CAST(max(p.max_len) AS BIGINT) AS max_chunk_len
+FROM perdoc p JOIN d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ----------------------------------------------------- energy distance test
+
+
+def q_energy_distance(sf_dir: str) -> pd.DataFrame:
+    """Two-sample energy distance between the 'en' and 'de' document
+    length distributions: E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — the
+    kernel two-sample test that sees ANY distributional difference,
+    not just the mean (Welch) or ranks (Mann-Whitney). All three
+    pairwise-|diff| sums are computed EXACTLY without materializing a
+    single pair: the value-domain histogram (one groupby) plus prefix
+    sums give Σᵢⱼ|xᵢ−yⱼ| in O(domain) integer arithmetic — the same
+    trick that makes Gini/MAD one-pass here."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pandas().to_numpy()
+        keep = (langs == "en") | (langs == "de")
+        v = b["n_chars"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        is_en = (langs[keep] == "en").astype(np.int64)
+        g = pd.DataFrame({"v": v, "nx": is_en, "ny": 1 - is_en}).groupby(
+            "v", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("nx", alias_name="nx"), Sum("ny", alias_name="ny"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    v = h["v"].to_numpy(np.int64)
+    nx = h["nx"].to_numpy(np.int64)
+    ny = h["ny"].to_numpy(np.int64)
+
+    def pair_sum(ca: np.ndarray, cb: np.ndarray) -> int:
+        # sum over all (a, b) of |v_a - v_b| via prefix sums
+        cum_b = np.concatenate([[0], np.cumsum(cb)])[:-1]  # counts below
+        cum_bv = np.concatenate([[0], np.cumsum(cb * v)])[:-1]  # value mass below
+        tot_b, tot_bv = int(cb.sum()), int((cb * v).sum())
+        below = ca * (v * cum_b - cum_bv)
+        above = ca * ((tot_bv - cum_bv - cb * v) - v * (tot_b - cum_b - cb))
+        return int(below.sum() + above.sum())
+
+    n, m = int(nx.sum()), int(ny.sum())
+    sxy = pair_sum(nx, ny)
+    sxx = pair_sum(nx, nx)
+    syy = pair_sum(ny, ny)
+    e = 2.0 * sxy / (n * m) - sxx / (n * n) - syy / (m * m)
+    return pd.DataFrame(
+        {
+            "n_en": pd.Series([n], dtype="int64"),
+            "n_de": pd.Series([m], dtype="int64"),
+            "energy_dist": pd.Series(round_half_away([e], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_energy_distance() -> str:
+    return """
+WITH x AS (SELECT n_chars AS v FROM documents WHERE lang = 'en'),
+y AS (SELECT n_chars AS v FROM documents WHERE lang = 'de'),
+sxy AS (SELECT sum(abs(a.v - b.v)) AS s FROM x a, y b),
+sxx AS (SELECT sum(abs(a.v - b.v)) AS s FROM x a, x b),
+syy AS (SELECT sum(abs(a.v - b.v)) AS s FROM y a, y b),
+nn AS (SELECT (SELECT count(*) FROM x) AS n, (SELECT count(*) FROM y) AS m)
+SELECT CAST(n AS BIGINT) AS n_en, CAST(m AS BIGINT) AS n_de,
+       round(2.0 * sxy.s / (n * CAST(m AS DOUBLE))
+             - sxx.s / (n * CAST(n AS DOUBLE))
+             - syy.s / (m * CAST(m AS DOUBLE)), 6) AS energy_dist
+FROM nn, sxy, sxx, syy
+"""
+
+
+# ------------------------------------------------ quantile normalization
+
+
+def q_quantile_normalize(sf_dir: str) -> pd.DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    correction): each doc's n_chars maps to the POOLED order statistic
+    at its within-source rank position (1-based rank r of n_s rows →
+    pooled sorted value at 0-based index ((r−1)·N)//n_s). Ranks and
+    order statistics are exact ints from one value-domain groupby per
+    side; output per source: rows, mean absolute shift, max shift —
+    how much each source's length distribution deviates from pooled."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        g = pd.DataFrame(
+            {
+                "source": b["source"].to_pandas(),
+                "v": b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        ).groupby(["source", "v"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    h = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["source", "v"])
+        .reset_index(drop=True)
+    )
+    pooled = h.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    pv = pooled["v"].to_numpy(np.int64)
+    pc = pooled["c"].to_numpy(np.int64)
+    pcum = np.cumsum(pc)
+    N = int(pcum[-1])
+
+    rows = []
+    for src, g in h.groupby("source", sort=True):
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n_s = int(c.sum())
+        start = np.concatenate([[0], np.cumsum(c)])[:-1]  # 0-based first rank
+        abs_sum = 0
+        mx = 0
+        for vi, ci, st in zip(v, c, start):
+            r = np.arange(st, st + ci, dtype=np.int64)  # 0-based ranks
+            idx = (r * N) // n_s
+            mapped = pv[np.searchsorted(pcum, idx + 1, side="left")]
+            d = np.abs(mapped - vi)
+            abs_sum += int(d.sum())
+            mx = max(mx, int(d.max()))
+        rows.append(
+            (
+                src,
+                n_s,
+                float(round_half_away(abs_sum / n_s, 6)),
+                mx,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["source", "n", "mean_abs_shift", "max_shift"]
+    ).astype({"source": "object", "n": "int64", "max_shift": "int64"})
+
+
+def sql_quantile_normalize() -> str:
+    return """
+WITH d AS (
+    SELECT source, n_chars AS v,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS r,
+           count(*) OVER (PARTITION BY source) AS n_s
+    FROM documents),
+p AS (
+    SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) - 1 AS pr,
+           count(*) OVER () AS nn
+    FROM documents),
+mapped AS (
+    SELECT d.source, d.v,
+           (SELECT p.v FROM p WHERE p.pr = (d.r * p.nn) // d.n_s LIMIT 1) AS mv
+    FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       round(sum(abs(mv - v)) / CAST(count(*) AS DOUBLE), 6) AS mean_abs_shift,
+       CAST(max(abs(mv - v)) AS BIGINT) AS max_shift
+FROM mapped GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -17476,4 +17778,7 @@ def registry() -> dict[str, tuple]:
         "silhouette_score": (q_silhouette_score, sql_silhouette_score()),
         "feature_hashing": (q_feature_hashing, sql_feature_hashing()),
         "simpson_paradox": (q_simpson_paradox, sql_simpson_paradox()),
+        "cdc_chunks": (q_cdc_chunks, sql_cdc_chunks()),
+        "energy_distance": (q_energy_distance, sql_energy_distance()),
+        "quantile_normalize": (q_quantile_normalize, sql_quantile_normalize()),
     }
