@@ -17488,6 +17488,314 @@ FROM mapped GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------- JL random projection audit
+
+
+RP_DIM = 16
+RP_SEED = 7
+
+
+def q_random_projection(sf_dir: str) -> pd.DataFrame:
+    """Johnson–Lindenstrauss random projection (64→{D} dims, seeded
+    Gaussian matrix scaled 1/√{D}) with the distortion audit that
+    justifies using it: for the deterministic probe pairs (vec i,
+    vec i+1), the ratio of projected to original Euclidean distance.
+    The projection matrix is a pure function of the seed — embedded as
+    literals in the SQL oracle exactly like the LSH planes — so both
+    engines project identically. Output: n_pairs, mean and max
+    |ratio−1| (the JL distortion), all rounded."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    R = np.random.default_rng(RP_SEED).standard_normal((RP_DIM, 64)) / np.sqrt(RP_DIM)
+
+    def project(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b["vec_id"].to_pylist(), np.int64)
+        X = np.stack([np.asarray(v, np.float64) for v in b["embedding"].to_pylist()])
+        P = X @ R.T
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "orig": pa.array(X.tolist(), pa.list_(pa.float64())),
+                "proj": pa.array(P.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    proj = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(project, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(proj["orig"].to_numpy())
+    P = np.stack(proj["proj"].to_numpy())
+    d64 = np.sqrt(((X[:-1] - X[1:]) ** 2).sum(axis=1))
+    d16 = np.sqrt(((P[:-1] - P[1:]) ** 2).sum(axis=1))
+    dist = np.abs(d16 / d64 - 1.0)
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([len(dist)], dtype="int64"),
+            "mean_distortion": pd.Series(
+                round_half_away([float(dist.mean())], 6), dtype="float64"
+            ),
+            "max_distortion": pd.Series(
+                round_half_away([float(dist.max())], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_random_projection() -> str:
+    R = np.random.default_rng(RP_SEED).standard_normal((RP_DIM, 64)) / np.sqrt(RP_DIM)
+    rows = ",\n".join(
+        f"  ({p}, [{', '.join(repr(float(x)) for x in R[p])}]::DOUBLE[])"
+        for p in range(RP_DIM)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rp(p, pv) AS (VALUES
+{rows}),
+proj AS (
+    SELECT e.vec_id, rp.p, list_dot_product(e.v, rp.pv) AS x
+    FROM e CROSS JOIN rp),
+pairs AS (
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+d64 AS (
+    SELECT p.i, sqrt(list_distance(ea.v, eb.v) * list_distance(ea.v, eb.v)) AS d
+    FROM pairs p JOIN e ea ON ea.vec_id = p.i JOIN e eb ON eb.vec_id = p.j),
+d16 AS (
+    SELECT p.i, sqrt(sum((pa.x - pb.x) * (pa.x - pb.x))) AS d
+    FROM pairs p
+    JOIN proj pa ON pa.vec_id = p.i
+    JOIN proj pb ON pb.vec_id = p.j AND pb.p = pa.p
+    GROUP BY p.i),
+r AS (
+    SELECT abs(d16.d / d64.d - 1.0) AS dist
+    FROM d16 JOIN d64 USING (i))
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(dist), 6) AS mean_distortion,
+       round(max(dist), 6) AS max_distortion
+FROM r
+"""
+
+
+# ------------------------------------------------ fixed-effects estimator
+
+
+def q_fixed_effects(sf_dir: str) -> pd.DataFrame:
+    """Panel (within) estimator: the slope of customer account cents on
+    order count CONTROLLING for nation fixed effects — pooled OLS on
+    group-demeaned data, which reduces to Σ_g centered-moment ratios of
+    the same exact-int per-nation moments ``simpson_paradox`` computes.
+    Output: FE slope, pooled (no-controls) slope, and the count of
+    nations — the pair of numbers that says whether the aggregate
+    trend survives controlling for group composition."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cnt_map = dict(
+        zip(orders["o_custkey"].astype(np.int64), orders["n_orders"].astype(np.int64))
+    )
+    ref = ray.put(cnt_map)
+
+    def moments(b: pa.Table, _r=ref) -> pa.Table:
+        m = ray.get(_r)
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = b["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.asarray(round_half_away(np.round(bal, 2) * 100.0, 0), np.int64)
+        x = np.asarray([m.get(int(k), 0) for k in ck], np.int64)
+        return pa.table(
+            {
+                "nat": b["c_nationkey"].cast(pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(cents, pa.int64()),
+                "xx": pa.array(x * x, pa.int64()),
+                "xy": pa.array(x * cents, pa.int64()),
+            }
+        )
+
+    m = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        )
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"),
+            Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sy = m["sy"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    fe = float((sxy - sx * sy / n).sum() / (sxx - sx * sx / n).sum())
+    N = n.sum()
+    pooled = float(
+        (sxy.sum() - sx.sum() * sy.sum() / N) / (sxx.sum() - sx.sum() ** 2 / N)
+    )
+    return pd.DataFrame(
+        {
+            "fe_slope": pd.Series(round_half_away([fe], 6), dtype="float64"),
+            "pooled_slope": pd.Series(round_half_away([pooled], 6), dtype="float64"),
+            "n_groups": pd.Series([len(m)], dtype="int64"),
+        }
+    )
+
+
+def sql_fixed_effects() -> str:
+    return """
+WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+cu AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS nat,
+           CAST(coalesce(oc.n_orders, 0) AS BIGINT) AS x,
+           CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT) AS y
+    FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+m AS (
+    SELECT nat, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM cu GROUP BY nat),
+fe AS (
+    SELECT sum(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) AS num,
+           sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS den,
+           count(*) AS g
+    FROM m),
+p AS (
+    SELECT CAST(sum(n) AS DOUBLE) AS n, CAST(sum(sx) AS DOUBLE) AS sx,
+           CAST(sum(sy) AS DOUBLE) AS sy, CAST(sum(sxx) AS DOUBLE) AS sxx,
+           CAST(sum(sxy) AS DOUBLE) AS sxy
+    FROM m)
+SELECT round(fe.num / fe.den, 6) AS fe_slope,
+       round((p.sxy - p.sx * p.sy / p.n) / (p.sxx - p.sx * p.sx / p.n), 6)
+         AS pooled_slope,
+       CAST(fe.g AS BIGINT) AS n_groups
+FROM fe, p
+"""
+
+
+# ---------------------------------------------------- McNemar paired test
+
+
+def q_mcnemar_test(sf_dir: str) -> pd.DataFrame:
+    """McNemar's paired-classifier test: does the trained decision
+    stump (``decision_stump``'s argmin rule) beat the majority-class
+    baseline on the SAME documents? Only the discordant pairs matter —
+    b = stump right & baseline wrong, c = the reverse — and the
+    continuity-corrected statistic is (|b−c|−1)²/(b+c). Everything is
+    exact integer counts from one value-domain pass; the stump rule is
+    re-derived in SQL so both engines test the identical model."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    stump = q_decision_stump(sf_dir)
+    pol = int(stump["polarity"].iloc[0])
+    thr = int(stump["threshold"].iloc[0])
+
+    docs_meta = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    majority = bool((docs_meta["lang"] == "en").mean() >= 0.5)
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = (b["lang"].to_pandas() == "en").to_numpy()
+        pred_s = (v <= thr) if pol == 0 else (v > thr)
+        pred_m = np.full(len(v), majority)
+        s_right = pred_s == y
+        m_right = pred_m == y
+        return pa.table(
+            {
+                "b": pa.array((s_right & ~m_right).astype(np.int64), pa.int64()),
+                "c": pa.array((~s_right & m_right).astype(np.int64), pa.int64()),
+                "n": pa.array(np.ones(len(v), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"])
+        .map_batches(counts, batch_format="pyarrow")
+        .aggregate(
+            Sum("b", alias_name="b"), Sum("c", alias_name="c"), Sum("n", alias_name="n")
+        )
+    )
+    b, c, n = int(agg["b"] or 0), int(agg["c"] or 0), int(agg["n"])
+    chi2 = (abs(b - c) - 1.0) ** 2 / (b + c) if (b + c) else 0.0
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "stump_only_right": pd.Series([b], dtype="int64"),
+            "baseline_only_right": pd.Series([c], dtype="int64"),
+            "mcnemar_chi2": pd.Series(round_half_away([chi2], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_mcnemar_test() -> str:
+    return """
+WITH h AS (
+    SELECT n_chars AS v,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+           count(*) AS tot
+    FROM documents GROUP BY 1),
+cum AS (
+    SELECT v,
+           sum(pos) OVER w AS cpos, sum(tot) OVER w AS ctot,
+           (SELECT sum(pos) FROM h) AS p, (SELECT sum(tot) FROM h) AS n
+    FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (
+    SELECT 0 AS polarity, v AS threshold,
+           (ctot - cpos) + (p - cpos) AS errors FROM cum
+    UNION ALL
+    SELECT 1, v, cpos + ((n - ctot) - (p - cpos)) FROM cum),
+stump AS (SELECT * FROM cand ORDER BY errors, polarity, threshold LIMIT 1),
+mj AS (
+    SELECT (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+            >= count(*) / 2.0) AS maj
+    FROM documents),
+scored AS (
+    SELECT d.lang = 'en' AS y,
+           CASE WHEN s.polarity = 0 THEN d.n_chars <= s.threshold
+                ELSE d.n_chars > s.threshold END AS pred_s,
+           mj.maj AS pred_m
+    FROM documents d, stump s, mj)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE pred_s = y AND pred_m <> y) AS BIGINT)
+         AS stump_only_right,
+       CAST(count(*) FILTER (WHERE pred_s <> y AND pred_m = y) AS BIGINT)
+         AS baseline_only_right,
+       round(CASE WHEN count(*) FILTER (WHERE pred_s <> pred_m) = 0 THEN 0.0
+                  ELSE (abs(CAST(count(*) FILTER (WHERE pred_s = y AND pred_m <> y)
+                                 AS DOUBLE)
+                            - count(*) FILTER (WHERE pred_s <> y AND pred_m = y))
+                        - 1.0)
+                       * (abs(CAST(count(*) FILTER (WHERE pred_s = y AND pred_m <> y)
+                                   AS DOUBLE)
+                              - count(*) FILTER (WHERE pred_s <> y AND pred_m = y))
+                          - 1.0)
+                       / (count(*) FILTER (WHERE pred_s = y AND pred_m <> y)
+                          + count(*) FILTER (WHERE pred_s <> y AND pred_m = y))
+             END, 6) AS mcnemar_chi2
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -17781,4 +18089,7 @@ def registry() -> dict[str, tuple]:
         "cdc_chunks": (q_cdc_chunks, sql_cdc_chunks()),
         "energy_distance": (q_energy_distance, sql_energy_distance()),
         "quantile_normalize": (q_quantile_normalize, sql_quantile_normalize()),
+        "random_projection": (q_random_projection, sql_random_projection()),
+        "fixed_effects": (q_fixed_effects, sql_fixed_effects()),
+        "mcnemar_test": (q_mcnemar_test, sql_mcnemar_test()),
     }
