@@ -17796,6 +17796,262 @@ FROM scored
 """
 
 
+# ------------------------------------------------- Hill tail-index estimate
+
+
+HILL_KS = [20, 50, 100]
+
+
+def q_hill_tail(sf_dir: str) -> pd.DataFrame:
+    """Heavy-tail diagnosis: the Hill estimator of the purchase-value
+    tail exponent at several k (α̂⁻¹ = mean of ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    top-k order statistics) — the number that says whether value sums
+    even have finite variance, i.e. whether mean-based monitoring is
+    valid at all. Values quantize to milli-ints so the order statistics
+    are engine-exact; only the top max(k)+1 values leave the cluster
+    (per-batch partial top-k, driver merge)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    kmax = max(HILL_KS)
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)[et == "purchase"]
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        top = np.sort(milli)[::-1][: kmax + 1]
+        return pa.table({"m": pa.array(top, pa.int64())})
+
+    tops = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = np.sort(tops["m"].to_numpy(np.int64))[::-1][: kmax + 1]
+    rows = []
+    for k in HILL_KS:
+        xs = top[:k].astype(np.float64)
+        xk = float(top[k])
+        inv_alpha = float(np.log(xs / xk).mean())
+        rows.append(
+            (
+                k,
+                float(round_half_away(inv_alpha, 6)),
+                float(round_half_away(1.0 / inv_alpha, 6)),
+            )
+        )
+    return pd.DataFrame(rows, columns=["k", "hill_inv", "alpha"]).astype({"k": "int64"})
+
+
+def sql_hill_tail() -> str:
+    arms = "\nUNION ALL ".join(
+        f"""SELECT {k} AS k,
+       round(avg(ln(CAST(m AS DOUBLE)
+                    / (SELECT m FROM ranked WHERE rn = {k + 1}))), 6) AS hill_inv,
+       round(1.0 / avg(ln(CAST(m AS DOUBLE)
+                    / (SELECT m FROM ranked WHERE rn = {k + 1}))), 6) AS alpha
+FROM ranked WHERE rn <= {k}"""
+        for k in HILL_KS
+    )
+    return f"""
+WITH p AS (
+    SELECT CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS m
+    FROM events WHERE event_type = 'purchase'),
+ranked AS (
+    SELECT m, row_number() OVER (ORDER BY m DESC) AS rn FROM p)
+{arms}
+ORDER BY k
+"""
+
+
+# ------------------------------------------------------- modularity score
+
+
+def q_modularity_score(sf_dir: str) -> pd.DataFrame:
+    """Community-quality audit: Newman modularity Q of the hub
+    partition (community = node mod 10 — the generator's planted
+    structure) on the deterministic link graph. Q = Σ_c (e_c/m −
+    (d_c/2m)²) needs only per-community internal-edge counts and
+    degree sums — two bounded groupbys over the canonical edge set,
+    every term an exact integer ratio."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from searchengine_ray.functions.graph import _canon_undirected
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    edges = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    t = pa.table(
+        {
+            "src": pa.array(edges[:, 0], pa.int64()),
+            "dst": pa.array(edges[:, 1], pa.int64()),
+        }
+    )
+    und = _canon_undirected(rd.from_arrow(t), "src", "dst")
+
+    def per_comm(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        cu, cv = u % 10, v % 10
+        comm = np.concatenate([cu, cv])
+        internal = np.concatenate(
+            [(cu == cv).astype(np.int64), np.zeros(len(v), np.int64)]
+        )
+        g = pd.DataFrame({"comm": comm, "deg": 1, "internal": internal}).groupby(
+            "comm", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    m = (
+        und.map_batches(per_comm, batch_format="pyarrow")
+        .groupby("comm")
+        .aggregate(Sum("deg", alias_name="deg"), Sum("internal", alias_name="e_in"))
+        .to_pandas()
+        .sort_values("comm")
+        .reset_index(drop=True)
+    )
+    M = float(m["deg"].sum()) / 2.0
+    q = float(
+        (m["e_in"].to_numpy(np.float64) / M).sum()
+        - ((m["deg"].to_numpy(np.float64) / (2.0 * M)) ** 2).sum()
+    )
+    out = m.rename(columns={"deg": "degree_sum", "e_in": "internal_edges"})
+    out["modularity"] = round_half_away(np.full(len(out), q), 6)
+    return out.astype(
+        {"comm": "int64", "degree_sum": "int64", "internal_edges": "int64"}
+    )
+
+
+def sql_modularity_score() -> str:
+    return """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+ids AS (SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS id FROM documents),
+edges_raw(src, dst) AS (
+    SELECT id, (id * 7 + 13) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, (id * 31 + 5) % (SELECT c FROM nn) FROM ids
+    UNION ALL SELECT id, id % 10 FROM ids),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges_raw WHERE src <> dst),
+halves AS (
+    SELECT u % 10 AS comm, CASE WHEN u % 10 = v % 10 THEN 1 ELSE 0 END AS internal
+    FROM und
+    UNION ALL
+    SELECT v % 10, 0 FROM und),
+m AS (
+    SELECT comm, count(*) AS degree_sum, sum(internal) AS internal_edges
+    FROM halves GROUP BY comm),
+tot AS (SELECT CAST(sum(degree_sum) AS DOUBLE) / 2.0 AS mm FROM m),
+q AS (
+    SELECT sum(internal_edges / tot.mm)
+           - sum((degree_sum / (2.0 * tot.mm)) * (degree_sum / (2.0 * tot.mm))) AS q
+    FROM m, tot)
+SELECT CAST(m.comm AS BIGINT) AS comm, CAST(m.degree_sum AS BIGINT) AS degree_sum,
+       CAST(m.internal_edges AS BIGINT) AS internal_edges,
+       round(q.q, 6) AS modularity
+FROM m, q ORDER BY m.comm
+"""
+
+
+# ------------------------------------------------ Wald-Wolfowitz runs test
+
+
+def q_runs_test(sf_dir: str) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test on the daily event-count series: is
+    the above/below-median sign sequence random, or does it trend /
+    oscillate? Runs, n⁺, n⁻ are exact ints off one day-groupby (days
+    equal to the median are excluded, the standard convention); z uses
+    the exact run-count moments. The randomness audit behind
+    'is this metric drifting or just noisy'."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    c = daily["c"].to_numpy(np.int64)
+    sc = np.sort(c)
+    n_days = len(c)
+    # discrete median: lower middle order statistic (ceil(n/2)-th)
+    med = int(sc[(n_days + 1) // 2 - 1])
+    sign = c[c != med] > med
+    n_pos = int(sign.sum())
+    n_neg = int(len(sign) - n_pos)
+    runs = int(1 + (sign[1:] != sign[:-1]).sum()) if len(sign) else 0
+    N = n_pos + n_neg
+    mu = 2.0 * n_pos * n_neg / N + 1.0
+    var = 2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - N) / (N * N * (N - 1.0))
+    z = (runs - mu) / np.sqrt(var)
+    return pd.DataFrame(
+        {
+            "n_pos": pd.Series([n_pos], dtype="int64"),
+            "n_neg": pd.Series([n_neg], dtype="int64"),
+            "runs": pd.Series([runs], dtype="int64"),
+            "z": pd.Series(round_half_away([z], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_runs_test() -> str:
+    return """
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+    FROM events GROUP BY 1),
+med AS (
+    SELECT c AS m FROM (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn,
+               count(*) OVER () AS n
+        FROM daily)
+    WHERE rn = (n + 1) // 2),
+s AS (
+    SELECT day, c > med.m AS pos,
+           row_number() OVER (ORDER BY day) AS rn
+    FROM daily, med WHERE c <> med.m),
+r AS (
+    SELECT pos, lag(pos) OVER (ORDER BY rn) AS prev FROM s),
+agg AS (
+    SELECT (SELECT count(*) FROM s WHERE pos) AS n_pos,
+           (SELECT count(*) FROM s WHERE NOT pos) AS n_neg,
+           (SELECT 1 + count(*) FROM r WHERE prev IS NOT NULL AND pos <> prev) AS runs)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(runs AS BIGINT) AS runs,
+       round((runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+                    / ((n_pos + n_neg) * (n_pos + n_neg)
+                       * (n_pos + n_neg - 1.0))), 6) AS z
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -18092,4 +18348,7 @@ def registry() -> dict[str, tuple]:
         "random_projection": (q_random_projection, sql_random_projection()),
         "fixed_effects": (q_fixed_effects, sql_fixed_effects()),
         "mcnemar_test": (q_mcnemar_test, sql_mcnemar_test()),
+        "hill_tail": (q_hill_tail, sql_hill_tail()),
+        "modularity_score": (q_modularity_score, sql_modularity_score()),
+        "runs_test": (q_runs_test, sql_runs_test()),
     }
