@@ -18052,6 +18052,168 @@ FROM agg
 """
 
 
+# ------------------------------------------------ difference-in-differences
+
+
+def q_diff_in_diff(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences — the workhorse causal readout: with
+    treatment = user-id parity and the period split at {SPLIT}, the
+    DiD estimate is (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) on
+    per-event purchase value. One groupby over (variant, period)
+    exact milli-int sums; the four cell means and the estimate are
+    identical doubles in both engines."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    US_DAY = 86_400_000_000
+
+    def cells(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        u = b["user_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        v = b["value"].to_numpy(zero_copy_only=False)[keep].astype(np.float64)
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        return pa.table(
+            {
+                "variant": pa.array(u % 2, pa.int64()),
+                "post": pa.array(
+                    ((ts // US_DAY) >= CUPED_SPLIT_DAY).astype(np.int64), pa.int64()
+                ),
+                "m": pa.array(milli, pa.int64()),
+            }
+        )
+
+    m = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+        )
+        .map_batches(cells, batch_format="pyarrow")
+        .groupby(["variant", "post"])
+        .aggregate(Count(alias_name="n"), Sum("m", alias_name="s"))
+        .to_pandas()
+        .sort_values(["variant", "post"])
+        .reset_index(drop=True)
+    )
+    mean = {
+        (int(r.variant), int(r.post)): r.s / r.n for r in m.itertuples()
+    }
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    out = m.copy()
+    out["mean_milli"] = round_half_away(
+        out["s"].to_numpy(np.float64) / out["n"].to_numpy(np.float64), 6
+    )
+    out["did_milli"] = round_half_away(np.full(len(out), did), 6)
+    return out[["variant", "post", "n", "mean_milli", "did_milli"]].astype(
+        {"variant": "int64", "post": "int64", "n": "int64"}
+    )
+
+
+def sql_diff_in_diff() -> str:
+    return f"""
+WITH p AS (
+    SELECT user_id % 2 AS variant,
+           CASE WHEN epoch_us(ts) // 86400000000 >= {CUPED_SPLIT_DAY}
+                THEN 1 ELSE 0 END AS post,
+           CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS m
+    FROM events WHERE event_type = 'purchase'),
+cells AS (
+    SELECT variant, post, count(*) AS n, sum(m) AS s,
+           sum(m) / CAST(count(*) AS DOUBLE) AS mean_milli
+    FROM p GROUP BY 1, 2),
+did AS (
+    SELECT (SELECT mean_milli FROM cells WHERE variant = 1 AND post = 1)
+           - (SELECT mean_milli FROM cells WHERE variant = 1 AND post = 0)
+           - (SELECT mean_milli FROM cells WHERE variant = 0 AND post = 1)
+           + (SELECT mean_milli FROM cells WHERE variant = 0 AND post = 0) AS d)
+SELECT CAST(variant AS BIGINT) AS variant, CAST(post AS BIGINT) AS post,
+       CAST(n AS BIGINT) AS n, round(mean_milli, 6) AS mean_milli,
+       round(did.d, 6) AS did_milli
+FROM cells, did ORDER BY variant, post
+"""
+
+
+# --------------------------------------------------- precision-recall curve
+
+
+PR_THRESHOLDS = list(range(100, 501, 50))
+
+
+def q_pr_curve(sf_dir: str) -> pd.DataFrame:
+    """Exact precision-recall curve for 'n_chars ≥ t predicts
+    lang = en' at a fixed threshold ladder — the evaluation CURVE (not
+    one operating point) behind choosing a filter threshold. TP/FP/FN
+    at every threshold come from ONE value-domain histogram and suffix
+    sums; precision/recall are exact integer ratios."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        v = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (b["lang"].to_pandas() == "en").to_numpy().astype(np.int64)
+        g = pd.DataFrame({"v": v, "pos": en, "tot": 1}).groupby(
+            "v", as_index=False
+        ).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    h = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("tot", alias_name="tot"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    v = h["v"].to_numpy(np.int64)
+    pos = h["pos"].to_numpy(np.int64)
+    tot = h["tot"].to_numpy(np.int64)
+    P = int(pos.sum())
+    suf_pos = np.cumsum(pos[::-1])[::-1]
+    suf_tot = np.cumsum(tot[::-1])[::-1]
+    rows = []
+    for t in PR_THRESHOLDS:
+        i = np.searchsorted(v, t, side="left")
+        tp = int(suf_pos[i]) if i < len(v) else 0
+        pred = int(suf_tot[i]) if i < len(v) else 0
+        prec = tp / pred if pred else 0.0
+        rec = tp / P
+        rows.append(
+            (
+                t,
+                tp,
+                pred,
+                float(round_half_away(prec, 6)),
+                float(round_half_away(rec, 6)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["threshold", "tp", "predicted_pos", "precision", "recall"]
+    ).astype({"threshold": "int64", "tp": "int64", "predicted_pos": "int64"})
+
+
+def sql_pr_curve() -> str:
+    vals = ", ".join(f"({t})" for t in PR_THRESHOLDS)
+    return f"""
+WITH th(threshold) AS (VALUES {vals}),
+p AS (SELECT count(*) AS pos FROM documents WHERE lang = 'en')
+SELECT CAST(th.threshold AS BIGINT) AS threshold,
+       CAST(count(*) FILTER (WHERE d.lang = 'en') AS BIGINT) AS tp,
+       CAST(count(d.n_chars) AS BIGINT) AS predicted_pos,
+       round(CASE WHEN count(d.n_chars) = 0 THEN 0.0
+                  ELSE count(*) FILTER (WHERE d.lang = 'en')
+                       / CAST(count(d.n_chars) AS DOUBLE) END, 6) AS precision,
+       round(count(*) FILTER (WHERE d.lang = 'en') / CAST(p.pos AS DOUBLE), 6)
+         AS recall
+FROM th
+LEFT JOIN documents d ON d.n_chars >= th.threshold
+CROSS JOIN p
+GROUP BY th.threshold, p.pos ORDER BY th.threshold
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -18351,4 +18513,6 @@ def registry() -> dict[str, tuple]:
         "hill_tail": (q_hill_tail, sql_hill_tail()),
         "modularity_score": (q_modularity_score, sql_modularity_score()),
         "runs_test": (q_runs_test, sql_runs_test()),
+        "diff_in_diff": (q_diff_in_diff, sql_diff_in_diff()),
+        "pr_curve": (q_pr_curve, sql_pr_curve()),
     }
