@@ -18214,6 +18214,213 @@ GROUP BY th.threshold, p.pos ORDER BY th.threshold
 """
 
 
+# ----------------------------------------------------- 2-state HMM Viterbi
+
+
+VITERBI_STAY = 0.8  # P(stay in same regime)
+VITERBI_EMIT = 0.7  # P(sign matches regime)
+
+
+def q_viterbi_2state(sf_dir: str) -> pd.DataFrame:
+    """Viterbi decoding of a 2-state regime HMM over the daily
+    above/below-median sign sequence (states = high/low regime, stay
+    prob {STAY}, emission match prob {EMIT}) — the sequential
+    dynamic-programming shape. The distributed part is the day
+    groupby; the DP is O(days) driver work. The SQL oracle runs the
+    SAME forward recursion as a SINGLE-ROW recursive CTE carrying both
+    states' log-probs per step — sequential semantics without any
+    mutable state, and float-identical because both engines execute
+    the identical op sequence."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    c = daily["c"].to_numpy(np.int64)
+    med = int(np.sort(c)[(len(c) + 1) // 2 - 1])
+    obs = (c > med).astype(np.int64)  # 1 = high sign
+
+    import math
+
+    l_stay = math.log(VITERBI_STAY)
+    l_move = math.log(1.0 - VITERBI_STAY)
+    l_hit = math.log(VITERBI_EMIT)
+    l_miss = math.log(1.0 - VITERBI_EMIT)
+
+    def emit(state: int, o: int) -> float:
+        return l_hit if state == o else l_miss
+
+    lp0 = math.log(0.5) + emit(0, int(obs[0]))
+    lp1 = math.log(0.5) + emit(1, int(obs[0]))
+    for o in obs[1:]:
+        n0 = max(lp0 + l_stay, lp1 + l_move) + emit(0, int(o))
+        n1 = max(lp1 + l_stay, lp0 + l_move) + emit(1, int(o))
+        lp0, lp1 = n0, n1
+    best_state = 1 if lp1 > lp0 else 0
+    best_lp = max(lp0, lp1)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(obs)], dtype="int64"),
+            "n_high_sign": pd.Series([int(obs.sum())], dtype="int64"),
+            "final_state": pd.Series([best_state], dtype="int64"),
+            "viterbi_logp": pd.Series(round_half_away([best_lp], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_viterbi_2state() -> str:
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+    FROM events GROUP BY 1),
+med AS (
+    SELECT c AS m FROM (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+        FROM daily)
+    WHERE rn = (n + 1) // 2),
+obs AS (
+    SELECT row_number() OVER (ORDER BY day) AS t,
+           CASE WHEN c > med.m THEN 1 ELSE 0 END AS o
+    FROM daily, med),
+dp(t, lp0, lp1) AS (
+    SELECT CAST(1 AS BIGINT),
+           ln(0.5) + CASE WHEN o = 0 THEN ln({VITERBI_EMIT})
+                          ELSE ln(1.0 - {VITERBI_EMIT}) END,
+           ln(0.5) + CASE WHEN o = 1 THEN ln({VITERBI_EMIT})
+                          ELSE ln(1.0 - {VITERBI_EMIT}) END
+    FROM obs WHERE t = 1
+    UNION ALL
+    SELECT dp.t + 1,
+           greatest(dp.lp0 + ln({VITERBI_STAY}), dp.lp1 + ln(1.0 - {VITERBI_STAY}))
+             + CASE WHEN obs.o = 0 THEN ln({VITERBI_EMIT})
+                    ELSE ln(1.0 - {VITERBI_EMIT}) END,
+           greatest(dp.lp1 + ln({VITERBI_STAY}), dp.lp0 + ln(1.0 - {VITERBI_STAY}))
+             + CASE WHEN obs.o = 1 THEN ln({VITERBI_EMIT})
+                    ELSE ln(1.0 - {VITERBI_EMIT}) END
+    FROM dp JOIN obs ON obs.t = dp.t + 1),
+fin AS (SELECT * FROM dp ORDER BY t DESC LIMIT 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM obs) AS n_days,
+       (SELECT CAST(sum(o) AS BIGINT) FROM obs) AS n_high_sign,
+       CAST(CASE WHEN fin.lp1 > fin.lp0 THEN 1 ELSE 0 END AS BIGINT)
+         AS final_state,
+       round(greatest(fin.lp0, fin.lp1), 6) AS viterbi_logp
+FROM fin
+"""
+
+
+# ---------------------------------------------------- 1D Kalman local level
+
+
+KALMAN_Q = 25.0  # process noise variance
+KALMAN_R = 100.0  # observation noise variance
+
+
+def q_kalman_filter(sf_dir: str) -> pd.DataFrame:
+    """Local-level Kalman filter over the daily event counts (process
+    noise {Q}, observation noise {R}, diffuse start at the first
+    observation) — state-space smoothing, the sequential sibling of
+    the EWMA family with a principled gain. One day-groupby feeds an
+    O(days) recursion; the SQL oracle is the identical recursion as a
+    single-row recursive CTE, so every float op matches 1:1. Output:
+    final level/variance, mean absolute innovation."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["c"].to_numpy(np.float64)
+    x = y[0]
+    p = KALMAN_R
+    abs_innov = 0.0
+    for obs in y[1:]:
+        p_pred = p + KALMAN_Q
+        k = p_pred / (p_pred + KALMAN_R)
+        innov = obs - x
+        x = x + k * innov
+        p = (1.0 - k) * p_pred
+        abs_innov += abs(innov)
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(y)], dtype="int64"),
+            "level": pd.Series(round_half_away([x], 6), dtype="float64"),
+            "variance": pd.Series(round_half_away([p], 6), dtype="float64"),
+            "mean_abs_innov": pd.Series(
+                round_half_away([abs_innov / (len(y) - 1.0)], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_kalman_filter() -> str:
+    kq = f"CAST({KALMAN_Q} AS DOUBLE)"
+    kr = f"CAST({KALMAN_R} AS DOUBLE)"
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1),
+obs AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, c FROM daily),
+dp(t, x, p, ai) AS (
+    SELECT CAST(1 AS BIGINT), c, {kr}, CAST(0.0 AS DOUBLE) FROM obs WHERE t = 1
+    UNION ALL
+    SELECT dp.t + 1,
+           dp.x + ((dp.p + {kq}) / (dp.p + {kq} + {kr}))
+                  * (obs.c - dp.x),
+           (1.0 - (dp.p + {kq}) / (dp.p + {kq} + {kr}))
+             * (dp.p + {kq}),
+           dp.ai + abs(obs.c - dp.x)
+    FROM dp JOIN obs ON obs.t = dp.t + 1),
+fin AS (SELECT * FROM dp ORDER BY t DESC LIMIT 1)
+SELECT CAST(fin.t AS BIGINT) AS n_days, round(fin.x, 6) AS level,
+       round(fin.p, 6) AS variance,
+       round(fin.ai / (fin.t - 1.0), 6) AS mean_abs_innov
+FROM fin
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -18515,4 +18722,6 @@ def registry() -> dict[str, tuple]:
         "runs_test": (q_runs_test, sql_runs_test()),
         "diff_in_diff": (q_diff_in_diff, sql_diff_in_diff()),
         "pr_curve": (q_pr_curve, sql_pr_curve()),
+        "viterbi_2state": (q_viterbi_2state, sql_viterbi_2state()),
+        "kalman_filter": (q_kalman_filter, sql_kalman_filter()),
     }
