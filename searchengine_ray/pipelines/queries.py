@@ -18421,6 +18421,177 @@ FROM fin
 """
 
 
+# -------------------------------------------------- A/B/n with Bonferroni
+
+
+ABN_Z_BONF = 2.49774  # two-sided alpha=0.05 Bonferroni-corrected for 4 tests
+
+
+def q_abn_test(sf_dir: str) -> pd.DataFrame:
+    """A/B/n experiment readout with multiple-comparison control:
+    5 deterministic variants (user_id mod 5), each challenger's
+    purchase rate tested against variant 0 with a two-proportion
+    pooled z, significance gated at the Bonferroni-corrected critical
+    value {Z} (α=0.05 across 4 comparisons — the correction that stops
+    one-in-twenty false winners when you ship n challengers). Counts
+    are exact; z and the flag are identical closed forms."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    m = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "variant": pa.array(
+                        b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                        % 5,
+                        pa.int64(),
+                    ),
+                    "k": pa.array(
+                        (b["event_type"].to_pandas() == "purchase").to_numpy(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("variant")
+        .aggregate(Sum("k", alias_name="k"), Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("variant")
+        .reset_index(drop=True)
+    )
+    k = m["k"].to_numpy(np.float64)
+    n = m["n"].to_numpy(np.float64)
+    k0, n0 = k[0], n[0]
+    rows = []
+    for i in range(1, len(m)):
+        pool = (k[i] + k0) / (n[i] + n0)
+        se = np.sqrt(pool * (1.0 - pool) * (1.0 / n[i] + 1.0 / n0))
+        z = (k[i] / n[i] - k0 / n0) / se
+        rows.append(
+            {
+                "variant": int(m["variant"].iloc[i]),
+                "k": int(k[i]),
+                "n": int(n[i]),
+                "rate": float(round_half_away(k[i] / n[i], 6)),
+                "z_vs_control": float(round_half_away(z, 6)),
+                "significant": bool(abs(z) > ABN_Z_BONF),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"variant": "int64", "k": "int64", "n": "int64", "significant": "bool"}
+    )
+
+
+def sql_abn_test() -> str:
+    return f"""
+WITH m AS (
+    SELECT user_id % 5 AS variant,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
+           count(*) AS n
+    FROM events GROUP BY 1),
+c AS (SELECT CAST(k AS DOUBLE) AS k0, CAST(n AS DOUBLE) AS n0
+      FROM m WHERE variant = 0),
+z AS (
+    SELECT m.variant, m.k, m.n,
+           (CAST(m.k AS DOUBLE) / m.n - c.k0 / c.n0)
+             / sqrt(((m.k + c.k0) / (m.n + c.n0))
+                    * (1.0 - (m.k + c.k0) / (m.n + c.n0))
+                    * (1.0 / m.n + 1.0 / c.n0)) AS z
+    FROM m, c WHERE m.variant <> 0)
+SELECT CAST(variant AS BIGINT) AS variant, CAST(k AS BIGINT) AS k,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round(z, 6) AS z_vs_control,
+       abs(z) > {ABN_Z_BONF} AS significant
+FROM z ORDER BY variant
+"""
+
+
+# -------------------------------------------- capture-recapture estimate
+
+
+def q_capture_recapture(sf_dir: str) -> pd.DataFrame:
+    """Lincoln–Petersen capture–recapture: estimate the total distinct
+    user population from two observation windows (first vs second half
+    of the month) — N̂ = n₁·n₂ / overlap, the coverage estimator a
+    crawler uses to judge "how much of the population have I seen".
+    Marked/recaptured sets come from one (user, window) groupby; the
+    true distinct count rides along so the estimate's bias is
+    auditable."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    US_DAY = 86_400_000_000
+
+    per_user = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "w1": pa.array(
+                        (
+                            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                            // US_DAY
+                            < CUPED_SPLIT_DAY
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "w2": pa.array(
+                        (
+                            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                            // US_DAY
+                            >= CUPED_SPLIT_DAY
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Max("w1", alias_name="w1"), Max("w2", alias_name="w2"))
+        .to_pandas()
+    )
+    n1 = int(per_user["w1"].sum())
+    n2 = int(per_user["w2"].sum())
+    overlap = int((per_user["w1"] * per_user["w2"]).sum())
+    true_n = len(per_user)
+    est = n1 * n2 / overlap
+    return pd.DataFrame(
+        {
+            "n_window1": pd.Series([n1], dtype="int64"),
+            "n_window2": pd.Series([n2], dtype="int64"),
+            "overlap": pd.Series([overlap], dtype="int64"),
+            "estimate": pd.Series(round_half_away([est], 6), dtype="float64"),
+            "true_distinct": pd.Series([true_n], dtype="int64"),
+        }
+    )
+
+
+def sql_capture_recapture() -> str:
+    return f"""
+WITH pu AS (
+    SELECT user_id,
+           max(CASE WHEN epoch_us(ts) // 86400000000 < {CUPED_SPLIT_DAY}
+                    THEN 1 ELSE 0 END) AS w1,
+           max(CASE WHEN epoch_us(ts) // 86400000000 >= {CUPED_SPLIT_DAY}
+                    THEN 1 ELSE 0 END) AS w2
+    FROM events GROUP BY user_id)
+SELECT CAST(sum(w1) AS BIGINT) AS n_window1,
+       CAST(sum(w2) AS BIGINT) AS n_window2,
+       CAST(sum(w1 * w2) AS BIGINT) AS overlap,
+       round(sum(w1) * CAST(sum(w2) AS DOUBLE) / sum(w1 * w2), 6) AS estimate,
+       CAST(count(*) AS BIGINT) AS true_distinct
+FROM pu
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -18724,4 +18895,6 @@ def registry() -> dict[str, tuple]:
         "pr_curve": (q_pr_curve, sql_pr_curve()),
         "viterbi_2state": (q_viterbi_2state, sql_viterbi_2state()),
         "kalman_filter": (q_kalman_filter, sql_kalman_filter()),
+        "abn_test": (q_abn_test, sql_abn_test()),
+        "capture_recapture": (q_capture_recapture, sql_capture_recapture()),
     }
