@@ -18592,6 +18592,233 @@ FROM pu
 """
 
 
+# ------------------------------------------------- edit-distance statistics
+
+
+EDIT_PREFIX = 40
+
+
+def q_edit_distance_stats(sf_dir: str) -> pd.DataFrame:
+    """Full Levenshtein distance (not the edit-1 blocking of
+    ``typo_pairs``) between consecutive docs' {P}-char prefixes,
+    aggregated per source — mean and max. The Ray side runs its own
+    vectorized DP (numpy row recurrence, one row alive at a time); the
+    oracle is DuckDB's built-in ``levenshtein``, so this entry
+    cross-checks an independent third implementation rather than a
+    mirror of our own arithmetic."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    def lev(a: str, b: str) -> int:
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        ca = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+        cb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+        prev = np.arange(len(cb) + 1, dtype=np.int64)
+        for i, x in enumerate(ca, 1):
+            cur = np.empty(len(cb) + 1, np.int64)
+            cur[0] = i
+            sub = prev[:-1] + (cb != x)
+            for j in range(1, len(cb) + 1):
+                cur[j] = min(cur[j - 1] + 1, prev[j] + 1, sub[j - 1])
+            prev = cur
+        return int(prev[-1])
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).sort_values("doc_id")
+    # consecutive pairs are driver-enumerated (id-ordered); the DP per
+    # pair runs distributed
+    pairs = pa.table(
+        {
+            "source": pa.array(docs["source"].to_numpy()[:-1], pa.string()),
+            "a": pa.array(
+                [t[:EDIT_PREFIX] for t in docs["text"].to_numpy()[:-1]], pa.string()
+            ),
+            "b": pa.array(
+                [t[:EDIT_PREFIX] for t in docs["text"].to_numpy()[1:]], pa.string()
+            ),
+        }
+    )
+
+    def dists(b: pa.Table) -> pa.Table:
+        d = np.asarray(
+            [lev(x, y) for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist())],
+            np.int64,
+        )
+        return pa.table({"source": b["source"], "d": pa.array(d, pa.int64())})
+
+    out = (
+        rd.from_arrow(pairs)
+        .map_batches(dists, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_pairs"),
+            Sum("d", alias_name="d_sum"),
+            Max("d", alias_name="max_dist"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["mean_dist"] = round_half_away(
+        out["d_sum"].to_numpy(np.float64) / out["n_pairs"].to_numpy(np.float64), 6
+    )
+    return out[["source", "n_pairs", "mean_dist", "max_dist"]].astype(
+        {"source": "object", "n_pairs": "int64", "max_dist": "int64"}
+    )
+
+
+def sql_edit_distance_stats() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, substr(text, 1, {EDIT_PREFIX}) AS p,
+           row_number() OVER (ORDER BY doc_id) AS rn
+    FROM documents),
+pairs AS (
+    SELECT a.source, levenshtein(a.p, b.p) AS dist
+    FROM d a JOIN d b ON b.rn = a.rn + 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(dist) / CAST(count(*) AS DOUBLE), 6) AS mean_dist,
+       CAST(max(dist) AS BIGINT) AS max_dist
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------------ epsilon-greedy replay
+
+
+BANDIT_EPS_NUM = 1  # explore when LCG draw % 5 == 0 (eps = 0.2)
+
+
+def q_bandit_replay(sf_dir: str) -> pd.DataFrame:
+    """Off-policy bandit REPLAY — evaluate an ε-greedy policy against
+    the logged daily record: arms are event types, the day's "winning"
+    arm is the one with the max count (ties → lexicographic), and the
+    policy earns reward 1 when it pulls the winner. Exploration is the
+    deterministic Park-Miller draw on the day index (explore ⇔ draw%5
+    == 0, i.e. ε=0.2, the explored arm = draw%{A}); exploitation is
+    argmax empirical mean (ties → smallest arm id). The whole replay
+    is exact integers; the SQL oracle replays the identical policy in
+    a single-row recursive CTE carrying the per-arm pull/win counters.
+    Output: per-arm pulls/wins and the total reward."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+    MOD = 2147483647
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    ),
+                    "event_type": b["event_type"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    arms = sorted(daily["event_type"].unique())
+    A = len(arms)
+    assert A == 5, "sql_bandit_replay hardcodes the 5-type event vocabulary"
+    piv = daily.pivot_table(index="day", columns="event_type", values="c", fill_value=0)
+    piv = piv.sort_index()
+    winners = np.argmax(piv[arms].to_numpy(np.int64), axis=1)
+
+    pulls = np.zeros(A, np.int64)
+    wins = np.zeros(A, np.int64)
+    for t, w in enumerate(winners, 1):
+        draw = (16807 * ((t * 131071) % MOD)) % MOD
+        if draw % 5 == 0:
+            arm = int(draw % A)
+        else:
+            means = np.where(pulls > 0, wins / np.maximum(pulls, 1), 0.0)
+            arm = int(np.argmax(means))
+        pulls[arm] += 1
+        wins[arm] += int(arm == w)
+    return pd.DataFrame(
+        {
+            "arm": pd.Series(range(A), dtype="int64"),
+            "event_type": pd.Series(arms, dtype="object"),
+            "pulls": pd.Series(pulls, dtype="int64"),
+            "wins": pd.Series(wins, dtype="int64"),
+            "total_reward": pd.Series(np.full(A, int(wins.sum())), dtype="int64"),
+        }
+    )
+
+
+def sql_bandit_replay() -> str:
+    # per-arm counters ride one recursion row as LISTs; the arm count is
+    # the fixed 5-type event vocabulary (Ray side asserts it), because
+    # DuckDB's range() needs constant parameters inside the recursion
+    return """
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+           count(*) AS c
+    FROM events GROUP BY 1, 2),
+arms AS (
+    SELECT event_type, CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT)
+             AS arm
+    FROM (SELECT DISTINCT event_type FROM daily)),
+days AS (
+    SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM (SELECT DISTINCT day FROM daily)),
+winner AS (
+    SELECT d.t, (
+        SELECT a.arm FROM daily x JOIN arms a USING (event_type)
+        WHERE x.day = d.day
+        ORDER BY x.c DESC, a.arm LIMIT 1) AS w
+    FROM days d),
+rep(t, pulls, wins, reward) AS (
+    SELECT CAST(0 AS BIGINT), [0, 0, 0, 0, 0], [0, 0, 0, 0, 0],
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT rep.t + 1,
+           list_transform(range(1, 6),
+               i -> rep.pulls[i] + CASE WHEN i = pick.p + 1 THEN 1 ELSE 0 END),
+           list_transform(range(1, 6),
+               i -> rep.wins[i] + CASE WHEN i = pick.p + 1 AND pick.p = w.w
+                                  THEN 1 ELSE 0 END),
+           rep.reward + CASE WHEN pick.p = w.w THEN 1 ELSE 0 END
+    FROM rep
+    JOIN winner w ON w.t = rep.t + 1
+    CROSS JOIN LATERAL (
+        SELECT CASE
+            WHEN ((16807 * (((rep.t + 1) * 131071) % 2147483647)) % 2147483647)
+                 % 5 = 0
+            THEN ((16807 * (((rep.t + 1) * 131071) % 2147483647)) % 2147483647)
+                 % 5
+            ELSE (
+                SELECT i.range FROM range(5) i
+                ORDER BY CASE WHEN rep.pulls[CAST(i.range AS INT) + 1] > 0
+                              THEN CAST(rep.wins[CAST(i.range AS INT) + 1] AS DOUBLE)
+                                   / rep.pulls[CAST(i.range AS INT) + 1]
+                              ELSE 0.0 END DESC, i.range
+                LIMIT 1)
+        END AS p) pick
+    WHERE rep.t < (SELECT max(t) FROM days)),
+fin AS (SELECT * FROM rep ORDER BY t DESC LIMIT 1)
+SELECT a.arm, a.event_type,
+       CAST(fin.pulls[CAST(a.arm AS INT) + 1] AS BIGINT) AS pulls,
+       CAST(fin.wins[CAST(a.arm AS INT) + 1] AS BIGINT) AS wins,
+       fin.reward AS total_reward
+FROM arms a, fin ORDER BY a.arm
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -18897,4 +19124,6 @@ def registry() -> dict[str, tuple]:
         "kalman_filter": (q_kalman_filter, sql_kalman_filter()),
         "abn_test": (q_abn_test, sql_abn_test()),
         "capture_recapture": (q_capture_recapture, sql_capture_recapture()),
+        "edit_distance_stats": (q_edit_distance_stats, sql_edit_distance_stats()),
+        "bandit_replay": (q_bandit_replay, sql_bandit_replay()),
     }
