@@ -18819,6 +18819,261 @@ FROM arms a, fin ORDER BY a.arm
 """
 
 
+# ----------------------------------------------------------- Lorenz curve
+
+
+def q_lorenz_curve(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve points at deciles — the inequality CURVE behind the
+    ``gini_revenue`` scalar: users sorted by purchase revenue
+    ascending, L(d) = share of total revenue held by the poorest d/10
+    of users. Per-user revenue is one exact milli-int groupby; the
+    curve is cumulative sums at rank cuts ⌈d·U/10⌉ (ties broken by
+    user id, both engines)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    per_user = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "m": pa.array(
+                        np.where(
+                            b["event_type"].to_pandas().to_numpy() == "purchase",
+                            np.asarray(
+                                round_half_away(
+                                    np.round(
+                                        b["value"].to_numpy(zero_copy_only=False), 3
+                                    )
+                                    * 1e3,
+                                    0,
+                                ),
+                                np.int64,
+                            ),
+                            0,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values(["m", "user_id"])
+        .reset_index(drop=True)
+    )
+    m = per_user["m"].to_numpy(np.int64)
+    U = len(m)
+    total = int(m.sum())
+    cum = np.cumsum(m)
+    rows = []
+    for d in range(1, 11):
+        k = (d * U + 9) // 10  # ceil for positive ints
+        rows.append(
+            (
+                d,
+                k,
+                int(cum[k - 1]),
+                float(round_half_away(cum[k - 1] / total, 6)),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["decile", "n_users", "cum_milli", "lorenz"]
+    ).astype({"decile": "int64", "n_users": "int64", "cum_milli": "int64"})
+
+
+def sql_lorenz_curve() -> str:
+    return """
+WITH pu AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(round(value, 3) * 1000, 0) AS BIGINT)
+                    ELSE 0 END) AS m
+    FROM events GROUP BY user_id),
+r AS (
+    SELECT m, row_number() OVER (ORDER BY m, user_id) AS rn,
+           sum(m) OVER (ORDER BY m, user_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           count(*) OVER () AS u, sum(m) OVER () AS total
+    FROM pu),
+d(decile) AS (SELECT unnest(range(1, 11)))
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST((d.decile * r.u + 9) // 10 AS BIGINT) AS n_users,
+       CAST(r.cum AS BIGINT) AS cum_milli,
+       round(r.cum / CAST(r.total AS DOUBLE), 6) AS lorenz
+FROM d JOIN r ON r.rn = (d.decile * r.u + 9) // 10
+ORDER BY d.decile
+"""
+
+
+# ----------------------------------------------- absorbing-Markov reach
+
+
+MARKOV_HORIZON = 20
+
+
+def q_absorbing_markov(sf_dir: str) -> pd.DataFrame:
+    """Absorbing-chain analysis on the empirical event-type Markov
+    chain: from each state, the probability of REACHING 'purchase'
+    within {K} steps (purchase absorbing) — the funnel question
+    "starting from a click, how likely is a purchase soon". Transition
+    probabilities are exact count ratios from the per-user bucket
+    scan; the K-step recursion accumulates each row's 5-term sum in a
+    FIXED left-to-right order so the SQL single-row recursive CTE
+    (state vector as 5 columns, the 5×5 P pivoted into one row)
+    executes the identical float sequence."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_pandas()
+        bucket = (
+            pd.util.hash_array(users.to_numpy()) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype="object"),
+                    "to_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        ok = nxt.notna()
+        part = (
+            pd.DataFrame({"from_type": g["event_type"][ok], "to_type": nxt[ok]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return part.astype({"n": "int64"})
+
+    counts = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    states = sorted(
+        set(counts["from_type"]).union(counts["to_type"])
+    )
+    assert states == ["click", "error", "purchase", "signup", "view"], (
+        "sql_absorbing_markov hardcodes the 5-type vocabulary"
+    )
+    A = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    C = np.zeros((A, A), np.int64)
+    for r in counts.itertuples():
+        C[idx[r.from_type], idx[r.to_type]] = r.n
+    row = C.sum(axis=1)
+    PUR = idx["purchase"]
+
+    reach = [0.0] * A
+    for _ in range(MARKOV_HORIZON):
+        nxt = []
+        for s in range(A):
+            acc = 0.0
+            for j in range(A):
+                p = C[s, j] / row[s]
+                x = 1.0 if j == PUR else reach[j]
+                acc = acc + p * x
+            nxt.append(acc)
+        reach = nxt
+
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(states, dtype="object"),
+            "n_out": pd.Series(row, dtype="int64"),
+            "p_reach_purchase": pd.Series(
+                round_half_away(np.asarray(reach), 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_absorbing_markov() -> str:
+    states = ["click", "error", "purchase", "signup", "view"]
+    pur = states.index("purchase") + 1  # 1-based
+    pcols = ",\n           ".join(
+        f"coalesce(sum(CASE WHEN from_type = '{f}' AND to_type = '{t}' "
+        f"THEN n END), 0) / CAST(sum(CASE WHEN from_type = '{f}' THEN n END) "
+        f"AS DOUBLE) AS p{i + 1}{j + 1}"
+        for i, f in enumerate(states)
+        for j, t in enumerate(states)
+    )
+    upd = ",\n           ".join(
+        " + ".join(
+            f"pm.p{i + 1}{j + 1} * "
+            + ("1.0" if j + 1 == pur else f"dp.r{j + 1}")
+            for j in range(5)
+        )
+        for i in range(5)
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT '{s}' AS event_type, {i + 1} AS ord FROM (VALUES (1))"
+        for i, s in enumerate(states)
+    )
+    sel = ", ".join(f"fin.r{i + 1}" for i in range(5))
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT user_id, event_type AS from_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS to_type
+    FROM events),
+cnt AS (
+    SELECT from_type, to_type, count(*) AS n
+    FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+pm AS (
+    SELECT {pcols}
+    FROM cnt),
+outn AS (
+    SELECT from_type, sum(n) AS n_out FROM cnt GROUP BY from_type),
+dp(t, r1, r2, r3, r4, r5) AS (
+    SELECT 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT dp.t + 1,
+           {upd}
+    FROM dp, pm WHERE dp.t < {MARKOV_HORIZON}),
+fin AS (SELECT * FROM dp ORDER BY t DESC LIMIT 1),
+st AS ({arms})
+SELECT st.event_type, CAST(outn.n_out AS BIGINT) AS n_out,
+       round(CASE st.ord WHEN 1 THEN fin.r1 WHEN 2 THEN fin.r2
+                         WHEN 3 THEN fin.r3 WHEN 4 THEN fin.r4
+                         ELSE fin.r5 END, 6) AS p_reach_purchase
+FROM st JOIN outn ON outn.from_type = st.event_type
+CROSS JOIN fin
+ORDER BY st.event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -19126,4 +19381,6 @@ def registry() -> dict[str, tuple]:
         "capture_recapture": (q_capture_recapture, sql_capture_recapture()),
         "edit_distance_stats": (q_edit_distance_stats, sql_edit_distance_stats()),
         "bandit_replay": (q_bandit_replay, sql_bandit_replay()),
+        "lorenz_curve": (q_lorenz_curve, sql_lorenz_curve()),
+        "absorbing_markov": (q_absorbing_markov, sql_absorbing_markov()),
     }
