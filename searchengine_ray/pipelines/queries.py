@@ -19074,6 +19074,193 @@ ORDER BY st.event_type
 """
 
 
+# ------------------------------------------------------------- readability
+
+
+def q_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per source: sentences
+    split on [.?!], words on whitespace, syllables = vowel-group count
+    ([aeiouy]+ runs, the classic heuristic). All three are exact
+    integer partials summed in one source-cardinality groupby; the two
+    scores are identical closed forms over the integer ratios on both
+    engines. Extends ``sentence_stats`` with the syllable axis and the
+    named scores."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def stats(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas().fillna("")
+        sents = texts.str.split(r"[.?!]", regex=True).map(
+            lambda ps: sum(1 for p in ps if p.strip())
+        ).to_numpy(np.int64)
+        words = texts.str.split(r"[ \t\n\x0b\f\r]+", regex=True).map(
+            lambda ws: sum(1 for w in ws if w)
+        ).to_numpy(np.int64)
+        sylls = texts.str.lower().str.count(r"[aeiouy]+").to_numpy(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_sent": pa.array(sents, pa.int64()),
+                "n_words": pa.array(words, pa.int64()),
+                "n_syll": pa.array(sylls, pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_sent", alias_name="sents"),
+            Sum("n_words", alias_name="words"),
+            Sum("n_syll", alias_name="sylls"),
+        )
+        .to_pandas()
+    )
+    wps = out["words"].to_numpy(np.float64) / np.maximum(out["sents"], 1)
+    spw = out["sylls"].to_numpy(np.float64) / np.maximum(out["words"], 1)
+    out["flesch_ease"] = round_half_away(206.835 - 1.015 * wps - 84.6 * spw)
+    out["fk_grade"] = round_half_away(0.39 * wps + 11.8 * spw - 15.59)
+    out = out.sort_values("source").reset_index(drop=True)
+    return out[
+        ["source", "n_docs", "sents", "words", "sylls", "flesch_ease", "fk_grade"]
+    ].astype(
+        {
+            "source": "object",
+            "n_docs": "int64",
+            "sents": "int64",
+            "words": "int64",
+            "sylls": "int64",
+        }
+    )
+
+
+def sql_readability() -> str:
+    return r"""
+WITH seg AS (
+  SELECT source,
+         len(list_filter(string_split_regex(text, '[.?!]'), p -> trim(p) <> '')) AS n_sent,
+         len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), w -> w <> '')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_sent) AS BIGINT) AS sents,
+         CAST(sum(n_words) AS BIGINT) AS words,
+         CAST(sum(n_syll) AS BIGINT) AS sylls
+  FROM seg GROUP BY source)
+SELECT source, n_docs, sents, words, sylls,
+       round(206.835 - 1.015 * (words / CAST(greatest(sents, 1) AS DOUBLE))
+                     - 84.6 * (sylls / CAST(greatest(words, 1) AS DOUBLE)), 6)
+         AS flesch_ease,
+       round(0.39 * (words / CAST(greatest(sents, 1) AS DOUBLE))
+             + 11.8 * (sylls / CAST(greatest(words, 1) AS DOUBLE)) - 15.59, 6)
+         AS fk_grade
+FROM agg
+"""
+
+
+# -------------------------------------------------------- Holt linear trend
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_H = 7
+
+
+def q_holt_linear(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear-trend double exponential smoothing over the daily
+    event counts (α={A}, β={B}; init l₁=y₁, b₁=y₂−y₁): the trend-aware
+    sibling of the Kalman local-level entry. One day-groupby feeds an
+    O(days) driver recursion; the SQL oracle replays the identical
+    float sequence as a single-row recursive CTE (the level update is
+    inlined into the trend update exactly as written here, so every
+    multiply-add matches 1:1). Output: final level/trend, the {H}-day
+    forecast l+H·b, and the mean absolute one-step error."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    US_DAY = 86_400_000_000
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    y = daily["c"].to_numpy(np.float64)
+    lev = y[0]
+    tr = y[1] - y[0]
+    ae = 0.0
+    for obs in y[1:]:
+        pred = lev + tr
+        lev_new = HOLT_ALPHA * obs + (1.0 - HOLT_ALPHA) * (lev + tr)
+        tr = HOLT_BETA * (lev_new - lev) + (1.0 - HOLT_BETA) * tr
+        ae += abs(obs - pred)
+        lev = lev_new
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(y)], dtype="int64"),
+            "level": pd.Series(round_half_away([lev], 6), dtype="float64"),
+            "trend": pd.Series(round_half_away([tr], 6), dtype="float64"),
+            "forecast_h": pd.Series(
+                round_half_away([lev + HOLT_H * tr], 6), dtype="float64"
+            ),
+            "mean_abs_err": pd.Series(
+                round_half_away([ae / (len(y) - 1.0)], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_holt_linear() -> str:
+    a = f"CAST({HOLT_ALPHA} AS DOUBLE)"
+    b = f"CAST({HOLT_BETA} AS DOUBLE)"
+    lnew = f"({a} * obs.c + (1.0 - {a}) * (dp.l + dp.b))"
+    return f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(*) AS DOUBLE) AS c
+    FROM events GROUP BY 1),
+obs AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, c FROM daily),
+init AS (
+    SELECT o1.c AS l0, o2.c - o1.c AS b0
+    FROM obs o1, obs o2 WHERE o1.t = 1 AND o2.t = 2),
+dp(t, l, b, ae) AS (
+    SELECT CAST(1 AS BIGINT), l0, b0, CAST(0.0 AS DOUBLE) FROM init
+    UNION ALL
+    SELECT dp.t + 1,
+           {lnew},
+           {b} * ({lnew} - dp.l) + (1.0 - {b}) * dp.b,
+           dp.ae + abs(obs.c - (dp.l + dp.b))
+    FROM dp JOIN obs ON obs.t = dp.t + 1),
+fin AS (SELECT * FROM dp ORDER BY t DESC LIMIT 1)
+SELECT CAST(fin.t AS BIGINT) AS n_days, round(fin.l, 6) AS level,
+       round(fin.b, 6) AS trend,
+       round(fin.l + {HOLT_H} * fin.b, 6) AS forecast_h,
+       round(fin.ae / (fin.t - 1.0), 6) AS mean_abs_err
+FROM fin
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -19383,4 +19570,6 @@ def registry() -> dict[str, tuple]:
         "bandit_replay": (q_bandit_replay, sql_bandit_replay()),
         "lorenz_curve": (q_lorenz_curve, sql_lorenz_curve()),
         "absorbing_markov": (q_absorbing_markov, sql_absorbing_markov()),
+        "readability": (q_readability, sql_readability()),
+        "holt_linear": (q_holt_linear, sql_holt_linear()),
     }

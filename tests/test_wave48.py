@@ -1,0 +1,86 @@
+"""Brute-force identity tests for the readability and Holt-linear wave
+(registry 289-290)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+
+class TestReadability:
+    def test_matches_per_doc_recount(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import q_readability
+
+        docs = pd.read_parquet(
+            f"{sf_tiny}/documents.parquet", columns=["source", "text"]
+        )
+        rows: dict[str, list[int]] = {}
+        for s, t in zip(docs["source"], docs["text"]):
+            sents = sum(1 for p in re.split(r"[.?!]", t) if p.strip())
+            words = sum(1 for w in re.split(r"[ \t\n\x0b\f\r]+", t) if w)
+            syll = len(re.findall(r"[aeiouy]+", t.lower()))
+            acc = rows.setdefault(s, [0, 0, 0, 0])
+            acc[0] += 1
+            acc[1] += sents
+            acc[2] += words
+            acc[3] += syll
+        got = q_readability(sf_tiny).set_index("source")
+        for s, (n, se, wo, sy) in rows.items():
+            r = got.loc[s]
+            assert (int(r["n_docs"]), int(r["sents"]), int(r["words"]), int(r["sylls"])) == (
+                n,
+                se,
+                wo,
+                sy,
+            )
+            wps = wo / max(se, 1)
+            spw = sy / max(wo, 1)
+            assert abs(r["flesch_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-5
+            assert abs(r["fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-5
+
+    def test_known_text(self, ray_session):
+        # "the cat sat." → 1 sentence, 3 words, 3 vowel groups
+        t = "the cat sat."
+        assert sum(1 for p in re.split(r"[.?!]", t) if p.strip()) == 1
+        assert len(re.findall(r"[aeiouy]+", t)) == 3
+
+
+class TestHoltLinear:
+    def test_matches_textbook_recursion(self, ray_session, sf_tiny):
+        from searchengine_ray.pipelines.queries import (
+            HOLT_ALPHA,
+            HOLT_BETA,
+            HOLT_H,
+            q_holt_linear,
+        )
+
+        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["ts"])
+        day = ev["ts"].astype("int64") // 86_400_000_000
+        y = day.value_counts().sort_index().to_numpy(np.float64)
+        lev, tr, ae = y[0], y[1] - y[0], 0.0
+        for obs in y[1:]:
+            ae += abs(obs - (lev + tr))
+            lnew = HOLT_ALPHA * obs + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (lnew - lev) + (1 - HOLT_BETA) * tr
+            lev = lnew
+        got = q_holt_linear(sf_tiny)
+        assert int(got["n_days"].iloc[0]) == len(y)
+        assert abs(got["level"].iloc[0] - lev) < 1e-6
+        assert abs(got["trend"].iloc[0] - tr) < 1e-6
+        assert abs(got["forecast_h"].iloc[0] - (lev + HOLT_H * tr)) < 1e-5
+        assert abs(got["mean_abs_err"].iloc[0] - ae / (len(y) - 1)) < 1e-6
+
+    def test_constant_series_flat(self, ray_session):
+        from searchengine_ray.pipelines.queries import HOLT_ALPHA, HOLT_BETA
+
+        # invariant check on the recursion itself: constant input keeps
+        # level at the constant and trend at zero
+        y = np.full(10, 42.0)
+        lev, tr = y[0], y[1] - y[0]
+        for obs in y[1:]:
+            lnew = HOLT_ALPHA * obs + (1 - HOLT_ALPHA) * (lev + tr)
+            tr = HOLT_BETA * (lnew - lev) + (1 - HOLT_BETA) * tr
+            lev = lnew
+        assert abs(lev - 42.0) < 1e-12 and abs(tr) < 1e-12
