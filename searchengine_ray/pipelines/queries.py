@@ -19261,6 +19261,211 @@ FROM fin
 """
 
 
+# ------------------------------------------------------- Jaro-Winkler pairs
+
+
+JW_PREFIX = 40
+JW_SIM_MICRO = 800_000  # "similar" gate: jw >= 0.8 in micro units
+
+
+def q_jw_pairs(sf_dir: str) -> pd.DataFrame:
+    """Jaro-Winkler similarity between consecutive docs' {P}-char
+    prefixes, per source — the phonetic-era string metric next to the
+    ``edit_distance_stats`` Levenshtein entry. The Ray side implements
+    the full matcher (window = max(len)/2-1, transposition halves,
+    Winkler prefix boost above 0.7) from the published definition; the
+    oracle is DuckDB's built-in ``jaro_winkler_similarity``, so this
+    cross-checks an independent third implementation (verified
+    float-identical on every real pair before landing). Per-pair
+    scores are micro-int quantized BEFORE aggregation so the sums are
+    exact integers on both engines."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    def jw(s1: str, s2: str) -> float:
+        l1, l2 = len(s1), len(s2)
+        if l1 == 0 or l2 == 0:
+            return 0.0
+        window = max(l1, l2) // 2 - 1
+        if window < 0:
+            window = 0
+        f1 = [False] * l1
+        f2 = [False] * l2
+        m = 0
+        for i, c in enumerate(s1):
+            lo = i - window if i > window else 0
+            hi = min(l2, i + window + 1)
+            for j in range(lo, hi):
+                if not f2[j] and s2[j] == c:
+                    f1[i] = f2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if f1[i]:
+                while not f2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+        if j > 0.7:
+            pl = 0
+            for a, b in zip(s1[:4], s2[:4]):
+                if a != b:
+                    break
+                pl += 1
+            j = j + pl * 0.1 * (1.0 - j)
+        return j
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).sort_values("doc_id")
+    pairs = pa.table(
+        {
+            "source": pa.array(docs["source"].to_numpy()[:-1], pa.string()),
+            "a": pa.array(
+                [t[:JW_PREFIX] for t in docs["text"].to_numpy()[:-1]], pa.string()
+            ),
+            "b": pa.array(
+                [t[:JW_PREFIX] for t in docs["text"].to_numpy()[1:]], pa.string()
+            ),
+        }
+    )
+
+    def sims(b: pa.Table) -> pa.Table:
+        micro = np.asarray(
+            [
+                round_half_away(jw(x, y) * 1e6, 0)
+                for x, y in zip(b["a"].to_pylist(), b["b"].to_pylist())
+            ],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "source": b["source"],
+                "micro": pa.array(micro, pa.int64()),
+                "sim": pa.array((micro >= JW_SIM_MICRO).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.from_arrow(pairs)
+        .map_batches(sims, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_pairs"),
+            Sum("micro", alias_name="micro_sum"),
+            Max("micro", alias_name="micro_max"),
+            Sum("sim", alias_name="n_similar"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["mean_jw"] = round_half_away(
+        out["micro_sum"].to_numpy(np.float64)
+        / out["n_pairs"].to_numpy(np.float64)
+        / 1e6,
+        6,
+    )
+    out["max_jw"] = round_half_away(out["micro_max"].to_numpy(np.float64) / 1e6, 6)
+    return out[["source", "n_pairs", "mean_jw", "max_jw", "n_similar"]].astype(
+        {"source": "object", "n_pairs": "int64", "n_similar": "int64"}
+    )
+
+
+def sql_jw_pairs() -> str:
+    return f"""
+WITH d AS (
+    SELECT source, substr(text, 1, {JW_PREFIX}) AS p,
+           row_number() OVER (ORDER BY doc_id) AS rn
+    FROM documents),
+pairs AS (
+    SELECT a.source,
+           CAST(round(jaro_winkler_similarity(a.p, b.p) * 1000000, 0) AS BIGINT)
+             AS micro
+    FROM d a JOIN d b ON b.rn = a.rn + 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(micro) / CAST(count(*) AS DOUBLE) / 1000000, 6) AS mean_jw,
+       round(max(micro) / 1000000.0, 6) AS max_jw,
+       CAST(sum(CASE WHEN micro >= {JW_SIM_MICRO} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_similar
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------- multi-pattern counts
+
+
+MULTI_PATTERNS = ("scan", "join", "sort", "hash", "window", "stream")
+
+
+def q_multi_pattern_counts(sf_dir: str) -> pd.DataFrame:
+    """Non-overlapping substring-occurrence counts for a fixed pattern
+    dictionary, per source × pattern — the multi-pattern-match shape
+    (grep dashboards, brand-mention counters) kept deliberately
+    substring-semantic (no token boundary) so both engines count the
+    identical left-to-right non-overlapping occurrences. Ray side is
+    one vectorized ``Series.str.count`` per pattern over each batch
+    (C-speed regex on literal patterns); the oracle uses the
+    length-difference-after-replace identity."""
+    import pyarrow as pa
+    import re as _re
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pats = list(MULTI_PATTERNS)
+
+    def counts(b: pa.Table) -> pa.Table:
+        low = b["text"].to_pandas().fillna("").str.lower()
+        srcs, pcol, ns = [], [], []
+        for p in pats:
+            c = low.str.count(_re.escape(p)).to_numpy(np.int64)
+            srcs.append(b["source"].to_pandas().to_numpy())
+            pcol.extend([p] * len(c))
+            ns.append(c)
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(srcs), pa.string()),
+                "pattern": pa.array(pcol, pa.string()),
+                "n_part": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "pattern"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "pattern"])
+        .reset_index(drop=True)
+    )
+    return out[["source", "pattern", "n"]].astype(
+        {"source": "object", "pattern": "object", "n": "int64"}
+    )
+
+
+def sql_multi_pattern_counts() -> str:
+    vals = ", ".join(f"('{p}')" for p in MULTI_PATTERNS)
+    return f"""
+WITH pats(pattern) AS (VALUES {vals})
+SELECT d.source, pats.pattern,
+       CAST(sum((length(lower(d.text))
+                 - length(replace(lower(d.text), pats.pattern, '')))
+                // length(pats.pattern)) AS BIGINT) AS n
+FROM documents d CROSS JOIN pats
+GROUP BY d.source, pats.pattern
+ORDER BY d.source, pats.pattern
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -19572,4 +19777,6 @@ def registry() -> dict[str, tuple]:
         "absorbing_markov": (q_absorbing_markov, sql_absorbing_markov()),
         "readability": (q_readability, sql_readability()),
         "holt_linear": (q_holt_linear, sql_holt_linear()),
+        "jw_pairs": (q_jw_pairs, sql_jw_pairs()),
+        "multi_pattern_counts": (q_multi_pattern_counts, sql_multi_pattern_counts()),
     }
