@@ -19466,6 +19466,261 @@ ORDER BY d.source, pats.pattern
 """
 
 
+# ------------------------------------------------------ sequence packing
+
+PACK_CAP = 64  # bin capacity in tokens — spans both branches on the corpus
+
+
+def q_doc_packing(sf_dir: str) -> pd.DataFrame:
+    """Greedy NEXT-FIT sequence packing — the LLM-training step that
+    concatenates documents into fixed-length context windows: docs are
+    walked in doc_id order per source; a doc joins the open bin when it
+    fits in ``PACK_CAP`` tokens, otherwise the bin closes and a new one
+    opens; docs longer than the cap get a bin of their own and count as
+    oversize. Tokens = space-separated count (``count(' ')+1``, both
+    engines). Per-source packing is inherently sequential (like the LRU
+    replay) so it runs as a stateful scan inside the source shuffle;
+    the SQL oracle walks the identical recursion per source. Output per
+    source: docs, tokens, bins, oversize and bin utilization."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def tok(b: pa.Table) -> pa.Table:
+        txt = b["text"].to_pandas().fillna("")
+        tk = (txt.str.count(" ") + 1).to_numpy(np.int64)
+        return pa.table(
+            {
+                "source": b["source"],
+                "doc_id": b["doc_id"],
+                "tk": pa.array(tk, pa.int64()),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        tks = g["tk"].to_numpy(np.int64)
+        fill = bins = over = 0
+        for t in tks:
+            t = int(t)
+            if t > PACK_CAP:
+                bins += (1 if fill > 0 else 0) + 1
+                fill = 0
+                over += 1
+            elif fill + t <= PACK_CAP:
+                fill += t
+            else:
+                bins += 1
+                fill = t
+        nb = bins + (1 if fill > 0 else 0)
+        tot = int(tks.sum())
+        return pd.DataFrame(
+            {
+                "source": [str(g["source"].iloc[0])],
+                "n_docs": pd.Series([len(tks)], dtype="int64"),
+                "total_tokens": pd.Series([tot], dtype="int64"),
+                "n_bins": pd.Series([nb], dtype="int64"),
+                "n_oversize": pd.Series([over], dtype="int64"),
+                "util": pd.Series(
+                    [float(round_half_away(tot / (nb * float(PACK_CAP)), 6))]
+                    if nb
+                    else [0.0],
+                    dtype="float64",
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        .map_batches(tok, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def sql_doc_packing() -> str:
+    return f"""
+WITH RECURSIVE ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS tk
+  FROM documents),
+nsrc AS (SELECT source, count(*) AS n, CAST(sum(tk) AS BIGINT) AS tot
+         FROM ranked GROUP BY source),
+rec(source, idx, fill, bins, oversize) AS (
+  SELECT source, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM nsrc
+  UNION ALL
+  SELECT rec.source, rec.idx + 1,
+    CASE WHEN r.tk > {PACK_CAP} THEN 0
+         WHEN rec.fill + r.tk <= {PACK_CAP} THEN rec.fill + r.tk
+         ELSE r.tk END,
+    CASE WHEN r.tk > {PACK_CAP}
+         THEN rec.bins + (CASE WHEN rec.fill > 0 THEN 1 ELSE 0 END) + 1
+         WHEN rec.fill + r.tk <= {PACK_CAP} THEN rec.bins
+         ELSE rec.bins + 1 END,
+    rec.oversize + (CASE WHEN r.tk > {PACK_CAP} THEN 1 ELSE 0 END)
+  FROM rec JOIN ranked r ON r.source = rec.source AND r.idx = rec.idx + 1),
+fin AS (
+  SELECT rec.source, fill, bins, oversize,
+         row_number() OVER (PARTITION BY rec.source ORDER BY idx DESC) AS rn
+  FROM rec)
+SELECT f.source, n.n AS n_docs, n.tot AS total_tokens,
+       CAST(f.bins + (CASE WHEN f.fill > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bins,
+       f.oversize AS n_oversize,
+       round(CAST(n.tot AS DOUBLE)
+             / ((f.bins + (CASE WHEN f.fill > 0 THEN 1 ELSE 0 END))
+                * {PACK_CAP}), 6) AS util
+FROM fin f JOIN nsrc n USING (source)
+WHERE f.rn = 1
+ORDER BY f.source
+"""
+
+
+# ------------------------------------------- Benjamini-Hochberg FDR gate
+
+
+def _norm_sf_2sided(z: np.ndarray) -> np.ndarray:
+    """Two-sided normal p-value via the Abramowitz & Stegun 7.1.26 erf
+    polynomial — a closed form both engines evaluate in the identical
+    op sequence (the SQL oracle spells out the same Horner chain)."""
+    x = np.abs(z) / np.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf = 1.0 - poly * np.exp(-x * x)
+    return 2.0 * (0.5 * (1.0 - erf))
+
+
+BH_ALPHA = 0.05
+
+
+def q_bh_fdr(sf_dir: str) -> pd.DataFrame:
+    """Benjamini–Hochberg FDR across 25 simultaneous hypotheses — the
+    multiple-comparisons gate a metrics platform needs when it z-tests
+    every nation's customer balance against the pooled mean at once.
+    Moments are exact cent-ints (one groupby); z and the A&S-7.1.26
+    normal p-value are identical float chains in both engines; BH then
+    rejects the k smallest p-values where k = max{{i : p_(i) ≤
+    i·α/m}}. Output per nation: n, z, p, BH-rejected flag."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)), pa.int64())
+        c_np = c.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nk": b["c_nationkey"].cast(pa.int64()),
+                "c": c,
+                "c2": pa.array(c_np * c_np, pa.int64()),
+            }
+        )
+
+    per = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+        )
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("c", alias_name="s"),
+            Sum("c2", alias_name="ss"),
+        )
+        .to_pandas()
+        .sort_values("nk")
+        .reset_index(drop=True)
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    per = per.merge(
+        nation.rename(columns={"n_nationkey": "nk"}), on="nk", how="inner"
+    )
+    n_g = per["n"].to_numpy(np.float64)
+    s_g = per["s"].to_numpy(np.float64)
+    N, S, SS = n_g.sum(), s_g.sum(), per["ss"].to_numpy(np.float64).sum()
+    mean_all = S / N
+    var_all = SS / N - mean_all * mean_all  # population variance, exact ints in
+    z = (s_g / n_g - mean_all) / np.sqrt(var_all / n_g)
+    p = _norm_sf_2sided(z)
+    m = len(per)
+    order = np.lexsort((per["n_name"].to_numpy(), p))
+    ranks = np.empty(m, np.int64)
+    ranks[order] = np.arange(1, m + 1)
+    passing = p[order] <= np.arange(1, m + 1) * BH_ALPHA / m
+    k = int(np.max(np.flatnonzero(passing)) + 1) if passing.any() else 0
+    rejected = (ranks <= k).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "n_name": per["n_name"].astype("object"),
+            "n": per["n"].astype("int64"),
+            "z_stat": round_half_away(z, 6),
+            "p_value": round_half_away(p, 6),
+            "rejected": pd.Series(rejected, dtype="int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def sql_bh_fdr() -> str:
+    return f"""
+WITH per AS (
+  SELECT c_nationkey AS nk, count(*) AS n,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)
+             * CAST(round(c_acctbal * 100) AS BIGINT)) AS ss
+  FROM customer GROUP BY c_nationkey),
+g AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(s) AS DOUBLE) AS gs,
+             CAST(sum(ss) AS DOUBLE) AS gss
+      FROM per),
+zc AS (
+  SELECT nk, per.n,
+         (CAST(s AS DOUBLE) / CAST(per.n AS DOUBLE) - gs / nn)
+           / sqrt((gss / nn - (gs / nn) * (gs / nn)) / CAST(per.n AS DOUBLE))
+           AS z
+  FROM per, g),
+pv AS (
+  SELECT nk, n, z,
+         2.0 * (0.5 * (1.0 - (1.0 -
+             (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+             * (0.254829592
+                + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                  * (-0.284496736
+                     + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                       * (1.421413741
+                          + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                            * (-1.453152027
+                               + (1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))))
+                                 * 1.061405429))))
+             * exp(-(abs(z) / sqrt(2.0)) * (abs(z) / sqrt(2.0)))))) AS p
+  FROM zc),
+ranked AS (
+  SELECT pv.*, nat.n_name,
+         row_number() OVER (ORDER BY p, nat.n_name) AS i,
+         count(*) OVER () AS m
+  FROM pv JOIN nation nat ON nat.n_nationkey = pv.nk),
+kk AS (
+  SELECT coalesce(max(i), 0) AS k FROM ranked
+  WHERE p <= CAST(i AS DOUBLE) * {BH_ALPHA} / CAST(m AS DOUBLE))
+SELECT r.n_name, r.n, round(r.z, 6) AS z_stat, round(r.p, 6) AS p_value,
+       CAST(CASE WHEN r.i <= kk.k THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM ranked r, kk
+ORDER BY r.n_name
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -19779,4 +20034,6 @@ def registry() -> dict[str, tuple]:
         "holt_linear": (q_holt_linear, sql_holt_linear()),
         "jw_pairs": (q_jw_pairs, sql_jw_pairs()),
         "multi_pattern_counts": (q_multi_pattern_counts, sql_multi_pattern_counts()),
+        "doc_packing": (q_doc_packing, sql_doc_packing()),
+        "bh_fdr": (q_bh_fdr, sql_bh_fdr()),
     }
