@@ -19721,6 +19721,253 @@ ORDER BY r.n_name
 """
 
 
+# ------------------------------------------------- WordPiece tokenization
+
+# (piece, is_continuation) — single letters are valid WORD STARTS but only
+# some letters/suffixes continue a word, so the corpus splits into a
+# realistic mix of multi-piece words and [UNK]s (HuggingFace WordPiece
+# semantics: any unmatchable position makes the WHOLE word one UNK).
+WORDPIECE_VOCAB: tuple[tuple[str, int], ...] = tuple(
+    [(c, 0) for c in "abcdefghijklmnopqrstuvwxyz"]
+    + [
+        ("the", 0), ("re", 0), ("pro", 0), ("con", 0), ("un", 0),
+        ("de", 0), ("an", 0), ("st", 0), ("wh", 0), ("gr", 0),
+        ("tr", 0), ("qu", 0), ("br", 0), ("sh", 0), ("pl", 0),
+    ]
+    + [
+        (p, 1)
+        for p in (
+            "s", "e", "t", "d", "n", "r", "y", "a", "o", "i", "l", "g",
+            "ing", "ed", "er", "es", "tion", "ent", "ate", "ly", "al",
+            "an", "ar", "st", "th", "le", "ct", "ss", "ve", "me", "nd",
+            "ce", "us", "it", "ur", "ri", "ch", "te", "on", "in", "re",
+            "se", "de", "om", "ut", "ck", "gh", "ph", "sp", "ld", "nt",
+        )
+    ]
+)
+
+
+def _wordpiece_tables() -> tuple[dict, dict, int]:
+    start: dict[int, set] = {}
+    cont: dict[int, set] = {}
+    for p, c in WORDPIECE_VOCAB:
+        (cont if c else start).setdefault(len(p), set()).add(p)
+    maxlen = max(len(p) for p, _ in WORDPIECE_VOCAB)
+    return start, cont, maxlen
+
+
+def _wordpiece_encode(word: str, start: dict, cont: dict, maxlen: int) -> tuple[int, int]:
+    """Greedy longest-match-first WordPiece: (n_pieces, is_unk)."""
+    pos, n, L = 0, 0, len(word)
+    while pos < L:
+        table = start if pos == 0 else cont
+        for plen in range(min(maxlen, L - pos), 0, -1):
+            if word[pos : pos + plen] in table.get(plen, ()):
+                pos += plen
+                n += 1
+                break
+        else:
+            return 1, 1
+    return n, 0
+
+
+def q_wordpiece_tokens(sf_dir: str) -> pd.DataFrame:
+    """WordPiece subword tokenization audit — greedy longest-match-first
+    encoding against a fixed vocabulary, the fertility/UNK-rate readout
+    a tokenizer owner checks before training (pieces-per-token and the
+    share of words the vocab cannot cover). The encode depends only on
+    the WORD, so the corpus shuffles once to (source, word) counts and
+    the greedy matcher runs over VOCABULARY-scale rows (the
+    spell-correct compromise), never per occurrence. The SQL oracle
+    replays the identical greedy recursion per distinct word with the
+    vocab as a VALUES table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def rows(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        src = b["source"].to_pandas()
+        srcs: list[str] = []
+        words: list[str] = []
+        for s, ts in zip(src, toks):
+            srcs.extend([s] * len(ts))
+            words.extend(ts)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "word": pa.array(words, pa.string()),
+            }
+        )
+
+    start, cont, maxlen = _wordpiece_tables()
+
+    def encode(b: pa.Table) -> pa.Table:
+        ws = b["word"].to_pylist()
+        nt = np.empty(len(ws), np.int64)
+        uk = np.empty(len(ws), np.int64)
+        for i, w in enumerate(ws):
+            nt[i], uk[i] = _wordpiece_encode(w, start, cont, maxlen)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "occ": b["c"],
+                "wp": pa.array(c * nt, pa.int64()),
+                "unk_occ": pa.array(c * uk, pa.int64()),
+            }
+        )
+
+    per_src = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby(["source", "word"])
+        .aggregate(Count(alias_name="c"))
+        .map_batches(encode, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_words"),
+            Sum("occ", alias_name="n_tokens"),
+            Sum("wp", alias_name="wp_tokens"),
+            Sum("unk_occ", alias_name="unk_tokens"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    per_src["pieces_per_token"] = round_half_away(
+        per_src["wp_tokens"].to_numpy(np.float64)
+        / per_src["n_tokens"].to_numpy(np.float64),
+        6,
+    )
+    return per_src.astype(
+        {
+            "source": "object",
+            "n_words": "int64",
+            "n_tokens": "int64",
+            "wp_tokens": "int64",
+            "unk_tokens": "int64",
+        }
+    )
+
+
+def sql_wordpiece_tokens() -> str:
+    vocab_rows = ", ".join(f"('{p}', {c})" for p, c in WORDPIECE_VOCAB)
+    return rf"""
+WITH RECURSIVE cnt AS (
+  SELECT source, t AS word, count(*) AS c FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''
+  GROUP BY source, t),
+words AS (SELECT DISTINCT word FROM cnt),
+vocab(piece, cont) AS (VALUES {vocab_rows}),
+rec(word, pos, ntok) AS (
+  SELECT word, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+  UNION ALL
+  SELECT rec.word, rec.pos + length(m.piece), rec.ntok + 1
+  FROM rec
+  CROSS JOIN LATERAL (
+      SELECT v.piece FROM vocab v
+      WHERE ((rec.pos = 0 AND v.cont = 0) OR (rec.pos > 0 AND v.cont = 1))
+        AND substr(rec.word, CAST(rec.pos AS INT) + 1, length(v.piece)) = v.piece
+      ORDER BY length(v.piece) DESC LIMIT 1) m
+  WHERE rec.pos < length(rec.word)),
+fin AS (SELECT word, max(pos) AS mpos, max(ntok) AS ntok FROM rec GROUP BY word),
+res AS (
+  SELECT word,
+         CASE WHEN mpos = length(word) THEN ntok ELSE 1 END AS ntok,
+         CASE WHEN mpos = length(word) THEN 0 ELSE 1 END AS unk
+  FROM fin)
+SELECT c.source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(c.c) AS BIGINT) AS n_tokens,
+       CAST(sum(c.c * r.ntok) AS BIGINT) AS wp_tokens,
+       CAST(sum(c.c * r.unk) AS BIGINT) AS unk_tokens,
+       round(CAST(sum(c.c * r.ntok) AS DOUBLE) / CAST(sum(c.c) AS DOUBLE), 6)
+         AS pieces_per_token
+FROM cnt c JOIN res r USING (word)
+GROUP BY c.source ORDER BY c.source
+"""
+
+
+# --------------------------------------------- differentially-private counts
+
+DP_EPS = 1.0
+
+
+def q_dp_counts(sf_dir: str) -> pd.DataFrame:
+    """Differentially-private count release — per-event-type counts plus
+    Laplace(1/ε) noise drawn by inverse CDF from a DETERMINISTIC
+    Park-Miller uniform seeded on the md5-lower-64 of the key (the
+    reproducible-noise trick ``bootstrap_ci`` established), so both
+    engines add the exact same noise and the privacy mechanism itself is
+    hash-verifiable. Output: true n, the noise draw and the released
+    noisy count per event type."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import _md5_hash_lists
+
+    MOD = 2147483647
+    per = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    hs = _md5_hash_lists(pd.Series([per["event_type"].tolist()]))[0]
+    s0 = (hs % np.uint64(MOD)).astype(np.int64)
+    s0 = np.where(s0 == 0, 1, s0)
+    draw = (16807 * s0) % MOD
+    u = draw.astype(np.float64) / MOD
+    b = 1.0 / DP_EPS
+    lap = -b * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+    noise_int = round_half_away(lap, 0).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "event_type": per["event_type"].astype("object"),
+            "n": per["n"].astype("int64"),
+            "noise": round_half_away(lap, 6),
+            "noisy_n": pd.Series(
+                per["n"].to_numpy(np.int64) + noise_int, dtype="int64"
+            ),
+        }
+    )
+
+
+def sql_dp_counts() -> str:
+    return f"""
+WITH per AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+seed AS (
+  SELECT event_type, n,
+         CAST(CASE WHEN md5_number_lower(event_type) % 2147483647 = 0
+                   THEN 1
+                   ELSE md5_number_lower(event_type) % 2147483647 END AS BIGINT)
+           AS s0
+  FROM per),
+drw AS (
+  SELECT event_type, n,
+         CAST((16807 * s0) % 2147483647 AS DOUBLE) / 2147483647 AS u
+  FROM seed),
+lp AS (
+  SELECT event_type, n,
+         -(1.0 / {DP_EPS}) * (CASE WHEN u > 0.5 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap
+  FROM drw)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(lap, 6) AS noise,
+       CAST(n + CAST(round(lap) AS BIGINT) AS BIGINT) AS noisy_n
+FROM lp ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -20036,4 +20283,6 @@ def registry() -> dict[str, tuple]:
         "multi_pattern_counts": (q_multi_pattern_counts, sql_multi_pattern_counts()),
         "doc_packing": (q_doc_packing, sql_doc_packing()),
         "bh_fdr": (q_bh_fdr, sql_bh_fdr()),
+        "wordpiece_tokens": (q_wordpiece_tokens, sql_wordpiece_tokens()),
+        "dp_counts": (q_dp_counts, sql_dp_counts()),
     }
