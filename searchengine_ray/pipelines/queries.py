@@ -19968,6 +19968,179 @@ FROM lp ORDER BY event_type
 """
 
 
+# ----------------------------------------------------- entity resolution
+
+ER_WINDOW = 3  # sorted-neighborhood window (pairs at rank offsets 1..W-1)
+ER_LEV_T = 3  # merge names within this edit distance
+
+
+def q_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    """Entity resolution over part names — the classic three-stage ER
+    pipeline: (1) BLOCK with the sorted-neighborhood method (Hernández
+    & Stolfo '95): names sorted, candidate pairs only within a
+    {W}-wide rank window; (2) MATCH candidates with full Levenshtein ≤
+    {T} (integer-exact, so no float threshold hazard); (3) CLUSTER by
+    transitive closure, rep = lexicographic min name. The heavy
+    reduction (name → count) is one distributed groupby; blocking,
+    matching and union-find run over the DISTINCT-NAME table (vocab
+    scale, 64 here — the heavy-hitters compromise). Output per entity
+    cluster: rep name, merged name variants, total part rows."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def lev(a: str, b: str) -> int:
+        if not a or not b:
+            return max(len(a), len(b))
+        ca = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+        cb = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+        prev = np.arange(len(cb) + 1, dtype=np.int64)
+        for i, x in enumerate(ca, 1):
+            cur = np.empty(len(cb) + 1, np.int64)
+            cur[0] = i
+            sub = prev[:-1] + (cb != x)
+            for j in range(1, len(cb) + 1):
+                cur[j] = min(cur[j - 1] + 1, prev[j] + 1, sub[j - 1])
+            prev = cur
+        return int(prev[-1])
+
+    names = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .groupby("p_name")
+        .aggregate(Count(alias_name="n_parts"))
+        .to_pandas()
+        .sort_values("p_name")
+        .reset_index(drop=True)
+    )
+    ns = names["p_name"].tolist()
+    parent = list(range(len(ns)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for off in range(1, ER_WINDOW):
+        for i in range(len(ns) - off):
+            if lev(ns[i], ns[i + off]) <= ER_LEV_T:
+                a, b = find(i), find(i + off)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    # rep = min name in cluster; parent chains point to the smallest
+    # index, and names are sorted, so find(i) IS the lexicographic min
+    names["cluster"] = [ns[find(i)] for i in range(len(ns))]
+    out = (
+        names.groupby("cluster")
+        .agg(n_names=("p_name", "size"), n_parts=("n_parts", "sum"))
+        .reset_index()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    return out.astype({"cluster": "object", "n_names": "int64", "n_parts": "int64"})
+
+
+def sql_entity_resolution() -> str:
+    return f"""
+WITH RECURSIVE nm AS (
+  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY p_name),
+rk AS (SELECT name, n_parts, row_number() OVER (ORDER BY name) AS rn FROM nm),
+edges AS (
+  SELECT a.name AS x, b.name AS y
+  FROM rk a JOIN rk b
+    ON b.rn - a.rn BETWEEN 1 AND {ER_WINDOW - 1}
+   AND levenshtein(a.name, b.name) <= {ER_LEV_T}),
+sym AS (SELECT x, y FROM edges UNION SELECT y AS x, x AS y FROM edges),
+reach(node, via) AS (
+    SELECT name, name FROM nm
+    UNION
+    SELECT s.y, reach.via FROM reach JOIN sym s ON s.x = reach.node),
+closure AS (SELECT node, min(via) AS cluster FROM reach GROUP BY node)
+SELECT c.cluster, CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(nm.n_parts) AS BIGINT) AS n_parts
+FROM closure c JOIN nm ON nm.name = c.node
+GROUP BY c.cluster ORDER BY c.cluster
+"""
+
+
+# ------------------------------------------------------ shard rebalancing
+
+REBALANCE_NODES = 4
+
+
+def q_shard_rebalance(sf_dir: str) -> pd.DataFrame:
+    """LPT (longest-processing-time) shard placement — the greedy
+    4/3-approximation every shard balancer runs: shards (here: one per
+    source, sized by total chars) sorted by size descending, each
+    assigned to the currently least-loaded of {K} nodes (ties → lowest
+    node id). Sizes come from one distributed groupby; the greedy walk
+    runs over the SHARD table (bounded by shard count, 20 here). The
+    SQL oracle replays the identical walk with per-node loads riding a
+    recursive CTE as LISTs. Output per node: shards, load, and load
+    relative to the perfect split."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sz = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Sum("n_chars", alias_name="size"))
+        .to_pandas()
+        .sort_values(["size", "source"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    K = REBALANCE_NODES
+    loads = np.zeros(K, np.int64)
+    cnts = np.zeros(K, np.int64)
+    for s in sz["size"].to_numpy(np.int64):
+        p = int(np.argmin(loads))  # first minimum — matches list_position
+        loads[p] += int(s)
+        cnts[p] += 1
+    total = float(sz["size"].sum())
+    return pd.DataFrame(
+        {
+            "node": pd.Series(range(K), dtype="int64"),
+            "n_shards": pd.Series(cnts, dtype="int64"),
+            "load": pd.Series(loads, dtype="int64"),
+            "balance": round_half_away(loads / (total / K), 6),
+        }
+    )
+
+
+def sql_shard_rebalance() -> str:
+    K = REBALANCE_NODES
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * K)
+    return f"""
+WITH RECURSIVE sz AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY source),
+rk AS (
+  SELECT source, size,
+         row_number() OVER (ORDER BY size DESC, source) AS rn
+  FROM sz),
+rec(rn, loads, cnts) AS (
+  SELECT CAST(0 AS BIGINT), [{zeros}], [{zeros}]
+  UNION ALL
+  SELECT rec.rn + 1,
+         list_transform(range(1, {K + 1}),
+             i -> rec.loads[i] + CASE WHEN i = pick.p THEN r.size ELSE 0 END),
+         list_transform(range(1, {K + 1}),
+             i -> rec.cnts[i] + CASE WHEN i = pick.p THEN 1 ELSE 0 END)
+  FROM rec
+  JOIN rk r ON r.rn = rec.rn + 1
+  CROSS JOIN LATERAL (
+      SELECT list_position(rec.loads, list_min(rec.loads)) AS p) pick),
+fin AS (SELECT loads, cnts FROM rec ORDER BY rn DESC LIMIT 1),
+tot AS (SELECT CAST(sum(size) AS DOUBLE) AS t FROM sz)
+SELECT CAST(i.range AS BIGINT) AS node,
+       CAST(fin.cnts[CAST(i.range AS INT) + 1] AS BIGINT) AS n_shards,
+       CAST(fin.loads[CAST(i.range AS INT) + 1] AS BIGINT) AS load,
+       round(CAST(fin.loads[CAST(i.range AS INT) + 1] AS DOUBLE)
+             / (tot.t / {K}), 6) AS balance
+FROM range({K}) i, fin, tot ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -20285,4 +20458,6 @@ def registry() -> dict[str, tuple]:
         "bh_fdr": (q_bh_fdr, sql_bh_fdr()),
         "wordpiece_tokens": (q_wordpiece_tokens, sql_wordpiece_tokens()),
         "dp_counts": (q_dp_counts, sql_dp_counts()),
+        "entity_resolution": (q_entity_resolution, sql_entity_resolution()),
+        "shard_rebalance": (q_shard_rebalance, sql_shard_rebalance()),
     }
