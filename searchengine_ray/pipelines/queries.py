@@ -20141,6 +20141,274 @@ FROM range({K}) i, fin, tot ORDER BY node
 """
 
 
+# ------------------------------------------------------ Hurst exponent
+
+HURST_WINDOWS = (4, 8, 12)
+
+
+def q_hurst_exponent(sf_dir: str) -> pd.DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis of the daily
+    event-count series — the long-range-dependence probe (H≈0.5 random
+    walk, >0.5 persistent). Per window size n, the series splits into
+    ⌊D/n⌋ chunks; per chunk R = range of the mean-centered cumulative
+    sum and S = population std, both derived from EXACT integer
+    (cum)sums so the doubles are bit-identical across engines; per-n
+    mean R/S goes through 6dp micro-integers (the wave-7 trick) to
+    dodge SQL aggregate-order float drift; H = OLS slope of ln(R/S) on
+    ln(n) over the {W} points, evaluated in one pivoted fixed-order
+    expression. Output per window: chunks, mean R/S and the shared H."""
+    import math as _m
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["c"].to_numpy(np.int64)
+    D = len(x)
+    rows = []
+    lnn, lnrs = [], []
+    for wn in HURST_WINDOWS:
+        nch = D // wn
+        msum = 0
+        for ck in range(nch):
+            ch = x[ck * wn : (ck + 1) * wn]
+            s1 = int(ch.sum())
+            s2 = int((ch * ch).sum())
+            m = s1 / wn
+            cs = np.cumsum(ch)  # exact ints
+            z = cs.astype(np.float64) - np.arange(1, wn + 1) * m
+            r = float(z.max()) - float(z.min())
+            s = _m.sqrt(s2 / wn - m * m)
+            msum += int(round_half_away(np.array([r / s * 1_000_000.0]), 0)[0])
+        mean_rs = msum / 1e6 / nch
+        lnn.append(_m.log(float(wn)))
+        lnrs.append(_m.log(mean_rs))
+        rows.append((wn, nch, float(round_half_away(np.array([mean_rs]), 6)[0])))
+    x1, x2, x3 = lnn
+    y1, y2, y3 = lnrs
+    sx = x1 + x2 + x3
+    sy = y1 + y2 + y3
+    sxy = x1 * y1 + x2 * y2 + x3 * y3
+    sxx = x1 * x1 + x2 * x2 + x3 * x3
+    hurst = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    out = pd.DataFrame(rows, columns=["window_n", "n_chunks", "mean_rs"])
+    out["hurst"] = float(round_half_away(np.array([hurst]), 6)[0])
+    return out.astype({"window_n": "int64", "n_chunks": "int64"})
+
+
+def sql_hurst_exponent() -> str:
+    w1, w2, w3 = HURST_WINDOWS
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1),
+rk AS (
+  SELECT c, row_number() OVER (ORDER BY day) - 1 AS t FROM daily),
+dd AS (SELECT count(*) AS d FROM rk),
+win AS (SELECT unnest([{w1}, {w2}, {w3}]) AS wn),
+chunks AS (
+  SELECT w.wn, r.t // w.wn AS ck, r.t % w.wn + 1 AS j, r.c
+  FROM rk r CROSS JOIN win w CROSS JOIN dd
+  WHERE r.t < w.wn * (dd.d // w.wn)),
+st AS (
+  SELECT wn, ck, sum(c) AS s1, sum(c * c) AS s2, count(*) AS n
+  FROM chunks GROUP BY wn, ck),
+cum AS (
+  SELECT wn, ck, j, sum(c) OVER (PARTITION BY wn, ck ORDER BY j) AS cs
+  FROM chunks),
+z AS (
+  SELECT cum.wn, cum.ck,
+         CAST(cum.cs AS DOUBLE)
+           - cum.j * (CAST(st.s1 AS DOUBLE) / st.n) AS zz
+  FROM cum JOIN st USING (wn, ck)),
+rs AS (
+  SELECT z.wn, z.ck,
+         CAST(round((max(z.zz) - min(z.zz))
+                    / sqrt(CAST(any_value(st.s2) AS DOUBLE) / any_value(st.n)
+                           - (CAST(any_value(st.s1) AS DOUBLE) / any_value(st.n))
+                             * (CAST(any_value(st.s1) AS DOUBLE) / any_value(st.n)))
+                    * 1000000.0) AS BIGINT) AS rsm
+  FROM z JOIN st USING (wn, ck)
+  GROUP BY z.wn, z.ck),
+mn AS (
+  SELECT wn, count(*) AS n_chunks,
+         CAST(sum(rsm) AS DOUBLE) / 1000000.0 / count(*) AS mean_rs
+  FROM rs GROUP BY wn),
+piv AS (
+  SELECT ln(CAST({w1} AS DOUBLE)) AS x1, ln(CAST({w2} AS DOUBLE)) AS x2,
+         ln(CAST({w3} AS DOUBLE)) AS x3,
+         ln(max(CASE WHEN wn = {w1} THEN mean_rs END)) AS y1,
+         ln(max(CASE WHEN wn = {w2} THEN mean_rs END)) AS y2,
+         ln(max(CASE WHEN wn = {w3} THEN mean_rs END)) AS y3
+  FROM mn),
+h AS (
+  SELECT (3.0 * (x1 * y1 + x2 * y2 + x3 * y3)
+          - (x1 + x2 + x3) * (y1 + y2 + y3))
+         / (3.0 * (x1 * x1 + x2 * x2 + x3 * x3)
+            - (x1 + x2 + x3) * (x1 + x2 + x3)) AS hurst
+  FROM piv)
+SELECT CAST(mn.wn AS BIGINT) AS window_n, CAST(mn.n_chunks AS BIGINT) AS n_chunks,
+       round(mn.mean_rs, 6) AS mean_rs, round(h.hurst, 6) AS hurst
+FROM mn, h ORDER BY window_n
+"""
+
+
+# --------------------------------------------- partial autocorrelation
+
+PACF_K = 5
+
+
+def q_pacf_daily(sf_dir: str) -> pd.DataFrame:
+    """Partial autocorrelation of the daily event-count series via the
+    Durbin–Levinson recursion — the AR-order picker beside
+    ``acf_daily``'s seasonality readout. ACF here is the standard
+    mean-centered/full-variance estimator, assembled from EXACT integer
+    lag moments (Σx_t·x_{t+k} and the two boundary sums) so r_1..r_{K}
+    are bit-identical doubles in both engines; the D–L recursion is
+    UNROLLED with one fixed parenthesization shared by the SQL oracle
+    (the mmr-style unroll), so every φ and v matches bit-for-bit."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["c"].to_numpy(np.int64)
+    D = len(x)
+    s1, s2 = int(x.sum()), int((x * x).sum())
+    m = s1 / D
+    den = s2 - 2.0 * m * s1 + D * (m * m)
+    r = []
+    for k in range(1, PACF_K + 1):
+        a = int((x[:-k] * x[k:]).sum())
+        b = int(x[:-k].sum())
+        c = int(x[k:].sum())
+        num = a - m * b - m * c + (D - k) * (m * m)
+        r.append(num / den)
+    r1, r2, r3, r4, r5 = r
+    # Durbin–Levinson, unrolled with the oracle's exact parenthesization
+    a1 = r1
+    v1 = 1.0 - a1 * a1
+    p11 = a1
+    a2 = (r2 - p11 * r1) / v1
+    p21 = p11 - a2 * p11
+    p22 = a2
+    v2 = v1 * (1.0 - a2 * a2)
+    a3 = (r3 - (p21 * r2 + p22 * r1)) / v2
+    p31 = p21 - a3 * p22
+    p32 = p22 - a3 * p21
+    p33 = a3
+    v3 = v2 * (1.0 - a3 * a3)
+    a4 = (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / v3
+    p41 = p31 - a4 * p33
+    p42 = p32 - a4 * p32
+    p43 = p33 - a4 * p31
+    v4 = v3 * (1.0 - a4 * a4)
+    a5 = (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + a4 * r1)) / v4
+    pac = [a1, a2, a3, a4, a5]
+    return pd.DataFrame(
+        {
+            "lag": pd.Series(range(1, PACF_K + 1), dtype="int64"),
+            "acf": round_half_away(np.array(r), 6),
+            "pacf": round_half_away(np.array(pac), 6),
+        }
+    )
+
+
+def sql_pacf_daily() -> str:
+    lags = ", ".join(str(k) for k in range(1, PACF_K + 1))
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY day) AS t FROM daily),
+g AS (SELECT count(*) AS d, sum(c) AS s1, sum(c * c) AS s2 FROM rk),
+lagm AS (
+  SELECT k.lag,
+         sum(a.c * b.c) AS ab,
+         sum(a.c) AS sb, sum(b.c) AS sc
+  FROM (SELECT unnest([{lags}]) AS lag) k
+  JOIN rk a ON true
+  JOIN rk b ON b.t = a.t + k.lag
+  GROUP BY k.lag),
+rv AS (
+  SELECT lag,
+         (CAST(ab AS DOUBLE)
+          - (CAST(g.s1 AS DOUBLE) / g.d) * sb
+          - (CAST(g.s1 AS DOUBLE) / g.d) * sc
+          + (g.d - lag) * ((CAST(g.s1 AS DOUBLE) / g.d)
+                           * (CAST(g.s1 AS DOUBLE) / g.d)))
+         / (CAST(g.s2 AS DOUBLE)
+            - 2.0 * (CAST(g.s1 AS DOUBLE) / g.d) * g.s1
+            + g.d * ((CAST(g.s1 AS DOUBLE) / g.d)
+                     * (CAST(g.s1 AS DOUBLE) / g.d))) AS r
+  FROM lagm, g),
+rp AS (
+  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+         max(CASE WHEN lag = 2 THEN r END) AS r2,
+         max(CASE WHEN lag = 3 THEN r END) AS r3,
+         max(CASE WHEN lag = 4 THEN r END) AS r4,
+         max(CASE WHEN lag = 5 THEN r END) AS r5
+  FROM rv),
+s1 AS (SELECT *, r1 AS a1, 1.0 - r1 * r1 AS v1, r1 AS p11 FROM rp),
+s2 AS (SELECT *, (r2 - p11 * r1) / v1 AS a2 FROM s1),
+s2b AS (SELECT *, p11 - a2 * p11 AS p21, a2 AS p22,
+               v1 * (1.0 - a2 * a2) AS v2 FROM s2),
+s3 AS (SELECT *, (r3 - (p21 * r2 + p22 * r1)) / v2 AS a3 FROM s2b),
+s3b AS (SELECT *, p21 - a3 * p22 AS p31, p22 - a3 * p21 AS p32, a3 AS p33,
+               v2 * (1.0 - a3 * a3) AS v3 FROM s3),
+s4 AS (SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / v3 AS a4 FROM s3b),
+s4b AS (SELECT *, p31 - a4 * p33 AS p41, p32 - a4 * p32 AS p42,
+               p33 - a4 * p31 AS p43, v3 * (1.0 - a4 * a4) AS v4 FROM s4),
+s5 AS (SELECT *, (r5 - (p41 * r4 + p42 * r3 + p43 * r2 + a4 * r1)) / v4 AS a5
+       FROM s4b)
+SELECT CAST(l.lag AS BIGINT) AS lag, round(rv.r, 6) AS acf,
+       round(CASE l.lag WHEN 1 THEN s5.a1 WHEN 2 THEN s5.a2 WHEN 3 THEN s5.a3
+                        WHEN 4 THEN s5.a4 ELSE s5.a5 END, 6) AS pacf
+FROM (SELECT unnest([{lags}]) AS lag) l
+JOIN rv ON rv.lag = l.lag, s5
+ORDER BY lag
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -20460,4 +20728,6 @@ def registry() -> dict[str, tuple]:
         "dp_counts": (q_dp_counts, sql_dp_counts()),
         "entity_resolution": (q_entity_resolution, sql_entity_resolution()),
         "shard_rebalance": (q_shard_rebalance, sql_shard_rebalance()),
+        "hurst_exponent": (q_hurst_exponent, sql_hurst_exponent()),
+        "pacf_daily": (q_pacf_daily, sql_pacf_daily()),
     }
