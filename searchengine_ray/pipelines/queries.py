@@ -20409,6 +20409,356 @@ ORDER BY lag
 """
 
 
+# ------------------------------------------------------- CDC merge/upsert
+
+UPSERT_BASE_DAYS = 20  # first N days of the stream form the base snapshot
+
+
+def q_merge_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / latest-wins upsert — the CDC compaction shape every
+    lakehouse table maintenance job runs. The event stream splits at
+    ``min_day + {N}`` into a base snapshot and an update stream; per
+    user each period keeps its latest row (ts, then event_id as the
+    tie-break), and the merge classifies every surviving key as
+    ``insert`` (new key), ``update`` (key overwritten by a later row)
+    or ``carry`` (base row untouched). One user-hash bucket shuffle +
+    a vectorized per-bucket scan — no driver-side state; final values
+    are summed as exact 6dp micro-ints so the audit row is
+    order-independent across engines."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    US_DAY = 86_400_000_000
+    N_BUCKETS = 32
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    min_day = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // US_DAY,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .min("day")
+    )
+    split_day = int(min_day) + UPSERT_BASE_DAYS
+
+    def tag(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (
+            pd.util.hash_array(users.astype(np.int64)) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "value": b["value"],
+                "is_upd": pa.array(
+                    (ts // US_DAY >= split_day).astype(np.int8), pa.int8()
+                ),
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "action": pd.Series([], dtype="object"),
+                "n1": pd.Series([], dtype="int64"),
+                "v1": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(
+            ["user_id", "is_upd", "_ts", "event_id"], kind="mergesort"
+        )
+        # last row per (user, period) — the period's survivor
+        last = g.groupby(["user_id", "is_upd"], sort=False).tail(1)
+        per_user = last.groupby("user_id", sort=False)["is_upd"].agg(
+            ["min", "max"]
+        )
+        action = np.where(
+            per_user["min"] == 1,
+            "insert",
+            np.where(per_user["max"] == 1, "update", "carry"),
+        )
+        # final value = the update-period survivor when present, else base
+        fin = last.groupby("user_id", sort=False).tail(1)
+        v = fin["value"].to_numpy(np.float64)
+        micro = np.asarray(round_half_away(np.round(v, 6) * 1e6, 0), np.int64)
+        out = pd.DataFrame({"action": action, "v1": micro})
+        agg = (
+            out.groupby("action", sort=False)
+            .agg(n1=("v1", "size"), v1=("v1", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"n1": "int64", "v1": "int64"})[["action", "n1", "v1"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+        .groupby("action")
+        .aggregate(Sum("n1", alias_name="n_keys"), Sum("v1", alias_name="value_micro"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values("action")
+        .reset_index(drop=True)
+        .astype({"action": "object", "n_keys": "int64", "value_micro": "int64"})
+    )
+
+
+def sql_merge_upsert() -> str:
+    return f"""
+WITH split AS (
+  SELECT CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT)
+         + {UPSERT_BASE_DAYS} AS d
+  FROM events),
+tagged AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN epoch_us(ts) // 86400000000 >= split.d
+              THEN 1 ELSE 0 END AS is_upd
+  FROM events, split),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, is_upd
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM tagged),
+surv AS (SELECT * FROM ranked WHERE rn = 1),
+merged AS (
+  SELECT user_id,
+         CASE WHEN min(is_upd) = 1 THEN 'insert'
+              WHEN max(is_upd) = 1 THEN 'update'
+              ELSE 'carry' END AS action,
+         max_by(value, is_upd) AS value
+  FROM surv GROUP BY user_id)
+SELECT action, count(*) AS n_keys,
+       CAST(sum(CAST(round(round(value, 6) * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS value_micro
+FROM merged GROUP BY action ORDER BY action
+"""
+
+
+# ------------------------------------------------------------ Cohen's kappa
+
+
+def q_cohens_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between the heuristic language-ID stage and the
+    corpus's true ``lang`` label, both binarized to en / non-en — the
+    chance-corrected agreement readout a labeling pipeline gates model
+    swaps on (accuracy alone rewards majority-class parroting). The
+    2×2 confusion cells are exact integers from per-batch partial
+    counts + one Sum; kappa = (p_o − p_e)/(1 − p_e) in one shared
+    closed form."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import lang_id_batch
+
+    def cells(b: pa.Table) -> pa.Table:
+        pred = lang_id_batch(b)["lang_pred"].to_numpy(zero_copy_only=False)
+        p_en = pred == "en"
+        t_en = (
+            b["lang"].to_numpy(zero_copy_only=False) == "en"
+        )
+        return pa.table(
+            {
+                "tp": pa.array([int(np.sum(p_en & t_en))], pa.int64()),
+                "fp": pa.array([int(np.sum(p_en & ~t_en))], pa.int64()),
+                "fn": pa.array([int(np.sum(~p_en & t_en))], pa.int64()),
+                "tn": pa.array([int(np.sum(~p_en & ~t_en))], pa.int64()),
+            }
+        )
+
+    m = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+        .map_batches(cells, batch_format="pyarrow")
+        .aggregate(Sum("tp"), Sum("fp"), Sum("fn"), Sum("tn"))
+    )
+    tp, fp, fn, tn = (
+        int(m["sum(tp)"]),
+        int(m["sum(fp)"]),
+        int(m["sum(fn)"]),
+        int(m["sum(tn)"]),
+    )
+    n = tp + fp + fn + tn
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n / n
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame(
+        {
+            "tp": pd.Series([tp], dtype="int64"),
+            "fp": pd.Series([fp], dtype="int64"),
+            "fn": pd.Series([fn], dtype="int64"),
+            "tn": pd.Series([tn], dtype="int64"),
+            "p_o": pd.Series(round_half_away([po], 6), dtype="float64"),
+            "p_e": pd.Series(round_half_away([pe], 6), dtype="float64"),
+            "kappa": pd.Series(round_half_away([kappa], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_cohens_kappa() -> str:
+    return f"""
+WITH {_raw_tokens_cte()},
+pred AS (
+  SELECT p.doc_id,
+         (NOT regexp_matches(d.text, '[ぁ-ヿ一-鿿]'))
+           AND p.n_stop / greatest(p.n_tokens, 1.0) >= 0.05 AS p_en,
+         d.lang = 'en' AS t_en
+  FROM per_doc p JOIN documents d USING (doc_id)),
+c AS (
+  SELECT sum(CASE WHEN p_en AND t_en THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p_en AND NOT t_en THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT p_en AND t_en THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT p_en AND NOT t_en THEN 1 ELSE 0 END) AS tn
+  FROM pred),
+k AS (
+  SELECT *, tp + fp + fn + tn AS n,
+         (tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE) AS po,
+         ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+           / CAST(tp + fp + fn + tn AS DOUBLE)
+           / CAST(tp + fp + fn + tn AS DOUBLE) AS pe
+  FROM c)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       round(po, 6) AS p_o, round(pe, 6) AS p_e,
+       round((po - pe) / (1.0 - pe), 6) AS kappa
+FROM k
+"""
+
+
+# ------------------------------------------------------------ CUSUM control
+
+
+def q_cusum_control(sf_dir: str) -> pd.DataFrame:
+    """Two-sided CUSUM control chart over the daily event-count series
+    (k = σ/2 slack, h = 4σ decision interval, reset on alarm) — the
+    classic sequential drift detector beside `changepoint_day`'s
+    offline split. μ and σ come from EXACT integer daily moments so
+    both engines start from bit-identical doubles; the recursion runs
+    as a single-row recursive CTE in SQL with the same float op order,
+    so alarm counts and final statistics match exactly."""
+    import math as _m
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["c"].to_numpy(np.int64)
+    d = len(x)
+    s1, s2 = int(x.sum()), int((x * x).sum())
+    mu = s1 / d
+    sig = _m.sqrt(s2 / d - mu * mu)
+    k = sig / 2.0
+    h = 4.0 * sig
+    sh = sl = 0.0
+    n_hi = n_lo = 0
+    for c in x.astype(np.float64):
+        ch = sh + (c - mu - k)
+        ch = ch if ch > 0.0 else 0.0
+        if ch > h:
+            n_hi += 1
+            sh = 0.0
+        else:
+            sh = ch
+        cl = sl + (mu - c - k)
+        cl = cl if cl > 0.0 else 0.0
+        if cl > h:
+            n_lo += 1
+            sl = 0.0
+        else:
+            sl = cl
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([d], dtype="int64"),
+            "mu": pd.Series(round_half_away([mu], 6), dtype="float64"),
+            "sigma": pd.Series(round_half_away([sig], 6), dtype="float64"),
+            "n_alarm_hi": pd.Series([n_hi], dtype="int64"),
+            "n_alarm_lo": pd.Series([n_lo], dtype="int64"),
+            "s_hi": pd.Series(round_half_away([sh], 6), dtype="float64"),
+            "s_lo": pd.Series(round_half_away([sl], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_cusum_control() -> str:
+    return """
+WITH RECURSIVE daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+    FROM events GROUP BY 1),
+obs AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, CAST(c AS DOUBLE) AS c
+    FROM daily),
+g AS (
+    SELECT count(*) AS d,
+           CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+           sqrt(CAST(sum(c * c) AS DOUBLE) / count(*)
+                - (CAST(sum(c) AS DOUBLE) / count(*))
+                  * (CAST(sum(c) AS DOUBLE) / count(*))) AS sig
+    FROM (SELECT CAST(c AS BIGINT) AS c FROM daily)),
+dp(t, sh, sl, nh, nl) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT dp.t + 1,
+           CASE WHEN greatest(0.0, dp.sh + (obs.c - g.mu - g.sig / 2.0))
+                     > 4.0 * g.sig
+                THEN 0.0
+                ELSE greatest(0.0, dp.sh + (obs.c - g.mu - g.sig / 2.0)) END,
+           CASE WHEN greatest(0.0, dp.sl + (g.mu - obs.c - g.sig / 2.0))
+                     > 4.0 * g.sig
+                THEN 0.0
+                ELSE greatest(0.0, dp.sl + (g.mu - obs.c - g.sig / 2.0)) END,
+           dp.nh + CASE WHEN greatest(0.0, dp.sh + (obs.c - g.mu - g.sig / 2.0))
+                             > 4.0 * g.sig THEN 1 ELSE 0 END,
+           dp.nl + CASE WHEN greatest(0.0, dp.sl + (g.mu - obs.c - g.sig / 2.0))
+                             > 4.0 * g.sig THEN 1 ELSE 0 END
+    FROM dp JOIN obs ON obs.t = dp.t + 1, g),
+fin AS (SELECT * FROM dp ORDER BY t DESC LIMIT 1)
+SELECT CAST(g.d AS BIGINT) AS n_days, round(g.mu, 6) AS mu,
+       round(g.sig, 6) AS sigma,
+       CAST(fin.nh AS BIGINT) AS n_alarm_hi, CAST(fin.nl AS BIGINT) AS n_alarm_lo,
+       round(fin.sh, 6) AS s_hi, round(fin.sl, 6) AS s_lo
+FROM fin, g
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -20730,4 +21080,7 @@ def registry() -> dict[str, tuple]:
         "shard_rebalance": (q_shard_rebalance, sql_shard_rebalance()),
         "hurst_exponent": (q_hurst_exponent, sql_hurst_exponent()),
         "pacf_daily": (q_pacf_daily, sql_pacf_daily()),
+        "merge_upsert": (q_merge_upsert, sql_merge_upsert()),
+        "cohens_kappa": (q_cohens_kappa, sql_cohens_kappa()),
+        "cusum_control": (q_cusum_control, sql_cusum_control()),
     }
