@@ -20759,6 +20759,399 @@ FROM fin, g
 """
 
 
+# ---------------------------------------------------------- k-NN classify
+
+KNN_K = 5
+
+
+def q_knn_classify(sf_dir: str) -> pd.DataFrame:
+    """k-NN classification over the embedding table: even vec_ids are
+    the labeled train split (broadcast — the small side a 100-TB run
+    ships once via ``ray.put``), odd vec_ids are scored in parallel
+    ``map_batches`` passes (one matmul per batch). Neighbors rank by
+    (6dp-rounded cosine DESC, train id ASC) — the quantize-then-rank
+    contract that makes the argsort bit-reproducible across engines —
+    and the vote breaks count ties toward the smaller label. Output:
+    the (true_label, pred_label) confusion matrix, exact counts."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def split(b: pa.Table, keep_even: bool) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 2 == 0) if keep_even else (ids % 2 == 1)
+        return b.filter(pa.array(mask))
+
+    train = ds.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
+    ).to_pandas()
+    train = train.sort_values("vec_id").reset_index(drop=True)
+    t_mat = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    t_ids = train["vec_id"].to_numpy(np.int64)
+    t_lab = train["label"].to_numpy(np.int64)
+    t_norm = np.sqrt((t_mat * t_mat).sum(axis=1))
+    ref = ray.put((t_mat, t_ids, t_lab, t_norm))
+    n_lab = int(t_lab.max()) + 1
+
+    def classify(b: pa.Table) -> pa.Table:
+        tm, tid, tlb, tn = ray.get(ref)
+        b = split(b, False)
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "true_label": pa.array([], pa.int64()),
+                    "pred_label": pa.array([], pa.int64()),
+                    "n1": pa.array([], pa.int64()),
+                }
+            )
+        x = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        cos = (x @ tm.T) / np.outer(xn, tn)
+        cos_q = np.asarray(round_half_away(cos, 6), np.float64)
+        preds = np.empty(len(x), np.int64)
+        for i in range(len(x)):
+            order = np.lexsort((tid, -cos_q[i]))[:KNN_K]
+            votes = np.bincount(tlb[order], minlength=n_lab)
+            preds[i] = int(np.argmax(votes))  # first max = smallest label
+        out = pd.DataFrame(
+            {
+                "true_label": b["label"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "pred_label": preds,
+            }
+        )
+        agg = (
+            out.groupby(["true_label", "pred_label"], sort=False)
+            .size()
+            .rename("n1")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby(["true_label", "pred_label"])
+        .aggregate(Sum("n1", alias_name="n"))
+        .to_pandas()
+    )
+    return (
+        out.sort_values(["true_label", "pred_label"])
+        .reset_index(drop=True)
+        .astype({"true_label": "int64", "pred_label": "int64", "n": "int64"})
+    )
+
+
+def sql_knn_classify() -> str:
+    return f"""
+WITH tr AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 0),
+te AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 2 = 1),
+pairs AS (
+  SELECT te.vec_id AS q, te.label AS tl, tr.label AS rl, tr.vec_id AS rid,
+         round(list_cosine_similarity(te.e, tr.e), 6) AS c
+  FROM te CROSS JOIN tr),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY q ORDER BY c DESC, rid) AS rn
+  FROM pairs),
+kn AS (
+  SELECT q, tl, rl, count(*) AS cnt
+  FROM rk WHERE rn <= {KNN_K} GROUP BY q, tl, rl),
+vote AS (
+  SELECT q, tl, rl,
+         row_number() OVER (PARTITION BY q ORDER BY cnt DESC, rl) AS vr
+  FROM kn)
+SELECT CAST(tl AS BIGINT) AS true_label, CAST(rl AS BIGINT) AS pred_label,
+       count(*) AS n
+FROM vote WHERE vr = 1
+GROUP BY tl, rl ORDER BY tl, rl
+"""
+
+
+# ------------------------------------------------- delete-one jackknife
+
+JACK_BUCKETS = 32
+
+
+def q_jackknife_variance(sf_dir: str) -> pd.DataFrame:
+    """Delete-one-bucket jackknife for the ratio metric revenue-per-
+    purchasing-user — the production way to put a standard error on a
+    ratio over user-randomized data (per-user terms are dependent, so
+    naive row-level variance is wrong; user-disjoint buckets make the
+    leave-one-out replicates valid). Buckets are ``user_id % {B}``;
+    every per-bucket sum is an exact milli-int, each replicate ratio is
+    one closed-form division, and cross-bucket float aggregation goes
+    through 6dp micro-ints so both engines sum integers."""
+    import math as _m
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def per_user(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"].filter(pa.array(keep)),
+                "m": pa.array(milli, pa.int64()),
+            }
+        )
+
+    ub = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+        )
+        .map_batches(per_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("m", alias_name="vm"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "b": pa.array(
+                        b["user_id"].to_numpy(zero_copy_only=False) % JACK_BUCKETS,
+                        pa.int64(),
+                    ),
+                    "vm": b["vm"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("b")
+        .aggregate(Count(alias_name="u"), Sum("vm", alias_name="v"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    u = ub["u"].to_numpy(np.int64)
+    v = ub["v"].to_numpy(np.int64)
+    n_b = len(ub)
+    tot_u, tot_v = int(u.sum()), int(v.sum())
+    theta = tot_v / tot_u
+    rq = np.asarray(
+        round_half_away((tot_v - v).astype(np.float64) / (tot_u - u) * 1e6, 0),
+        np.int64,
+    )
+    mean_loo = int(rq.sum()) / 1e6 / n_b
+    dev2 = (rq / 1e6 - mean_loo) ** 2
+    s = int(np.asarray(round_half_away(dev2 * 1e6, 0), np.int64).sum())
+    var = (n_b - 1.0) / n_b * (s / 1e6)
+    return pd.DataFrame(
+        {
+            "n_buckets": pd.Series([n_b], dtype="int64"),
+            "users": pd.Series([tot_u], dtype="int64"),
+            "rev_milli": pd.Series([tot_v], dtype="int64"),
+            "theta": pd.Series(round_half_away([theta], 6), dtype="float64"),
+            "jack_se": pd.Series(round_half_away([_m.sqrt(var)], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_jackknife_variance() -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id, CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS m
+  FROM events WHERE event_type = 'purchase'),
+ub AS (SELECT user_id % {JACK_BUCKETS} AS b, sum(m) AS vm
+       FROM p GROUP BY user_id),
+bk AS (SELECT b, count(*) AS u, CAST(sum(vm) AS BIGINT) AS v
+       FROM ub GROUP BY b),
+g AS (SELECT CAST(sum(u) AS BIGINT) AS tu, CAST(sum(v) AS BIGINT) AS tv,
+             count(*) AS nb
+      FROM bk),
+loo AS (
+  SELECT CAST(round(CAST(tv - v AS DOUBLE) / (tu - u) * 1000000, 0) AS BIGINT)
+           AS rq
+  FROM bk, g),
+mn AS (SELECT CAST(sum(rq) AS DOUBLE) / 1000000.0 / any_value(nb) AS m
+       FROM loo, g),
+dv AS (
+  SELECT CAST(round((loo.rq / 1000000.0 - mn.m) * (loo.rq / 1000000.0 - mn.m)
+                    * 1000000, 0) AS BIGINT) AS d2
+  FROM loo, mn)
+SELECT CAST(g.nb AS BIGINT) AS n_buckets, g.tu AS users, g.tv AS rev_milli,
+       round(CAST(g.tv AS DOUBLE) / g.tu, 6) AS theta,
+       round(sqrt((g.nb - 1.0) / g.nb
+                  * (CAST((SELECT sum(d2) FROM dv) AS DOUBLE) / 1000000.0)),
+             6) AS jack_se
+FROM g
+"""
+
+
+# --------------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 4  # grams per selection window
+
+
+def q_winnowing_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken —
+    the MOSS local-fingerprint scheme): per doc, hash every {K}-token
+    gram (md5-lower-64 of the unit-separator-joined gram, the
+    DuckDB-equal token hash), then per sliding window of {W} grams
+    select the minimum hash, rightmost on ties — the guarantee-dense
+    sample (expected density 2/(w+1)) shared-substring detectors key
+    on. Fully vectorized: one sliding-window min per doc via stride
+    tricks, no pair materialization. Output per source: docs with ≥1
+    window, gram/window totals, distinct selected fingerprints and
+    density."""
+    import hashlib as _h
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        toks = _token_lists(texts)
+        srcs = b["source"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for src, ts in zip(srcs, toks):
+            a = acc.setdefault(src, [0, 0, 0, 0])
+            n = len(ts)
+            if n < WINNOW_K:
+                continue
+            grams = [
+                "\x1f".join(ts[i : i + WINNOW_K]) for i in range(n - WINNOW_K + 1)
+            ]
+            h = np.fromiter(
+                (
+                    int.from_bytes(_h.md5(g.encode()).digest()[8:], "little")
+                    for g in grams
+                ),
+                np.uint64,
+                count=len(grams),
+            )
+            ng = len(h)
+            a[1] += ng
+            if ng < WINNOW_W:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(h, WINNOW_W)
+            minv = win.min(axis=1)
+            # rightmost index attaining the min in each window
+            right = (
+                WINNOW_W
+                - 1
+                - np.argmax(win[:, ::-1] == minv[:, None], axis=1)
+            )
+            sel_pos = np.arange(len(win)) + right
+            a[0] += 1
+            a[2] += len(win)
+            a[3] += len(np.unique(sel_pos))
+        if not acc:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "d1": pa.array([], pa.int64()),
+                    "g1": pa.array([], pa.int64()),
+                    "w1": pa.array([], pa.int64()),
+                    "f1": pa.array([], pa.int64()),
+                }
+            )
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "d1": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "g1": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "w1": pa.array([acc[k][2] for k in keys], pa.int64()),
+                "f1": pa.array([acc[k][3] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(fp_batch, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("d1", alias_name="n_docs"),
+            Sum("g1", alias_name="n_grams"),
+            Sum("w1", alias_name="n_windows"),
+            Sum("f1", alias_name="n_fp"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["density"] = round_half_away(
+        out["n_fp"].to_numpy(np.float64) / out["n_windows"].to_numpy(np.float64), 6
+    )
+    return out.astype(
+        {
+            "source": "object",
+            "n_docs": "int64",
+            "n_grams": "int64",
+            "n_windows": "int64",
+            "n_fp": "int64",
+        }
+    )
+
+
+def sql_winnowing_fingerprints() -> str:
+    w = WINNOW_W
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS p
+  FROM (SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l) + 1)) AS pos
+        FROM (SELECT doc_id,
+                     string_split_regex(
+                       lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                       '[ \t\n\x0b\f\r]+') AS l
+              FROM documents))
+  WHERE t <> ''),
+grams AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS gp,
+         md5_number_lower(t || chr(31) || lead(t, 1) OVER w2 || chr(31)
+                          || lead(t, 2) OVER w2 || chr(31)
+                          || lead(t, 3) OVER w2) AS h
+  FROM tok
+  WINDOW w2 AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY lead(t, 3) OVER w2 IS NOT NULL),
+pk AS (
+  SELECT doc_id, gp,
+         CAST(h AS HUGEINT) * 1048576 + (1048575 - gp) AS pack,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams),
+wmin AS (
+  SELECT doc_id, ng,
+         min(pack) OVER (PARTITION BY doc_id ORDER BY gp
+                         ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+  FROM pk QUALIFY gp <= ng - {w}),
+perdoc AS (
+  SELECT doc_id, any_value(ng) AS ng, count(DISTINCT sel) AS nsel,
+         any_value(ng) - {w - 1} AS nwin
+  FROM wmin GROUP BY doc_id),
+tot AS (
+  SELECT d.source, count(*) AS n_docs, sum(g.ng) AS n_grams,
+         sum(g.nwin) AS n_windows, sum(g.nsel) AS n_fp
+  FROM perdoc g JOIN documents d USING (doc_id)
+  GROUP BY d.source),
+short AS (
+  -- docs whose gram count is in [1, {w}) contribute grams but no windows
+  SELECT d.source, sum(p.ng) AS g_extra
+  FROM (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id
+        HAVING count(*) < {w}) p
+  JOIN documents d USING (doc_id)
+  GROUP BY d.source)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_grams + coalesce(s.g_extra, 0) AS BIGINT) AS n_grams,
+       CAST(t.n_windows AS BIGINT) AS n_windows, CAST(t.n_fp AS BIGINT) AS n_fp,
+       round(CAST(t.n_fp AS DOUBLE) / t.n_windows, 6) AS density
+FROM tot t LEFT JOIN short s ON s.source = t.source
+ORDER BY t.source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -21083,4 +21476,10 @@ def registry() -> dict[str, tuple]:
         "merge_upsert": (q_merge_upsert, sql_merge_upsert()),
         "cohens_kappa": (q_cohens_kappa, sql_cohens_kappa()),
         "cusum_control": (q_cusum_control, sql_cusum_control()),
+        "knn_classify": (q_knn_classify, sql_knn_classify()),
+        "jackknife_variance": (q_jackknife_variance, sql_jackknife_variance()),
+        "winnowing_fingerprints": (
+            q_winnowing_fingerprints,
+            sql_winnowing_fingerprints(),
+        ),
     }
