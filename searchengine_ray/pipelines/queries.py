@@ -21152,6 +21152,263 @@ ORDER BY t.source
 """
 
 
+# ------------------------------------------------------ isotonic (PAVA)
+
+
+def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
+    """Isotonic regression (pool-adjacent-violators) of the daily
+    purchase rate against day order — the monotone calibration fit
+    score-calibration pipelines run (Zadrozny & Elkan). Weights are
+    daily event counts and values are purchase counts, so every pool is
+    a pair of exact integers and the merge test is the cross-multiplied
+    integer inequality v_last·w_prev < v_prev·w_last — no float compare
+    can diverge between engines. The SQL oracle replays the identical
+    stack algorithm as a LIST-state recursive CTE (a merge step pops
+    two pools, an advance step pushes the next day), then expands pools
+    back to days. Output per day: counts, the pool id and fitted rate."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    ),
+                    "p": pa.array(
+                        (
+                            b["event_type"].to_numpy(zero_copy_only=False)
+                            == "purchase"
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="w"), Sum("p", alias_name="v"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    w = daily["w"].to_numpy(np.int64)
+    v = daily["v"].to_numpy(np.int64)
+    vs: list[int] = []
+    ws: list[int] = []
+    cs: list[int] = []
+    for vi, wi in zip(v, w):
+        vs.append(int(vi))
+        ws.append(int(wi))
+        cs.append(1)
+        while len(vs) >= 2 and vs[-1] * ws[-2] < vs[-2] * ws[-1]:
+            tv, tw, tc = vs.pop(), ws.pop(), cs.pop()
+            vs[-1] += tv
+            ws[-1] += tw
+            cs[-1] += tc
+    pool = np.repeat(np.arange(1, len(cs) + 1), cs)
+    fitted = np.repeat(
+        np.asarray(vs, np.float64) / np.asarray(ws, np.float64), cs
+    )
+    return pd.DataFrame(
+        {
+            "day": daily["day"].astype("int64"),
+            "events": daily["w"].astype("int64"),
+            "purchases": daily["v"].astype("int64"),
+            "pool": pd.Series(pool, dtype="int64"),
+            "fitted": round_half_away(fitted, 6),
+        }
+    )
+
+
+def sql_isotonic_calibration() -> str:
+    return """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS w,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM events GROUP BY 1),
+obs AS (
+  SELECT row_number() OVER (ORDER BY day) AS t, day, w, v FROM daily),
+rec(s, i, vs, ws, cs) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT rec.s + 1,
+         CASE WHEN m.mg THEN rec.i ELSE rec.i + 1 END,
+         CASE WHEN m.mg
+              THEN list_append(list_slice(rec.vs, 1, len(rec.vs) - 2),
+                               rec.vs[-2] + rec.vs[-1])
+              ELSE list_append(rec.vs, obs.v) END,
+         CASE WHEN m.mg
+              THEN list_append(list_slice(rec.ws, 1, len(rec.ws) - 2),
+                               rec.ws[-2] + rec.ws[-1])
+              ELSE list_append(rec.ws, obs.w) END,
+         CASE WHEN m.mg
+              THEN list_append(list_slice(rec.cs, 1, len(rec.cs) - 2),
+                               rec.cs[-2] + rec.cs[-1])
+              ELSE list_append(rec.cs, CAST(1 AS BIGINT)) END
+  FROM rec
+  CROSS JOIN LATERAL (
+      SELECT len(rec.vs) >= 2
+             AND rec.vs[-1] * rec.ws[-2] < rec.vs[-2] * rec.ws[-1] AS mg) m
+  LEFT JOIN obs ON NOT m.mg AND obs.t = rec.i + 1
+  WHERE m.mg OR obs.t IS NOT NULL),
+fin AS (SELECT * FROM rec ORDER BY s DESC LIMIT 1),
+pools AS (
+  SELECT unnest(vs) AS pv, unnest(ws) AS pw, unnest(cs) AS pc,
+         unnest(range(1, len(vs) + 1)) AS j
+  FROM fin),
+spans AS (
+  SELECT j, pv, pw,
+         sum(pc) OVER (ORDER BY j) AS hi,
+         sum(pc) OVER (ORDER BY j) - pc + 1 AS lo
+  FROM pools)
+SELECT obs.day, obs.w AS events, obs.v AS purchases,
+       CAST(sp.j AS BIGINT) AS pool,
+       round(CAST(sp.pv AS DOUBLE) / sp.pw, 6) AS fitted
+FROM obs JOIN spans sp ON obs.t BETWEEN sp.lo AND sp.hi
+ORDER BY obs.day
+"""
+
+
+# ---------------------------------------------------- Burrows' Delta
+
+BURROWS_TOPK = 30
+BURROWS_PAIRS = 10
+
+
+def q_burrows_delta(sf_dir: str) -> pd.DataFrame:
+    """Burrows' Delta stylometric distance between sources — the
+    authorship-attribution classic: z-scores of the top-{K} corpus
+    terms' per-source relative frequencies, Delta(a,b) = mean |z_a −
+    z_b|. The heavy stage is the (source, term) combiner count shuffle;
+    z and Delta derive on the vocabulary-sized result. Relative
+    frequencies quantize to 1e-9 grid ints and per-term |Δz| to 6dp
+    micro-ints before any cross-source/cross-term aggregation, so both
+    engines sum integers in any order. Output: the {P} closest source
+    pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pandas()
+        toks = _token_lists(b["text"].to_pandas())
+        lens = [len(t) for t in toks]
+        flat_src = np.repeat(src.to_numpy(object), lens)
+        flat_tok = np.asarray([t for ts in toks for t in ts], object)
+        g = (
+            pd.DataFrame({"source": flat_src, "term": flat_tok})
+            .groupby(["source", "term"], as_index=False, sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    term_tot = vocab.groupby("term")["c"].sum()
+    # ties broken by term asc, matching the SQL (c DESC, term ASC)
+    order = sorted(
+        term_tot.index, key=lambda t: (-int(term_tot[t]), t)
+    )[:BURROWS_TOPK]
+    src_tot = vocab.groupby("source")["c"].sum()
+    sources = sorted(src_tot.index)
+    sub = vocab[vocab["term"].isin(order)]
+    mat = (
+        sub.pivot_table(index="source", columns="term", values="c", fill_value=0)
+        .reindex(index=sources, columns=order, fill_value=0)
+        .to_numpy(np.int64)
+    )
+    tot = src_tot.reindex(sources).to_numpy(np.int64)
+    fq = np.asarray(
+        round_half_away(mat / tot[:, None].astype(np.float64) * 1e9, 0), np.int64
+    )
+    n_s = len(sources)
+    s1 = fq.sum(axis=0)
+    s2 = (fq.astype(object) * fq.astype(object)).sum(axis=0)
+    mean = s1 / 1e9 / n_s
+    var = np.asarray(
+        [float(s2[j]) / 1e18 / n_s - mean[j] * mean[j] for j in range(len(order))]
+    )
+    sig = np.sqrt(var)
+    z = (fq / 1e9 - mean[None, :]) / sig[None, :]
+    rows = []
+    for a in range(n_s):
+        for b in range(a + 1, n_s):
+            dz = np.abs(z[a] - z[b])
+            s = int(np.asarray(round_half_away(dz * 1e6, 0), np.int64).sum())
+            rows.append((sources[a], sources[b], s / 1e6 / BURROWS_TOPK))
+    rows.sort(key=lambda r: (r[2], r[0], r[1]))
+    out = pd.DataFrame(
+        rows[:BURROWS_PAIRS], columns=["src_a", "src_b", "delta"]
+    )
+    out["delta"] = round_half_away(out["delta"].to_numpy(), 6)
+    return out.astype({"src_a": "object", "src_b": "object"})
+
+
+def sql_burrows_delta() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT source, t FROM (
+    SELECT source,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+v AS (SELECT source, t AS term, count(*) AS c FROM tok GROUP BY 1, 2),
+topt AS (
+  SELECT term FROM (
+    SELECT term, sum(c) AS ca,
+           row_number() OVER (ORDER BY sum(c) DESC, term) AS rn
+    FROM v GROUP BY term)
+  WHERE rn <= {BURROWS_TOPK}),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM v GROUP BY source),
+cell AS (
+  SELECT st.source, topt.term,
+         CAST(round(CAST(coalesce(v.c, 0) AS DOUBLE) / st.ts * 1000000000, 0)
+              AS BIGINT) AS fq
+  FROM st CROSS JOIN topt
+  LEFT JOIN v ON v.source = st.source AND v.term = topt.term),
+ns AS (SELECT count(*) AS n FROM st),
+tstat AS (
+  SELECT term,
+         CAST(sum(fq) AS DOUBLE) / 1000000000.0 / any_value(ns.n) AS m,
+         CAST(sum(CAST(fq AS HUGEINT) * fq) AS DOUBLE) / 1e18 / any_value(ns.n)
+           AS s2
+  FROM cell, ns GROUP BY term),
+zs AS (
+  SELECT c.source, c.term,
+         (c.fq / 1000000000.0 - t.m) / sqrt(t.s2 - t.m * t.m) AS z
+  FROM cell c JOIN tstat t USING (term)),
+dz AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(round(abs(a.z - b.z) * 1000000, 0) AS BIGINT) AS dq
+  FROM zs a JOIN zs b ON a.term = b.term AND a.source < b.source),
+dd AS (
+  SELECT src_a, src_b,
+         CAST(sum(dq) AS DOUBLE) / 1000000.0 / {BURROWS_TOPK} AS delta
+  FROM dz GROUP BY src_a, src_b)
+SELECT src_a, src_b, round(delta, 6) AS delta
+FROM dd ORDER BY delta, src_a, src_b LIMIT {BURROWS_PAIRS}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -21482,4 +21739,6 @@ def registry() -> dict[str, tuple]:
             q_winnowing_fingerprints,
             sql_winnowing_fingerprints(),
         ),
+        "isotonic_calibration": (q_isotonic_calibration, sql_isotonic_calibration()),
+        "burrows_delta": (q_burrows_delta, sql_burrows_delta()),
     }
