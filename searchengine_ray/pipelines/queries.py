@@ -21409,6 +21409,259 @@ FROM dd ORDER BY delta, src_a, src_b LIMIT {BURROWS_PAIRS}
 """
 
 
+# ------------------------------------------------- label propagation (LPA)
+
+LPA_ROUNDS = 3
+LPA_TOPK = 20
+
+
+def q_label_propagation(sf_dir: str) -> pd.DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al.) on the deterministic hub link graph — {R} rounds, each node
+    adopting its neighbors' majority label with the (count DESC, label
+    ASC) tie-break that makes synchronous LPA reproducible. Each
+    round's heavy step — neighbor-label counting — is a distributed
+    ``groupby(node, label)`` over the edge Dataset with the current
+    label array broadcast via ``ray.put`` (node-sized state, the
+    documented broadcast tier; the 100-TB path co-partitions edges and
+    labels by node-hash bucket). Output: top-{K} communities by (size
+    DESC, label ASC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ids = np.arange(n, dtype=np.int64)
+    raw = np.concatenate(
+        [
+            np.stack([ids, (ids * 7 + 13) % n], axis=1),
+            np.stack([ids, (ids * 31 + 5) % n], axis=1),
+            np.stack([ids, ids % 10], axis=1),
+        ]
+    )
+    raw = raw[raw[:, 0] != raw[:, 1]]
+    canon = np.unique(
+        np.stack([raw.min(axis=1), raw.max(axis=1)], axis=1), axis=0
+    )
+    both = np.concatenate([canon, canon[:, ::-1]])
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(both[:, 0], pa.int64()),
+                "nbr": pa.array(both[:, 1], pa.int64()),
+            }
+        )
+    ).materialize()
+
+    labels = ids.copy()
+    for _ in range(LPA_ROUNDS):
+        ref = ray.put(labels)
+
+        def tally(b: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "lab": pa.array(
+                        lab[b["nbr"].to_numpy(zero_copy_only=False)], pa.int64()
+                    ),
+                }
+            )
+
+        cnt = (
+            edges.map_batches(tally, batch_format="pyarrow")
+            .groupby(["node", "lab"])
+            .aggregate(Count(alias_name="cnt"))
+            .to_pandas()
+        )
+        win = (
+            cnt.sort_values(
+                ["node", "cnt", "lab"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates("node")
+            .set_index("node")["lab"]
+        )
+        nxt = labels.copy()
+        nxt[win.index.to_numpy(np.int64)] = win.to_numpy(np.int64)
+        labels = nxt
+
+    comm = pd.Series(labels).value_counts()
+    rows = sorted(
+        ((int(l), int(c)) for l, c in comm.items()), key=lambda r: (-r[1], r[0])
+    )[:LPA_TOPK]
+    return pd.DataFrame(rows, columns=["label", "size"]).astype("int64")
+
+
+def sql_label_propagation() -> str:
+    steps = []
+    for t in range(1, LPA_ROUNDS + 1):
+        steps.append(f"""
+c{t} AS MATERIALIZED (
+  SELECT e.node, l{t-1}.lab, count(*) AS cnt
+  FROM e JOIN l{t-1} ON e.nbr = l{t-1}.node
+  GROUP BY 1, 2),
+w{t} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+    FROM c{t}) WHERE rn = 1),
+l{t} AS MATERIALIZED (
+  SELECT p.node, coalesce(w.lab, p.lab) AS lab
+  FROM l{t-1} p LEFT JOIN w{t} w USING (node))""")
+    chain = ",".join(steps)
+    t = LPA_ROUNDS
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, (SELECT count(*) FROM documents) AS n FROM documents),
+raw AS (
+  SELECT i AS a, (i * 7 + 13) % n AS b FROM ids
+  UNION ALL SELECT i, (i * 31 + 5) % n FROM ids
+  UNION ALL SELECT i, i % 10 FROM ids),
+canon AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b),
+e AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM canon
+  UNION ALL SELECT v, u FROM canon),
+l0 AS (SELECT i AS node, i AS lab FROM ids),
+{chain}
+SELECT CAST(lab AS BIGINT) AS label, count(*) AS size
+FROM l{t} GROUP BY lab
+ORDER BY size DESC, label LIMIT {LPA_TOPK}
+"""
+
+
+# --------------------------------------------------- SCD type-2 versions
+
+
+def q_scd2_history(sf_dir: str) -> pd.DataFrame:
+    """Type-2 slowly-changing-dimension build over the event stream:
+    each user's ``event_type`` is the tracked attribute; every change
+    (ordered by ts, event_id) closes the current version and opens a
+    new one — the warehouse history-table shape. One user-hash bucket
+    shuffle + a vectorized per-bucket run-length scan; durations are
+    exact int64 microsecond differences summed per type, so the mean
+    lifetime is engine-identical. Output per event_type: versions
+    opened, closed versions and their mean lifetime in hours."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (
+            pd.util.hash_array(users.astype(np.int64)) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype="object"),
+                "nv": pd.Series([], dtype="int64"),
+                "nc": pd.Series([], dtype="int64"),
+                "dur": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        ts = g["_ts"].to_numpy(np.int64)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        change = np.empty(len(g), bool)
+        change[0] = True
+        change[1:] = et[1:] != et[:-1]
+        start = new_user | change
+        s_idx = np.flatnonzero(start)
+        # a version closes when the NEXT version of the same user opens
+        nxt = np.append(s_idx[1:], len(g))
+        closes = np.zeros(len(s_idx), bool)
+        closes[:-1] = uid[s_idx[:-1]] == uid[nxt[:-1]]
+        dur = np.where(closes, ts[np.minimum(nxt, len(g) - 1)] - ts[s_idx], 0)
+        out = pd.DataFrame(
+            {
+                "event_type": et[s_idx],
+                "nv": 1,
+                "nc": closes.astype(np.int64),
+                "dur": dur.astype(np.int64),
+            }
+        )
+        agg = (
+            out.groupby("event_type", sort=False)
+            .agg(nv=("nv", "sum"), nc=("nc", "sum"), dur=("dur", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"nv": "int64", "nc": "int64", "dur": "int64"})
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("nv", alias_name="n_versions"),
+            Sum("nc", alias_name="n_closed"),
+            Sum("dur", alias_name="dur_us"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    dur = out["dur_us"].to_numpy(np.int64).astype(np.float64)
+    nc = out["n_closed"].to_numpy(np.int64).astype(np.float64)
+    out["mean_hours"] = round_half_away(
+        np.where(nc > 0, dur / np.maximum(nc, 1.0) / 3.6e9, 0.0), 6
+    )
+    return out.drop(columns=["dur_us"]).astype(
+        {"event_type": "object", "n_versions": "int64", "n_closed": "int64"}
+    )
+
+
+def sql_scd2_history() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts,
+         lag(event_type) OVER w AS prev_type
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+starts AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_start
+  FROM seq WHERE prev_type IS NULL OR event_type <> prev_type)
+SELECT event_type, count(*) AS n_versions,
+       CAST(sum(CASE WHEN next_start IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       round(CASE WHEN sum(CASE WHEN next_start IS NOT NULL THEN 1 ELSE 0 END) > 0
+                  THEN CAST(sum(coalesce(next_start - ts, 0)) AS DOUBLE)
+                       / greatest(sum(CASE WHEN next_start IS NOT NULL
+                                           THEN 1 ELSE 0 END), 1.0)
+                       / 3600000000.0
+                  ELSE 0.0 END, 6) AS mean_hours
+FROM starts GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -21741,4 +21994,6 @@ def registry() -> dict[str, tuple]:
         ),
         "isotonic_calibration": (q_isotonic_calibration, sql_isotonic_calibration()),
         "burrows_delta": (q_burrows_delta, sql_burrows_delta()),
+        "label_propagation": (q_label_propagation, sql_label_propagation()),
+        "scd2_history": (q_scd2_history, sql_scd2_history()),
     }
