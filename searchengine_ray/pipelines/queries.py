@@ -21662,6 +21662,235 @@ FROM starts GROUP BY event_type ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------- Wald SPRT
+
+SPRT_LIFT = 1.2  # H1: treatment rate = 1.2 × control rate
+SPRT_LN_A = 2.9444389791664403  # ln(19): alpha = beta = 0.05
+SPRT_LN_B = -2.9444389791664403
+
+
+def q_sprt_test(sf_dir: str) -> pd.DataFrame:
+    """Wald's sequential probability ratio test on the treatment arm's
+    purchase rate — the early-stopping A/B readout (peek daily, stop at
+    the evidence bound instead of a fixed horizon). Arms split on
+    user parity; H0: p = pooled control rate, H1: p = {L}·p0. The LLR
+    walk adds k·ln(p1/p0) + (n−k)·ln(q1/q0) per day; each daily
+    increment quantizes to a 6dp micro-int so the cumulative walk and
+    the bound comparisons are pure integer arithmetic — bit-identical
+    in both engines, no float-cumsum drift. Output: p0, decision
+    ('accept_h1' / 'accept_h0' / 'continue'), first crossing day and
+    the final walk value."""
+    import math as _m
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    daily = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    ),
+                    "arm": pa.array(
+                        b["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                    ),
+                    "k": pa.array(
+                        (
+                            b["event_type"].to_numpy(zero_copy_only=False)
+                            == "purchase"
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["day", "arm"])
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="k"))
+        .to_pandas()
+        .sort_values(["day", "arm"])
+        .reset_index(drop=True)
+    )
+    ctl = daily[daily["arm"] == 0]
+    trt = daily[daily["arm"] == 1].reset_index(drop=True)
+    n0, k0 = int(ctl["n"].sum()), int(ctl["k"].sum())
+    p0 = k0 / n0
+    p1 = SPRT_LIFT * p0
+    lw = _m.log(p1 / p0)
+    ll = _m.log((1.0 - p1) / (1.0 - p0))
+    inc = np.asarray(
+        round_half_away(
+            (
+                trt["k"].to_numpy(np.int64) * lw
+                + (trt["n"] - trt["k"]).to_numpy(np.int64) * ll
+            )
+            * 1e6,
+            0,
+        ),
+        np.int64,
+    )
+    walk = np.cumsum(inc)
+    hi = int(round(SPRT_LN_A * 1e6))
+    lo = int(round(SPRT_LN_B * 1e6))
+    cross = np.flatnonzero((walk >= hi) | (walk <= lo))
+    if len(cross):
+        i = int(cross[0])
+        decision = "accept_h1" if walk[i] >= hi else "accept_h0"
+        dday = int(trt["day"].iloc[i])
+    else:
+        decision, dday = "continue", -1
+    return pd.DataFrame(
+        {
+            "n_days": pd.Series([len(trt)], dtype="int64"),
+            "p0": pd.Series(round_half_away([p0], 6), dtype="float64"),
+            "decision": pd.Series([decision], dtype="object"),
+            "decision_day": pd.Series([dday], dtype="int64"),
+            "final_llr": pd.Series([int(walk[-1]) / 1e6], dtype="float64"),
+        }
+    )
+
+
+def sql_sprt_test() -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         user_id % 2 AS arm,
+         count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1, 2),
+c AS (SELECT CAST(sum(k) AS DOUBLE) / sum(n) AS p0 FROM d WHERE arm = 0),
+inc AS (
+  SELECT day,
+         CAST(round((k * ln(({SPRT_LIFT} * c.p0) / c.p0)
+                     + (n - k) * ln((1.0 - {SPRT_LIFT} * c.p0) / (1.0 - c.p0)))
+                    * 1000000, 0) AS BIGINT) AS im
+  FROM d, c WHERE arm = 1),
+wk AS (
+  SELECT day, sum(im) OVER (ORDER BY day) AS w,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS nd
+  FROM inc),
+cross_t AS (
+  SELECT min(t) AS t FROM wk
+  WHERE w >= {int(round(SPRT_LN_A * 1e6))} OR w <= {int(round(SPRT_LN_B * 1e6))}),
+fin AS (SELECT w FROM wk ORDER BY t DESC LIMIT 1)
+SELECT any_value(wk.nd) AS n_days, round(any_value(c.p0), 6) AS p0,
+       CASE WHEN cross_t.t IS NULL THEN 'continue'
+            WHEN (SELECT w FROM wk WHERE t = cross_t.t)
+                 >= {int(round(SPRT_LN_A * 1e6))} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       coalesce((SELECT day FROM wk WHERE t = cross_t.t), -1) AS decision_day,
+       CAST(fin.w AS DOUBLE) / 1000000.0 AS final_llr
+FROM wk, c, cross_t, fin
+GROUP BY cross_t.t, fin.w
+"""
+
+
+# ------------------------------------------------ seasonal decomposition
+
+
+def q_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    counts: trend = centered 7-day moving average (exact integer sum
+    / 7.0), detrended = count − trend, and the weekly seasonal index =
+    per-(day mod 7) mean of the detrended series — each detrended
+    value quantizes to a 6dp micro-int before the cross-day mean so
+    both engines aggregate integers. Output per weekday slot: days
+    contributing, the seasonal index, and the mean raw count."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    day = daily["day"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    d = len(c)
+    win = np.convolve(c, np.ones(7, np.int64), mode="valid")  # exact int sums
+    trend = win.astype(np.float64) / 7.0
+    mid = np.arange(3, d - 3)
+    detr = c[mid].astype(np.float64) - trend
+    dq = np.asarray(round_half_away(detr * 1e6, 0), np.int64)
+    dow = day[mid] % 7
+    rows = []
+    for w in range(7):
+        sel = dow == w
+        nsel = int(sel.sum())
+        seasonal = int(dq[sel].sum()) / 1e6 / nsel if nsel else 0.0
+        craw = int(c[mid][sel].sum())
+        rows.append(
+            (
+                w,
+                nsel,
+                float(round_half_away([seasonal], 6)[0]),
+                float(round_half_away([craw / nsel if nsel else 0.0], 6)[0]),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["dow", "n_days", "seasonal", "mean_count"]
+    ).astype({"dow": "int64", "n_days": "int64"})
+
+
+def sql_seasonal_decompose() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1),
+rk AS (
+  SELECT day, CAST(c AS BIGINT) AS c,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS d
+  FROM daily),
+ma AS (
+  SELECT day, c, t, d,
+         sum(c) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS s7
+  FROM rk),
+detr AS (
+  SELECT day % 7 AS dow, c,
+         CAST(round((c - CAST(s7 AS DOUBLE) / 7.0) * 1000000, 0) AS BIGINT)
+           AS dq
+  FROM ma WHERE t >= 4 AND t <= d - 3)
+SELECT CAST(w.range AS BIGINT) AS dow,
+       CAST(coalesce(g.n, 0) AS BIGINT) AS n_days,
+       round(coalesce(g.seasonal, 0.0), 6) AS seasonal,
+       round(coalesce(g.mc, 0.0), 6) AS mean_count
+FROM range(7) w
+LEFT JOIN (
+  SELECT dow, count(*) AS n,
+         CAST(sum(dq) AS DOUBLE) / 1000000.0 / count(*) AS seasonal,
+         CAST(sum(c) AS DOUBLE) / count(*) AS mc
+  FROM detr GROUP BY dow) g ON g.dow = w.range
+ORDER BY dow
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -21996,4 +22225,6 @@ def registry() -> dict[str, tuple]:
         "burrows_delta": (q_burrows_delta, sql_burrows_delta()),
         "label_propagation": (q_label_propagation, sql_label_propagation()),
         "scd2_history": (q_scd2_history, sql_scd2_history()),
+        "sprt_test": (q_sprt_test, sql_sprt_test()),
+        "seasonal_decompose": (q_seasonal_decompose, sql_seasonal_decompose()),
     }
