@@ -21891,6 +21891,304 @@ ORDER BY dow
 """
 
 
+# ------------------------------------------------------------ Huffman code
+
+HUFF_K = 16
+
+
+def q_huffman_code(sf_dir: str) -> pd.DataFrame:
+    """Optimal prefix-code audit for the top-{K} corpus terms: build
+    the Huffman tree over their exact counts and compare the expected
+    code length against the entropy bound — the compression headroom
+    readout an index codec design starts from (our varbyte is a
+    byte-aligned compromise; this measures what bit-optimal would buy).
+    The greedy merge is fully deterministic — nodes pick by (weight,
+    node-id) with merged ids assigned sequentially — and the SQL oracle
+    replays the identical algorithm as a LIST-state recursive CTE, so
+    every code length matches. Counting is the distributed stage; the
+    tree is O(K) driver work on both sides."""
+    import math as _m
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        flat = np.asarray([t for ts in toks for t in ts], object)
+        g = (
+            pd.DataFrame({"term": flat})
+            .groupby("term", as_index=False, sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    top = vocab.sort_values(
+        ["c", "term"], ascending=[False, True], kind="mergesort"
+    ).head(HUFF_K)
+    terms = top["term"].to_numpy(object)
+    w = top["c"].to_numpy(np.int64)
+    # deterministic Huffman: node key (weight, id); leaf ids 0..K-1 in
+    # (count DESC, term ASC) order, merged ids K, K+1, ...
+    nodes: list[tuple[int, int, list[int]]] = [
+        (int(w[i]), i, [i]) for i in range(HUFF_K)
+    ]
+    dep = [0] * HUFF_K
+    next_id = HUFF_K
+    while len(nodes) > 1:
+        nodes.sort(key=lambda t: (t[0], t[1]))
+        (w1, _, m1), (w2, _, m2) = nodes[0], nodes[1]
+        nodes = nodes[2:]
+        for j in m1 + m2:
+            dep[j] += 1
+        nodes.append((w1 + w2, next_id, m1 + m2))
+        next_id += 1
+    tot = int(w.sum())
+    exp_micro = sum(int(w[i]) * dep[i] for i in range(HUFF_K))
+    expected = exp_micro / tot
+    ent = (
+        sum(
+            int(round_half_away([-(w[i] / tot) * _m.log2(w[i] / tot) * 1e6], 0)[0])
+            for i in range(HUFF_K)
+        )
+        / 1e6
+    )
+    return pd.DataFrame(
+        {
+            "term": pd.Series(terms, dtype="object"),
+            "c": pd.Series(w, dtype="int64"),
+            "code_len": pd.Series(dep, dtype="int64"),
+            "expected_bits": pd.Series(
+                round_half_away([expected] * HUFF_K, 6), dtype="float64"
+            ),
+            "entropy_bits": pd.Series(
+                round_half_away([ent] * HUFF_K, 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_huffman_code() -> str:
+    K = HUFF_K
+    BIG = 9223372036854775807
+    return rf"""
+WITH RECURSIVE tok AS (
+  SELECT t FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+topt AS (
+  SELECT term, c, rn FROM (
+    SELECT t AS term, count(*) AS c,
+           row_number() OVER (ORDER BY count(*) DESC, t) AS rn
+    FROM tok GROUP BY t)
+  WHERE rn <= {K}),
+init AS (
+  SELECT list(CAST(c AS BIGINT) ORDER BY rn) AS ws,
+         list_transform(range({K}), j -> CAST(j AS BIGINT)) AS ids,
+         list_transform(range({K}), j -> [CAST(j AS BIGINT)]) AS mems,
+         list_transform(range({K}), j -> CAST(0 AS BIGINT)) AS dep
+  FROM topt),
+rec(s, ws, ids, mems, dep) AS (
+  SELECT CAST(0 AS BIGINT), ws, ids, mems, dep FROM init
+  UNION ALL
+  SELECT rec.s + 1,
+         list_append(list_filter(rec.ws, (x, i) -> i <> q.i1 AND i <> q.i2),
+                     rec.ws[q.i1] + rec.ws[q.i2]),
+         list_append(list_filter(rec.ids, (x, i) -> i <> q.i1 AND i <> q.i2),
+                     {K} + rec.s),
+         list_append(list_filter(rec.mems, (x, i) -> i <> q.i1 AND i <> q.i2),
+                     rec.mems[q.i1] || rec.mems[q.i2]),
+         list_transform(range(1, {K} + 1),
+             j -> rec.dep[j]
+                  + CASE WHEN list_contains(rec.mems[q.i1] || rec.mems[q.i2],
+                                            CAST(j - 1 AS BIGINT))
+                         THEN 1 ELSE 0 END)
+  FROM rec
+  CROSS JOIN LATERAL (
+    SELECT p1.i1,
+           list_position(
+             list_transform(range(1, len(rec.ws) + 1),
+                 i -> CASE WHEN i = p1.i1 THEN {BIG}
+                           ELSE rec.ws[i] * 64 + rec.ids[i] END),
+             list_min(
+               list_transform(range(1, len(rec.ws) + 1),
+                   i -> CASE WHEN i = p1.i1 THEN {BIG}
+                             ELSE rec.ws[i] * 64 + rec.ids[i] END))) AS i2
+    FROM (SELECT list_position(
+                   list_transform(range(1, len(rec.ws) + 1),
+                       i -> rec.ws[i] * 64 + rec.ids[i]),
+                   list_min(
+                     list_transform(range(1, len(rec.ws) + 1),
+                         i -> rec.ws[i] * 64 + rec.ids[i]))) AS i1) p1) q
+  WHERE len(rec.ws) > 1),
+fin AS (SELECT dep FROM rec ORDER BY s DESC LIMIT 1),
+lens AS (
+  SELECT unnest(dep) AS code_len,
+         unnest(range(1, {K} + 1)) AS rn
+  FROM fin),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS tc FROM topt),
+ebits AS (
+  SELECT CAST(sum(t.c * l.code_len) AS DOUBLE) / any_value(tot.tc) AS expected
+  FROM topt t JOIN lens l USING (rn), tot),
+ent AS (
+  SELECT CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / tot.tc)
+                             * log2(CAST(c AS DOUBLE) / tot.tc)
+                             * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000.0
+           AS h
+  FROM topt, tot GROUP BY tot.tc)
+SELECT t.term, CAST(t.c AS BIGINT) AS c, CAST(l.code_len AS BIGINT) AS code_len,
+       round(ebits.expected, 6) AS expected_bits,
+       round(ent.h, 6) AS entropy_bits
+FROM topt t JOIN lens l USING (rn), ebits, ent
+ORDER BY t.rn
+"""
+
+
+# ----------------------------------------------------- consistent hashing
+
+CH_NODES = 8
+CH_VNODES = 16
+
+
+def q_consistent_hashing(sf_dir: str) -> pd.DataFrame:
+    """Consistent-hash ring audit for shard placement (Karger et al. —
+    the placement scheme that moves only ~1/n of keys when a node
+    joins, vs rehash-everything for modulo sharding): {N} nodes × {V}
+    virtual nodes at md5 ring positions own the corpus vocabulary;
+    then node n{N} joins and every key's owner is recomputed. The
+    vocabulary probe is the distributed stage — per-batch term counts
+    feed one groupby, then owners resolve by binary search against the
+    broadcast ring (driver holds only node-count rows). Output per
+    node: keys before, keys after, keys moved in."""
+    import hashlib as _h
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def ring(n_nodes: int):
+        pos, lab = [], []
+        for i in range(n_nodes):
+            for j in range(CH_VNODES):
+                h = int.from_bytes(
+                    _h.md5(f"n{i}#v{j}".encode()).digest()[8:], "little"
+                )
+                pos.append(h)
+                lab.append(i)
+        pos = np.asarray(pos, np.uint64)
+        lab = np.asarray(lab, np.int64)
+        o = np.argsort(pos, kind="mergesort")
+        return pos[o], lab[o]
+
+    p8, l8 = ring(CH_NODES)
+    p9, l9 = ring(CH_NODES + 1)
+
+    def owners(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        uniq = sorted({t for ts in toks for t in ts})
+        if not uniq:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "o8": pa.array([], pa.int64()),
+                    "o9": pa.array([], pa.int64()),
+                }
+            )
+        h = np.fromiter(
+            (
+                int.from_bytes(_h.md5(t.encode()).digest()[8:], "little")
+                for t in uniq
+            ),
+            np.uint64,
+            count=len(uniq),
+        )
+        i8 = np.searchsorted(p8, h, side="left") % len(p8)
+        i9 = np.searchsorted(p9, h, side="left") % len(p9)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "o8": pa.array(l8[i8], pa.int64()),
+                "o9": pa.array(l9[i9], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    per_term = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(owners, batch_format="pyarrow")
+        # a term's owners are deterministic, so the dedup groupby can
+        # merge duplicate per-batch rows with Min (any pick is exact)
+        .groupby("term")
+        .aggregate(Min("o8", alias_name="o8"), Min("o9", alias_name="o9"))
+        .to_pandas()
+    )
+    o8 = per_term["o8"].to_numpy(np.int64)
+    o9 = per_term["o9"].to_numpy(np.int64)
+    rows = []
+    for node in range(CH_NODES + 1):
+        before = int((o8 == node).sum()) if node < CH_NODES else 0
+        after = int((o9 == node).sum())
+        moved = int(((o9 == node) & (o8 != o9)).sum())
+        rows.append((node, before, after, moved))
+    return pd.DataFrame(
+        rows, columns=["node", "keys_before", "keys_after", "moved_in"]
+    ).astype("int64")
+
+
+def sql_consistent_hashing() -> str:
+    return rf"""
+WITH keys AS (
+  SELECT DISTINCT t AS term FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+kh AS (SELECT term, md5_number_lower(term) AS h FROM keys),
+ring9 AS (
+  SELECT n.range AS node, md5_number_lower('n' || n.range || '#v' || v.range) AS pos
+  FROM range({CH_NODES + 1}) n, range({CH_VNODES}) v),
+ring8 AS (SELECT node, pos FROM ring9 WHERE node < {CH_NODES}),
+own8 AS (
+  SELECT k.term,
+         coalesce((SELECT r.node FROM ring8 r WHERE r.pos >= k.h
+                   ORDER BY r.pos LIMIT 1),
+                  (SELECT r.node FROM ring8 r ORDER BY r.pos LIMIT 1)) AS o8
+  FROM kh k),
+own9 AS (
+  SELECT k.term,
+         coalesce((SELECT r.node FROM ring9 r WHERE r.pos >= k.h
+                   ORDER BY r.pos LIMIT 1),
+                  (SELECT r.node FROM ring9 r ORDER BY r.pos LIMIT 1)) AS o9
+  FROM kh k),
+j AS (SELECT own8.o8, own9.o9 FROM own8 JOIN own9 USING (term))
+SELECT CAST(n.range AS BIGINT) AS node,
+       CAST(coalesce(sum(CASE WHEN j.o8 = n.range THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS keys_before,
+       CAST(coalesce(sum(CASE WHEN j.o9 = n.range THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS keys_after,
+       CAST(coalesce(sum(CASE WHEN j.o9 = n.range AND j.o8 <> j.o9
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS moved_in
+FROM range({CH_NODES + 1}) n LEFT JOIN j ON true
+GROUP BY n.range ORDER BY node
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -22227,4 +22525,6 @@ def registry() -> dict[str, tuple]:
         "scd2_history": (q_scd2_history, sql_scd2_history()),
         "sprt_test": (q_sprt_test, sql_sprt_test()),
         "seasonal_decompose": (q_seasonal_decompose, sql_seasonal_decompose()),
+        "huffman_code": (q_huffman_code, sql_huffman_code()),
+        "consistent_hashing": (q_consistent_hashing, sql_consistent_hashing()),
     }
