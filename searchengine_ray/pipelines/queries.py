@@ -22189,6 +22189,184 @@ GROUP BY n.range ORDER BY node
 """
 
 
+# ------------------------------------------------------------ Soundex blocks
+
+SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> digit ('0' = silent)
+SOUNDEX_TOPK = 20
+
+
+def _soundex(word: str) -> str:
+    """Simplified American Soundex (h/w treated as silents, like
+    vowels): map to digits, collapse adjacent runs, drop the first code
+    (carried by the letter itself), strip silents, pad to 3."""
+    import re
+
+    m = "".join(SOUNDEX_MAP[ord(ch) - 97] for ch in word)
+    c = re.sub(r"(.)\1+", r"\1", m)
+    d = c[1:].replace("0", "")
+    return word[0].upper() + (d + "000")[:3]
+
+
+def q_soundex_blocks(sf_dir: str) -> pd.DataFrame:
+    """Phonetic blocking audit over the part-name vocabulary: Soundex
+    collapses spelling variants into buckets, and bucket sizes bound
+    the candidate-pair cost of a phonetic entity-resolution pass (the
+    blocking-key quality readout next to `entity_resolution`'s
+    sorted-neighborhood window). The word count is the distributed
+    stage (one combiner groupby); codes derive on the vocabulary.
+    Output: top-{K} buckets by distinct words, with occurrence totals
+    and the per-bucket pair count n·(n−1)/2."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def words(b: pa.Table) -> pa.Table:
+        names = b["p_name"].to_pandas()
+        toks = names.str.split(" ")
+        flat = np.asarray([w for ts in toks for w in ts if w], object)
+        g = (
+            pd.DataFrame({"word": flat})
+            .groupby("word", as_index=False, sort=False)
+            .size()
+        )
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+        .map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vocab["code"] = [_soundex(w) for w in vocab["word"]]
+    g = vocab.groupby("code").agg(
+        n_words=("word", "nunique"),
+        n_occurrences=("c", "sum"),
+        min_word=("word", "min"),
+    )
+    g["n_pairs"] = g["n_words"] * (g["n_words"] - 1) // 2
+    g = g.reset_index().sort_values(
+        ["n_words", "code"], ascending=[False, True], kind="mergesort"
+    )
+    return (
+        g.head(SOUNDEX_TOPK)
+        .reset_index(drop=True)
+        .astype(
+            {
+                "code": "object",
+                "n_words": "int64",
+                "n_occurrences": "int64",
+                "min_word": "object",
+                "n_pairs": "int64",
+            }
+        )[["code", "n_words", "n_occurrences", "min_word", "n_pairs"]]
+    )
+
+
+def sql_soundex_blocks() -> str:
+    return rf"""
+WITH w AS (
+  SELECT unnest(string_split(p_name, ' ')) AS word FROM part),
+v AS (SELECT word, count(*) AS c FROM w WHERE word <> '' GROUP BY word),
+mm AS (
+  SELECT word, c,
+         translate(word, 'abcdefghijklmnopqrstuvwxyz', '{SOUNDEX_MAP}') AS m
+  FROM v),
+-- RE2 has no backreferences, so adjacent-run collapse is positional:
+-- keep char i only when it differs from char i-1
+coll AS (
+  SELECT word, c,
+         list_aggregate(
+           list_transform(range(1, length(m) + 1),
+               i -> CASE WHEN i = 1 THEN substr(m, 1, 1)
+                         WHEN substr(m, CAST(i AS INT), 1)
+                              <> substr(m, CAST(i - 1 AS INT), 1)
+                         THEN substr(m, CAST(i AS INT), 1)
+                         ELSE '' END),
+           'string_agg', '') AS cm
+  FROM mm),
+sx AS (
+  SELECT word, c,
+         upper(substr(word, 1, 1))
+         || substr(replace(substr(cm, 2), '0', '') || '000', 1, 3) AS code
+  FROM coll),
+g AS (
+  SELECT code, count(*) AS n_words, CAST(sum(c) AS BIGINT) AS n_occurrences,
+         min(word) AS min_word,
+         count(*) * (count(*) - 1) // 2 AS n_pairs
+  FROM sx GROUP BY code)
+SELECT code, CAST(n_words AS BIGINT) AS n_words, n_occurrences, min_word,
+       CAST(n_pairs AS BIGINT) AS n_pairs
+FROM g ORDER BY n_words DESC, code LIMIT {SOUNDEX_TOPK}
+"""
+
+
+# ------------------------------------------------------------- k-anonymity
+
+KANON_K = 5
+
+
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (nation, market segment): group sizes below k =
+    {K} re-identify individuals, so a release gate needs the violating
+    row count BEFORE export — and the same audit after generalizing
+    away the segment shows how much one suppression step buys. Both
+    levels are single bounded groupbys (≤ nations × segments cells);
+    every output is an exact integer."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def level(keys: list[str]) -> tuple[int, int, int, int]:
+        g = ds.groupby(keys).aggregate(Count(alias_name="n")).to_pandas()
+        n = g["n"].to_numpy(np.int64)
+        viol = n < KANON_K
+        return len(g), int(viol.sum()), int(n[viol].sum()), int(n.min())
+
+    g2, v2, r2, m2 = level(["c_nationkey", "c_mktsegment"])
+    g1, v1, r1, m1 = level(["c_nationkey"])
+    return pd.DataFrame(
+        {
+            "level": pd.Series(["nation_segment", "nation_only"], dtype="object"),
+            "n_groups": pd.Series([g2, g1], dtype="int64"),
+            "n_violating": pd.Series([v2, v1], dtype="int64"),
+            "rows_at_risk": pd.Series([r2, r1], dtype="int64"),
+            "min_group": pd.Series([m2, m1], dtype="int64"),
+        }
+    )
+
+
+def sql_k_anonymity() -> str:
+    return f"""
+WITH l2 AS (
+  SELECT count(*) AS n FROM customer GROUP BY c_nationkey, c_mktsegment),
+l1 AS (SELECT count(*) AS n FROM customer GROUP BY c_nationkey),
+s2 AS (
+  SELECT count(*) AS g, CAST(sum(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END)
+                             AS BIGINT) AS v,
+         CAST(sum(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT) AS r,
+         CAST(min(n) AS BIGINT) AS m
+  FROM l2),
+s1 AS (
+  SELECT count(*) AS g, CAST(sum(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END)
+                             AS BIGINT) AS v,
+         CAST(sum(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT) AS r,
+         CAST(min(n) AS BIGINT) AS m
+  FROM l1)
+SELECT 'nation_segment' AS level, CAST(g AS BIGINT) AS n_groups,
+       v AS n_violating, r AS rows_at_risk, m AS min_group FROM s2
+UNION ALL
+SELECT 'nation_only', CAST(g AS BIGINT), v, r, m FROM s1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -22527,4 +22705,6 @@ def registry() -> dict[str, tuple]:
         "seasonal_decompose": (q_seasonal_decompose, sql_seasonal_decompose()),
         "huffman_code": (q_huffman_code, sql_huffman_code()),
         "consistent_hashing": (q_consistent_hashing, sql_consistent_hashing()),
+        "soundex_blocks": (q_soundex_blocks, sql_soundex_blocks()),
+        "k_anonymity": (q_k_anonymity, sql_k_anonymity()),
     }
