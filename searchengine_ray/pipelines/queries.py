@@ -22367,6 +22367,215 @@ SELECT 'nation_only', CAST(g AS BIGINT), v, r, m FROM s1
 """
 
 
+# --------------------------------------------------- rank-biased overlap
+
+RBO_P = 0.9
+RBO_DEPTH = 20
+
+
+def q_rbo_rankers(sf_dir: str) -> pd.DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel) between the BM25
+    and TF-IDF rankings of the same query — the top-weighted ranker
+    -agreement metric for comparing scorers without a relevance set
+    (Kendall treats all depths equally; RBO discounts by p^d like a
+    user scanning down). Both rankings order by (6dp score DESC,
+    doc_id); per-depth overlaps are exact integers and each depth's
+    p^(d−1)·X_d/d contribution quantizes to a 1e-12 grid int before
+    the cross-depth sum. Output per depth: overlap, agreement, and the
+    shared truncated RBO@{D}."""
+    a = q_bm25_all(sf_dir)
+    b = q_tfidf_all_bm25query(sf_dir)
+    ra = (
+        a.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(RBO_DEPTH)["doc_id"]
+        .to_numpy(np.int64)
+    )
+    rb = (
+        b.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(RBO_DEPTH)["doc_id"]
+        .to_numpy(np.int64)
+    )
+    rows = []
+    s = 0
+    for d in range(1, RBO_DEPTH + 1):
+        x = len(set(ra[:d]) & set(rb[:d]))
+        contrib = RBO_P ** (d - 1) * x / d
+        s += int(round_half_away([contrib * 1e12], 0)[0])
+        rows.append((d, x, float(round_half_away([x / d], 6)[0])))
+    rbo = (1.0 - RBO_P) * (s / 1e12)
+    out = pd.DataFrame(rows, columns=["depth", "overlap", "agreement"])
+    out["rbo"] = float(round_half_away([rbo], 6)[0])
+    return out.astype({"depth": "int64", "overlap": "int64"})
+
+
+def q_tfidf_all_bm25query(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF ranking over the BM25 bench query's terms (the second
+    ranker for `rbo_rankers`)."""
+    res = _engine(sf_dir).search_tfidf(BM25_QUERY.split(), None)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series([d for d, _ in res], dtype="int64"),
+            "score": pd.Series([round(s, 6) for _, s in res], dtype="float64"),
+        }
+    )
+
+
+def sql_rbo_rankers() -> str:
+    qterms = ", ".join(f"('{t}')" for t in BM25_QUERY.split())
+    return f"""
+WITH {sql_tokens_cte()},
+q(term) AS (VALUES {qterms}),
+qtf AS (SELECT term, count(*) AS qn FROM q GROUP BY term),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+bm AS (
+    SELECT toks.doc_id,
+           round(sum(((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5)
+                                       / (stats.df + 0.5) + 1.0))
+               * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v)))
+               * qtf.qn), 6) AS score
+    FROM toks
+    JOIN qtf USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgdl
+    GROUP BY toks.doc_id),
+idf AS (
+    SELECT qtf.term, qtf.qn, log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS idf
+    FROM qtf JOIN stats USING (term) CROSS JOIN n),
+tf_sc AS (
+    SELECT toks.doc_id,
+           sum((toks.tf * idf.idf) * (idf.qn * idf.idf)) AS dot,
+           sum((toks.tf * idf.idf) * (toks.tf * idf.idf)) AS len
+    FROM toks JOIN idf USING (term)
+    GROUP BY toks.doc_id),
+tfidf AS (
+    SELECT doc_id, round(dot / sqrt(len), 6) AS score FROM tf_sc WHERE len > 0),
+ra AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM bm QUALIFY r <= {RBO_DEPTH}),
+rb AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM tfidf QUALIFY r <= {RBO_DEPTH}),
+pairs AS (
+    SELECT ra.r AS r_a, rb.r AS r_b FROM ra JOIN rb USING (doc_id)),
+depths AS (SELECT unnest(range(1, {RBO_DEPTH + 1})) AS d),
+x AS (
+    SELECT d.d, CAST(coalesce(sum(CASE WHEN p.r_a <= d.d AND p.r_b <= d.d
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS x
+    FROM depths d LEFT JOIN pairs p ON true GROUP BY d.d),
+contrib AS (
+    SELECT d, x,
+           CAST(round(power({RBO_P}, d - 1) * x / d * 1000000000000.0, 0)
+                AS BIGINT) AS cq
+    FROM x),
+rbo AS (
+    SELECT (1.0 - {RBO_P}) * (CAST(sum(cq) AS DOUBLE) / 1000000000000.0) AS v
+    FROM contrib)
+SELECT CAST(c.d AS BIGINT) AS depth, c.x AS overlap,
+       round(CAST(c.x AS DOUBLE) / c.d, 6) AS agreement,
+       round(rbo.v, 6) AS rbo
+FROM contrib c, rbo ORDER BY depth
+"""
+
+
+# ------------------------------------------------- mutual nearest neighbors
+
+MUTUAL_TOPK = 10
+
+
+def q_mutual_knn(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal best-match pairs over the embedding table: a and b
+    match when each is the other's cosine nearest neighbor — the
+    high-precision alignment primitive (bilingual lexicon induction,
+    record linkage) that cuts hubness false-positives one-directional
+    NN suffers. Neighbor ranks use the (6dp cosine DESC, vec_id ASC)
+    quantize-then-rank contract; scoring is batched matmuls against
+    the broadcast matrix. Output: the {K} strongest mutual pairs plus
+    the global mutual count."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    emb = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = emb["vec_id"].to_numpy(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    ref = ray.put((mat, ids, norm))
+
+    def best(b: pa.Table) -> pa.Table:
+        m, allid, nn = ray.get(ref)
+        x = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        xid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        cos = (x @ m.T) / np.outer(xn, nn)
+        cos_q = np.asarray(round_half_away(cos, 6), np.float64)
+        # mask self-matches, then argbest by (cos DESC, id ASC)
+        self_mask = xid[:, None] == allid[None, :]
+        cos_q[self_mask] = -2.0
+        nbr = np.empty(len(x), np.int64)
+        ncs = np.empty(len(x), np.float64)
+        for i in range(len(x)):
+            j = np.lexsort((allid, -cos_q[i]))[0]
+            nbr[i] = allid[j]
+            ncs[i] = cos_q[i][j]
+        return pa.table(
+            {
+                "vec_id": pa.array(xid, pa.int64()),
+                "nbr": pa.array(nbr, pa.int64()),
+                "cos": pa.array(ncs, pa.float64()),
+            }
+        )
+
+    nn_tbl = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(best, batch_format="pyarrow")
+        .to_pandas()
+    )
+    m = dict(zip(nn_tbl["vec_id"], nn_tbl["nbr"]))
+    cosd = dict(zip(nn_tbl["vec_id"], nn_tbl["cos"]))
+    pairs = []
+    for a, bb in m.items():
+        if a < bb and m.get(bb) == a:
+            pairs.append((int(a), int(bb), float(cosd[a])))
+    n_mutual = len(pairs)
+    pairs.sort(key=lambda r: (-r[2], r[0]))
+    out = pd.DataFrame(
+        pairs[:MUTUAL_TOPK], columns=["vec_a", "vec_b", "cosine"]
+    )
+    out["n_mutual"] = n_mutual
+    return out.astype({"vec_a": "int64", "vec_b": "int64", "n_mutual": "int64"})
+
+
+def sql_mutual_knn() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+best AS (
+  SELECT ia, ib, c FROM (
+    SELECT ia, ib, c,
+           row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rn
+    FROM pairs) WHERE rn = 1),
+mut AS (
+  SELECT x.ia AS vec_a, x.ib AS vec_b, x.c AS cosine
+  FROM best x JOIN best y ON x.ib = y.ia AND y.ib = x.ia
+  WHERE x.ia < x.ib),
+nm AS (SELECT count(*) AS n FROM mut)
+SELECT vec_a, vec_b, cosine, CAST(nm.n AS BIGINT) AS n_mutual
+FROM mut, nm
+ORDER BY cosine DESC, vec_a LIMIT {MUTUAL_TOPK}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -22707,4 +22916,6 @@ def registry() -> dict[str, tuple]:
         "consistent_hashing": (q_consistent_hashing, sql_consistent_hashing()),
         "soundex_blocks": (q_soundex_blocks, sql_soundex_blocks()),
         "k_anonymity": (q_k_anonymity, sql_k_anonymity()),
+        "rbo_rankers": (q_rbo_rankers, sql_rbo_rankers()),
+        "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
     }
