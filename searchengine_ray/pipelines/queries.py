@@ -22576,6 +22576,200 @@ ORDER BY cosine DESC, vec_a LIMIT {MUTUAL_TOPK}
 """
 
 
+# -------------------------------------------------- k-center coreset
+
+KCENTER_K = 8
+
+
+def q_coreset_kcenter(sf_dir: str) -> pd.DataFrame:
+    """Gonzalez farthest-point (k-center) coreset over the embedding
+    table — the 2-approximation diverse-subset selector a curation
+    pipeline uses to cover an embedding space with k exemplars. Seeded
+    at vec_id 0; each step picks the point with the largest
+    (6dp-quantized) cosine distance to the chosen set, ties to the
+    smaller id. The per-step min-distance scan is the distributed
+    stage (batched matmul against the broadcast chosen matrix); the
+    driver holds only k rows. Output per step: the pick and its
+    distance — the covering radius after the previous step."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def fetch(vec_ids: list[int]) -> np.ndarray:
+        want = set(vec_ids)
+        rows = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            hit = b.filter(
+                pa.compute.is_in(b["vec_id"], pa.array(list(want), pa.int64()))
+            )
+            for vid, v in zip(
+                hit["vec_id"].to_pylist(), hit["embedding"].to_pylist()
+            ):
+                rows[vid] = np.asarray(v, np.float64)
+        return np.stack([rows[v] for v in vec_ids])
+
+    chosen = [0]
+    rows_out = []
+    for step in range(1, KCENTER_K):
+        cm = fetch(chosen)
+        cn = np.sqrt((cm * cm).sum(axis=1))
+        cid = np.asarray(chosen, np.int64)
+        ref = ray.put((cm, cn, cid))
+
+        def far(b: pa.Table, _ref=ref) -> pa.Table:
+            m, n, cids = ray.get(_ref)
+            x = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            xid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            xn = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ m.T) / np.outer(xn, n)
+            d = np.asarray(round_half_away(1.0 - cos, 6), np.float64).min(axis=1)
+            d[np.isin(xid, cids)] = -1.0
+            o = np.lexsort((xid, -d))[0]  # per-batch winner only
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(xid[o])], pa.int64()),
+                    "d": pa.array([float(d[o])], pa.float64()),
+                }
+            )
+
+        winners = ds.map_batches(far, batch_format="pyarrow").to_pandas()
+        w = winners.sort_values(
+            ["d", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).iloc[0]
+        rows_out.append((step, int(w["vec_id"]), float(w["d"])))
+        chosen.append(int(w["vec_id"]))
+    return pd.DataFrame(rows_out, columns=["step", "vec_id", "dist"]).astype(
+        {"step": "int64", "vec_id": "int64"}
+    )
+
+
+def sql_coreset_kcenter() -> str:
+    steps = []
+    for t in range(1, KCENTER_K):
+        steps.append(f"""
+p{t} AS (
+  SELECT e.vec_id,
+         min(round(1.0 - list_cosine_similarity(e.v, f.v), 6)) AS d
+  FROM e, c{t-1}, e f
+  WHERE list_contains(c{t-1}.ch, f.vec_id)
+    AND NOT list_contains(c{t-1}.ch, e.vec_id)
+  GROUP BY e.vec_id),
+n{t} AS (SELECT vec_id, d FROM p{t} ORDER BY d DESC, vec_id LIMIT 1),
+c{t} AS (SELECT list_append(c{t-1}.ch, n{t}.vec_id) AS ch FROM c{t-1}, n{t})""")
+    chain = ",".join(steps)
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, vec_id, d AS dist FROM n{t}"
+        for t in range(1, KCENTER_K)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT [CAST(0 AS BIGINT)] AS ch),
+{chain}
+SELECT step, CAST(vec_id AS BIGINT) AS vec_id, round(dist, 6) AS dist
+FROM ({picks}) ORDER BY step
+"""
+
+
+# ------------------------------------------------ 1-D Wasserstein distance
+
+
+def q_wasserstein_1d(sf_dir: str) -> pd.DataFrame:
+    """Earth-mover (W1) distance between the purchase-value
+    distributions of the two user-parity variants — the
+    distribution-shift magnitude in value units (KS says whether they
+    differ; W1 says by how much). Values quantize to exact milli-ints;
+    W1 = Σ |F_a − F_b| over the merged value domain reduces to the
+    ALL-INTEGER sum Σ |c_a·n_b − c_b·n_a|·gap via cross-multiplied
+    cumulative counts (Python bigints / SQL HUGEINT — no float
+    aggregation anywhere until the single final division). One
+    value-domain groupby is the only shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        arm = (
+            b["user_id"].to_numpy(zero_copy_only=False)[keep].astype(np.int64) % 2
+        )
+        return pa.table(
+            {
+                "m": pa.array(milli, pa.int64()),
+                "a0": pa.array((arm == 0).astype(np.int64), pa.int64()),
+                "a1": pa.array((arm == 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    dom = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("m")
+        .aggregate(Sum("a0", alias_name="c0"), Sum("a1", alias_name="c1"))
+        .to_pandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    m = dom["m"].to_numpy(np.int64)
+    c0 = np.cumsum(dom["c0"].to_numpy(np.int64))
+    c1 = np.cumsum(dom["c1"].to_numpy(np.int64))
+    n0, n1 = int(c0[-1]), int(c1[-1])
+    gaps = np.diff(m)
+    num = sum(
+        abs(int(c0[i]) * n1 - int(c1[i]) * n0) * int(gaps[i])
+        for i in range(len(gaps))
+    )
+    # float(num) first: mirrors SQL's CAST(s AS DOUBLE) / (n0*n1) exactly
+    w1 = float(num) / (n0 * n1) / 1000.0
+    return pd.DataFrame(
+        {
+            "n_a": pd.Series([n0], dtype="int64"),
+            "n_b": pd.Series([n1], dtype="int64"),
+            "n_domain": pd.Series([len(m)], dtype="int64"),
+            "w1": pd.Series(round_half_away([w1], 6), dtype="float64"),
+        }
+    )
+
+
+def sql_wasserstein_1d() -> str:
+    return """
+WITH p AS (
+  SELECT CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS m,
+         user_id % 2 AS arm
+  FROM events WHERE event_type = 'purchase'),
+dom AS (
+  SELECT m,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM p GROUP BY m),
+cum AS (
+  SELECT m,
+         sum(c0) OVER (ORDER BY m) AS f0,
+         sum(c1) OVER (ORDER BY m) AS f1,
+         lead(m) OVER (ORDER BY m) - m AS gap
+  FROM dom),
+g AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+             count(*) AS nd
+      FROM dom),
+num AS (
+  SELECT sum(CAST(abs(cum.f0 * g.n1 - cum.f1 * g.n0) AS HUGEINT)
+             * cum.gap) AS s
+  FROM cum, g WHERE cum.gap IS NOT NULL)
+SELECT g.n0 AS n_a, g.n1 AS n_b, CAST(g.nd AS BIGINT) AS n_domain,
+       round(CAST(num.s AS DOUBLE) / (g.n0 * g.n1) / 1000.0, 6) AS w1
+FROM g, num
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -22918,4 +23112,6 @@ def registry() -> dict[str, tuple]:
         "k_anonymity": (q_k_anonymity, sql_k_anonymity()),
         "rbo_rankers": (q_rbo_rankers, sql_rbo_rankers()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
+        "coreset_kcenter": (q_coreset_kcenter, sql_coreset_kcenter()),
+        "wasserstein_1d": (q_wasserstein_1d, sql_wasserstein_1d()),
     }
