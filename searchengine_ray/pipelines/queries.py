@@ -22770,6 +22770,254 @@ FROM g, num
 """
 
 
+# ------------------------------------------- varint stream as a file format
+
+
+def q_varint_stream_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """The index wire codec exercised as a standalone FILE format:
+    per block, event ids (sorted, delta+varbyte — the posting-list
+    layout) and per-event milli-values (plain varbyte) are framed as
+    length-prefixed binary records, written in parallel inside
+    ``map_batches``, read back via ``read_binary_files`` and decoded
+    with the same codec (``codec/varbyte.py``) — proving the
+    encode→disk→decode path byte-for-byte with the digest contract the
+    other format roundtrips (CSV/JSONL/ORC/Arrow/XML) use. Output:
+    row count and exact id/value sums vs the source table."""
+    import shutil
+    import struct
+    import uuid
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..codec import varbyte as vb
+
+    base = CACHE_ROOT / f"varint-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        ids = np.sort(b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        milli = np.sort(
+            np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        )
+        s1 = vb.encode(ids)  # delta + varbyte (posting layout)
+        s2 = vb.encode(milli)
+        payload = (
+            struct.pack("<IIII", len(ids), len(s1), len(milli), len(s2))
+            + s1
+            + s2
+        )
+        (base / f"{uuid.uuid4().hex}.vbs").write_bytes(payload)
+        return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+    rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(write_block, batch_format="pyarrow").materialize()
+
+    def parse(row: dict) -> list[dict]:
+        buf = row["bytes"]
+        n1, l1, n2, l2 = struct.unpack("<IIII", buf[:16])
+        ids = vb.decode(np.frombuffer(buf, np.uint8, l1, 16), n1)
+        milli = vb.decode(np.frombuffer(buf, np.uint8, l2, 16 + l1), n2)
+        return [
+            {
+                "n": int(n1),
+                "id_sum": int(ids.sum()),
+                "milli_sum": int(milli.sum()),
+            }
+        ]
+
+    out = (
+        rd.read_binary_files(str(base))
+        .flat_map(parse)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("id_sum", alias_name="id_sum"),
+            Sum("milli_sum", alias_name="milli_sum"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n": pd.Series([out["n"]], dtype="int64"),
+            "id_sum": pd.Series([out["id_sum"]], dtype="int64"),
+            "milli_sum": pd.Series([out["milli_sum"]], dtype="int64"),
+        }
+    )
+
+
+def sql_varint_stream_roundtrip() -> str:
+    return """
+SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(round(round(value, 3) * 1000, 0) AS BIGINT)) AS BIGINT)
+         AS milli_sum
+FROM events
+"""
+
+
+# -------------------------------------------------- join cardinality audit
+
+
+def q_join_cardinality(sf_dir: str) -> pd.DataFrame:
+    """Query-optimizer cardinality audit: for the three workhorse
+    equi-joins, the actual output size — computed WITHOUT materializing
+    the join, as Σ_k cnt_a(k)·cnt_b(k) over the co-grouped key domain —
+    against the System-R independence estimate |A|·|B|/max(d_a, d_b),
+    with the q-error max(actual/est, est/actual) that plan-quality
+    studies report. Shuffle-free: the dimension side's key counts
+    broadcast once via ``ray.put`` and the fact side streams — each
+    batch emits one partial product-sum row plus a packed seen-key
+    bitmap (FK integrity asserted, so the bitmap domain is exactly the
+    dimension's); the driver reduces node-count-sized partials."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ray
+
+    def audit(
+        name: str,
+        path_a: str,
+        key_a: str,
+        path_b: str,
+        key_b: str,
+    ) -> tuple:
+        # dimension side: per-batch combiner partials -> driver combine
+        # (key-domain-sized; the extreme-scale fallback is a co-partition
+        # groupby, but fact keys here are FKs into a broadcastable side)
+        def dim_counts(t: pa.Table) -> pa.Table:
+            k, counts = np.unique(
+                t[key_b].to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table(
+                {"k": pa.array(k, pa.int64()), "c": pa.array(counts, pa.int64())}
+            )
+
+        parts = (
+            rd.read_parquet(f"{sf_dir}/{path_b}.parquet", columns=[key_b])
+            .map_batches(dim_counts, batch_format="pyarrow")
+            .to_pandas()
+        )
+        dimc = parts.groupby("k")["c"].sum().sort_index()
+        dom = dimc.index.to_numpy(np.int64)
+        cb = dimc.to_numpy(np.int64)
+        rb, db = int(cb.sum()), len(dom)
+        ref = ray.put((dom, cb))
+
+        def scan(t: pa.Table) -> pa.Table:
+            d, cnt = ray.get(ref)
+            keys = t[key_a].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, ca = np.unique(keys, return_counts=True)
+            idx = np.searchsorted(d, uk)
+            if len(uk) and ((idx >= len(d)).any() or (d[idx] != uk).any()):
+                raise ValueError(
+                    f"{name}: fact key not in dimension domain (FK violation); "
+                    "this audit assumes referential integrity"
+                )
+            prod = int((ca * cnt[idx]).sum())
+            bits = np.zeros(len(d), bool)
+            bits[idx] = True
+            return pa.table(
+                {
+                    "rows": pa.array([len(keys)], pa.int64()),
+                    "prod": pa.array([prod], pa.int64()),
+                    "bits": pa.array([np.packbits(bits).tobytes()], pa.binary()),
+                }
+            )
+
+        fact = (
+            rd.read_parquet(f"{sf_dir}/{path_a}.parquet", columns=[key_a])
+            .map_batches(scan, batch_format="pyarrow")
+            .to_pandas()
+        )
+        ra = int(fact["rows"].sum())
+        actual = int(fact["prod"].sum())
+        seen = np.zeros(len(dom), bool)
+        for raw in fact["bits"]:
+            seen |= np.unpackbits(
+                np.frombuffer(raw, np.uint8), count=len(dom)
+            ).astype(bool)
+        da = int(seen.sum())
+        est = ra * rb / max(da, db)
+        qerr = max(actual / est, est / actual) if actual else float("inf")
+        return (
+            name,
+            ra,
+            rb,
+            da,
+            db,
+            actual,
+            float(round_half_away([est], 6)[0]),
+            float(round_half_away([qerr], 6)[0]),
+        )
+
+    rows = [
+        audit("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        audit("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "join_name",
+            "rows_a",
+            "rows_b",
+            "distinct_a",
+            "distinct_b",
+            "actual",
+            "estimate",
+            "q_error",
+        ],
+    ).astype(
+        {
+            "rows_a": "int64",
+            "rows_b": "int64",
+            "distinct_a": "int64",
+            "distinct_b": "int64",
+            "actual": "int64",
+        }
+    )
+
+
+def sql_join_cardinality() -> str:
+    def one(name: str, ta: str, ka: str, tb: str, kb: str) -> str:
+        return f"""
+SELECT '{name}' AS join_name,
+       (SELECT count(*) FROM {ta}) AS rows_a,
+       (SELECT count(*) FROM {tb}) AS rows_b,
+       (SELECT count(DISTINCT {ka}) FROM {ta}) AS distinct_a,
+       (SELECT count(DISTINCT {kb}) FROM {tb}) AS distinct_b,
+       (SELECT CAST(coalesce(sum(x.ca * y.cb), 0) AS BIGINT)
+        FROM (SELECT {ka} AS k, count(*) AS ca FROM {ta} GROUP BY 1) x
+        JOIN (SELECT {kb} AS k, count(*) AS cb FROM {tb} GROUP BY 1) y
+          USING (k)) AS actual,
+       round((SELECT count(*) FROM {ta}) * CAST((SELECT count(*) FROM {tb}) AS DOUBLE)
+             / greatest((SELECT count(DISTINCT {ka}) FROM {ta}),
+                        (SELECT count(DISTINCT {kb}) FROM {tb})), 6) AS estimate
+"""
+
+    parts = " UNION ALL ".join(
+        [
+            one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+            one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ]
+    )
+    return f"""
+WITH base AS ({parts})
+SELECT join_name, rows_a, rows_b, distinct_a, distinct_b, actual, estimate,
+       round(greatest(actual / (rows_a * CAST(rows_b AS DOUBLE)
+                                / greatest(distinct_a, distinct_b)),
+                      (rows_a * CAST(rows_b AS DOUBLE)
+                       / greatest(distinct_a, distinct_b)) / actual), 6)
+         AS q_error
+FROM base ORDER BY join_name
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -23114,4 +23362,9 @@ def registry() -> dict[str, tuple]:
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "coreset_kcenter": (q_coreset_kcenter, sql_coreset_kcenter()),
         "wasserstein_1d": (q_wasserstein_1d, sql_wasserstein_1d()),
+        "varint_stream_roundtrip": (
+            q_varint_stream_roundtrip,
+            sql_varint_stream_roundtrip(),
+        ),
+        "join_cardinality": (q_join_cardinality, sql_join_cardinality()),
     }
