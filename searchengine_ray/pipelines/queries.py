@@ -23018,6 +23018,248 @@ FROM base ORDER BY join_name
 """
 
 
+# --------------------------------------------------- 2-D grid epsilon join
+
+SPATIAL_EPS = 0.05
+
+
+def q_spatial_grid_join(sf_dir: str) -> pd.DataFrame:
+    """Epsilon self-join in 2-D (embedding dims 0-1) via grid
+    bucketing — the spatial-join pattern: cell size = ε so any
+    ε-neighbors are in the same or adjacent cells; each point lives in
+    its home cell and ghosts into the 4 lexicographically-greater
+    neighbors, so every cross-cell pair is counted exactly once inside
+    one group of a single cell-key shuffle (replication factor 5,
+    independent of n — the co-partition trick range_join uses in 1-D).
+    The SQL oracle is the INDEPENDENT brute-force O(n²) join, so a
+    grid bug can't self-confirm. Output: points, exact ε-pairs,
+    nonempty cells, max cell size."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    EPS = SPATIAL_EPS
+    OFF = 1 << 10
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        x, y = m[:, 0], m[:, 1]
+        vid = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = np.floor(x / EPS).astype(np.int64)
+        cy = np.floor(y / EPS).astype(np.int64)
+        rows = {"cell": [], "vec_id": [], "x": [], "y": [], "home": []}
+        for dx, dy, home in [
+            (0, 0, 1),
+            (1, -1, 0),
+            (1, 0, 0),
+            (1, 1, 0),
+            (0, 1, 0),
+        ]:
+            rows["cell"].append((cx + dx + OFF) * (OFF * 2) + (cy + dy + OFF))
+            rows["vec_id"].append(vid)
+            rows["x"].append(x)
+            rows["y"].append(y)
+            rows["home"].append(np.full(len(x), home, np.int8))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(rows["cell"]), pa.int64()),
+                "vec_id": pa.array(np.concatenate(rows["vec_id"]), pa.int64()),
+                "x": pa.array(np.concatenate(rows["x"]), pa.float64()),
+                "y": pa.array(np.concatenate(rows["y"]), pa.float64()),
+                "home": pa.array(np.concatenate(rows["home"]), pa.int8()),
+            }
+        )
+
+    def pairs_in_cell(g: pd.DataFrame) -> pd.DataFrame:
+        h = g[g["home"] == 1]
+        gh = g[g["home"] == 0]
+        hx = h["x"].to_numpy(np.float64)
+        hy = h["y"].to_numpy(np.float64)
+        hid = h["vec_id"].to_numpy(np.int64)
+        n_pairs = 0
+        if len(h) >= 2:
+            dx = hx[:, None] - hx[None, :]
+            dy = hy[:, None] - hy[None, :]
+            ok = (dx * dx + dy * dy <= EPS * EPS) & (hid[:, None] < hid[None, :])
+            n_pairs += int(ok.sum())
+        if len(h) and len(gh):
+            gx = gh["x"].to_numpy(np.float64)
+            gy = gh["y"].to_numpy(np.float64)
+            dx = hx[:, None] - gx[None, :]
+            dy = hy[:, None] - gy[None, :]
+            n_pairs += int((dx * dx + dy * dy <= EPS * EPS).sum())
+        return pd.DataFrame(
+            {
+                "p1": pd.Series([n_pairs], dtype="int64"),
+                "h1": pd.Series([len(h)], dtype="int64"),
+            }
+        )
+
+    per_cell = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pairs_in_cell, batch_format="pandas")
+        .aggregate(
+            Sum("p1", alias_name="n_pairs"),
+            Sum("h1", alias_name="n_points"),
+            Max("h1", alias_name="max_cell"),
+        )
+    )
+
+    def home_cells(b: pa.Table) -> pa.Table:
+        m = np.stack(b["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        cx = np.floor(m[:, 0] / EPS).astype(np.int64)
+        cy = np.floor(m[:, 1] / EPS).astype(np.int64)
+        return pa.table(
+            {"cell": pa.array((cx + OFF) * (OFF * 2) + cy + OFF, pa.int64())}
+        )
+
+    # nonempty = cells with >= 1 home point
+    n_cells = int(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(home_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .count()
+        .count()
+    )
+    return pd.DataFrame(
+        {
+            "n_points": pd.Series([int(per_cell["n_points"])], dtype="int64"),
+            "n_pairs": pd.Series([int(per_cell["n_pairs"])], dtype="int64"),
+            "n_cells": pd.Series([n_cells], dtype="int64"),
+            "max_cell": pd.Series([int(per_cell["max_cell"])], dtype="int64"),
+        }
+    )
+
+
+def sql_spatial_grid_join() -> str:
+    e2 = SPATIAL_EPS * SPATIAL_EPS
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings),
+-- independent brute-force check: no grid anywhere in the pair count
+pc AS (
+  SELECT count(*) AS n_pairs
+  FROM e a JOIN e b
+    ON a.vec_id < b.vec_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {e2}),
+cells AS (
+  SELECT floor(x / {SPATIAL_EPS}) AS cx, floor(y / {SPATIAL_EPS}) AS cy,
+         count(*) AS n
+  FROM e GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM e) AS n_points,
+       CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+       (SELECT count(*) FROM cells) AS n_cells,
+       (SELECT CAST(max(n) AS BIGINT) FROM cells) AS max_cell
+FROM pc
+"""
+
+
+# ------------------------------------------------- rolling correlation
+
+ROLLCORR_W = 7
+
+
+def q_rolling_corr(sf_dir: str) -> pd.DataFrame:
+    """Rolling {W}-day Pearson correlation between the daily purchase
+    and click counts — the co-movement monitor beside `grouped_corr`'s
+    static readout. Every windowed moment (Σp, Σc, Σp², Σc², Σpc) is
+    an exact integer convolution of daily counts, so the correlation
+    is one closed-form expression over bit-identical ints; no float
+    accumulates across windows. Output: one row per full window end."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    ),
+                    "p": pa.array(
+                        (
+                            b["event_type"].to_numpy(zero_copy_only=False)
+                            == "purchase"
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "c": pa.array(
+                        (
+                            b["event_type"].to_numpy(zero_copy_only=False)
+                            == "click"
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Sum("p", alias_name="p"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    day = daily["day"].to_numpy(np.int64)
+    p = daily["p"].to_numpy(np.int64)
+    c = daily["c"].to_numpy(np.int64)
+    w = ROLLCORR_W
+    ones = np.ones(w, np.int64)
+    sp = np.convolve(p, ones, "valid")
+    sc = np.convolve(c, ones, "valid")
+    spp = np.convolve(p * p, ones, "valid")
+    scc = np.convolve(c * c, ones, "valid")
+    spc = np.convolve(p * c, ones, "valid")
+    num = (w * spc - sp * sc).astype(np.float64)
+    den = np.sqrt((w * spp - sp * sp).astype(np.float64)) * np.sqrt(
+        (w * scc - sc * sc).astype(np.float64)
+    )
+    corr = num / den
+    return pd.DataFrame(
+        {
+            "day": pd.Series(day[w - 1 :], dtype="int64"),
+            "sum_p": pd.Series(sp, dtype="int64"),
+            "sum_c": pd.Series(sc, dtype="int64"),
+            "corr": round_half_away(corr, 6),
+        }
+    )
+
+
+def sql_rolling_corr() -> str:
+    w = ROLLCORR_W
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+  FROM events GROUP BY 1),
+rk AS (SELECT *, row_number() OVER (ORDER BY day) AS t FROM daily),
+win AS (
+  SELECT day, t,
+         sum(p) OVER wd AS sp, sum(c) OVER wd AS sc,
+         sum(p * p) OVER wd AS spp, sum(c * c) OVER wd AS scc,
+         sum(p * c) OVER wd AS spc
+  FROM rk
+  WINDOW wd AS (ORDER BY t ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW))
+SELECT day, CAST(sp AS BIGINT) AS sum_p, CAST(sc AS BIGINT) AS sum_c,
+       round(CAST({w} * spc - sp * sc AS DOUBLE)
+             / (sqrt(CAST({w} * spp - sp * sp AS DOUBLE))
+                * sqrt(CAST({w} * scc - sc * sc AS DOUBLE))), 6) AS corr
+FROM win WHERE t >= {w}
+ORDER BY day
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -23367,4 +23609,6 @@ def registry() -> dict[str, tuple]:
             sql_varint_stream_roundtrip(),
         ),
         "join_cardinality": (q_join_cardinality, sql_join_cardinality()),
+        "spatial_grid_join": (q_spatial_grid_join, sql_spatial_grid_join()),
+        "rolling_corr": (q_rolling_corr, sql_rolling_corr()),
     }
