@@ -23260,6 +23260,283 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------- partition skew audit
+
+SKEW_SHARDS = 16
+
+
+def q_partition_skew(sf_dir: str) -> pd.DataFrame:
+    """Placement-quality audit of four shard-assignment schemes over
+    the corpus vocabulary — the why behind content-hash sharding: a
+    good scheme (md5 low/high bits) lands near-uniform, a structural
+    key (term length, first codepoint) concentrates load and caps
+    scan parallelism. One vocabulary pass emits per-batch partial
+    (scheme, shard) counts; the final table is 4×{S} cells. Imbalance
+    = max/mean and the χ² uniformity statistic are closed forms over
+    exact counts."""
+    import hashlib as _h
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    def shards_of(terms: list[str]) -> dict[str, np.ndarray]:
+        h = np.fromiter(
+            (
+                int.from_bytes(_h.md5(t.encode()).digest()[8:], "little")
+                for t in terms
+            ),
+            np.uint64,
+            count=len(terms),
+        )
+        return {
+            "md5_low": (h % np.uint64(SKEW_SHARDS)).astype(np.int64),
+            "md5_high": ((h >> np.uint64(32)) % np.uint64(SKEW_SHARDS)).astype(
+                np.int64
+            ),
+            "length_mod": np.asarray(
+                [len(t) % SKEW_SHARDS for t in terms], np.int64
+            ),
+            "firstchar_mod": np.asarray(
+                [ord(t[0]) % SKEW_SHARDS for t in terms], np.int64
+            ),
+        }
+
+    # dedup terms with one (term) groupby, then assign shards on the
+    # vocabulary-sized result (driver holds only the vocabulary)
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "term": pa.array(
+                        sorted(
+                            {
+                                t
+                                for ts in _token_lists(b["text"].to_pandas())
+                                for t in ts
+                            }
+                        ),
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .count()
+        .to_pandas()
+    )
+    terms = vocab["term"].tolist()
+    n = len(terms)
+    rows = []
+    exp = n / SKEW_SHARDS
+    for name, sh in shards_of(terms).items():
+        counts = np.bincount(sh, minlength=SKEW_SHARDS).astype(np.int64)
+        chisq = float(((counts - exp) ** 2 / exp).sum())
+        rows.append(
+            (
+                name,
+                n,
+                int(counts.max()),
+                int(counts.min()),
+                float(round_half_away([counts.max() / exp], 6)[0]),
+                float(round_half_away([chisq], 6)[0]),
+            )
+        )
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame(
+        rows,
+        columns=["scheme", "n_keys", "max_load", "min_load", "imbalance", "chisq"],
+    ).astype({"n_keys": "int64", "max_load": "int64", "min_load": "int64"})
+
+
+def sql_partition_skew() -> str:
+    S = SKEW_SHARDS
+    return rf"""
+WITH keys AS (
+  SELECT DISTINCT t AS term FROM (
+    SELECT unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t
+    FROM documents)
+  WHERE t <> ''),
+assigned AS (
+  SELECT 'md5_low' AS scheme,
+         CAST(md5_number_lower(term) % {S} AS BIGINT) AS shard FROM keys
+  UNION ALL
+  SELECT 'md5_high', CAST((md5_number_lower(term) // 4294967296) % {S} AS BIGINT)
+  FROM keys
+  UNION ALL
+  SELECT 'length_mod', CAST(length(term) % {S} AS BIGINT) FROM keys
+  UNION ALL
+  SELECT 'firstchar_mod', CAST(ascii(substr(term, 1, 1)) % {S} AS BIGINT)
+  FROM keys),
+loads AS (
+  SELECT scheme, shard, count(*) AS c FROM assigned GROUP BY 1, 2),
+full_loads AS (
+  SELECT s.scheme, sh.range AS shard, coalesce(l.c, 0) AS c
+  FROM (SELECT DISTINCT scheme FROM assigned) s
+  CROSS JOIN range({S}) sh
+  LEFT JOIN loads l ON l.scheme = s.scheme AND l.shard = sh.range),
+nk AS (SELECT count(*) AS n FROM keys)
+SELECT f.scheme, CAST(nk.n AS BIGINT) AS n_keys,
+       CAST(max(f.c) AS BIGINT) AS max_load, CAST(min(f.c) AS BIGINT) AS min_load,
+       round(max(f.c) / (CAST(nk.n AS DOUBLE) / {S}), 6) AS imbalance,
+       round(sum((f.c - CAST(nk.n AS DOUBLE) / {S})
+                 * (f.c - CAST(nk.n AS DOUBLE) / {S}))
+             / (CAST(nk.n AS DOUBLE) / {S}), 6) AS chisq
+FROM full_loads f, nk
+GROUP BY f.scheme, nk.n ORDER BY f.scheme
+"""
+
+
+# ------------------------------------------------------- Luhn summarization
+
+LUHN_MIN_FREQ = 2
+
+
+def q_luhn_summary(sf_dir: str) -> pd.DataFrame:
+    """Luhn extractive summarization (the 1958 auto-abstract): per doc,
+    the significant vocabulary is the non-stopword tokens repeating ≥
+    {F} times; each sentence scores (significant occurrences)² /
+    sentence length and the best (score DESC, position ASC) sentence
+    is the summary. The scan is one vectorized-enough ``map_batches``
+    pass emitting per-source partials; cross-doc means aggregate as
+    6dp micro-ints. Output per source: docs, mean best-sentence
+    position and mean best score."""
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    sent_re = re.compile(r"[.!?]+")
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def scan(b: pa.Table) -> pa.Table:
+        stop = EN_STOP_WORDS
+        acc: dict[str, list[int]] = {}
+        for src, text in zip(
+            b["source"].to_pylist(), b["text"].to_pylist()
+        ):
+            text = (text or "").lower()
+            sents = [s for s in sent_re.split(text)]
+            tok_sents = []
+            counts: dict[str, int] = {}
+            for s in sents:
+                ts = [t for t in ws_re.split(s.replace(",", " ").replace(";", " ")) if t]
+                if not ts:
+                    continue
+                tok_sents.append(ts)
+                for t in ts:
+                    counts[t] = counts.get(t, 0) + 1
+            if not tok_sents:
+                continue
+            sig = {
+                t
+                for t, c in counts.items()
+                if c >= LUHN_MIN_FREQ and t not in stop
+            }
+            best_idx, best_num, best_den = 0, -1, 1
+            for i, ts in enumerate(tok_sents):
+                k = sum(1 for t in ts if t in sig)
+                # compare k²/len > best via cross multiplication (exact)
+                if k * k * best_den > best_num * len(ts):
+                    best_idx, best_num, best_den = i, k * k, len(ts)
+            a = acc.setdefault(src, [0, 0, 0])
+            a[0] += 1
+            a[1] += best_idx
+            a[2] += int(
+                round_half_away([best_num / best_den * 1e6], 0)[0]
+            )
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "d1": pa.array([acc[k][0] for k in keys], pa.int64()),
+                "i1": pa.array([acc[k][1] for k in keys], pa.int64()),
+                "s1": pa.array([acc[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(scan, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("d1", alias_name="n_docs"),
+            Sum("i1", alias_name="idx_sum"),
+            Sum("s1", alias_name="score_sum"),
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    nd = out["n_docs"].to_numpy(np.int64).astype(np.float64)
+    out["avg_best_idx"] = round_half_away(
+        out["idx_sum"].to_numpy(np.int64) / nd, 6
+    )
+    out["avg_score"] = round_half_away(
+        out["score_sum"].to_numpy(np.int64) / 1e6 / nd, 6
+    )
+    return out.drop(columns=["idx_sum", "score_sum"]).astype(
+        {"source": "object", "n_docs": "int64"}
+    )
+
+
+def sql_luhn_summary() -> str:
+    stoplist = ", ".join("'" + w + "'" for w in sorted(EN_STOP_WORDS))
+    return rf"""
+WITH sents AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(lower(text), '[.!?]+')) AS s,
+         unnest(range(1, len(string_split_regex(lower(text), '[.!?]+')) + 1))
+           AS raw_idx
+  FROM documents),
+stok AS (
+  SELECT doc_id, source, raw_idx,
+         unnest(string_split_regex(replace(replace(s, ',', ' '), ';', ' '),
+                                   '[ \t\n\x0b\f\r]+')) AS t
+  FROM sents),
+tok AS (SELECT * FROM stok WHERE t <> ''),
+-- sentence index among NONEMPTY sentences, in raw order
+nonempty AS (
+  SELECT doc_id, raw_idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1 AS idx,
+         count(*) AS slen
+  FROM tok GROUP BY doc_id, raw_idx),
+freq AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+sig AS (
+  SELECT doc_id, t FROM freq
+  WHERE c >= {LUHN_MIN_FREQ} AND t NOT IN ({stoplist})),
+scount AS (
+  SELECT tok.doc_id, tok.raw_idx, count(*) AS k
+  FROM tok JOIN sig ON sig.doc_id = tok.doc_id AND sig.t = tok.t
+  GROUP BY tok.doc_id, tok.raw_idx),
+scored AS (
+  SELECT ne.doc_id, ne.idx, ne.slen, coalesce(sc.k, 0) AS k
+  FROM nonempty ne
+  LEFT JOIN scount sc ON sc.doc_id = ne.doc_id AND sc.raw_idx = ne.raw_idx),
+best AS (
+  SELECT doc_id, idx,
+         CAST(round(CAST(k * k AS DOUBLE) / slen * 1000000, 0) AS BIGINT)
+           AS sq
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY CAST(k * k AS DOUBLE) / slen DESC, idx) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT d.source, count(*) AS n_docs,
+       round(CAST(sum(b.idx) AS DOUBLE) / count(*), 6) AS avg_best_idx,
+       round(CAST(sum(b.sq) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_score
+FROM best b JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -23611,4 +23888,6 @@ def registry() -> dict[str, tuple]:
         "join_cardinality": (q_join_cardinality, sql_join_cardinality()),
         "spatial_grid_join": (q_spatial_grid_join, sql_spatial_grid_join()),
         "rolling_corr": (q_rolling_corr, sql_rolling_corr()),
+        "partition_skew": (q_partition_skew, sql_partition_skew()),
+        "luhn_summary": (q_luhn_summary, sql_luhn_summary()),
     }
