@@ -23537,6 +23537,174 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+# ------------------------------------------------ perceptual-hash near-dup
+
+
+def q_ahash_neardup(sf_dir: str) -> pd.DataFrame:
+    """Average-hash (aHash) image near-duplicate audit over the REAL
+    BMP decode path: every doc's synthetic BMP is decoded from bytes
+    (``multimodal.decode_bmp`` — the same codec `multimodal_bmp`
+    proves), the top-left 8×8 block's 64 mean-threshold bits form the
+    perceptual hash, and exact-hash buckets bound the duplicate-pair
+    mass — the image-dedup first stage before hamming-band LSH. The
+    threshold compare is the exact integer 64·p ≥ Σp, and the hash is
+    a 64-char bit string, so the SQL oracle recomputes it from the
+    generator's closed pixel form without touching bytes — decode bugs
+    can't self-confirm. Output: images, distinct hashes, max bucket,
+    exact-duplicate pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.multimodal import add_payload_batch, decode_bmp
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        b = add_payload_batch(b, kind="bmp")
+        hashes = []
+        for payload in b["payload"].to_pylist():
+            px = decode_bmp(payload)[:8, :8, 0].astype(np.int64)
+            s = int(px.sum())
+            bits = (px.reshape(-1) * 64 >= s).astype(np.int8)
+            hashes.append("".join("1" if v else "0" for v in bits))
+        return pa.table({"h": pa.array(hashes, pa.string())})
+
+    buckets = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    c = buckets["c"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "n_images": pd.Series([int(c.sum())], dtype="int64"),
+            "n_hashes": pd.Series([len(c)], dtype="int64"),
+            "max_bucket": pd.Series([int(c.max())], dtype="int64"),
+            "dup_pairs": pd.Series([int((c * (c - 1) // 2).sum())], dtype="int64"),
+        }
+    )
+
+
+def sql_ahash_neardup() -> str:
+    # pixel (y, x) of doc d = (7x + 13y + d) % 256; bit k covers
+    # (y, x) = (k // 8, k % 8); threshold = block mean via 64·p >= Σp
+    return """
+WITH px AS (
+  SELECT d.doc_id, k.range AS k,
+         (7 * (k.range % 8) + 13 * (k.range // 8) + d.doc_id) % 256 AS p
+  FROM documents d, range(64) k),
+s AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id,
+         string_agg(CASE WHEN px.p * 64 >= s.tot THEN '1' ELSE '0' END, ''
+                    ORDER BY px.k) AS h
+  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id),
+b AS (SELECT h, count(*) AS c FROM bits GROUP BY h)
+SELECT CAST(sum(c) AS BIGINT) AS n_images, count(*) AS n_hashes,
+       CAST(max(c) AS BIGINT) AS max_bucket,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS dup_pairs
+FROM b
+"""
+
+
+# ----------------------------------------------- event-type trigram mining
+
+SEQ3_TOPK = 15
+
+
+def q_seq3_patterns(sf_dir: str) -> pd.DataFrame:
+    """Frequent behavioral trigrams: consecutive event-type triples in
+    each user's (ts, event_id)-ordered stream — the depth-3 sequential
+    pattern beside `markov_transitions`' bigrams (journeys like
+    view→click→purchase that transition matrices can't distinguish
+    from two independent hops). One user-hash bucket shuffle + a
+    vectorized shifted-compare scan per bucket; exact counts. Output:
+    top-{K} triples by (count DESC, triple ASC)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 32
+
+    def tag(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (
+            pd.util.hash_array(users.astype(np.int64)) % np.uint64(N_BUCKETS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "_bucket": pa.array(bucket, pa.int32()),
+                "user_id": b["user_id"],
+                "_ts": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "t1": pd.Series([], dtype="object"),
+                "t2": pd.Series([], dtype="object"),
+                "t3": pd.Series([], dtype="object"),
+                "c": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "_ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(object)
+        ok = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        if not ok.any():
+            return empty
+        df = pd.DataFrame(
+            {
+                "t1": et[:-2][ok],
+                "t2": et[1:-1][ok],
+                "t3": et[2:][ok],
+            }
+        )
+        out = df.groupby(["t1", "t2", "t3"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    out = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(scan, batch_format="pandas")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(
+        ["n", "t1", "t2", "t3"], ascending=[False, True, True, True],
+        kind="mergesort",
+    ).head(SEQ3_TOPK)
+    return out.reset_index(drop=True).astype(
+        {"t1": "object", "t2": "object", "t3": "object", "n": "int64"}
+    )
+
+
+def sql_seq3_patterns() -> str:
+    return f"""
+WITH seq AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, count(*) AS n
+FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT {SEQ3_TOPK}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -23890,4 +24058,6 @@ def registry() -> dict[str, tuple]:
         "rolling_corr": (q_rolling_corr, sql_rolling_corr()),
         "partition_skew": (q_partition_skew, sql_partition_skew()),
         "luhn_summary": (q_luhn_summary, sql_luhn_summary()),
+        "ahash_neardup": (q_ahash_neardup, sql_ahash_neardup()),
+        "seq3_patterns": (q_seq3_patterns, sql_seq3_patterns()),
     }
