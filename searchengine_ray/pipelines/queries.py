@@ -23705,6 +23705,260 @@ ORDER BY n DESC, t1, t2, t3 LIMIT {SEQ3_TOPK}
 """
 
 
+# ------------------------------------------------- V-optimal histogram
+
+VOPT_K = 4
+
+
+def q_voptimal_hist(sf_dir: str) -> pd.DataFrame:
+    """V-optimal histogram (Jagadish et al.) of the daily event-count
+    series: the {K}-bucket contiguous segmentation minimizing total
+    within-bucket SSE — the synopsis construction query optimizers
+    build over column domains. Segment SSEs come from exact integer
+    prefix moments and quantize to 6dp micro-ints, so the DP (argmin
+    ties to the smaller split) is pure integer arithmetic replayed
+    identically by the SQL oracle's unrolled DP stages. Output per
+    bucket: day span, size, mean and SSE."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    daily = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": pa.array(
+                        b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        // 86_400_000_000,
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    day = daily["day"].to_numpy(np.int64)
+    x = daily["c"].to_numpy(np.int64)
+    D = len(x)
+    s1 = np.concatenate(([0], np.cumsum(x)))
+    s2 = np.concatenate(([0], np.cumsum(x * x)))
+
+    def cq(i: int, j: int) -> int:
+        # SSE of days i..j (1-based inclusive), 6dp micro-int
+        n = j - i + 1
+        a = int(s1[j] - s1[i - 1])
+        b = int(s2[j] - s2[i - 1])
+        sse = float(b) - float(a * a) / n
+        return int(round_half_away([sse * 1e6], 0)[0])
+
+    INF = 1 << 62
+    best = [[INF] * (D + 1) for _ in range(VOPT_K + 1)]
+    split = [[0] * (D + 1) for _ in range(VOPT_K + 1)]
+    for j in range(1, D + 1):
+        best[1][j] = cq(1, j)
+    for k in range(2, VOPT_K + 1):
+        for j in range(k, D + 1):
+            for i in range(k - 1, j):
+                cand = best[k - 1][i] + cq(i + 1, j)
+                if cand < best[k][j]:
+                    best[k][j] = cand
+                    split[k][j] = i
+    bounds = [D]
+    j = D
+    for k in range(VOPT_K, 1, -1):
+        j = split[k][j]
+        bounds.append(j)
+    bounds.append(0)
+    bounds = bounds[::-1]  # [0, e1, e2, e3, D]
+    rows = []
+    for b_i in range(VOPT_K):
+        lo, hi = bounds[b_i] + 1, bounds[b_i + 1]
+        n = hi - lo + 1
+        a = int(s1[hi] - s1[lo - 1])
+        rows.append(
+            (
+                b_i + 1,
+                int(day[lo - 1]),
+                int(day[hi - 1]),
+                n,
+                float(round_half_away([a / n], 6)[0]),
+                float(round_half_away([cq(lo, hi) / 1e6], 6)[0]),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["bucket", "day_lo", "day_hi", "n_days", "mean_c", "sse"],
+    ).astype(
+        {"bucket": "int64", "day_lo": "int64", "day_hi": "int64", "n_days": "int64"}
+    )
+
+
+def sql_voptimal_hist() -> str:
+    K = VOPT_K
+    dp_stages = []
+    for k in range(2, K + 1):
+        dp_stages.append(f"""
+b{k} AS MATERIALIZED (
+  SELECT j, cost, split FROM (
+    SELECT c.j, p.cost + c.cq AS cost, p.j AS split,
+           row_number() OVER (PARTITION BY c.j
+                              ORDER BY p.cost + c.cq, p.j) AS rn
+    FROM seg c JOIN b{k-1} p ON p.j = c.i - 1
+    WHERE c.i >= {k}) WHERE rn = 1)""")
+    chain = ",".join(dp_stages)
+    return f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, count(*) AS c
+  FROM events GROUP BY 1),
+rk AS (
+  SELECT day, CAST(c AS BIGINT) AS c,
+         row_number() OVER (ORDER BY day) AS t FROM daily),
+pre AS (
+  SELECT t, day, c,
+         sum(c) OVER (ORDER BY t) AS s1,
+         sum(c * c) OVER (ORDER BY t) AS s2
+  FROM rk),
+dd AS (SELECT count(*) AS d FROM rk),
+seg AS MATERIALIZED (
+  SELECT a.t AS i, b.t AS j,
+         CAST(round((CAST(b.s2 - coalesce(p.s2, 0) AS DOUBLE)
+                     - CAST((b.s1 - coalesce(p.s1, 0))
+                            * (b.s1 - coalesce(p.s1, 0)) AS DOUBLE)
+                       / (b.t - a.t + 1)) * 1000000, 0) AS BIGINT) AS cq
+  FROM pre a
+  JOIN pre b ON b.t >= a.t
+  LEFT JOIN pre p ON p.t = a.t - 1),
+b1 AS (SELECT j, cq AS cost, CAST(0 AS BIGINT) AS split FROM seg WHERE i = 1),
+{chain},
+e3 AS (SELECT split AS v FROM b{K}, dd WHERE j = dd.d),
+e2 AS (SELECT b{K-1}.split AS v FROM b{K-1}, e3 WHERE b{K-1}.j = e3.v),
+e1 AS (SELECT b{K-2}.split AS v FROM b{K-2}, e2 WHERE b{K-2}.j = e2.v),
+bounds AS (
+  SELECT 1 AS bucket, 1 AS lo, e1.v AS hi FROM e1
+  UNION ALL SELECT 2, e1.v + 1, e2.v FROM e1, e2
+  UNION ALL SELECT 3, e2.v + 1, e3.v FROM e2, e3
+  UNION ALL SELECT 4, e3.v + 1, dd.d FROM e3, dd)
+SELECT CAST(b.bucket AS BIGINT) AS bucket,
+       (SELECT day FROM pre WHERE t = b.lo) AS day_lo,
+       (SELECT day FROM pre WHERE t = b.hi) AS day_hi,
+       CAST(b.hi - b.lo + 1 AS BIGINT) AS n_days,
+       round(CAST((SELECT s1 FROM pre WHERE t = b.hi)
+                  - coalesce((SELECT s1 FROM pre WHERE t = b.lo - 1), 0)
+              AS DOUBLE) / (b.hi - b.lo + 1), 6) AS mean_c,
+       round(CAST((SELECT cq FROM seg WHERE i = b.lo AND j = b.hi) AS DOUBLE)
+             / 1000000.0, 6) AS sse
+FROM bounds b ORDER BY bucket
+"""
+
+
+# ------------------------------------------------- Selinger join-order DP
+
+
+def q_join_order_dp(sf_dir: str) -> pd.DataFrame:
+    """Selinger-style left-deep join-order costing for customer ⋈
+    orders ⋈ lineitem: each of the 6 permutations is costed as the
+    estimated first-intermediate size (independence estimate when a
+    predicate links the pair, Cartesian product when none does) plus
+    the shared final size — the optimizer exercise that shows why
+    (customer ⋈ orders) ⋈ lineitem beats any lineitem-first or
+    cross-product plan. Table stats (rows, join-key distincts) are
+    exact distributed counts; the DP itself is 6 rows of closed-form
+    arithmetic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def stats(table: str, key: str) -> tuple[int, int]:
+        def f(b: pa.Table) -> pa.Table:
+            k = np.unique(b[key].to_numpy(zero_copy_only=False).astype(np.int64))
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "n": pa.array(
+                        np.full(
+                            len(k),
+                            0,
+                            np.int64,
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key])
+        rows = ds.count()
+        distinct = (
+            ds.map_batches(f, batch_format="pyarrow").groupby("k").count().count()
+        )
+        return int(rows), int(distinct)
+
+    nc, dc = stats("customer", "c_custkey")
+    no, do_ck = stats("orders", "o_custkey")
+    _, do_ok = stats("orders", "o_orderkey")
+    nl, dl = stats("lineitem", "l_orderkey")
+
+    def est_pair(a: str, b: str) -> float:
+        pair = frozenset((a, b))
+        if pair == frozenset(("C", "O")):
+            return nc * no / max(dc, do_ck)
+        if pair == frozenset(("O", "L")):
+            return no * nl / max(do_ok, dl)
+        return float(nc) * nl  # C×L: no predicate, Cartesian
+
+    # final size: C⋈O⋈L with both predicates (independence)
+    final = nc * no / max(dc, do_ck) * nl / max(do_ok, dl)
+    import itertools
+
+    rows = []
+    for perm in itertools.permutations("COL"):
+        first = est_pair(perm[0], perm[1])
+        cost = first + final
+        rows.append(("".join(perm), first, cost))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    out = pd.DataFrame(rows, columns=["plan", "first_est", "total_cost"])
+    out["rank"] = np.arange(1, len(out) + 1)
+    out["first_est"] = round_half_away(out["first_est"].to_numpy(np.float64), 6)
+    out["total_cost"] = round_half_away(out["total_cost"].to_numpy(np.float64), 6)
+    return out.astype({"plan": "object", "rank": "int64"})
+
+
+def sql_join_order_dp() -> str:
+    return """
+WITH st AS (
+  SELECT (SELECT count(*) FROM customer) AS nc,
+         (SELECT count(DISTINCT c_custkey) FROM customer) AS dc,
+         (SELECT count(*) FROM orders) AS no_,
+         (SELECT count(DISTINCT o_custkey) FROM orders) AS dock,
+         (SELECT count(DISTINCT o_orderkey) FROM orders) AS dook,
+         (SELECT count(*) FROM lineitem) AS nl,
+         (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS dl),
+est AS (
+  SELECT nc * CAST(no_ AS DOUBLE) / greatest(dc, dock) AS co,
+         no_ * CAST(nl AS DOUBLE) / greatest(dook, dl) AS ol,
+         CAST(nc AS DOUBLE) * nl AS cl,
+         nc * CAST(no_ AS DOUBLE) / greatest(dc, dock)
+           * nl / greatest(dook, dl) AS fin
+  FROM st),
+plans AS (
+  SELECT 'COL' AS plan, co AS first_est FROM est
+  UNION ALL SELECT 'CLO', cl FROM est
+  UNION ALL SELECT 'OCL', co FROM est
+  UNION ALL SELECT 'OLC', ol FROM est
+  UNION ALL SELECT 'LOC', ol FROM est
+  UNION ALL SELECT 'LCO', cl FROM est)
+SELECT plan, round(first_est, 6) AS first_est,
+       round(first_est + est.fin, 6) AS total_cost,
+       row_number() OVER (ORDER BY first_est + est.fin, plan) AS rank
+FROM plans, est
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -24060,4 +24314,6 @@ def registry() -> dict[str, tuple]:
         "luhn_summary": (q_luhn_summary, sql_luhn_summary()),
         "ahash_neardup": (q_ahash_neardup, sql_ahash_neardup()),
         "seq3_patterns": (q_seq3_patterns, sql_seq3_patterns()),
+        "voptimal_hist": (q_voptimal_hist, sql_voptimal_hist()),
+        "join_order_dp": (q_join_order_dp, sql_join_order_dp()),
     }
