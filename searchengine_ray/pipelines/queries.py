@@ -23959,6 +23959,201 @@ ORDER BY rank
 """
 
 
+# ------------------------------------------------------ bipartiteness audit
+
+BIPARTITE_ROUNDS = 12
+
+
+def q_bipartite_check(sf_dir: str) -> pd.DataFrame:
+    """Two-colorability audit of the 5-component quadratic-map graph:
+    multi-seed BFS (seeds 0-4, one per residue component) assigns
+    every node a layer parity; an edge inside one parity class is an
+    odd-cycle witness, so `odd_edges = 0` ⟺ bipartite — the
+    conflict-graph precheck before any 2-coloring-based scheduling.
+    The Ray side raises if {R} frontier rounds don't reach every node
+    (truncation can't pass silently); the oracle unrolls the same
+    min-distance rounds. Output: nodes, canonical edges, same-parity
+    edges, bipartite flag."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    edges = _component_edges(n)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    canon = np.unique(
+        np.stack([edges.min(axis=1), edges.max(axis=1)], axis=1), axis=0
+    )
+    dist = np.full(n, -1, np.int64)
+    seeds = np.arange(5)
+    dist[seeds] = 0
+    src = np.concatenate([canon[:, 0], canon[:, 1]])
+    dst = np.concatenate([canon[:, 1], canon[:, 0]])
+    for _ in range(BIPARTITE_ROUNDS):
+        cand = np.full(n, np.iinfo(np.int64).max, np.int64)
+        reach = dist[src] >= 0
+        np.minimum.at(cand, dst[reach], dist[src[reach]] + 1)
+        upd = (dist < 0) & (cand < np.iinfo(np.int64).max)
+        if not upd.any():
+            break
+        dist[upd] = cand[upd]
+    if (dist < 0).any():
+        raise RuntimeError(
+            f"bipartite_check: {int((dist < 0).sum())} nodes unreached after "
+            f"{BIPARTITE_ROUNDS} BFS rounds; raise BIPARTITE_ROUNDS"
+        )
+    par = dist % 2
+    odd = int((par[canon[:, 0]] == par[canon[:, 1]]).sum())
+    return pd.DataFrame(
+        {
+            "n_nodes": pd.Series([n], dtype="int64"),
+            "n_edges": pd.Series([len(canon)], dtype="int64"),
+            "odd_edges": pd.Series([odd], dtype="int64"),
+            "is_bipartite": pd.Series([int(odd == 0)], dtype="int64"),
+        }
+    )
+
+
+def sql_bipartite_check() -> str:
+    steps = []
+    for t in range(1, BIPARTITE_ROUNDS + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (
+  SELECT node, min(dd) AS d FROM (
+    SELECT node, d AS dd FROM d{t-1}
+    UNION ALL
+    SELECT e.dst, p.d + 1 FROM e JOIN d{t-1} p ON e.src = p.node
+  ) GROUP BY node)""")
+    chain = ",".join(steps)
+    t = BIPARTITE_ROUNDS
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT doc_id AS i, doc_id % 5 AS c,
+         (SELECT count(*) FROM documents) AS n FROM documents),
+raw AS (
+  SELECT i, c, (i * i + 3) % n AS x FROM ids
+  UNION ALL SELECT i, c, (i * 7 + 13) % n FROM ids
+  UNION ALL SELECT i, c, (i * i * 11 + i + 29) % n FROM ids),
+snapped AS (
+  SELECT i AS a,
+         CASE WHEN x - (((x - c) % 5 + 5) % 5) < 0
+              THEN x - (((x - c) % 5 + 5) % 5) + 5
+              ELSE x - (((x - c) % 5 + 5) % 5) END AS b
+  FROM raw),
+canon AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM snapped WHERE a <> b),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM canon
+  UNION ALL SELECT v, u FROM canon),
+d0 AS (SELECT i AS node, CAST(0 AS BIGINT) AS d FROM ids WHERE i < 5),
+{chain},
+par AS (SELECT node, d % 2 AS p FROM d{t}),
+odd AS (
+  SELECT count(*) AS o
+  FROM canon JOIN par pu ON pu.node = canon.u
+  JOIN par pv ON pv.node = canon.v
+  WHERE pu.p = pv.p)
+SELECT (SELECT count(*) FROM ids) AS n_nodes,
+       (SELECT count(*) FROM canon) AS n_edges,
+       CAST(odd.o AS BIGINT) AS odd_edges,
+       CAST(CASE WHEN odd.o = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bipartite
+FROM odd
+"""
+
+
+# -------------------------------------------------- learned-index audit
+
+
+def q_learned_index_audit(sf_dir: str) -> pd.DataFrame:
+    """Learned-index feasibility audit (Kraska et al.'s RMI premise):
+    fit position ≈ a + b·key over the sorted purchase-value domain and
+    report the maximum and mean absolute position error — the ε that
+    bounds the binary-search window a single linear model would need
+    on this key distribution. Positions come from the value-domain
+    count shuffle's exact prefix sums; the OLS moments are exact
+    integers, residual extremes are distributed max/min, and the mean
+    |error| aggregates as 6dp micro-ints."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = et == "purchase"
+        v = b["value"].to_numpy(zero_copy_only=False)[keep]
+        milli = np.asarray(round_half_away(np.round(v, 3) * 1e3, 0), np.int64)
+        return pa.table({"m": pa.array(milli, pa.int64())})
+
+    dom = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("m")
+        .count()
+        .to_pandas()
+        .sort_values("m")
+        .reset_index(drop=True)
+    )
+    m = dom["m"].to_numpy(np.int64)
+    cnt = dom["count()"].to_numpy(np.int64)
+    pos = np.concatenate(([0], np.cumsum(cnt)))[:-1]  # start index per key
+    n = len(m)
+    sm = int(m.sum())
+    sp = int(pos.sum())
+    smp = int((m * pos).sum())
+    smm = int((m.astype(object) * m.astype(object)).sum())
+    b_num = float(n * smp - sm * sp)
+    b_den = float(n * smm - sm * sm)
+    slope = b_num / b_den
+    intercept = (sp - slope * sm) / n
+    err = pos.astype(np.float64) - (intercept + slope * m.astype(np.float64))
+    max_err = float(np.abs(err).max())
+    mean_abs = int(
+        np.asarray(round_half_away(np.abs(err) * 1e6, 0), np.int64).sum()
+    ) / 1e6 / n
+    return pd.DataFrame(
+        {
+            "n_keys": pd.Series([n], dtype="int64"),
+            "slope": pd.Series(round_half_away([slope], 6), dtype="float64"),
+            "intercept": pd.Series(round_half_away([intercept], 6), dtype="float64"),
+            "max_abs_err": pd.Series(round_half_away([max_err], 6), dtype="float64"),
+            "mean_abs_err": pd.Series(
+                round_half_away([mean_abs], 6), dtype="float64"
+            ),
+        }
+    )
+
+
+def sql_learned_index_audit() -> str:
+    return """
+WITH p AS (
+  SELECT CAST(round(round(value, 3) * 1000, 0) AS BIGINT) AS m
+  FROM events WHERE event_type = 'purchase'),
+dom AS (SELECT m, count(*) AS c FROM p GROUP BY m),
+rk AS (
+  SELECT m, sum(c) OVER (ORDER BY m) - c AS pos FROM dom),
+mom AS (
+  SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS sm,
+         CAST(sum(pos) AS BIGINT) AS sp,
+         CAST(sum(m * pos) AS BIGINT) AS smp,
+         CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS smm
+  FROM rk),
+fit AS (
+  SELECT n, CAST(CAST(n AS HUGEINT) * smp - CAST(sm AS HUGEINT) * sp AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * smm
+                   - CAST(sm AS HUGEINT) * sm AS DOUBLE) AS b,
+         sm, sp
+  FROM mom),
+fit2 AS (SELECT n, b, (sp - b * sm) / n AS a FROM fit),
+err AS (
+  SELECT rk.pos - (fit2.a + fit2.b * rk.m) AS e FROM rk, fit2)
+SELECT any_value(fit2.n) AS n_keys, round(any_value(fit2.b), 6) AS slope,
+       round(any_value(fit2.a), 6) AS intercept,
+       round(max(abs(e)), 6) AS max_abs_err,
+       round(CAST(sum(CAST(round(abs(e) * 1000000, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / any_value(fit2.n), 6) AS mean_abs_err
+FROM err, fit2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -24316,4 +24511,9 @@ def registry() -> dict[str, tuple]:
         "seq3_patterns": (q_seq3_patterns, sql_seq3_patterns()),
         "voptimal_hist": (q_voptimal_hist, sql_voptimal_hist()),
         "join_order_dp": (q_join_order_dp, sql_join_order_dp()),
+        "bipartite_check": (q_bipartite_check, sql_bipartite_check()),
+        "learned_index_audit": (
+            q_learned_index_audit,
+            sql_learned_index_audit(),
+        ),
     }
