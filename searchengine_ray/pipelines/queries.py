@@ -24154,6 +24154,246 @@ FROM err, fit2
 """
 
 
+# ------------------------------------------------- champion-list pruning
+
+CHAMPION_M = 8
+
+
+def q_champion_lists(sf_dir: str) -> pd.DataFrame:
+    """Tiered-index champion lists (IIR §7.1.3, the static pruning tier
+    the reference's full TF-IDF scan lacks): per term keep only the
+    top-m docs by (tf desc, doc_id) and audit how much of the true
+    top-10 the pruned candidate union recovers per eval query. The
+    champion sets come from a distributed per-term top-m groupby
+    (restricted to the probed vocabulary — each term's list is
+    independent of all others, so pruning the build to the query terms
+    is semantics-preserving); the ranking side is the engine's full
+    TF-IDF (6dp-rounded, doc_id ties), the query path not a rescan."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.textstats import _token_lists
+
+    qterms = sorted({t for q in EVAL_QUERIES for t in q})
+    qset = set(qterms)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = toks.map(len).to_numpy(np.int64)
+        flat = pd.Series([t for ts in toks for t in ts], dtype="object")
+        docrep = np.repeat(ids, lens)
+        m = flat.isin(qset).to_numpy()
+        df = pd.DataFrame({"term": flat.to_numpy()[m], "doc_id": docrep[m]})
+        g = (
+            df.groupby(["term", "doc_id"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "term": pa.array(g["term"], pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64), pa.int64()),
+                "tf": pa.array(g["tf"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def topm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).head(
+            CHAMPION_M
+        )
+        return g[["term", "doc_id"]]
+
+    champ_rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(topm, batch_format="pandas")
+        .to_pandas()
+    )
+    champ: dict[str, set[int]] = {
+        t: set(g["doc_id"].astype(int)) for t, g in champ_rows.groupby("term")
+    }
+
+    eng = _engine(sf_dir)
+    rows = []
+    for qid, terms in enumerate(EVAL_QUERIES):
+        res = eng.search_tfidf(terms, None)
+        docs = np.asarray([d for d, _ in res], np.int64)
+        scores = np.asarray([round(s, 6) for _, s in res], np.float64)
+        order = np.lexsort((docs, -scores))
+        full_top = [int(d) for d in docs[order][:10]]
+        cand = set().union(*(champ.get(t, set()) for t in terms))
+        champ_top = [int(d) for d in docs[order] if int(d) in cand][:10]
+        hits = len(set(full_top) & set(champ_top))
+        rows.append(
+            {
+                "qid": qid,
+                "n_cands": len(cand),
+                "hits10": hits,
+                "recall10": float(round_half_away(hits / len(full_top), 6)),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"qid": "int64", "n_cands": "int64", "hits10": "int64"}
+    )
+
+
+def sql_champion_lists() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in enumerate(EVAL_QUERIES) for t in terms
+    )
+    return f"""
+WITH {sql_tokens_cte()},
+q(qid, term) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT term FROM q),
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT toks.term, toks.doc_id,
+           row_number() OVER (PARTITION BY toks.term
+                              ORDER BY toks.tf DESC, toks.doc_id) AS rn
+    FROM toks JOIN qt USING (term)) WHERE rn <= {CHAMPION_M}),
+cand AS (SELECT DISTINCT q.qid, champ.doc_id FROM q JOIN champ USING (term)),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+idf AS (
+  SELECT q.qid, q.term, log10(CAST(n.c AS DOUBLE) / stats.df + 1) AS idf
+  FROM q JOIN stats USING (term) CROSS JOIN n),
+scored AS (
+  SELECT idf.qid, toks.doc_id,
+         sum((toks.tf * idf.idf) * (1 * idf.idf)) AS dot,
+         sum((toks.tf * idf.idf) * (toks.tf * idf.idf)) AS len
+  FROM toks JOIN idf USING (term) GROUP BY idf.qid, toks.doc_id),
+s AS (SELECT qid, doc_id, round(dot / sqrt(len), 6) AS score
+      FROM scored WHERE len > 0),
+fullr AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+  FROM s),
+ftop AS (SELECT qid, doc_id FROM fullr WHERE rnk <= 10),
+champr AS (
+  SELECT s.qid, s.doc_id,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.score DESC, s.doc_id) AS rnk
+  FROM s JOIN cand ON cand.qid = s.qid AND cand.doc_id = s.doc_id),
+ctop AS (SELECT qid, doc_id FROM champr WHERE rnk <= 10),
+nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cands FROM cand GROUP BY qid),
+nf AS (SELECT qid, count(*) AS nfull FROM ftop GROUP BY qid),
+hit AS (
+  SELECT f.qid, CAST(count(*) AS BIGINT) AS hits10
+  FROM ftop f JOIN ctop c ON f.qid = c.qid AND f.doc_id = c.doc_id
+  GROUP BY f.qid)
+SELECT nc.qid, nc.n_cands,
+       coalesce(hit.hits10, 0) AS hits10,
+       round(coalesce(hit.hits10, 0) / CAST(nf.nfull AS DOUBLE), 6) AS recall10
+FROM nc JOIN nf USING (qid) LEFT JOIN hit USING (qid)
+ORDER BY nc.qid
+"""
+
+
+# ------------------------------------------------- codec byte-size audit
+
+
+def q_codec_size_audit(sf_dir: str) -> pd.DataFrame:
+    """Index-compression byte audit: every posting list (raw punct
+    tokens, distinct doc ids per term) is encoded with the repo's REAL
+    delta+varbyte codec (``codec/varbyte.py``, the reference
+    DeltaVarLenCompressor contract — first id absolute, then gaps,
+    big-end-first 7-bit groups) and the actual encoded bytes are
+    compared to raw int32 bytes, bucketed by df decimal-digit class.
+    The oracle recomputes byte counts analytically from the 128-power
+    ladder, so a hash match certifies the codec emits exactly
+    minimal-length varbyte on the whole corpus vocabulary."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..codec.varbyte import encode
+    from ..functions.textstats import _token_lists
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sets = [sorted(set(ts)) for ts in toks]
+        lens = np.array([len(s) for s in sets], np.int64)
+        return pa.table(
+            {
+                "term": pa.array([t for s in sets for t in s], pa.string()),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            }
+        )
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "df_digits": [len(str(len(ids)))],
+                "df": [len(ids)],
+                "vb": [len(encode(ids))],
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+        .groupby("df_digits")
+        .aggregate(Count(), Sum("df"), Sum("vb"))
+        .to_pandas()
+        .sort_values("df_digits")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "df_digits": agg["df_digits"].astype("int64"),
+            "n_terms": agg["count()"].astype("int64"),
+            "raw_bytes": (4 * agg["sum(df)"]).astype("int64"),
+            "vb_bytes": agg["sum(vb)"].astype("int64"),
+        }
+    )
+    out["ratio"] = round_half_away(out["raw_bytes"] / out["vb_bytes"], 6)
+    return out
+
+
+def sql_codec_size_audit() -> str:
+    return r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+g AS (
+  SELECT term, doc_id,
+         doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM tok),
+vals AS (SELECT term, coalesce(gap, doc_id) AS v FROM g),
+per_term AS (
+  SELECT term, count(*) AS df,
+         sum(CASE WHEN v < 128 THEN 1
+                  WHEN v < 16384 THEN 2
+                  WHEN v < 2097152 THEN 3
+                  WHEN v < 268435456 THEN 4
+                  WHEN v < 34359738368 THEN 5
+                  WHEN v < 4398046511104 THEN 6
+                  WHEN v < 562949953421312 THEN 7
+                  WHEN v < 72057594037927936 THEN 8
+                  ELSE 9 END) AS vb
+  FROM vals GROUP BY term),
+bucket AS (
+  SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(4 * sum(df) AS BIGINT) AS raw_bytes,
+         CAST(sum(vb) AS BIGINT) AS vb_bytes
+  FROM per_term GROUP BY 1)
+SELECT df_digits, n_terms, raw_bytes, vb_bytes,
+       round(raw_bytes / CAST(vb_bytes AS DOUBLE), 6) AS ratio
+FROM bucket ORDER BY df_digits
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -24512,6 +24752,8 @@ def registry() -> dict[str, tuple]:
         "voptimal_hist": (q_voptimal_hist, sql_voptimal_hist()),
         "join_order_dp": (q_join_order_dp, sql_join_order_dp()),
         "bipartite_check": (q_bipartite_check, sql_bipartite_check()),
+        "champion_lists": (q_champion_lists, sql_champion_lists()),
+        "codec_size_audit": (q_codec_size_audit, sql_codec_size_audit()),
         "learned_index_audit": (
             q_learned_index_audit,
             sql_learned_index_audit(),
