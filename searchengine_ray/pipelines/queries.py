@@ -24394,6 +24394,277 @@ FROM bucket ORDER BY df_digits
 """
 
 
+# ------------------------------------------- Kneser-Ney bigram LM audit
+
+KN_DISCOUNT = 0.75
+
+
+def q_kn_bigram_ppl(sf_dir: str) -> pd.DataFrame:
+    """Per-source interpolated Kneser-Ney bigram cross-entropy — the
+    fluency score one rung above ``bigram_logppl``'s add-one LM (KN's
+    continuation counts are the standard for data-quality LMs).
+    Corpus bigram counts come from the existing combiner shuffle
+    (``functions/ngrams.bigram_counts``); the per-TYPE log-probability
+    is precomputed once on the bigram vocabulary (Zipfian, broadcast
+    tier — the documented alternative at larger vocabularies is a
+    (t1,t2) join), broadcast via ``ray.put``, and the scoring pass
+    re-tokenizes each batch and sums 6dp micro-int logs per source so
+    the aggregate is order-independent and oracle-exact."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.ngrams import bigram_counts
+
+    big = bigram_counts(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+    c = big.groupby("t1")["n"].transform("sum").to_numpy(np.float64)
+    fw = big.groupby("t1")["n"].transform("size").to_numpy(np.float64)
+    bw = big.groupby("t2")["n"].transform("size").to_numpy(np.float64)
+    n = big["n"].to_numpy(np.float64)
+    T = float(len(big))
+    p = np.maximum(n - KN_DISCOUNT, 0.0) / c + KN_DISCOUNT * fw / c * (bw / T)
+    micro = np.asarray(round_half_away(np.log2(p) * 1e6, 0), np.int64)
+    sep = "\x1f"
+    model = pd.Series(
+        micro, index=big["t1"].astype(str) + sep + big["t2"].astype(str)
+    )
+    ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..analysis.batch import _tokenize_arrow
+
+        mdl = ray.get(ref)
+        toks = _tokenize_arrow(batch["text"], "punct")
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        srcs = batch["source"].to_pandas().to_numpy(dtype=object)
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "micro_part": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        words = np.asarray(flat.to_pylist(), dtype=object)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ne = words != ""
+        words, doc_idx = words[ne], doc_idx[ne]
+        if len(words) < 2:
+            return empty
+        same = doc_idx[1:] == doc_idx[:-1]
+        keys = words[:-1][same] + sep + words[1:][same]
+        if len(keys) == 0:
+            return empty
+        m = mdl.reindex(pd.Index(keys)).to_numpy(np.int64)
+        part = (
+            pd.DataFrame({"source": srcs[doc_idx[:-1][same]], "m": m})
+            .groupby("source", sort=False)
+            .agg(micro_part=("m", "sum"), n_part=("m", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": pa.array(part["source"], pa.string()),
+                "micro_part": pa.array(part["micro_part"].to_numpy(np.int64)),
+                "n_part": pa.array(part["n_part"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("micro_part", alias_name="ms"), Sum("n_part", alias_name="nb"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_bigrams": agg["nb"].astype("int64"),
+            "cross_entropy": round_half_away(
+                -(agg["ms"].to_numpy(np.float64) / 1e6)
+                / agg["nb"].to_numpy(np.float64),
+                6,
+            ),
+        }
+    )
+
+
+def sql_kn_bigram_ppl() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(l) AS t, unnest(range(1, len(l)+1)) AS pos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \\t\\n\\x0b\\f\\r]+') AS l
+        FROM documents)
+), ftok AS (
+  SELECT doc_id, t, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM tok WHERE t <> ''
+),
+bg AS (
+  SELECT a.doc_id, a.t AS t1, b.t AS t2
+  FROM ftok a JOIN ftok b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+cnt AS (SELECT t1, t2, count(*) AS n FROM bg GROUP BY 1, 2),
+c1 AS (SELECT t1, sum(n) AS c, count(*) AS fw FROM cnt GROUP BY t1),
+bwd AS (SELECT t2, count(*) AS bw FROM cnt GROUP BY t2),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cnt),
+typ AS (
+  SELECT cnt.t1, cnt.t2,
+         CAST(round(log2(
+             greatest(cnt.n - {KN_DISCOUNT}, 0) / CAST(c1.c AS DOUBLE)
+             + {KN_DISCOUNT} * CAST(c1.fw AS DOUBLE) / CAST(c1.c AS DOUBLE)
+               * (CAST(bwd.bw AS DOUBLE) / tt.t)
+         ) * 1000000, 0) AS BIGINT) AS micro
+  FROM cnt JOIN c1 USING (t1) JOIN bwd USING (t2) CROSS JOIN tt),
+scored AS (
+  SELECT d.source, typ.micro
+  FROM bg JOIN typ USING (t1, t2) JOIN documents d ON d.doc_id = bg.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-(sum(micro) / 1000000.0) / count(*), 6) AS cross_entropy
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+# ------------------------------------------- LSM merge-policy replay
+
+FLUSH_DOCS = 50
+MERGE_FANOUT = 8
+
+
+def q_merge_policy_sim(sf_dir: str) -> pd.DataFrame:
+    """Replay of the reference's LSM maintenance policy (flush every N
+    docs — ``InvertedIndexManager.java:92``; pairwise merge-all when
+    the segment count reaches 8 — ``:99,:384``) over the real corpus's
+    flush volumes: per-doc token counts come from one distributed
+    pass, the flush buckets are doc_id-ordered windows of
+    {FLUSH_DOCS}, and the policy replay is a metadata-sized driver
+    loop (segment inventories are tiny by construction — that is the
+    policy's point). Reports merge events, total tokens written
+    (flushes + merge rewrites) and the write amplification the
+    pairwise cascade costs — the number our one-shuffle groupby build
+    avoids."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..analysis.batch import _tokenize_arrow
+
+    def cnt(b: pa.Table) -> pa.Table:
+        toks = _tokenize_arrow(b["text"], "punct")
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        n = np.zeros(len(lens), np.int64)
+        np.add.at(n, doc_idx[nonempty], 1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    per_doc = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(cnt, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sizes = (
+        per_doc.groupby(np.arange(len(per_doc)) // FLUSH_DOCS)["n"].sum().tolist()
+    )
+    segs: list[int] = []
+    written = 0
+    merges = 0
+    for sz in sizes:
+        segs.append(int(sz))
+        written += int(sz)
+        if len(segs) == MERGE_FANOUT:
+            written += sum(segs)
+            merges += 1
+            segs = [segs[i] + segs[i + 1] for i in range(0, MERGE_FANOUT, 2)]
+    total = int(per_doc["n"].sum())
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([len(per_doc)], dtype="int64"),
+            "n_flushes": pd.Series([len(sizes)], dtype="int64"),
+            "n_merges": pd.Series([merges], dtype="int64"),
+            "total_tokens": pd.Series([total], dtype="int64"),
+            "total_written": pd.Series([written], dtype="int64"),
+            "write_amp": pd.Series(
+                round_half_away([written / total], 6), dtype="float64"
+            ),
+            "final_segments": pd.Series([len(segs)], dtype="int64"),
+            "final_max_seg": pd.Series([max(segs)], dtype="int64"),
+        }
+    )
+
+
+def sql_merge_policy_sim() -> str:
+    half = MERGE_FANOUT // 2
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                   '[ \\t\\n\\x0b\\f\\r]+')) AS t
+  FROM documents),
+percnt AS (
+  SELECT d.doc_id,
+         CAST(coalesce(count(r.t), 0) AS BIGINT) AS n
+  FROM documents d
+  LEFT JOIN (SELECT * FROM raw WHERE t <> '') r USING (doc_id)
+  GROUP BY d.doc_id),
+ord AS (
+  SELECT n, row_number() OVER (ORDER BY doc_id) - 1 AS rn FROM percnt),
+fl AS (
+  SELECT rn // {FLUSH_DOCS} AS b, CAST(sum(n) AS BIGINT) AS sz
+  FROM ord GROUP BY 1),
+rep(step, segs, written, merges) AS (
+  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[]), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT rep.step + 1,
+         CASE WHEN len(list_append(rep.segs, fl.sz)) = {MERGE_FANOUT}
+              THEN list_transform(range(1, {half + 1}),
+                     j -> list_append(rep.segs, fl.sz)[2*j-1]
+                          + list_append(rep.segs, fl.sz)[2*j])
+              ELSE list_append(rep.segs, fl.sz) END,
+         rep.written + fl.sz
+           + CASE WHEN len(list_append(rep.segs, fl.sz)) = {MERGE_FANOUT}
+                  THEN list_sum(list_append(rep.segs, fl.sz)) ELSE 0 END,
+         rep.merges
+           + CASE WHEN len(list_append(rep.segs, fl.sz)) = {MERGE_FANOUT}
+                  THEN 1 ELSE 0 END
+  FROM rep JOIN fl ON fl.b = rep.step),
+fin AS (SELECT * FROM rep ORDER BY step DESC LIMIT 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM percnt)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM fl) AS n_flushes,
+       fin.merges AS n_merges,
+       tot.total AS total_tokens,
+       fin.written AS total_written,
+       round(fin.written / CAST(tot.total AS DOUBLE), 6) AS write_amp,
+       CAST(len(fin.segs) AS BIGINT) AS final_segments,
+       CAST(list_max(fin.segs) AS BIGINT) AS final_max_seg
+FROM fin, tot
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -24754,6 +25025,8 @@ def registry() -> dict[str, tuple]:
         "bipartite_check": (q_bipartite_check, sql_bipartite_check()),
         "champion_lists": (q_champion_lists, sql_champion_lists()),
         "codec_size_audit": (q_codec_size_audit, sql_codec_size_audit()),
+        "kn_bigram_ppl": (q_kn_bigram_ppl, sql_kn_bigram_ppl()),
+        "merge_policy_sim": (q_merge_policy_sim, sql_merge_policy_sim()),
         "learned_index_audit": (
             q_learned_index_audit,
             sql_learned_index_audit(),
