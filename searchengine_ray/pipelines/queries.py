@@ -24665,6 +24665,310 @@ FROM fin, tot
 """
 
 
+# ------------------------------------------- block-max WAND skip audit
+
+BLOCK_B = 128
+
+
+def q_block_max_audit(sf_dir: str) -> pd.DataFrame:
+    """Block-max WAND skippability audit (the north_rule's pruning
+    design, over the logical index): each eval-query term's posting
+    list is cut into doc_id-ordered blocks of BLOCK_B; a block is
+    provably skippable when its block-max BM25 contribution plus the
+    other query terms' global upper bounds cannot reach the query's
+    top-10 entry threshold (Ding & Suel 2011). Contributions, block
+    maxima and per-query thresholds are all computed distributed
+    (qterm-filtered explode → per-term map_groups → Max/Sum
+    aggregates); the driver combines only block-count-sized frames."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.textstats import _token_lists
+
+    qset = {t for q in EVAL_QUERIES for t in q}
+    tmap: dict[str, list[int]] = {}
+    for qid, terms in enumerate(EVAL_QUERIES):
+        for t in terms:
+            tmap.setdefault(t, []).append(qid)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        stop = STOP_WORDS
+        dl = toks.map(lambda ts: sum(1 for t in ts if t not in stop))
+        return pa.table(
+            {
+                "dl_part": pa.array([int(dl.sum())], pa.int64()),
+                "n_part": pa.array([len(dl)], pa.int64()),
+            }
+        )
+
+    sp = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
+    N = int(sp["n_part"].sum())
+    avgdl = int(sp["dl_part"].sum()) / float(N)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stop = STOP_WORDS
+        rt, rd_, rtf, rdl = [], [], [], []
+        for did, ts in zip(ids, toks):
+            ft = [t for t in ts if t not in stop]
+            c: dict[str, int] = {}
+            for t in ft:
+                if t in qset:
+                    c[t] = c.get(t, 0) + 1
+            for t, f in c.items():
+                rt.append(t)
+                rd_.append(int(did))
+                rtf.append(f)
+                rdl.append(len(ft))
+        return pa.table(
+            {
+                "term": pa.array(rt, pa.string()),
+                "doc_id": pa.array(rd_, pa.int64()),
+                "tf": pa.array(rtf, pa.int64()),
+                "dl": pa.array(rdl, pa.int64()),
+            }
+        )
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        tf = g["tf"].to_numpy(np.float64)
+        dl = g["dl"].to_numpy(np.float64)
+        df = len(g)
+        idf = np.log((float(N) - df + 0.5) / (df + 0.5) + 1.0)
+        cb = ((1.2 + 1.0) * idf) * (
+            tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        )
+        return pd.DataFrame(
+            {
+                "term": g["term"].iloc[0],
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "blk": (np.arange(df, dtype=np.int64) // BLOCK_B),
+                "cb": cb,
+            }
+        )
+
+    # qterm-filtered explode: tiny relative to the corpus, reused by
+    # three aggregates — the one place materialize() is proportionate.
+    contrib = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+        .materialize()
+    )
+    bmax = (
+        contrib.groupby(["term", "blk"])
+        .aggregate(Max("cb", alias_name="bm"))
+        .to_pandas()
+    )
+    gmax = contrib.groupby("term").aggregate(Max("cb", alias_name="gm")).to_pandas()
+
+    def add_qid(b: pa.Table) -> pa.Table:
+        t = b["term"].to_pylist()
+        reps = [tmap[x] for x in t]
+        lens = np.array([len(r) for r in reps], np.int64)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+        return pa.table(
+            {
+                "qid": pa.array([q for r in reps for q in r], pa.int64()),
+                "doc_id": b["doc_id"].take(idx),
+                "cb": b["cb"].take(idx),
+            }
+        )
+
+    def q_theta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "doc_id"], ascending=[False, True])
+        th = float(g["s"].iloc[9]) if len(g) >= 10 else np.nan
+        return pd.DataFrame({"qid": [int(g["qid"].iloc[0])], "theta": [th]})
+
+    def round_s(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("s"),
+            "s",
+            pa.array(round_half_away(b["s"].to_numpy(zero_copy_only=False), 6)),
+        )
+
+    thdf = (
+        contrib.map_batches(add_qid, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("cb", alias_name="s"))
+        .map_batches(round_s, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(q_theta, batch_format="pandas")
+        .to_pandas()
+    )
+
+    gm = dict(zip(gmax["term"], gmax["gm"]))
+    th = dict(zip(thdf["qid"].astype(int), thdf["theta"]))
+    rows = []
+    for qid, terms in enumerate(EVAL_QUERIES):
+        for t in sorted(terms):
+            sub = bmax[bmax["term"] == t]
+            if len(sub) == 0:
+                continue
+            other = sum(gm[t2] for t2 in terms if t2 != t and t2 in gm)
+            theta_q = th.get(qid, np.nan)
+            if pd.isna(theta_q):
+                ns = 0
+            else:
+                lhs = round_half_away(sub["bm"].to_numpy(np.float64) + other, 6)
+                ns = int((lhs < theta_q).sum())
+            rows.append(
+                {
+                    "qid": qid,
+                    "term": t,
+                    "n_blocks": len(sub),
+                    "n_skippable": ns,
+                    "skip_ratio": float(round_half_away(ns / len(sub), 6)),
+                }
+            )
+    return pd.DataFrame(rows).astype(
+        {"qid": "int64", "n_blocks": "int64", "n_skippable": "int64"}
+    )
+
+
+def sql_block_max_audit() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in enumerate(EVAL_QUERIES) for t in terms
+    )
+    return f"""
+WITH {sql_tokens_cte()},
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+q(qid, term) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT term FROM q),
+tc AS (
+  SELECT toks.term, toks.doc_id,
+         ((1.2 + 1.0) * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+         * (toks.tf / (toks.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / avgdl.v))) AS cb
+  FROM toks JOIN qt USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl),
+blocks AS (
+  SELECT term, doc_id, cb,
+         (row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1) // {BLOCK_B} AS blk
+  FROM tc),
+bmax AS (SELECT term, blk, max(cb) AS bm FROM blocks GROUP BY 1, 2),
+gmax AS (SELECT term, max(cb) AS gm FROM tc GROUP BY term),
+scores AS (
+  SELECT q.qid, tc.doc_id, round(sum(tc.cb), 6) AS s
+  FROM tc JOIN q USING (term) GROUP BY 1, 2),
+th AS (
+  SELECT qid, s AS theta FROM (
+    SELECT qid, s, doc_id,
+           row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS rn
+    FROM scores) WHERE rn = 10),
+ub AS (
+  SELECT q.qid, q.term,
+         (SELECT coalesce(sum(g2.gm), 0)
+          FROM q q2 JOIN gmax g2 ON g2.term = q2.term
+          WHERE q2.qid = q.qid AND q2.term <> q.term) AS other
+  FROM q),
+skipt AS (
+  SELECT ub.qid, ub.term, bmax.blk,
+         CASE WHEN th.theta IS NOT NULL AND round(bmax.bm + ub.other, 6) < th.theta
+              THEN 1 ELSE 0 END AS s
+  FROM ub JOIN bmax ON bmax.term = ub.term
+  LEFT JOIN th ON th.qid = ub.qid)
+SELECT qid, term, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(s) AS BIGINT) AS n_skippable,
+       round(sum(s) / CAST(count(*) AS DOUBLE), 6) AS skip_ratio
+FROM skipt GROUP BY qid, term ORDER BY qid, term
+"""
+
+
+# ------------------------------------------- sqlite partitioned roundtrip
+
+
+def q_sqlite_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """SQLite as a partitioned interchange format: documents are
+    written one .db file per input block (SQLite is single-writer, so
+    partition-per-file is the only write layout that scales), read
+    back with one task per file, and verified row-identical via
+    per-doc md5 digests against the parquet-source oracle — the same
+    contract family as the WET/CSV/JSONL roundtrips."""
+    import shutil
+    import sqlite3
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = CACHE_ROOT / f"sqlite-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        path = base / f"part-{int(ids.min())}.db"
+        con = sqlite3.connect(path)
+        con.execute(
+            "CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, source TEXT, text TEXT)"
+        )
+        con.executemany(
+            "INSERT INTO docs VALUES (?, ?, ?)",
+            zip(
+                (int(i) for i in ids),
+                b["source"].to_pylist(),
+                b["text"].to_pylist(),
+            ),
+        )
+        con.commit()
+        con.close()
+        return pa.table({"path": pa.array([str(path)], pa.string())})
+
+    manifest = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        .map_batches(write_block, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    def read_block(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        out = {"doc_id": [], "source": [], "n_chars": [], "md5": []}
+        for p in b["path"].to_pylist():
+            con = sqlite3.connect(p)
+            for did, src, text in con.execute(
+                "SELECT doc_id, source, text FROM docs ORDER BY doc_id"
+            ):
+                out["doc_id"].append(did)
+                out["source"].append(src)
+                out["n_chars"].append(len(text))
+                out["md5"].append(_h.md5(text.encode("utf-8")).hexdigest())
+            con.close()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "source": pa.array(out["source"], pa.string()),
+                "n_chars": pa.array(out["n_chars"], pa.int64()),
+                "md5": pa.array(out["md5"], pa.string()),
+            }
+        )
+
+    return (
+        rd.from_pandas(manifest)
+        .map_batches(read_block, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def sql_sqlite_roundtrip() -> str:
+    return (
+        "SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars, "
+        "md5(text) AS md5 FROM documents ORDER BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -25031,4 +25335,6 @@ def registry() -> dict[str, tuple]:
             q_learned_index_audit,
             sql_learned_index_audit(),
         ),
+        "block_max_audit": (q_block_max_audit, sql_block_max_audit()),
+        "sqlite_roundtrip": (q_sqlite_roundtrip, sql_sqlite_roundtrip()),
     }
