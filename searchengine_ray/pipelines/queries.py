@@ -24969,6 +24969,246 @@ def sql_sqlite_roundtrip() -> str:
     )
 
 
+# ------------------------------------------- Elias-Fano size audit
+
+
+def _distinct_term_doc_pairs(b):
+    """(term, doc_id) distinct pairs from raw punct tokens — the shared
+    explode for the index-compression audits."""
+    import pyarrow as pa
+
+    from ..functions.textstats import _token_lists
+
+    toks = _token_lists(b["text"].to_pandas())
+    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sets = [sorted(set(ts)) for ts in toks]
+    lens = np.array([len(s) for s in sets], np.int64)
+    return pa.table(
+        {
+            "term": pa.array([t for s in sets for t in s], pa.string()),
+            "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+        }
+    )
+
+
+_EF_L_MAX = 40
+
+
+def q_elias_fano_audit(sf_dir: str) -> pd.DataFrame:
+    """Quasi-succinct posting compression audit: every posting list is
+    encoded with the repo's REAL Elias-Fano codec
+    (``codec/eliasfano.py`` — Vigna WSDM'13, the doc-id layout Lucene
+    and PISA use) against the corpus-wide universe ``max(doc_id)+1``,
+    and the actual encoded bytes are bucketed by df digit class next to
+    raw int32 bytes. The oracle recomputes sizes from the closed form
+    ``ceil(n*l/8) + ceil((n + (last>>l) + 1)/8)`` with the low-bit
+    width derived by an exact integer ladder, so a hash match certifies
+    the bit-level encoder is minimal on the whole vocabulary."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..codec.eliasfano import encode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    universe = int(ds.max("doc_id")) + 1
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "df_digits": [len(str(len(ids)))],
+                "df": [len(ids)],
+                "ef": [len(encode(ids, universe))],
+            }
+        )
+
+    agg = (
+        ds.map_batches(_distinct_term_doc_pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(per_term, batch_format="pandas")
+        .groupby("df_digits")
+        .aggregate(Count(), Sum("df"), Sum("ef"))
+        .to_pandas()
+        .sort_values("df_digits")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "df_digits": agg["df_digits"].astype("int64"),
+            "n_terms": agg["count()"].astype("int64"),
+            "raw_bytes": (4 * agg["sum(df)"]).astype("int64"),
+            "ef_bytes": agg["sum(ef)"].astype("int64"),
+        }
+    )
+    out["ratio"] = round_half_away(out["raw_bytes"] / out["ef_bytes"], 6)
+    return out
+
+
+def _sql_log2_ladder(expr: str, max_bits: int = _EF_L_MAX) -> str:
+    """Exact integer floor(log2(expr)) for expr >= 1 as a CASE ladder."""
+    arms = " ".join(
+        f"WHEN {expr} < {1 << (k + 1)} THEN {k}" for k in range(max_bits)
+    )
+    return f"CASE {arms} ELSE {max_bits} END"
+
+
+def sql_elias_fano_audit() -> str:
+    lad = _sql_log2_ladder("(u.v // per_term.df)")
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+u AS (SELECT max(doc_id) + 1 AS v FROM documents),
+per_term AS (
+  SELECT term, count(*) AS df, max(doc_id) AS last_id FROM tok GROUP BY term),
+sized AS (
+  SELECT df,
+         (df * l + 7) // 8 + ((df + (last_id // (1::BIGINT << l)) + 1) + 7) // 8 AS ef
+  FROM (SELECT per_term.df, per_term.last_id, {lad} AS l
+        FROM per_term CROSS JOIN u)),
+bucket AS (
+  SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(4 * sum(df) AS BIGINT) AS raw_bytes,
+         CAST(sum(ef) AS BIGINT) AS ef_bytes
+  FROM sized GROUP BY 1)
+SELECT df_digits, n_terms, raw_bytes, ef_bytes,
+       round(raw_bytes / CAST(ef_bytes AS DOUBLE), 6) AS ratio
+FROM bucket ORDER BY df_digits
+"""
+
+
+# ------------------------------------------- Roaring container audit
+
+ROARING_SPAN_BITS = 9  # container spans 512 doc ids (scaled-down 2^16)
+ROARING_ARRAY_LT = 32  # array container iff cardinality < span/16
+
+
+def q_roaring_audit(sf_dir: str) -> pd.DataFrame:
+    """Roaring-bitmap layout audit (Chambi, Lemire et al. 2016, scaled
+    so containers are exercised at test corpus sizes): each posting
+    list is cut into 512-id containers (``doc_id >> 9``); a container
+    holds a sorted uint16 array when its cardinality is below span/16
+    (Roaring's 4096-of-65536 rule) and a 64-byte bitset otherwise, plus
+    a 4-byte key+cardinality descriptor. Container cardinalities come
+    from one distributed (term, chunk) count; classification and byte
+    accounting are vectorized; per-term and per-bucket rollups are
+    native Sum aggregates."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    span_bytes = (1 << ROARING_SPAN_BITS) // 8
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def add_chunk(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "chunk", pa.array(ids >> ROARING_SPAN_BITS, pa.int64())
+        )
+
+    containers = (
+        ds.map_batches(_distinct_term_doc_pairs, batch_format="pyarrow")
+        .map_batches(add_chunk, batch_format="pyarrow")
+        .groupby(["term", "chunk"])
+        .aggregate(Count())
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        cnt = b["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_arr = cnt < ROARING_ARRAY_LT
+        by = np.where(is_arr, 4 + 2 * cnt, 4 + span_bytes)
+        return pa.table(
+            {
+                "term": b["term"],
+                "cnt": pa.array(cnt),
+                "c_bytes": pa.array(by.astype(np.int64)),
+                "is_arr": pa.array(is_arr.astype(np.int64)),
+                "is_bmp": pa.array((~is_arr).astype(np.int64)),
+            }
+        )
+
+    per_term = (
+        containers.map_batches(classify, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt"), Sum("c_bytes"), Sum("is_arr"), Sum("is_bmp"))
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        df = b["sum(cnt)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "df_digits": pa.array(
+                    np.char.str_len(df.astype(str)).astype(np.int64)
+                ),
+                "df": pa.array(df),
+                "rb": b["sum(c_bytes)"],
+                "na": b["sum(is_arr)"],
+                "nb": b["sum(is_bmp)"],
+            }
+        )
+
+    agg = (
+        per_term.map_batches(bucket, batch_format="pyarrow")
+        .groupby("df_digits")
+        .aggregate(Count(), Sum("df"), Sum("rb"), Sum("na"), Sum("nb"))
+        .to_pandas()
+        .sort_values("df_digits")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "df_digits": agg["df_digits"].astype("int64"),
+            "n_terms": agg["count()"].astype("int64"),
+            "n_array": agg["sum(na)"].astype("int64"),
+            "n_bitmap": agg["sum(nb)"].astype("int64"),
+            "raw_bytes": (4 * agg["sum(df)"]).astype("int64"),
+            "roaring_bytes": agg["sum(rb)"].astype("int64"),
+        }
+    )
+    out["ratio"] = round_half_away(out["raw_bytes"] / out["roaring_bytes"], 6)
+    return out
+
+
+def sql_roaring_audit() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                         '[ \t\n\x0b\f\r]+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+containers AS (
+  SELECT term, doc_id // {1 << ROARING_SPAN_BITS} AS chunk, count(*) AS cnt
+  FROM tok GROUP BY 1, 2),
+per_term AS (
+  SELECT term, sum(cnt) AS df,
+         sum(CASE WHEN cnt < {ROARING_ARRAY_LT} THEN 4 + 2 * cnt
+                  ELSE 4 + {(1 << ROARING_SPAN_BITS) // 8} END) AS rb,
+         sum(CASE WHEN cnt < {ROARING_ARRAY_LT} THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN cnt < {ROARING_ARRAY_LT} THEN 0 ELSE 1 END) AS nb
+  FROM containers GROUP BY term),
+bucket AS (
+  SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(na) AS BIGINT) AS n_array,
+         CAST(sum(nb) AS BIGINT) AS n_bitmap,
+         CAST(4 * sum(df) AS BIGINT) AS raw_bytes,
+         CAST(sum(rb) AS BIGINT) AS roaring_bytes
+  FROM per_term GROUP BY 1)
+SELECT df_digits, n_terms, n_array, n_bitmap, raw_bytes, roaring_bytes,
+       round(raw_bytes / CAST(roaring_bytes AS DOUBLE), 6) AS ratio
+FROM bucket ORDER BY df_digits
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -25337,4 +25577,6 @@ def registry() -> dict[str, tuple]:
         ),
         "block_max_audit": (q_block_max_audit, sql_block_max_audit()),
         "sqlite_roundtrip": (q_sqlite_roundtrip, sql_sqlite_roundtrip()),
+        "elias_fano_audit": (q_elias_fano_audit, sql_elias_fano_audit()),
+        "roaring_audit": (q_roaring_audit, sql_roaring_audit()),
     }
