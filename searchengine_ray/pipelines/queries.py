@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from pathlib import Path
 
 import numpy as np
@@ -25083,6 +25084,261 @@ FROM bucket ORDER BY df_digits
 """
 
 
+# ------------------------------------------- term-dict front coding
+
+FC_BLOCK = 16
+_FC_LCP_MAX = 24  # bigram terms are <= 17 chars on this corpus shape
+
+
+def q_frontcode_audit(sf_dir: str) -> pd.DataFrame:
+    """Term-dictionary front-coding audit (the Lucene/Manning-IIR block
+    layout) over the sorted bigram dictionary: terms are globally
+    ranked by a distributed sort, cut into rank blocks of FC_BLOCK; the
+    block lead is stored verbatim (1 length byte + chars) and every
+    follower as (lcp byte, suffix-length byte, suffix chars). Global
+    ranks come from a two-pass scheme over the materialized sorted
+    vocabulary — pass 1 emits one (first-term, count) row per Ray
+    block, the driver prefix-sums that block-count-sized frame into
+    offsets, pass 2 assigns rank = offset + local index with
+    batch_size=None (one batch per block) — then per-rank-block byte
+    accounting runs inside a block-id shuffle. Output is grouped by
+    the block lead's first character."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.textstats import _token_lists
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        out: set[str] = set()
+        for ts in toks:
+            out.update(f"{a} {b_}" for a, b_ in zip(ts, ts[1:]))
+        return pa.table({"term": pa.array(sorted(out), pa.string())})
+
+    vocab = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(bigrams, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count())
+        .select_columns(["term"])
+        .sort("term")
+        .materialize()
+    )
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"first": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "first": pa.array([b["term"][0].as_py()], pa.string()),
+                "n": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    meta = (
+        vocab.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("first")
+        .reset_index(drop=True)
+    )
+    offsets = dict(
+        zip(meta["first"], np.concatenate([[0], np.cumsum(meta["n"])[:-1]]))
+    )
+
+    def rank(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "blk": pa.array([], pa.int64())})
+        off = int(offsets[b["term"][0].as_py()])
+        r = off + np.arange(len(b), dtype=np.int64)
+        return b.append_column("blk", pa.array(r // FC_BLOCK, pa.int64()))
+
+    def code_block(g: pd.DataFrame) -> pd.DataFrame:
+        terms = sorted(g["term"])
+        lens = np.array([len(t) for t in terms], np.int64)
+        fc = 1 + int(lens[0])
+        for prev, cur in zip(terms, terms[1:]):
+            lcp = len(os.path.commonprefix([prev, cur]))
+            fc += 2 + len(cur) - lcp
+        return pd.DataFrame(
+            {
+                "first_char": [terms[0][0]],
+                "n_terms": [len(terms)],
+                "raw": [int((1 + lens).sum())],
+                "fc": [fc],
+            }
+        )
+
+    agg = (
+        vocab.map_batches(rank, batch_format="pyarrow", batch_size=None)
+        .groupby("blk")
+        .map_groups(code_block, batch_format="pandas")
+        .groupby("first_char")
+        .aggregate(Count(), Sum("n_terms"), Sum("raw"), Sum("fc"))
+        .to_pandas()
+        .sort_values("first_char")
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "first_char": agg["first_char"],
+            "n_blocks": agg["count()"].astype("int64"),
+            "n_terms": agg["sum(n_terms)"].astype("int64"),
+            "raw_bytes": agg["sum(raw)"].astype("int64"),
+            "fc_bytes": agg["sum(fc)"].astype("int64"),
+        }
+    )
+    out["ratio"] = round_half_away(out["raw_bytes"] / out["fc_bytes"], 6)
+    return out
+
+
+def sql_frontcode_audit() -> str:
+    lcp_arms = " ".join(
+        f"WHEN substr(prev, {k + 1}, 1) <> substr(term, {k + 1}, 1) THEN {k}"
+        for k in range(_FC_LCP_MAX)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                            '[ \t\n\x0b\f\r]+') AS ts
+  FROM documents),
+big AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i + 1] AS term
+  FROM toks, unnest(range(1, len(ts))) AS u(i)
+  WHERE ts[i] <> '' AND ts[i + 1] <> ''),
+ranked AS (
+  SELECT term, (row_number() OVER (ORDER BY term) - 1) // {FC_BLOCK} AS blk
+  FROM big),
+coded AS (
+  SELECT blk, term,
+         lag(term) OVER (PARTITION BY blk ORDER BY term) AS prev
+  FROM ranked),
+by_row AS (
+  SELECT blk, term,
+         CASE WHEN prev IS NULL THEN 1 + length(term)
+              ELSE 2 + length(term) - (CASE {lcp_arms} ELSE {_FC_LCP_MAX} END)
+         END AS fc_bytes,
+         1 + length(term) AS raw_bytes
+  FROM coded),
+per_blk AS (
+  SELECT blk, substr(min(term), 1, 1) AS first_char, count(*) AS nt,
+         sum(raw_bytes) AS raw, sum(fc_bytes) AS fc
+  FROM by_row GROUP BY blk)
+SELECT first_char, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(nt) AS BIGINT) AS n_terms,
+       CAST(sum(raw) AS BIGINT) AS raw_bytes,
+       CAST(sum(fc) AS BIGINT) AS fc_bytes,
+       round(sum(raw) / CAST(sum(fc) AS DOUBLE), 6) AS ratio
+FROM per_blk GROUP BY first_char ORDER BY first_char
+"""
+
+
+# ------------------------------------------- RLE + dict column audit
+
+RLE_BUCKET = 256
+
+
+def q_rle_dict_audit(sf_dir: str) -> pd.DataFrame:
+    """Columnar encoding audit of the ``source`` column in doc_id
+    order: exact RLE run counts per value (dictionary code 1 byte +
+    2-byte run length per run) vs plain 1-byte dictionary codes. Runs
+    are counted distributed with a segmented-reduction design: rows
+    shuffle into contiguous doc_id ranges (``doc_id // RLE_BUCKET``),
+    each bucket counts its internal run starts vectorized, and the
+    driver stitches only the bucket-boundary frame (first/last value
+    per bucket — bucket-count-sized), subtracting the starts that a
+    preceding bucket's tail absorbs."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // RLE_BUCKET, pa.int64()),
+                "doc_id": pa.array(ids),
+                "source": b["source"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        src = g["source"].to_numpy()
+        starts = np.concatenate([[True], src[1:] != src[:-1]])
+        f = (
+            pd.DataFrame({"source": src[starts]})
+            .groupby("source", as_index=False)
+            .size()
+            .rename(columns={"size": "starts"})
+        )
+        f["n_rows"] = f["source"].map(
+            pd.Series(src).value_counts().astype(np.int64)
+        )
+        f["bucket"] = int(g["bucket"].iloc[0])
+        f["first_val"] = src[0]
+        f["last_val"] = src[-1]
+        return f[["bucket", "source", "starts", "n_rows", "first_val", "last_val"]]
+
+    per = (
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # boundary stitch over the bucket-count-sized frame
+    meta = (
+        per[["bucket", "first_val", "last_val"]]
+        .drop_duplicates("bucket")
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    absorb = meta["first_val"].iloc[1:].reset_index(drop=True) == meta[
+        "last_val"
+    ].iloc[:-1].reset_index(drop=True)
+    for b, v in zip(meta["bucket"].iloc[1:][absorb.to_numpy()], meta["first_val"].iloc[1:][absorb.to_numpy()]):
+        m = (per["bucket"] == b) & (per["source"] == v)
+        per.loc[m, "starts"] -= 1
+    out = (
+        per.groupby("source", as_index=False)[["starts", "n_rows"]]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out = out.rename(columns={"starts": "n_runs"})
+    out["rle_bytes"] = 3 * out["n_runs"]
+    out["plain_bytes"] = out["n_rows"]
+    out["avg_run_len"] = round_half_away(out["n_rows"] / out["n_runs"], 6)
+    return out.astype(
+        {
+            "n_runs": "int64",
+            "n_rows": "int64",
+            "rle_bytes": "int64",
+            "plain_bytes": "int64",
+        }
+    )[["source", "n_rows", "n_runs", "rle_bytes", "plain_bytes", "avg_run_len"]]
+
+
+def sql_rle_dict_audit() -> str:
+    return """
+WITH o AS (
+  SELECT source,
+         CASE WHEN lag(source) OVER (ORDER BY doc_id) IS DISTINCT FROM source
+              THEN 1 ELSE 0 END AS st
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(st) AS BIGINT) AS n_runs,
+       CAST(3 * sum(st) AS BIGINT) AS rle_bytes,
+       CAST(count(*) AS BIGINT) AS plain_bytes,
+       round(count(*) / CAST(sum(st) AS DOUBLE), 6) AS avg_run_len
+FROM o GROUP BY source ORDER BY source
+"""
+
+
 # ------------------------------------------- Roaring container audit
 
 ROARING_SPAN_BITS = 9  # container spans 512 doc ids (scaled-down 2^16)
@@ -25579,4 +25835,6 @@ def registry() -> dict[str, tuple]:
         "sqlite_roundtrip": (q_sqlite_roundtrip, sql_sqlite_roundtrip()),
         "elias_fano_audit": (q_elias_fano_audit, sql_elias_fano_audit()),
         "roaring_audit": (q_roaring_audit, sql_roaring_audit()),
+        "frontcode_audit": (q_frontcode_audit, sql_frontcode_audit()),
+        "rle_dict_audit": (q_rle_dict_audit, sql_rle_dict_audit()),
     }
