@@ -25084,6 +25084,445 @@ FROM bucket ORDER BY df_digits
 """
 
 
+# ------------------------------------------- BM25F fielded ranking
+
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+BM25F_B_TITLE = 0.5
+BM25F_B_BODY = 0.75
+BM25F_TITLE_K = 8  # first 8 raw token positions form the title field
+
+
+def _split_field_tokens(
+    texts: pd.Series, stop: frozenset | set
+) -> tuple[list[list[str]], list[list[str]]]:
+    """Positional field split: the first BM25F_TITLE_K raw split
+    positions are the title, the rest the body; empty tokens and
+    stopwords are dropped after the positional cut (so both engines
+    agree on the boundary regardless of filtering)."""
+    from ..functions.textstats import PUNCT_RE, WS_RE
+
+    raw = (
+        texts.fillna("")
+        .str.lower()
+        .str.replace(PUNCT_RE, " ", regex=True)
+        .str.split(WS_RE, regex=True)
+    )
+    titles, bodies = [], []
+    for ts in raw:
+        titles.append([t for t in ts[:BM25F_TITLE_K] if t and t not in stop])
+        bodies.append([t for t in ts[BM25F_TITLE_K:] if t and t not in stop])
+    return titles, bodies
+
+
+def q_bm25f_fielded(sf_dir: str) -> pd.DataFrame:
+    """BM25F (Robertson & Zaragoza 2009 §3.3, the fielded ranking every
+    web engine runs): documents split into a title field (the first
+    BM25F_TITLE_K raw token positions) and body; per-field tf is
+    length-normalized with per-field b against per-field average
+    lengths, weighted (title 2.0, body 1.0) and combined BEFORE the k1
+    saturation, with idf from the combined df. Field lengths,
+    per-field average lengths, df and per-(query, doc) scores are all
+    distributed aggregates; ranking is on the 6-dp-rounded score with
+    doc_id tiebreak so the SQL oracle reproduces the exact order."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    qset = {t for q in EVAL_QUERIES for t in q}
+    tmap: dict[str, list[int]] = {}
+    for qid, terms in enumerate(EVAL_QUERIES):
+        for t in terms:
+            tmap.setdefault(t, []).append(qid)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        titles, bodies = _split_field_tokens(texts, STOP_WORDS)
+        rows: dict[str, list] = {
+            "doc_id": [],
+            "term": [],
+            "tf_t": [],
+            "tf_b": [],
+            "dl_t": [],
+            "dl_b": [],
+        }
+        for did, ft, fb in zip(ids, titles, bodies):
+            cnt: dict[str, list[int]] = {}
+            for t in ft:
+                if t in qset:
+                    cnt.setdefault(t, [0, 0])[0] += 1
+            for t in fb:
+                if t in qset:
+                    cnt.setdefault(t, [0, 0])[1] += 1
+            for t, (a, c) in cnt.items():
+                rows["doc_id"].append(int(did))
+                rows["term"].append(t)
+                rows["tf_t"].append(a)
+                rows["tf_b"].append(c)
+                rows["dl_t"].append(len(ft))
+                rows["dl_b"].append(len(fb))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "term": pa.array(rows["term"], pa.string()),
+                "tf_t": pa.array(rows["tf_t"], pa.int64()),
+                "tf_b": pa.array(rows["tf_b"], pa.int64()),
+                "dl_t": pa.array(rows["dl_t"], pa.int64()),
+                "dl_b": pa.array(rows["dl_b"], pa.int64()),
+            }
+        )
+
+    def lens_only(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pandas()
+        titles, bodies = _split_field_tokens(texts, STOP_WORDS)
+        return pa.table(
+            {
+                "lt": pa.array([sum(len(t) for t in titles)], pa.int64()),
+                "lb": pa.array([sum(len(t) for t in bodies)], pa.int64()),
+                "n": pa.array([len(texts)], pa.int64()),
+            }
+        )
+
+    lens = ds.map_batches(lens_only, batch_format="pyarrow").to_pandas()
+    N = int(lens["n"].sum())
+    avg_t = int(lens["lt"].sum()) / float(N)
+    avg_b = int(lens["lb"].sum()) / float(N)
+
+    posts = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    dfs = posts.groupby("term").aggregate(Count()).to_pandas()
+    df_map = dict(zip(dfs["term"], dfs["count()"].astype(int)))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pylist()
+        tf_t = b["tf_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tf_b = b["tf_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_t = b["dl_t"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_b = b["dl_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = np.array([df_map[t] for t in terms], np.float64)
+        idf = np.log((float(N) - df + 0.5) / (df + 0.5) + 1.0)
+        bt = 1.0 - BM25F_B_TITLE + BM25F_B_TITLE * dl_t / avg_t
+        bb = 1.0 - BM25F_B_BODY + BM25F_B_BODY * dl_b / avg_b
+        tfw = BM25F_W_TITLE * tf_t / bt + BM25F_W_BODY * tf_b / bb
+        contrib = idf * tfw / (1.2 + tfw)
+        reps = [tmap[t] for t in terms]
+        lens_ = np.array([len(r) for r in reps], np.int64)
+        idx = np.repeat(np.arange(len(terms), dtype=np.int64), lens_)
+        return pa.table(
+            {
+                "qid": pa.array([q for r in reps for q in r], pa.int64()),
+                "doc_id": b["doc_id"].take(pa.array(idx)),
+                "c": pa.array(contrib[idx]),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "doc_id"], ascending=[False, True]).head(10)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "rank", "doc_id", "s"]]
+
+    def round_s(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("s"),
+            "s",
+            pa.array(round_half_away(b["s"].to_numpy(zero_copy_only=False), 6)),
+        )
+
+    out = (
+        posts.map_batches(score, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("c", alias_name="s"))
+        .map_batches(round_s, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+        .rename(columns={"s": "score"})
+    )
+    return out.astype({"qid": "int64", "rank": "int64", "doc_id": "int64"})
+
+
+def sql_bm25f_fielded() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in enumerate(EVAL_QUERIES) for t in terms
+    )
+    return rf"""
+WITH pos AS (
+  SELECT doc_id, ts[i] AS t, i
+  FROM (SELECT doc_id,
+               string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                  '[ \t\n\x0b\f\r]+') AS ts
+        FROM documents),
+       unnest(range(1, len(ts) + 1)) AS u(i)),
+ttoks AS (
+  SELECT doc_id, t AS term, count(*) AS tf FROM pos
+  WHERE i <= {BM25F_TITLE_K} AND t <> '' AND t NOT IN ({_stoplist_sql()})
+  GROUP BY doc_id, t),
+btoks AS (
+  SELECT doc_id, t AS term, count(*) AS tf FROM pos
+  WHERE i > {BM25F_TITLE_K} AND t <> '' AND t NOT IN ({_stoplist_sql()})
+  GROUP BY doc_id, t),
+q(qid, term) AS (VALUES {vals}),
+qt AS (SELECT DISTINCT term FROM q),
+tdl AS (SELECT doc_id, sum(tf) AS dl FROM ttoks GROUP BY doc_id),
+bdl AS (SELECT doc_id, sum(tf) AS dl FROM btoks GROUP BY doc_id),
+n AS (SELECT count(*) AS c FROM documents),
+avg_t AS (SELECT coalesce(sum(dl), 0) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM tdl),
+avg_b AS (SELECT coalesce(sum(dl), 0) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM bdl),
+merged AS (
+  SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+         coalesce(t.term, b.term) AS term,
+         coalesce(t.tf, 0) AS tf_t, coalesce(b.tf, 0) AS tf_b
+  FROM (SELECT * FROM ttoks WHERE term IN (SELECT term FROM qt)) t
+  FULL JOIN (SELECT * FROM btoks WHERE term IN (SELECT term FROM qt)) b
+    ON t.doc_id = b.doc_id AND t.term = b.term),
+stats AS (SELECT term, count(*) AS df FROM merged GROUP BY term),
+scored AS (
+  SELECT q.qid, m.doc_id,
+         round(sum(
+           ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0)
+           * (({BM25F_W_TITLE} * m.tf_t / (1.0 - {BM25F_B_TITLE} + {BM25F_B_TITLE} * coalesce(tdl.dl, 0) / avg_t.v)
+               + {BM25F_W_BODY} * m.tf_b / (1.0 - {BM25F_B_BODY} + {BM25F_B_BODY} * coalesce(bdl.dl, 0) / avg_b.v)))
+             / (1.2 + ({BM25F_W_TITLE} * m.tf_t / (1.0 - {BM25F_B_TITLE} + {BM25F_B_TITLE} * coalesce(tdl.dl, 0) / avg_t.v)
+                       + {BM25F_W_BODY} * m.tf_b / (1.0 - {BM25F_B_BODY} + {BM25F_B_BODY} * coalesce(bdl.dl, 0) / avg_b.v)))
+         ), 6) AS score
+  FROM merged m
+  JOIN q USING (term) JOIN stats USING (term)
+  LEFT JOIN tdl ON tdl.doc_id = m.doc_id
+  LEFT JOIN bdl ON bdl.doc_id = m.doc_id
+  CROSS JOIN n CROSS JOIN avg_t CROSS JOIN avg_b
+  GROUP BY q.qid, m.doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+  FROM scored)
+SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
+# ------------------------------------------- norm quantization drift
+
+
+def _quantize_dl(dl: np.ndarray) -> np.ndarray:
+    """4-bit-mantissa floor quantization of doc lengths (the Lucene
+    SmallFloat idea: exact below 16, then keep the top 4 bits)."""
+    dl = dl.astype(np.int64)
+    out = dl.copy()
+    big = dl >= 16
+    if big.any():
+        v = dl[big]
+        shift = (np.frexp(v.astype(np.float64))[1] - 1 - 3).astype(np.int64)
+        out[big] = (v >> shift) << shift
+    return out
+
+
+def q_norm_quant_drift(sf_dir: str) -> pd.DataFrame:
+    """Ranking-drift audit of byte-quantized length norms: BM25 is
+    scored twice over the eval queries — once with exact doc lengths,
+    once with lengths quantized to a 4-bit mantissa (what engines
+    store in a norms byte) — and the per-query damage is measured:
+    top-10 set overlap, whether the top-1 doc survives, and the mean
+    absolute score delta in exact integer micro-units. Both scoring
+    passes share one distributed explode; deltas are summed as int64
+    so no float accumulation order can split the engines."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import _token_lists
+
+    qset = {t for q in EVAL_QUERIES for t in q}
+    tmap: dict[str, list[int]] = {}
+    for qid, terms in enumerate(EVAL_QUERIES):
+        for t in terms:
+            tmap.setdefault(t, []).append(qid)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        stop = STOP_WORDS
+        dl = toks.map(lambda ts: sum(1 for t in ts if t not in stop))
+        return pa.table(
+            {
+                "dl_part": pa.array([int(dl.sum())], pa.int64()),
+                "n_part": pa.array([len(dl)], pa.int64()),
+            }
+        )
+
+    sp = ds.map_batches(stats_part, batch_format="pyarrow").to_pandas()
+    N = int(sp["n_part"].sum())
+    avgdl = int(sp["dl_part"].sum()) / float(N)
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = _token_lists(b["text"].to_pandas())
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        stop = STOP_WORDS
+        rt, rd_, rtf, rdl = [], [], [], []
+        for did, ts in zip(ids, toks):
+            ft = [t for t in ts if t not in stop]
+            c: dict[str, int] = {}
+            for t in ft:
+                if t in qset:
+                    c[t] = c.get(t, 0) + 1
+            for t, f in c.items():
+                rt.append(t)
+                rd_.append(int(did))
+                rtf.append(f)
+                rdl.append(len(ft))
+        return pa.table(
+            {
+                "term": pa.array(rt, pa.string()),
+                "doc_id": pa.array(rd_, pa.int64()),
+                "tf": pa.array(rtf, pa.int64()),
+                "dl": pa.array(rdl, pa.int64()),
+            }
+        )
+
+    posts = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    dfs = posts.groupby("term").aggregate(Count()).to_pandas()
+    df_map = dict(zip(dfs["term"], dfs["count()"].astype(int)))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pylist()
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = b["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qdl = _quantize_dl(dl)
+        df = np.array([df_map[t] for t in terms], np.float64)
+        idf = (2.2) * np.log((float(N) - df + 0.5) / (df + 0.5) + 1.0)
+        se = idf * tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        sq = idf * tf / (tf + 1.2 * (0.25 + 0.75 * qdl / avgdl))
+        reps = [tmap[t] for t in terms]
+        lens_ = np.array([len(r) for r in reps], np.int64)
+        idx = np.repeat(np.arange(len(terms), dtype=np.int64), lens_)
+        return pa.table(
+            {
+                "qid": pa.array([q for r in reps for q in r], pa.int64()),
+                "doc_id": b["doc_id"].take(pa.array(idx)),
+                "se": pa.array(se[idx]),
+                "sq": pa.array(sq[idx]),
+            }
+        )
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        e6 = np.asarray(
+            round_half_away(round_half_away(g["se"].to_numpy(), 6) * 1e6, 0),
+            np.int64,
+        )
+        q6 = np.asarray(
+            round_half_away(round_half_away(g["sq"].to_numpy(), 6) * 1e6, 0),
+            np.int64,
+        )
+        ids = g["doc_id"].to_numpy(np.int64)
+        oe = np.lexsort((ids, -e6))
+        oq = np.lexsort((ids, -q6))
+        te, tq = set(ids[oe[:10]].tolist()), set(ids[oq[:10]].tolist())
+        return pd.DataFrame(
+            {
+                "qid": [int(g["qid"].iloc[0])],
+                "n_docs": [len(g)],
+                "top10_overlap": [len(te & tq)],
+                "top1_match": [int(ids[oe[0]] == ids[oq[0]])],
+                "avg_abs_delta": [
+                    float(
+                        round_half_away(
+                            np.abs(e6 - q6).sum() / 1e6 / len(g), 6
+                        )
+                    )
+                ],
+            }
+        )
+
+    out = (
+        posts.map_batches(score, batch_format="pyarrow")
+        .groupby(["qid", "doc_id"])
+        .aggregate(Sum("se", alias_name="se"), Sum("sq", alias_name="sq"))
+        .groupby("qid")
+        .map_groups(per_query, batch_format="pandas")
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {
+            "qid": "int64",
+            "n_docs": "int64",
+            "top10_overlap": "int64",
+            "top1_match": "int64",
+        }
+    )
+
+
+def _sql_quant_dl(expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {expr} < {1 << (b + 1)} THEN ({expr} // {1 << (b - 3)}) * {1 << (b - 3)}"
+        for b in range(4, 40)
+    )
+    return f"CASE WHEN {expr} < 16 THEN {expr} {arms} ELSE {expr} END"
+
+
+def sql_norm_quant_drift() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in enumerate(EVAL_QUERIES) for t in terms
+    )
+    quant = _sql_quant_dl("dls.dl")
+    return f"""
+WITH {sql_tokens_cte()},
+q(qid, term) AS (VALUES {vals}),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS c FROM documents),
+avgdl AS (SELECT sum(dl) / CAST((SELECT c FROM n) AS DOUBLE) AS v FROM dls),
+scored AS (
+  SELECT q.qid, toks.doc_id,
+         sum((2.2 * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+             * (toks.tf / (toks.tf + 1.2 * (0.25 + 0.75 * dls.dl / avgdl.v)))) AS se,
+         sum((2.2 * ln((CAST(n.c AS DOUBLE) - stats.df + 0.5) / (stats.df + 0.5) + 1.0))
+             * (toks.tf / (toks.tf + 1.2 * (0.25 + 0.75 * ({quant}) / avgdl.v)))) AS sq
+  FROM toks
+  JOIN q USING (term) JOIN stats USING (term) JOIN dls USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY q.qid, toks.doc_id),
+micro AS (
+  SELECT qid, doc_id,
+         CAST(round(round(se, 6) * 1000000, 0) AS BIGINT) AS e6,
+         CAST(round(round(sq, 6) * 1000000, 0) AS BIGINT) AS q6
+  FROM scored),
+re AS (SELECT qid, doc_id, e6, q6,
+              row_number() OVER (PARTITION BY qid ORDER BY e6 DESC, doc_id) AS rne,
+              row_number() OVER (PARTITION BY qid ORDER BY q6 DESC, doc_id) AS rnq
+       FROM micro),
+ov AS (
+  SELECT a.qid, count(*) AS overlap
+  FROM (SELECT qid, doc_id FROM re WHERE rne <= 10) a
+  JOIN (SELECT qid, doc_id FROM re WHERE rnq <= 10) b USING (qid, doc_id)
+  GROUP BY a.qid),
+t1 AS (
+  SELECT e.qid, CASE WHEN e.doc_id = qq.doc_id THEN 1 ELSE 0 END AS m
+  FROM (SELECT qid, doc_id FROM re WHERE rne = 1) e
+  JOIN (SELECT qid, doc_id FROM re WHERE rnq = 1) qq USING (qid)),
+agg AS (
+  SELECT qid, CAST(count(*) AS BIGINT) AS n_docs,
+         round(sum(abs(e6 - q6)) / 1000000.0 / count(*), 6) AS avg_abs_delta
+  FROM micro GROUP BY qid)
+SELECT agg.qid, agg.n_docs,
+       CAST(ov.overlap AS BIGINT) AS top10_overlap,
+       CAST(t1.m AS BIGINT) AS top1_match,
+       agg.avg_abs_delta
+FROM agg JOIN ov USING (qid) JOIN t1 USING (qid)
+ORDER BY agg.qid
+"""
+
+
 # ------------------------------------------- term-dict front coding
 
 FC_BLOCK = 16
@@ -25837,4 +26276,6 @@ def registry() -> dict[str, tuple]:
         "roaring_audit": (q_roaring_audit, sql_roaring_audit()),
         "frontcode_audit": (q_frontcode_audit, sql_frontcode_audit()),
         "rle_dict_audit": (q_rle_dict_audit, sql_rle_dict_audit()),
+        "bm25f_fielded": (q_bm25f_fielded, sql_bm25f_fielded()),
+        "norm_quant_drift": (q_norm_quant_drift, sql_norm_quant_drift()),
     }
