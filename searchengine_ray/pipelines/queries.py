@@ -25084,6 +25084,235 @@ FROM bucket ORDER BY df_digits
 """
 
 
+# ------------------------------------------- Merkle corpus integrity
+
+MERKLE_TOP = 16  # emit tree levels once they fit in this many nodes
+
+
+def q_merkle_root(sf_dir: str) -> pd.DataFrame:
+    """Content-addressable corpus verification: a Merkle tree over the
+    per-doc md5 leaves (idx = doc_id), parents md5(left || right) with
+    an odd last node promoted unchanged — the structure a 100 TB
+    mirror uses to find the one divergent shard in log(N) round trips.
+    Built as a distributed tree reduction: each level is one
+    ``idx // 2`` shuffle whose groups combine at most two rows, so
+    depth is log2(N) and no level ever concentrates on the driver;
+    only the top levels (<= MERKLE_TOP nodes, root included) are
+    emitted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def leaves(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "idx": pa.array(ids),
+                "h": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("idx")
+        if len(g) == 2:
+            h = hashlib.md5(
+                (g["h"].iloc[0] + g["h"].iloc[1]).encode()
+            ).hexdigest()
+        else:
+            h = g["h"].iloc[0]
+        return pd.DataFrame({"idx": [int(g["idx"].iloc[0]) // 2], "h": [h]})
+
+    level = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(leaves, batch_format="pyarrow")
+        .materialize()
+    )
+    out_rows: list[tuple[int, int, str]] = []
+    lvl = 0
+    n = level.count()
+    while True:
+        if n <= MERKLE_TOP:
+            for r in level.sort("idx").take_all():
+                out_rows.append((lvl, int(r["idx"]), r["h"]))
+        if n == 1:
+            break
+
+        def halve(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "pidx": pa.array(
+                        b["idx"].to_numpy(zero_copy_only=False) // 2, pa.int64()
+                    ),
+                    "idx": b["idx"],
+                    "h": b["h"],
+                }
+            )
+
+        level = (
+            level.map_batches(halve, batch_format="pyarrow")
+            .groupby("pidx")
+            .map_groups(pair, batch_format="pandas")
+            .materialize()
+        )
+        lvl += 1
+        n = level.count()
+    return pd.DataFrame(out_rows, columns=["lvl", "idx", "h"]).astype(
+        {"lvl": "int64", "idx": "int64"}
+    )
+
+
+def sql_merkle_root() -> str:
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT doc_id AS idx, md5(text) AS h FROM documents)"
+    ]
+    selects = [
+        f"SELECT 0 AS lvl, idx, h FROM l0 WHERE (SELECT count(*) FROM l0) <= {MERKLE_TOP}"
+    ]
+    for k in range(1, 25):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT idx // 2 AS idx,
+         CASE WHEN count(*) = 2 THEN md5(string_agg(h, '' ORDER BY idx))
+              ELSE min(h) END AS h
+  FROM {p} WHERE (SELECT count(*) FROM {p}) > 1 GROUP BY idx // 2)"""
+        )
+        selects.append(
+            f"SELECT {k} AS lvl, idx, h FROM l{k} "
+            f"WHERE (SELECT count(*) FROM l{k}) BETWEEN 1 AND {MERKLE_TOP}"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT CAST(lvl AS BIGINT) AS lvl, CAST(idx AS BIGINT) AS idx, h FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY lvl, idx"
+    )
+
+
+# ------------------------------------------- binary-quantized ANN
+
+BINARY_ANN_QUERIES = [0, 1, 2]
+
+
+def q_binary_ann(sf_dir: str) -> pd.DataFrame:
+    """Binary quantization for vector search (the 1-bit sign codes
+    modern vector stores ship for 32x memory cuts): every embedding is
+    collapsed to its per-dimension sign bits; candidates rank by
+    Hamming distance to the query's sign code (vec_id tiebreak), and
+    each Hamming top-10 row is flagged with membership in the exact
+    cosine top-10 so the frame carries its own recall audit. Both the
+    Hamming scan and the exact-cosine scan are vectorized distributed
+    passes against broadcast query vectors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvecs = {
+        int(q): np.asarray(
+            t.filter(pa_eq(t, "vec_id", q))["embedding"][0].as_py(), np.float64
+        )
+        for q in BINARY_ANN_QUERIES
+    }
+    qsigns = {q: v >= 0 for q, v in qvecs.items()}
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(
+            [np.asarray(v, np.float64) for v in b["embedding"].to_pylist()]
+        )
+        signs = mat >= 0
+        norms = np.linalg.norm(mat, axis=1)
+        out = {"qid": [], "vec_id": [], "hamming": [], "cos6": []}
+        for q in BINARY_ANN_QUERIES:
+            ham = (signs != qsigns[q][None, :]).sum(axis=1).astype(np.int64)
+            qv = qvecs[q]
+            cos = mat @ qv / (norms * np.linalg.norm(qv))
+            out["qid"].extend([q] * len(ids))
+            out["vec_id"].extend(ids.tolist())
+            out["hamming"].extend(ham.tolist())
+            out["cos6"].extend(
+                np.asarray(round_half_away(cos, 6), np.float64).tolist()
+            )
+        return pa.table(
+            {
+                "qid": pa.array(out["qid"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "hamming": pa.array(out["hamming"], pa.int64()),
+                "cos6": pa.array(out["cos6"], pa.float64()),
+            }
+        )
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(np.int64)
+        ham = g["hamming"].to_numpy(np.int64)
+        c6 = np.asarray(
+            round_half_away(g["cos6"].to_numpy(np.float64) * 1e6, 0), np.int64
+        )
+        oh = np.lexsort((ids, ham))[:10]
+        oc = np.lexsort((ids, -c6))[:10]
+        cos_top = set(ids[oc].tolist())
+        return pd.DataFrame(
+            {
+                "qid": int(g["qid"].iloc[0]),
+                "rank": np.arange(1, len(oh) + 1, dtype=np.int64),
+                "vec_id": ids[oh],
+                "hamming": ham[oh],
+                "in_cos_top10": np.array(
+                    [int(v in cos_top) for v in ids[oh]], np.int64
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(scan, batch_format="pyarrow")
+        .groupby("qid")
+        .map_groups(per_query, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+        .astype(
+            {
+                "qid": "int64",
+                "rank": "int64",
+                "vec_id": "int64",
+                "hamming": "int64",
+                "in_cos_top10": "int64",
+            }
+        )
+    )
+
+
+def sql_binary_ann() -> str:
+    qids = ", ".join(f"({q})" for q in BINARY_ANN_QUERIES)
+    return f"""
+WITH qs(qid) AS (VALUES {qids}),
+qv AS (SELECT qs.qid, e.embedding AS qe FROM qs JOIN embeddings e ON e.vec_id = qs.qid),
+pairs AS (
+  SELECT qv.qid, e.vec_id,
+         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CASE WHEN (e.embedding[i] >= 0) <> (qv.qe[i] >= 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+         CAST(round(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(qv.qe AS DOUBLE[])), 6) * 1000000, 0) AS BIGINT) AS c6
+  FROM embeddings e CROSS JOIN qv),
+rh AS (SELECT qid, vec_id, hamming, c6,
+              row_number() OVER (PARTITION BY qid ORDER BY hamming, vec_id) AS rnh,
+              row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, vec_id) AS rnc
+       FROM pairs),
+cos_top AS (SELECT qid, vec_id FROM rh WHERE rnc <= 10)
+SELECT rh.qid, CAST(rh.rnh AS BIGINT) AS rank, rh.vec_id, rh.hamming,
+       CAST(CASE WHEN ct.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_cos_top10
+FROM rh LEFT JOIN cos_top ct ON ct.qid = rh.qid AND ct.vec_id = rh.vec_id
+WHERE rh.rnh <= 10 ORDER BY rh.qid, rh.rnh
+"""
+
+
 # ------------------------------------------- BM25F fielded ranking
 
 BM25F_W_TITLE = 2.0
@@ -26278,4 +26507,6 @@ def registry() -> dict[str, tuple]:
         "rle_dict_audit": (q_rle_dict_audit, sql_rle_dict_audit()),
         "bm25f_fielded": (q_bm25f_fielded, sql_bm25f_fielded()),
         "norm_quant_drift": (q_norm_quant_drift, sql_norm_quant_drift()),
+        "merkle_root": (q_merkle_root, sql_merkle_root()),
+        "binary_ann": (q_binary_ann, sql_binary_ann()),
     }
