@@ -914,6 +914,122 @@ class SearchEngine:
             order = order[:topk]
         return [(int(uids[i]), float(scores[i])) for i in order]
 
+    def search_dfr_pl2(
+        self, query: str | list[str], c: float = 1.0, topk: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Divergence-from-randomness PL2 ranking (Amati & van
+        Rijsbergen, TOIS 2002: Poisson randomness model, Laplace
+        after-effect, length normalisation 2 — the third classic scoring
+        family beside BM25 and query likelihood). Per query term with
+        tf>0:
+
+            tfn  = tf · log2(1 + c·avgdl/dl)
+            λ    = F_t / N                  (collection frequency / docs)
+            s    = qn/(tfn+1) · (tfn·log2(tfn/λ) + (λ−tfn)·log2(e)
+                                 + 0.5·log2(2π·tfn))
+
+        Docs missing a term contribute nothing for it (no smoothing —
+        unlike QL the information content of an unseen term is zero).
+        avgdl/N/F all come from the index artifacts; returns
+        (doc_id, score) sorted by (-score, doc_id)."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms:
+            return []
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        n = float(self.num_docs()) or 1.0
+        avgdl = self.manifest.avgdl or 1.0
+        log2e = 1.0 / math.log(2.0)
+        uids = np.unique(np.concatenate([posts[t].doc_ids for t in terms]))
+        if len(self._tombstones):
+            uids = uids[~np.isin(uids, self._tombstones)]
+        if not len(uids):
+            return []
+        scores = np.zeros(len(uids), dtype=np.float64)
+        for t in terms:
+            p = posts[t]
+            keep = np.ones(len(p.doc_ids), bool)
+            if len(self._tombstones):
+                keep = ~np.isin(p.doc_ids, self._tombstones)
+            lam = float(p.tfs.sum()) / n
+            tfn = p.tfs[keep] * np.log2(1.0 + c * avgdl / p.dls[keep])
+            gain = (
+                qtf[t]
+                / (tfn + 1.0)
+                * (
+                    tfn * np.log2(tfn / lam)
+                    + (lam - tfn) * log2e
+                    + 0.5 * np.log2(2.0 * math.pi * tfn)
+                )
+            )
+            pos = np.searchsorted(uids, p.doc_ids[keep])
+            np.add.at(scores, pos, gain)
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
+
+    def search_pivoted(
+        self, query: str | list[str], s: float = 0.2, topk: int | None = None
+    ) -> list[tuple[int, float]]:
+        """Pivoted length-normalisation ranking (Singhal, Buckley &
+        Mitra, SIGIR 1996 — the fix for plain cosine's short-document
+        bias that BM25's b generalises). Per query term with tf>0:
+
+            w = qn · (1 + ln(1 + ln(tf))) / ((1−s) + s·dl/avgdl)
+                   · ln((N+1)/df)
+
+        Sparse contributions only (no smoothing); avgdl/N/df from the
+        index artifacts; returns (doc_id, score) sorted by
+        (-score, doc_id)."""
+        text = query if isinstance(query, str) else " ".join(query)
+        tokens = self.analyze(text)
+        if topk is not None and topk == 0:
+            return []
+        if not tokens:
+            return []
+        posts = self._lookup(tokens)
+        terms = [t for t in dict.fromkeys(tokens) if t in posts]
+        if not terms:
+            return []
+        qtf: dict[str, int] = {}
+        for t in tokens:
+            qtf[t] = qtf.get(t, 0) + 1
+        n = float(self.num_docs()) or 1.0
+        avgdl = self.manifest.avgdl or 1.0
+        uids = np.unique(np.concatenate([posts[t].doc_ids for t in terms]))
+        if len(self._tombstones):
+            uids = uids[~np.isin(uids, self._tombstones)]
+        if not len(uids):
+            return []
+        scores = np.zeros(len(uids), dtype=np.float64)
+        for t in terms:
+            p = posts[t]
+            keep = np.ones(len(p.doc_ids), bool)
+            if len(self._tombstones):
+                keep = ~np.isin(p.doc_ids, self._tombstones)
+            idf = math.log((n + 1.0) / p.df)
+            gain = (
+                qtf[t]
+                * (1.0 + np.log(1.0 + np.log(p.tfs[keep])))
+                / ((1.0 - s) + s * p.dls[keep] / avgdl)
+                * idf
+            )
+            pos = np.searchsorted(uids, p.doc_ids[keep])
+            np.add.at(scores, pos, gain)
+        order = np.lexsort((uids, -scores))
+        if topk is not None:
+            order = order[:topk]
+        return [(int(uids[i]), float(scores[i])) for i in order]
+
     def search_bm25_filtered(
         self,
         query: str | list[str],
