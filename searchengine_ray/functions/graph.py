@@ -1082,3 +1082,223 @@ def bfs_hops(
             return out.astype({"node": "int64", "dist": "int64"})
         prev = cur
     raise RuntimeError(f"bfs_hops did not converge in {max_iter} rounds")
+
+
+MST_DENSE_GATE = 200_000
+
+
+def boruvka_mst(
+    edges: np.ndarray,
+    weights: np.ndarray,
+    n_nodes: int,
+    dense_gate: int = MST_DENSE_GATE,
+) -> pd.DataFrame:
+    """Minimum spanning forest via Borůvka's algorithm (1926; the
+    textbook distributed MST — O(log n) rounds, each round every
+    component picks its minimum incident crossing edge). Edge order is
+    the total order (w, u, v), which makes the MSF UNIQUE, so any
+    correct algorithm (the pytest Kruskal brute, the SQL Kruskal
+    replay) must select the identical edge set.
+
+    Returns the selected edges as (u, v, w) sorted by (w, u, v).
+
+    Rounds needed ≤ ⌈log2 n⌉. Per round the min-edge-per-component
+    reduction is embarrassingly parallel: above ``dense_gate`` edges it
+    runs as ``map_batches`` partial mins over the edge Dataset with the
+    component labels broadcast via ``ray.put`` (one O(n) array — the
+    PageRank broadcast-tier contract), merged by one small groupby;
+    the union step touches only ≤ #components selected edges on the
+    driver. Below the gate the identical numpy reduction runs locally."""
+    edges = np.asarray(edges, np.int64)
+    keep = edges[:, 0] != edges[:, 1]
+    u = np.minimum(edges[keep, 0], edges[keep, 1])
+    v = np.maximum(edges[keep, 0], edges[keep, 1])
+    w = np.asarray(weights, np.int64)[keep]
+    # canonical dedup on (u, v): keep the minimum weight per pair
+    order = np.lexsort((w, v, u))
+    u, v, w = u[order], v[order], w[order]
+    first = np.ones(len(u), bool)
+    first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    u, v, w = u[first], v[first], w[first]
+
+    assert w.min(initial=0) >= 0 and w.max(initial=0) < (1 << 3), "pack: w < 8"
+    assert n_nodes < (1 << 30), "pack: node ids < 2^30"
+    packed = (w << 60) | (u << 30) | v  # total order (w, u, v) in one int64
+
+    comp = np.arange(n_nodes, dtype=np.int64)
+    taken: list[int] = []
+    use_ray = len(u) > dense_gate
+
+    for _ in range(max(1, int(np.ceil(np.log2(max(n_nodes, 2)))) + 1)):
+        cu, cv = comp[u], comp[v]
+        cross = cu != cv
+        if not cross.any():
+            break
+        if use_ray:
+            sel = _min_edge_per_component_ray(u, v, packed, comp)
+        else:
+            cid = np.concatenate([cu[cross], cv[cross]])
+            key = np.concatenate([packed[cross], packed[cross]])
+            o = np.lexsort((key, cid))
+            cid, key = cid[o], key[o]
+            head = np.ones(len(cid), bool)
+            head[1:] = cid[1:] != cid[:-1]
+            sel = np.unique(key[head])
+        # union the selected edges sequentially (≤ #components of them —
+        # the only sequential touch; everything edge-sized stays parallel)
+        su = (sel >> 30) & ((1 << 30) - 1)
+        sv = sel & ((1 << 30) - 1)
+
+        def find(x: int) -> int:
+            while comp[x] != x:
+                comp[x] = comp[comp[x]]
+                x = comp[x]
+            return int(x)
+
+        for a, b in zip(su.tolist(), sv.tolist()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra < rb:
+                    comp[rb] = ra
+                else:
+                    comp[ra] = rb
+        # under the (w, u, v) total order the per-component min edges
+        # can never form a cycle, so every selected edge is in the MSF
+        taken.extend(int(x) for x in sel.tolist())
+        # path-compress every node label for the next round
+        roots = comp.copy()
+        while True:
+            nxt = roots[roots]
+            if (nxt == roots).all():
+                break
+            roots = nxt
+        comp = roots
+
+    sel_packed = np.unique(np.array(sorted(set(taken)), np.int64))
+    out = pd.DataFrame(
+        {
+            "u": (sel_packed >> 30) & ((1 << 30) - 1),
+            "v": sel_packed & ((1 << 30) - 1),
+            "w": sel_packed >> 60,
+        }
+    ).astype({"u": "int64", "v": "int64", "w": "int64"})
+    return out.sort_values(["w", "u", "v"]).reset_index(drop=True)
+
+
+def _min_edge_per_component_ray(
+    u: np.ndarray, v: np.ndarray, packed: np.ndarray, comp: np.ndarray
+) -> np.ndarray:
+    """One Borůvka round distributed: broadcast the component labels,
+    emit per-batch (component, min packed edge key) partials, reduce
+    with one small Min groupby, return the unique selected edge keys."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    comp_ref = ray.put(comp)
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "key": pa.array(packed, pa.int64()),
+            }
+        )
+    )
+
+    def partial(b: pa.Table, _ref=comp_ref) -> pa.Table:
+        c = ray.get(_ref)
+        bu = b["u"].to_numpy(zero_copy_only=False)
+        bv = b["v"].to_numpy(zero_copy_only=False)
+        key = b["key"].to_numpy(zero_copy_only=False)
+        cu, cv = c[bu], c[bv]
+        cross = cu != cv
+        cid = np.concatenate([cu[cross], cv[cross]])
+        k2 = np.concatenate([key[cross], key[cross]])
+        o = np.lexsort((k2, cid))
+        cid, k2 = cid[o], k2[o]
+        head = np.ones(len(cid), bool)
+        head[1:] = cid[1:] != cid[:-1]
+        return pa.table(
+            {"cid": pa.array(cid[head], pa.int64()), "key": pa.array(k2[head], pa.int64())}
+        )
+
+    res = (
+        eds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(Min("key", alias_name="key"))
+        .to_pandas()
+    )
+    return np.unique(res["key"].to_numpy(np.int64))
+
+
+def katz_centrality(
+    edges: np.ndarray,
+    n_nodes: int,
+    alpha: float = 0.05,
+    iters: int = 12,
+    dense_gate: int = MST_DENSE_GATE,
+) -> np.ndarray:
+    """Katz centrality (Katz 1953) on a DIRECTED edge array: the
+    truncated series x = Σ_{k=1..K} α^k (Aᵀ)^k 1, iterated as
+    c_k(dst) = α · Σ_{(src,dst)∈E} (c_{k-1}(src) + 1) — attenuated
+    path counting, the walk-based centrality that (unlike PageRank)
+    does not normalise by out-degree. Fixed iteration count so the
+    unrolled SQL oracle computes the identical truncation.
+
+    Above ``dense_gate`` edges each iteration is one edges⋈labels join
+    + Sum-groupby round (the sssp_weighted Dataset-tier shape); below
+    it the identical numpy ``np.add.at`` iteration runs locally."""
+    edges = np.asarray(edges, np.int64)
+    keep = edges[:, 0] != edges[:, 1]
+    src, dst = edges[keep, 0], edges[keep, 1]
+
+    if len(src) <= dense_gate:
+        c = np.zeros(n_nodes, np.float64)
+        for _ in range(iters):
+            nxt = np.zeros(n_nodes, np.float64)
+            np.add.at(nxt, dst, c[src] + 1.0)
+            c = alpha * nxt
+        return c
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).materialize()
+    labels = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                "c": pa.array(np.zeros(n_nodes), pa.float64()),
+            }
+        )
+    ).materialize()
+    for _ in range(iters):
+        prop = eds.join(
+            labels, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "contrib": pa.array(
+                        b["c"].to_numpy(zero_copy_only=False) + 1.0, pa.float64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        summed = prop.groupby("node").aggregate(Sum("contrib", alias_name="s"))
+        got = summed.to_pandas()
+        c = np.zeros(n_nodes, np.float64)
+        c[got["node"].to_numpy(np.int64)] = alpha * got["s"].to_numpy(np.float64)
+        labels = rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.arange(n_nodes, dtype=np.int64), pa.int64()),
+                    "c": pa.array(c, pa.float64()),
+                }
+            )
+        ).materialize()
+    return c
