@@ -1302,3 +1302,211 @@ def katz_centrality(
             )
         ).materialize()
     return c
+
+
+ANF_P = 6  # 64 registers per node
+
+
+def _anf_init_regs(n_nodes: int, p: int = ANF_P) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node singleton-HLL init: md5-lower-64 of the decimal node id
+    (DuckDB ``md5_number_lower(CAST(id AS VARCHAR))``-equal), register
+    = top p bits, rho = leading-zero rank of the tail + 1."""
+    import hashlib
+
+    regs = np.zeros((n_nodes, 1 << p), np.int8)
+    shift = 64 - p
+    mask = (1 << shift) - 1
+    for v in range(n_nodes):
+        hv = int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+        reg = hv >> shift
+        tail = hv & mask
+        rho = (shift + 1) - tail.bit_length() if tail else (shift + 1)
+        regs[v, reg] = rho
+    return regs, np.zeros(0)
+
+
+def _anf_estimate_micro(regs: np.ndarray, p: int = ANF_P) -> np.ndarray:
+    """Integer-micro HLL estimate per node (linear-counting branch
+    mirrored — the repo's hll_error conventions at m = 2^p)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    pow2 = np.power(2.0, -regs.astype(np.float64))  # rho=0 rows contribute 1
+    s = pow2.sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    e = alpha * m * m / s
+    lin = np.where(zeros > 0, m * np.log(m / np.maximum(zeros, 1).astype(np.float64)), e)
+    e = np.where((e <= 2.5 * m) & (zeros > 0), lin, e)
+    p10 = 10.0 ** 6
+    return (np.sign(e) * np.floor(np.abs(e) * p10 + 0.5)).astype(np.int64)
+
+
+def anf_hyperball(
+    edges: np.ndarray,
+    n_nodes: int,
+    rounds: int = 6,
+    p: int = ANF_P,
+    dense_gate: int = MST_DENSE_GATE,
+) -> pd.DataFrame:
+    """HyperBall approximate neighborhood function (Boldi, Rosa &
+    Vigna, WWW 2011; Palmer et al.'s ANF with HLL counters): every node
+    carries a 2^p-register HLL of the ball around it; one round updates
+    each node's registers to the elementwise max over its neighbours'
+    — so N(r) = Σ_v |ball(v, r)| needs only r rounds of a
+    (node, register) Max-groupby, never any pairwise BFS. Returns one
+    row per radius r: the summed per-node micro-int estimates.
+
+    Below ``dense_gate`` edges the register matrix iterates locally via
+    ``np.maximum.at``; above it each round is one edges⋈registers join
+    + Max groupby over (node, register) rows — registers ARE the
+    shuffle payload, the textbook Dataset expression of the algorithm."""
+    edges = np.asarray(edges, np.int64)
+    keep = edges[:, 0] != edges[:, 1]
+    u, v = edges[keep, 0], edges[keep, 1]
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+
+    regs, _ = _anf_init_regs(n_nodes, p)
+    out_rows = [(0, int(_anf_estimate_micro(regs, p).sum()))]
+
+    if len(src) <= dense_gate:
+        for r in range(1, rounds + 1):
+            nxt = regs.copy()
+            np.maximum.at(nxt, dst, regs[src])
+            regs = nxt
+            out_rows.append((r, int(_anf_estimate_micro(regs, p).sum())))
+        return pd.DataFrame(out_rows, columns=["r", "est_micro_sum"]).astype(
+            {"r": "int64", "est_micro_sum": "int64"}
+        )
+
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    nodes0, regs0, rho0 = [], [], []
+    for node in range(n_nodes):
+        nz = np.flatnonzero(regs[node])
+        for rg in nz:
+            nodes0.append(node)
+            regs0.append(int(rg))
+            rho0.append(int(regs[node, rg]))
+    cur = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes0, pa.int64()),
+                "reg": pa.array(regs0, pa.int64()),
+                "rho": pa.array(rho0, pa.int64()),
+            }
+        )
+    ).materialize()
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).materialize()
+
+    def est_of(ds) -> int:
+        df = ds.to_pandas()
+        m = np.zeros((n_nodes, 1 << p), np.int8)
+        m[df["node"].to_numpy(np.int64), df["reg"].to_numpy(np.int64)] = df[
+            "rho"
+        ].to_numpy(np.int64)
+        return int(_anf_estimate_micro(m, p).sum())
+
+    for r in range(1, rounds + 1):
+        prop = eds.join(
+            cur, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "reg": b["reg"], "rho": b["rho"]}),
+            batch_format="pyarrow",
+        )
+        cur = (
+            cur.union(prop)
+            .groupby(["node", "reg"])
+            .aggregate(Max("rho", alias_name="rho"))
+            .materialize()
+        )
+        out_rows.append((r, est_of(cur)))
+    return pd.DataFrame(out_rows, columns=["r", "est_micro_sum"]).astype(
+        {"r": "int64", "est_micro_sum": "int64"}
+    )
+
+
+def salsa_scores(
+    edges: np.ndarray,
+    n_nodes: int,
+    iters: int = 8,
+    dense_gate: int = MST_DENSE_GATE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SALSA hub/authority scores (Lempel & Moran, WWW 2000 — HITS with
+    degree-normalised random walks, immune to the tightly-knit-
+    community drift): fixed-point rounds h(i) = Σ_{i→j} a(j)/din(j),
+    a(j) = Σ_{i→j} h(i)/dout(i) from a0 ≡ 1, fixed ``iters`` so the
+    unrolled SQL oracle replays the identical truncation. DISTINCT
+    directed edges; returns (auth, hub) arrays.
+
+    Below ``dense_gate`` the numpy add.at iteration runs locally; above
+    it each half-round is one edges⋈scores join + Sum groupby (the
+    katz_centrality Dataset-tier shape)."""
+    edges = np.asarray(edges, np.int64)
+    keep = edges[:, 0] != edges[:, 1]
+    packed = edges[keep, 0] * np.int64(1 << 31) + edges[keep, 1]
+    packed = np.unique(packed)
+    src = (packed >> 31).astype(np.int64)
+    dst = (packed & ((1 << 31) - 1)).astype(np.int64)
+
+    dout = np.zeros(n_nodes, np.int64)
+    din = np.zeros(n_nodes, np.int64)
+    np.add.at(dout, src, 1)
+    np.add.at(din, dst, 1)
+    a = np.ones(n_nodes, np.float64)
+    h = np.zeros(n_nodes, np.float64)
+
+    if len(src) <= dense_gate:
+        for _ in range(iters):
+            h = np.zeros(n_nodes, np.float64)
+            np.add.at(h, src, a[dst] / din[dst])
+            a = np.zeros(n_nodes, np.float64)
+            np.add.at(a, dst, h[src] / dout[src])
+        return a, h
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).materialize()
+    din_ref = ray.put(din)
+    dout_ref = ray.put(dout)
+
+    def half_round(scores: np.ndarray, by_dst: bool) -> np.ndarray:
+        ref = ray.put(scores)
+
+        def prop(b: pa.Table, _s=ref, _din=din_ref, _dout=dout_ref) -> pa.Table:
+            sc = ray.get(_s)
+            if by_dst:  # h(i) = Σ a(j)/din(j)
+                deg = ray.get(_din)
+                node = b["src"].to_numpy(zero_copy_only=False)
+                other = b["dst"].to_numpy(zero_copy_only=False)
+            else:  # a(j) = Σ h(i)/dout(i)
+                deg = ray.get(_dout)
+                node = b["dst"].to_numpy(zero_copy_only=False)
+                other = b["src"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "c": pa.array(sc[other] / deg[other], pa.float64()),
+                }
+            )
+
+        got = (
+            eds.map_batches(prop, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("c", alias_name="s"))
+            .to_pandas()
+        )
+        out = np.zeros(n_nodes, np.float64)
+        out[got["node"].to_numpy(np.int64)] = got["s"].to_numpy(np.float64)
+        return out
+
+    for _ in range(iters):
+        h = half_round(a, True)
+        a = half_round(h, False)
+    return a, h
