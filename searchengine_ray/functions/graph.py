@@ -1510,3 +1510,148 @@ def salsa_scores(
         h = half_round(a, True)
         a = half_round(h, False)
     return a, h
+
+
+BETW_MAX_DEPTH = 12
+
+
+def betweenness_sampled(
+    edges: np.ndarray,
+    n_nodes: int,
+    sources: list[int],
+    dense_gate: int = MST_DENSE_GATE,
+    max_depth: int = BETW_MAX_DEPTH,
+) -> np.ndarray:
+    """Betweenness centrality from a fixed source sample (Brandes,
+    J. Math. Soc. 2001: one forward BFS accumulating path counts σ,
+    one backward sweep accumulating dependencies δ(v) = Σ_{w∈succ}
+    σ(v)/σ(w)·(1+δ(w)) — exact for the sampled sources, the standard
+    estimator when all-sources is off the table). Undirected edges;
+    returns the summed δ per node (sources excluded from their own
+    sweep).
+
+    Path counts σ are exact integers. Per level the forward expansion
+    and the backward dependency pass are single grouped reductions
+    over the edge set; above ``dense_gate`` they run as map_batches
+    partials over the edge Dataset with the level arrays broadcast
+    (the PageRank broadcast-tier contract: O(n) driver state, nothing
+    edge-sized on the driver), below it as the identical numpy
+    ``np.add.at`` reductions."""
+    edges = np.asarray(edges, np.int64)
+    keep = edges[:, 0] != edges[:, 1]
+    u, v = edges[keep, 0], edges[keep, 1]
+    # dedup parallel edges — σ counts PATHS, not parallel wires
+    packed = np.unique(np.minimum(u, v) * np.int64(1 << 31) + np.maximum(u, v))
+    u = (packed >> 31).astype(np.int64)
+    v = (packed & ((1 << 31) - 1)).astype(np.int64)
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    use_ray = len(src) > dense_gate
+
+    if use_ray:
+        import ray.data as rd
+
+        eds_ds = rd.from_arrow(
+            pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        ).materialize()
+
+    btw = np.zeros(n_nodes, np.float64)
+    for s in sources:
+        if s >= n_nodes:
+            continue
+        d = np.full(n_nodes, -1, np.int64)
+        sig = np.zeros(n_nodes, np.int64)
+        d[s] = 0
+        sig[s] = 1
+        lev = 0
+        while lev < max_depth:
+            if use_ray:
+                contrib = _level_expand_ray(eds_ds, d, sig, lev)
+            else:
+                m = (d[src] == lev) & (d[dst] == -1)
+                contrib = np.zeros(n_nodes, np.int64)
+                np.add.at(contrib, dst[m], sig[src[m]])
+            new = contrib > 0
+            if not new.any():
+                break
+            d[new] = lev + 1
+            sig[new] += contrib[new]
+            lev += 1
+        if lev >= max_depth:
+            m = (d[src] == lev) & (d[dst] == -1)
+            assert not m.any(), "BFS truncated — raise BETW_MAX_DEPTH"
+        delta = np.zeros(n_nodes, np.float64)
+        for k in range(lev, 0, -1):
+            if use_ray:
+                part = _level_back_ray(eds_ds, d, sig, delta, k)
+            else:
+                m = (d[src] == k - 1) & (d[dst] == k)
+                part = np.zeros(n_nodes, np.float64)
+                np.add.at(
+                    part,
+                    src[m],
+                    (sig[src[m]] / sig[dst[m]]) * (1.0 + delta[dst[m]]),
+                )
+            delta += part
+        delta[s] = 0.0
+        btw += delta
+    return btw
+
+
+def _level_expand_ray(eds_ds, d: np.ndarray, sig: np.ndarray, lev: int) -> np.ndarray:
+    import ray
+    from ray.data.aggregate import Sum
+
+    ref = ray.put((d, sig))
+
+    def part(b: pa.Table, _r=ref) -> pa.Table:
+        dd, ss = ray.get(_r)
+        bs = b["src"].to_numpy(zero_copy_only=False)
+        bd = b["dst"].to_numpy(zero_copy_only=False)
+        m = (dd[bs] == lev) & (dd[bd] == -1)
+        return pa.table(
+            {"node": pa.array(bd[m], pa.int64()), "c": pa.array(ss[bs[m]], pa.int64())}
+        )
+
+    got = (
+        eds_ds.map_batches(part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("c", alias_name="s"))
+        .to_pandas()
+    )
+    out = np.zeros(len(d), np.int64)
+    if len(got):
+        out[got["node"].to_numpy(np.int64)] = got["s"].to_numpy(np.int64)
+    return out
+
+
+def _level_back_ray(
+    eds_ds, d: np.ndarray, sig: np.ndarray, delta: np.ndarray, k: int
+) -> np.ndarray:
+    import ray
+    from ray.data.aggregate import Sum
+
+    ref = ray.put((d, sig, delta))
+
+    def part(b: pa.Table, _r=ref) -> pa.Table:
+        dd, ss, dl = ray.get(_r)
+        bs = b["src"].to_numpy(zero_copy_only=False)
+        bd = b["dst"].to_numpy(zero_copy_only=False)
+        m = (dd[bs] == k - 1) & (dd[bd] == k)
+        return pa.table(
+            {
+                "node": pa.array(bs[m], pa.int64()),
+                "c": pa.array((ss[bs[m]] / ss[bd[m]]) * (1.0 + dl[bd[m]]), pa.float64()),
+            }
+        )
+
+    got = (
+        eds_ds.map_batches(part, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("c", alias_name="s"))
+        .to_pandas()
+    )
+    out = np.zeros(len(d), np.float64)
+    if len(got):
+        out[got["node"].to_numpy(np.int64)] = got["s"].to_numpy(np.float64)
+    return out
