@@ -222,10 +222,9 @@ REGISTRY_BENCH = [
     "anti_join", "boolean_query", "rrf_hybrid", "anomaly_days", "winsorize",
     "passage_chunks", "multimodal_png", "pq_topk", "link_prediction",
     "unigram_logppl",
-    # round-3 second wave
-    "query_expansion", "snapshot_diff", "weighted_sample", "custdist",
-    "term_drift", "dataset_split", "ctr_wilson", "autocomplete",
-    "grouped_corr", "tpch_q4", "mad_scores",
+    # round-3 second wave (pruned in round 4 to kept registry entries)
+    "query_expansion", "snapshot_diff", "custdist",
+    "term_drift", "dataset_split", "autocomplete",
 ]
 
 

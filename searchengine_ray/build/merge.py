@@ -136,13 +136,18 @@ def build_increment(
 
 
 def _decode_shard_rows(path: Path, positional: bool, codec: str) -> pa.Table:
-    """Shard file → posting-rows table (term, doc_id, tf, dl, positions).
+    """Shard file → posting-rows table (see :func:`_decode_block_rows`)."""
+    return _decode_block_rows(pq.read_table(path), positional, codec)
+
+
+def _decode_block_rows(tbl: pa.Table, positional: bool, codec: str) -> pa.Table:
+    """Posting-block rows → posting-rows table (term, doc_id, tf, dl,
+    positions).
 
     Column-wise iteration (one ``to_pylist`` per encoded column) rather
     than row dicts; positions become one flat values buffer + offsets, no
     per-posting Python lists."""
     cod = get_posting_codec(codec)
-    tbl = pq.read_table(path)
     terms_col = tbl["term"].to_pylist()
     ids_col = tbl["doc_ids"].to_pylist()
     tfs_col = tbl["tfs"].to_pylist()
@@ -280,16 +285,29 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
     # analyzed rewrite happens after the shard merge, also distributed.
     stats_dir = index_dir / "analyzed"
     have_stats = stats_dir.exists()
+    old_avgdl = m.avgdl or 1.0
     if have_stats:
         n_docs, total_tokens = _live_docstats(stats_dir, tombs, use_ray)
         m.n_docs = n_docs
         m.total_tokens = total_tokens
         m.avgdl = m.total_tokens / m.n_docs if m.n_docs else 0.0
 
+    # per-generation upper-bound rescale for CARRIED (not re-encoded)
+    # block maxima: stored block_max_w was computed at the generation's
+    # build-time avgdl; the compacted generation declares the fresh
+    # avgdl, so carried maxima are multiplied by the same sound factor
+    # the engine would have applied at read time (max(1, new/built))
+    new_avgdl = m.avgdl or 1.0
+    gen_scale = {}
+    for g in m.generations:
+        built = m.phases.get(g, {}).get("built_avgdl") or old_avgdl
+        gen_scale[g] = max(1.0, new_avgdl / float(built))
 
-    gen_dirs = [index_dir / g for g in m.generations]
     args = [
-        (shard, [g / f"shard={shard:05d}.parquet" for g in gen_dirs])
+        (
+            shard,
+            [(g, index_dir / g / f"shard={shard:05d}.parquet") for g in m.generations],
+        )
         for shard in range(m.num_shards)
     ]
 
@@ -297,13 +315,13 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
         import ray
 
         @ray.remote
-        def _do(shard: int, paths: list[Path]) -> int:
-            return _compact_shard(shard, paths, out_dir, m, tombs)
+        def _do(shard: int, paths) -> int:
+            return _compact_shard(shard, paths, out_dir, m, tombs, gen_scale)
 
         ray.get([_do.remote(s, p) for s, p in args])
     else:
         for s, p in args:
-            _compact_shard(s, p, out_dir, m, tombs)
+            _compact_shard(s, p, out_dir, m, tombs, gen_scale)
 
     for g in m.generations:
         shutil.rmtree(index_dir / g, ignore_errors=True)
@@ -327,31 +345,139 @@ def compact(index_dir: str | Path, use_ray: bool = True) -> IndexManifest:
 
 
 def _compact_shard(
-    shard: int, paths: list[Path], out_dir: Path, m: IndexManifest, tombs: np.ndarray
+    shard: int,
+    paths: list[tuple[str, Path]],
+    out_dir: Path,
+    m: IndexManifest,
+    tombs: np.ndarray,
+    gen_scale: dict[str, float] | None = None,
 ) -> int:
-    tables = [
-        _decode_shard_rows(p, m.positional, m.codec) for p in paths if p.exists()
-    ]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return 0
-    rows = pa.concat_tables(tables)
-    if len(tombs):
-        import pyarrow.compute as pc
+    """Merge one shard's generations into one file — WITHOUT decoding
+    clean blocks. Encoded posting blocks are self-contained (per-block
+    delta bases), so a term whose per-generation doc-id ranges are
+    disjoint and tombstone-free is carried verbatim: sort its block
+    rows by ``doc_id_min``, renumber ``block_id``, sum ``df`` across
+    generations, rescale ``block_max_w`` by the generation's avgdl
+    factor. Only tombstone-hit or range-interleaved terms pay the
+    decode→filter→re-encode path. This is what makes compaction cheaper
+    than a scratch rebuild (round-3 verdict task 7)."""
+    import pyarrow.compute as pc
 
-        rows = rows.filter(
-            pc.invert(pc.is_in(rows["doc_id"], pa.array(tombs, pa.uint64())))
+    gen_scale = gen_scale or {}
+    tabs: list[tuple[str, pa.Table]] = []
+    for gen, p in paths:
+        if p.exists():
+            t = pq.read_table(p)
+            if t.num_rows:
+                tabs.append((gen, t))
+    if not tabs:
+        return 0
+
+    enc = pa.concat_tables([t for _, t in tabs])
+    gen_of_row = np.repeat(
+        np.arange(len(tabs), dtype=np.int64), [t.num_rows for _, t in tabs]
+    )
+    scale_of_gen = np.array(
+        [gen_scale.get(gen, 1.0) for gen, _ in tabs], np.float64
+    )
+
+    import pandas as pd
+
+    terms = enc["term"].to_numpy(zero_copy_only=False)
+    tcodes, _ = pd.factorize(terms)
+    dmin = enc["doc_id_min"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dmax = enc["doc_id_max"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    # order block rows by (term, doc_id_min) — the carried layout
+    order = np.lexsort((dmin, tcodes))
+    tc_o, dmin_o, dmax_o = tcodes[order], dmin[order], dmax[order]
+
+    # dirty if any tombstone falls inside a block's id range, or
+    # consecutive blocks of one term overlap (interleaved generations)
+    if len(tombs):
+        lo = np.searchsorted(tombs, dmin_o, side="left")
+        hi = np.searchsorted(tombs, dmax_o, side="right")
+        tomb_hit = lo < hi
+    else:
+        tomb_hit = np.zeros(len(tc_o), bool)
+    same_term = np.zeros(len(tc_o), bool)
+    if len(tc_o) > 1:
+        same_term[1:] = tc_o[1:] == tc_o[:-1]
+    overlap = np.zeros(len(tc_o), bool)
+    if len(tc_o) > 1:
+        overlap[1:] = same_term[1:] & (dmin_o[1:] <= dmax_o[:-1])
+
+    n_terms = int(tcodes.max()) + 1 if len(tcodes) else 0
+    dirty_term = np.zeros(n_terms, bool)
+    np.logical_or.at(dirty_term, tc_o, tomb_hit | overlap)
+
+    out_parts: list[pa.Table] = []
+
+    clean_idx = order[~dirty_term[tc_o]]
+    if len(clean_idx):
+        clean = enc.take(pa.array(clean_idx, pa.int64()))
+        ctc = tcodes[clean_idx]
+        # block_id: running count within term (rows already term-grouped
+        # and doc_id_min-sorted by construction of `order`)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ctc[1:] != ctc[:-1]))
         )
-    # recompute avgdl-dependent block maxima against post-compaction stats:
-    # approximate with current manifest avgdl (exact stats rewritten after)
-    blocks = build_shard_blocks(
-        rows,
-        block_size=m.block_size,
-        avgdl=m.avgdl or 1.0,
-        k1=m.bm25_k1,
-        b=m.bm25_b,
-        positional=m.positional,
-        codec=m.codec,
+        pos_in_term = np.arange(len(ctc)) - np.repeat(
+            starts, np.diff(np.append(starts, len(ctc)))
+        )
+        # df: per-term sum over generations of the per-generation df
+        # (df is repeated on each block row of a (gen, term) group)
+        cdf = clean["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cgen = gen_of_row[clean_idx]
+        meta = pd.DataFrame({"t": ctc, "g": cgen, "df": cdf})
+        per_gen = meta.drop_duplicates(["t", "g"]).groupby("t")["df"].sum()
+        new_df = per_gen.reindex(ctc).to_numpy()
+        new_maxw = (
+            clean["block_max_w"].to_numpy(zero_copy_only=False)
+            * scale_of_gen[cgen]
+        )
+        clean = clean.set_column(
+            clean.schema.get_field_index("block_id"),
+            "block_id",
+            pa.array(pos_in_term.astype(np.int64), clean.schema.field("block_id").type),
+        )
+        clean = clean.set_column(
+            clean.schema.get_field_index("df"),
+            "df",
+            pa.array(new_df.astype(np.int64), clean.schema.field("df").type),
+        )
+        clean = clean.set_column(
+            clean.schema.get_field_index("block_max_w"),
+            "block_max_w",
+            pa.array(new_maxw, clean.schema.field("block_max_w").type),
+        )
+        out_parts.append(clean)
+
+    if dirty_term.any():
+        dirty_idx = np.flatnonzero(dirty_term[tcodes])
+        dirty_enc = enc.take(pa.array(dirty_idx, pa.int64()))
+        rows = _decode_block_rows(dirty_enc, m.positional, m.codec)
+        if len(tombs):
+            rows = rows.filter(
+                pc.invert(pc.is_in(rows["doc_id"], pa.array(tombs, pa.uint64())))
+            )
+        if rows.num_rows:
+            rebuilt = build_shard_blocks(
+                rows,
+                block_size=m.block_size,
+                avgdl=m.avgdl or 1.0,
+                k1=m.bm25_k1,
+                b=m.bm25_b,
+                positional=m.positional,
+                codec=m.codec,
+            )
+            out_parts.append(rebuilt)
+
+    if not out_parts:
+        return 0
+    blocks = pa.concat_tables(out_parts, promote_options="default").sort_by(
+        [("term", "ascending"), ("block_id", "ascending")]
     )
     pq.write_table(blocks, out_dir / f"shard={shard:05d}.parquet")
+    return blocks.num_rows
     return blocks.num_rows

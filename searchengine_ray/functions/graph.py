@@ -1121,9 +1121,13 @@ def boruvka_mst(
     first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
     u, v, w = u[first], v[first], w[first]
 
-    assert w.min(initial=0) >= 0 and w.max(initial=0) < (1 << 3), "pack: w < 8"
-    assert n_nodes < (1 << 30), "pack: node ids < 2^30"
-    packed = (w << 60) | (u << 30) | v  # total order (w, u, v) in one int64
+    # total order (w, u, v) as a RANK: sort edges once by (w, u, v) and
+    # use the position as the reduction key — min-rank per component is
+    # min-(w, u, v), with no bit-budget restriction on weights or ids
+    # (any int64 weight, including negative, is supported)
+    order2 = np.lexsort((v, u, w))
+    u, v, w = u[order2], v[order2], w[order2]
+    packed = np.arange(len(u), dtype=np.int64)
 
     comp = np.arange(n_nodes, dtype=np.int64)
     taken: list[int] = []
@@ -1146,8 +1150,8 @@ def boruvka_mst(
             sel = np.unique(key[head])
         # union the selected edges sequentially (≤ #components of them —
         # the only sequential touch; everything edge-sized stays parallel)
-        su = (sel >> 30) & ((1 << 30) - 1)
-        sv = sel & ((1 << 30) - 1)
+        su = u[sel]
+        sv = v[sel]
 
         def find(x: int) -> int:
             while comp[x] != x:
@@ -1176,11 +1180,7 @@ def boruvka_mst(
 
     sel_packed = np.unique(np.array(sorted(set(taken)), np.int64))
     out = pd.DataFrame(
-        {
-            "u": (sel_packed >> 30) & ((1 << 30) - 1),
-            "v": sel_packed & ((1 << 30) - 1),
-            "w": sel_packed >> 60,
-        }
+        {"u": u[sel_packed], "v": v[sel_packed], "w": w[sel_packed]}
     ).astype({"u": "int64", "v": "int64", "w": "int64"})
     return out.sort_values(["w", "u", "v"]).reset_index(drop=True)
 
@@ -1307,21 +1307,38 @@ def katz_centrality(
 ANF_P = 6  # 64 registers per node
 
 
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized ``int.bit_length`` for uint64 (no float64
+    round-up hazard near powers of two)."""
+    x = x.astype(np.uint64, copy=True)
+    bl = np.zeros(x.shape, np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(sh)) > 0
+        bl[m] += sh
+        x[m] >>= np.uint64(sh)
+    bl[x > 0] += 1
+    return bl
+
+
 def _anf_init_regs(n_nodes: int, p: int = ANF_P) -> tuple[np.ndarray, np.ndarray]:
     """Per-node singleton-HLL init: md5-lower-64 of the decimal node id
     (DuckDB ``md5_number_lower(CAST(id AS VARCHAR))``-equal), register
-    = top p bits, rho = leading-zero rank of the tail + 1."""
+    = top p bits, rho = leading-zero rank of the tail + 1. Digests are
+    batched and decoded with one ``np.frombuffer``; reg/rho are
+    vectorized (no per-node Python int ops)."""
     import hashlib
 
     regs = np.zeros((n_nodes, 1 << p), np.int8)
     shift = 64 - p
-    mask = (1 << shift) - 1
-    for v in range(n_nodes):
-        hv = int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
-        reg = hv >> shift
-        tail = hv & mask
-        rho = (shift + 1) - tail.bit_length() if tail else (shift + 1)
-        regs[v, reg] = rho
+    mask = np.uint64((1 << shift) - 1)
+    blob = b"".join(
+        hashlib.md5(str(v).encode()).digest()[8:] for v in range(n_nodes)
+    )
+    hv = np.frombuffer(blob, dtype="<u8")
+    reg = (hv >> np.uint64(shift)).astype(np.int64)
+    tail = hv & mask
+    rho = (shift + 1) - _bit_length_u64(tail)
+    regs[np.arange(n_nodes), reg] = rho.astype(np.int8)
     return regs, np.zeros(0)
 
 
@@ -1381,19 +1398,14 @@ def anf_hyperball(
     import ray.data as rd
     from ray.data.aggregate import Max
 
-    nodes0, regs0, rho0 = [], [], []
-    for node in range(n_nodes):
-        nz = np.flatnonzero(regs[node])
-        for rg in nz:
-            nodes0.append(node)
-            regs0.append(int(rg))
-            rho0.append(int(regs[node, rg]))
+    nodes0, regs0 = np.nonzero(regs)
+    rho0 = regs[nodes0, regs0]
     cur = rd.from_arrow(
         pa.table(
             {
-                "node": pa.array(nodes0, pa.int64()),
-                "reg": pa.array(regs0, pa.int64()),
-                "rho": pa.array(rho0, pa.int64()),
+                "node": pa.array(nodes0.astype(np.int64), pa.int64()),
+                "reg": pa.array(regs0.astype(np.int64), pa.int64()),
+                "rho": pa.array(rho0.astype(np.int64), pa.int64()),
             }
         )
     ).materialize()
@@ -1444,6 +1456,7 @@ def salsa_scores(
     Below ``dense_gate`` the numpy add.at iteration runs locally; above
     it each half-round is one edges⋈scores join + Sum groupby (the
     katz_centrality Dataset-tier shape)."""
+    assert n_nodes < (1 << 31), "salsa pack: node ids must fit 31 bits"
     edges = np.asarray(edges, np.int64)
     keep = edges[:, 0] != edges[:, 1]
     packed = edges[keep, 0] * np.int64(1 << 31) + edges[keep, 1]
@@ -1537,6 +1550,7 @@ def betweenness_sampled(
     (the PageRank broadcast-tier contract: O(n) driver state, nothing
     edge-sized on the driver), below it as the identical numpy
     ``np.add.at`` reductions."""
+    assert n_nodes < (1 << 31), "betweenness pack: node ids must fit 31 bits"
     edges = np.asarray(edges, np.int64)
     keep = edges[:, 0] != edges[:, 1]
     u, v = edges[keep, 0], edges[keep, 1]
@@ -1576,6 +1590,9 @@ def betweenness_sampled(
                 break
             d[new] = lev + 1
             sig[new] += contrib[new]
+            # σ grows multiplicatively per level on path-rich graphs;
+            # int64 wraps silently — fail loud before it can
+            assert sig.max() < (1 << 62), "σ overflow — path counts exceed int64"
             lev += 1
         if lev >= max_depth:
             m = (d[src] == lev) & (d[dst] == -1)

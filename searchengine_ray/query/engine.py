@@ -344,6 +344,30 @@ class SearchEngine:
                     out.append((gen, t, rows.sort_by([("block_id", "ascending")])))
         return out
 
+    def warm_shards(self, shards: list[int] | None = None) -> int:
+        """Prefetch shard tables into the shard-table LRU (cold-start
+        killer for routed serving: the first query per shard otherwise
+        pays a full ``pq.read_table``). Only files under the per-file
+        cache byte ceiling are pulled, newest generation last so it
+        survives LRU eviction longest. Returns tables cached."""
+        if shards is None:
+            shards = list(range(self.manifest.num_shards))
+        warmed = 0
+        for gen in list(self.manifest.generations):
+            for shard in shards:
+                if len(self._shard_cache) >= self._shard_cache_cap:
+                    return warmed
+                path = self.index_dir / gen / f"shard={shard:05d}.parquet"
+                if not path.exists() or (gen, shard) in self._shard_cache:
+                    continue
+                if path.stat().st_size > self._shard_cache_max_bytes:
+                    continue
+                tbl = pq.read_table(path)
+                with self._shard_cache_lock:
+                    self._shard_cache[(gen, shard)] = tbl
+                warmed += 1
+        return warmed
+
     def _gen_bmw_scale(self, gen: str) -> float:
         """Upper-bound rescale for a generation's stored block maxima when
         the manifest avgdl drifted past the generation's build-time avgdl

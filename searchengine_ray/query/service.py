@@ -27,10 +27,23 @@ class _ShardOwner:
     """Actor body: a thin SearchEngine used only for its shard reads +
     shard-table LRU; owns the shards with ``shard % num_actors == rank``."""
 
-    def __init__(self, index_dir: str, rank: int, num_actors: int):
+    def __init__(self, index_dir: str, rank: int, num_actors: int, warm: bool = True):
         self.engine = SearchEngine(index_dir)
         self.rank = rank
         self.num_actors = num_actors
+        if warm:
+            # prefetch this owner's shard tables so the first queries
+            # don't pay per-shard cold reads (round-3 routed p95 was
+            # 10x local at small corpora purely from cold-start fill)
+            owned = [
+                s
+                for s in range(self.engine.manifest.num_shards)
+                if s % num_actors == rank
+            ]
+            self.engine.warm_shards(owned)
+
+    def ready(self) -> bool:
+        return True
 
     def rows_for_shards(self, plan: dict[int, list[str]], positions: bool) -> list:
         out = []
@@ -43,15 +56,24 @@ class _ShardOwner:
 class ShardedQueryService:
     """Pool of shard-owner actors + routing table."""
 
-    def __init__(self, index_dir: str | Path, num_actors: int = 4):
+    def __init__(
+        self,
+        index_dir: str | Path,
+        num_actors: int = 4,
+        warm: bool = True,
+        block_until_ready: bool = True,
+    ):
         import ray
 
         self.index_dir = str(index_dir)
         self.num_actors = num_actors
         owner = ray.remote(_ShardOwner)
         self.actors = [
-            owner.remote(self.index_dir, rank, num_actors) for rank in range(num_actors)
+            owner.remote(self.index_dir, rank, num_actors, warm)
+            for rank in range(num_actors)
         ]
+        if block_until_ready:
+            ray.get([a.ready.remote() for a in self.actors])
 
     def fetch(self, plan: dict[int, list[str]], positions: bool) -> list:
         """Scatter the shard plan to owners, gather (gen, term, rows)."""

@@ -64,50 +64,5 @@ class TestBm25Filtered:
         assert engine.search_bm25_filtered("data", np.empty(0, np.int64), topk=10) == []
 
 
-class TestCms:
-    def test_point_estimates_never_underestimate(self, ray_session, sf_tiny):
-        from searchengine_ray.functions.sketches import cms_estimate
-        from searchengine_ray.pipelines.queries import q_cms_sketch
-
-        cells = q_cms_sketch(sf_tiny)
-        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["user_id"])
-        truth = ev["user_id"].value_counts()
-        users = truth.index.to_numpy()
-        est = cms_estimate(cells, users)
-        assert (est >= truth.to_numpy()).all()
-        # total mass conserved per row
-        from searchengine_ray.functions.sketches import CMS_D
-
-        per_row = cells.groupby("row")["n"].sum()
-        assert (per_row == len(ev)).all() and len(per_row) == CMS_D
-
-    def test_partials_merge(self):
-        import pyarrow as pa
-
-        from searchengine_ray.functions.sketches import cms_batch
-
-        vals = np.arange(500, dtype=np.int64) % 37
-        whole = cms_batch(pa.table({"v": pa.array(vals)}), "v").to_pandas()
-        a = cms_batch(pa.table({"v": pa.array(vals[:250])}), "v").to_pandas()
-        b = cms_batch(pa.table({"v": pa.array(vals[250:])}), "v").to_pandas()
-        merged = (
-            pd.concat([a, b]).groupby(["row", "col"], as_index=False)["n"].sum()
-        )
-        w = whole.sort_values(["row", "col"]).reset_index(drop=True)
-        m = merged.sort_values(["row", "col"]).reset_index(drop=True)
-        pd.testing.assert_frame_equal(w, m)
 
 
-class TestJsonlGz:
-    def test_roundtrip_hashes(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_jsonl_gz_roundtrip
-
-        import hashlib
-
-        out = q_jsonl_gz_roundtrip(sf_tiny)
-        docs = pd.read_parquet(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
-        expect = {
-            int(r.doc_id): hashlib.md5(r.text.encode()).hexdigest() for r in docs.itertuples()
-        }
-        got = dict(zip(out["doc_id"], out["md5"]))
-        assert got == expect

@@ -442,22 +442,6 @@ class TestRegexSearch:
         assert (got > 0).all()  # zero-match docs filtered out
 
 
-class TestCtrWilson:
-    def test_wilson_bound_properties(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_ctr_wilson
-
-        out = q_ctr_wilson(sf_tiny)
-        assert (out["wilson_lb"] <= out["ctr"] + 1e-9).all()
-        assert (out["wilson_lb"] >= 0).all() and (out["ctr"] <= 1).all()
-        assert (out["clicks"] <= out["n"]).all()
-
-    def test_wilson_formula_hand_value(self):
-        # 40 clicks / 100 trials, z=1.96 → lower bound ≈ 0.308596
-        z, n, p = 1.96, 100.0, 0.4
-        lb = (p + z * z / (2 * n) - z * np.sqrt((p * (1 - p) + z * z / (4 * n)) / n)) / (
-            1 + z * z / n
-        )
-        assert abs(lb - 0.3093) < 5e-4
 
 
 class TestSnapshotDiff:
@@ -512,72 +496,10 @@ class TestQueryExpansion:
         )
 
 
-class TestWeightedSample:
-    def test_matches_driver_bruteforce(self, ray_session, sf_tiny):
-        import hashlib
-
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_weighted_sample
-
-        got = q_weighted_sample(sf_tiny)
-        t = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "n_chars"])
-        rows = []
-        for d, w in zip(t["doc_id"].to_numpy(), t["n_chars"].to_numpy()):
-            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
-            u = (h >> 11) / 9007199254740992.0
-            rows.append((round(np.log(u) / max(w, 1.0), 12), int(d)))
-        rows.sort(key=lambda r: (-r[0], r[1]))
-        want = [d for _, d in rows[:20]]
-        assert list(got["doc_id"]) == want
-
-    def test_weights_bias_selection(self, ray_session):
-        # long docs must be sampled disproportionately often
-        import hashlib
-
-        n = 20_000
-        w = np.where(np.arange(n) % 2 == 0, 1000.0, 10.0)
-        keys = np.empty(n)
-        for d in range(n):
-            h = int.from_bytes(hashlib.md5(str(d).encode()).digest()[8:16], "little")
-            keys[d] = np.log((h >> 11) / 9007199254740992.0) / w[d]
-        top = np.argsort(-keys)[:200]
-        assert (top % 2 == 0).mean() > 0.9
 
 
-class TestSourceVocab:
-    def test_matches_pandas(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_source_vocab
-        from searchengine_ray.functions.textstats import _token_lists
-
-        got = q_source_vocab(sf_tiny)
-        df = duckdb.sql(
-            f"SELECT source, text FROM '{sf_tiny}/documents.parquet'"
-        ).df()
-        df["toks"] = _token_lists(df["text"])
-        want_tokens = df.groupby("source")["toks"].apply(lambda s: sum(len(t) for t in s))
-        want_vocab = df.groupby("source")["toks"].apply(
-            lambda s: len({t for ts in s for t in ts})
-        )
-        g = got.set_index("source")
-        assert g["n_tokens"].to_dict() == want_tokens.to_dict()
-        assert g["vocab"].to_dict() == want_vocab.to_dict()
 
 
-class TestQuartileAssign:
-    def test_balanced_and_ordered(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_quartile_assign
-
-        out = q_quartile_assign(sf_tiny)
-        assert set(out["quartile"]) <= {1, 2, 3, 4}
-        # monotone: longer docs never land in a lower quartile
-        s = out.sort_values("n_chars")
-        assert (s["quartile"].diff().fillna(0) >= 0).all()
-        # quantile_disc boundaries → lower quartiles hold >= 25% each
-        counts = out["quartile"].value_counts()
-        assert counts.get(1, 0) >= len(out) * 0.25 - 1
 
 
 class TestCustdist:
@@ -614,61 +536,8 @@ class TestPercentileCont:
         np.testing.assert_allclose(got["value"].to_numpy(), want, rtol=1e-12)
 
 
-class TestBasketPairs:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_basket_pairs
-
-        got = q_basket_pairs(sf_tiny)
-        df = duckdb.sql(
-            f"SELECT DISTINCT user_id, event_type FROM '{sf_tiny}/events.parquet'"
-        ).df()
-        by_user = df.groupby("user_id")["event_type"].apply(set)
-        n_total = len(by_user)
-        from collections import Counter
-
-        single = Counter(t for s in by_user for t in s)
-        pair = Counter()
-        for s in by_user:
-            ts = sorted(s)
-            for i in range(len(ts)):
-                for j in range(i + 1, len(ts)):
-                    pair[(ts[i], ts[j])] += 1
-        for r in got.itertuples():
-            assert pair[(r.t1, r.t2)] == r.n_ab
-            want_lift = round(
-                r.n_ab * n_total / (single[r.t1] * single[r.t2]), 6
-            )
-            assert abs(r.lift - want_lift) < 1e-9
-        assert len(got) == len(pair)
 
 
-class TestMadScores:
-    def test_outlier_counts_match_pandas(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_mad_scores
-
-        got = q_mad_scores(sf_tiny)
-        df = duckdb.sql(
-            f"SELECT event_type, round(value,3) AS v FROM '{sf_tiny}/events.parquet'"
-        ).df()
-
-        def disc_median(s):
-            v = np.sort(s.to_numpy())
-            import math
-
-            return v[max(0, math.ceil(0.5 * len(v)) - 1)]
-
-        for r in got.itertuples():
-            sub = df[df["event_type"] == r.event_type]["v"]
-            m = disc_median(sub)
-            d = (sub - m).abs()
-            md = disc_median(d)
-            assert abs(r.median - round(m, 6)) < 1e-9
-            assert abs(r.mad - round(md, 6)) < 1e-9
-            assert r.n_outliers == int((d > 3.0 * md).sum())
 
 
 class TestDatasetSplit:
@@ -723,43 +592,6 @@ class TestRoundHalfAway:
         assert float(round_half_away(195 / 384)) != float(np.round(195 / 384, 6))
 
 
-class TestRollingHll:
-    def test_estimate_tracks_exact_rolling_distinct(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_rolling_hll
-
-        got = q_rolling_hll(sf_tiny)
-        exact = duckdb.sql(f"""
-            WITH e AS (SELECT CAST(floor(epoch_us(ts)/86400000000.0) AS BIGINT) AS day,
-                              user_id FROM '{sf_tiny}/events.parquet'),
-            days AS (SELECT DISTINCT day FROM e)
-            SELECT d.day, count(DISTINCT e.user_id) AS n
-            FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY 1
-        """).df().set_index("day")["n"]
-        for r in got.itertuples():
-            rel = abs(r.est_users - exact[r.day]) / max(exact[r.day], 1)
-            assert rel < 0.12, (r.day, r.est_users, exact[r.day])
-
-    def test_grouped_registers_match_split_singles(self, ray_session):
-        import pyarrow as pa
-        import ray.data as rd
-
-        from searchengine_ray.functions.sketches import (
-            grouped_hll_registers,
-            hll_registers,
-        )
-
-        ids = np.arange(3000, dtype=np.int64)
-        g = ids % 3
-        ds = rd.from_arrow(pa.table({"g": g, "user_id": ids})).repartition(5)
-        got = grouped_hll_registers(ds, "g", "user_id")
-        for k in range(3):
-            single = hll_registers(
-                rd.from_arrow(pa.table({"user_id": ids[g == k]})), "user_id"
-            )
-            sub = got[got["g"] == k][["register", "rho"]].reset_index(drop=True)
-            pd.testing.assert_frame_equal(sub, single)
 
 
 class TestTokensetDedup:
@@ -786,119 +618,8 @@ class TestTokensetDedup:
         assert out.iloc[0]["n_docs"] == 2 and out.iloc[0]["keep_doc"] == 1
 
 
-class TestWave6Ops:
-    def test_url_canonical_counts(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_url_canonical
-
-        out = q_url_canonical(sf_tiny)
-        assert (out["n_variants"] > 1).all()
-        # canonical form: lowercase, no query, no trailing slash
-        assert not out["canonical"].str.contains(r"\?|/$|[A-Z]").any()
-
-    def test_crawl_schedule_slots(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_crawl_schedule
-
-        out = q_crawl_schedule(sf_tiny)
-        for _, g in out.groupby("host"):
-            assert list(g["slot"]) == [1, 2, 3]
-            assert g["doc_id"].is_monotonic_increasing
-        assert (out["eta_s"] == out["slot"] - 1).all()
-
-    def test_embedding_outliers_are_minimal_cosines(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_embedding_outliers
-
-        out = q_embedding_outliers(sf_tiny)
-        assert len(out) == 10
-        assert out["cosine"].is_monotonic_increasing
-        # bottom-10 must not exceed the corpus median cosine
-        assert out["cosine"].max() <= 1.0
-
-    def test_quality_by_length_partitions_all_docs(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_quality_by_length
-
-        out = q_quality_by_length(sf_tiny)
-        n = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
-        assert int(out["n"].sum()) == n
-        assert set(out["decile"]) <= set(range(1, 11))
-
-    def test_boilerplate_shingles_df_bounds(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_boilerplate_shingles
-
-        out = q_boilerplate_shingles(sf_tiny)
-        n = pq.read_metadata(f"{sf_tiny}/documents.parquet").num_rows
-        assert (out["df"] <= n).all() and (out["df"] >= 1).all()
-        assert out["shingle"].str.split(" ").map(len).eq(5).all()
-
-    def test_conversion_time_quantiles_ordered(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_conversion_time
-
-        out = q_conversion_time(sf_tiny)
-        assert out["value"].is_monotonic_increasing
-        assert (out["value"] > 0).all()
 
 
-class TestWave11Ops:
-    def test_new_users_daily_invariants(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_new_users_daily
-
-        out = q_new_users_daily(sf_tiny)
-        total_users = duckdb.sql(
-            f"SELECT count(DISTINCT user_id) FROM '{sf_tiny}/events.parquet'"
-        ).fetchone()[0]
-        assert int(out["cum_users"].iloc[-1]) == total_users
-        assert (out["new_users"] <= out["active"]).all()
-        assert out["cum_users"].is_monotonic_increasing
-
-    def test_copurchase_matches_bruteforce(self, ray_session, sf_tiny):
-        import duckdb
-        from collections import Counter
-
-        from searchengine_ray.pipelines.queries import q_copurchase_pairs
-
-        got = q_copurchase_pairs(sf_tiny)
-        df = duckdb.sql(
-            f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_tiny}/lineitem.parquet'"
-        ).df()
-        pair = Counter()
-        for _, g in df.groupby("l_orderkey"):
-            ps = sorted(g["l_partkey"])
-            for i in range(len(ps)):
-                for j in range(i + 1, len(ps)):
-                    pair[(ps[i], ps[j])] += 1
-        want = sorted(pair.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-        assert [((r.pa, r.pb), r.n) for r in got.itertuples()] == [
-            ((int(a), int(b)), n) for (a, b), n in want
-        ]
-
-    def test_value_psi_bins_partition_both_halves(self, ray_session, sf_tiny):
-        import duckdb
-
-        from searchengine_ray.pipelines.queries import q_value_psi
-
-        out = q_value_psi(sf_tiny)
-        n = duckdb.sql(
-            f"SELECT count(*) FROM '{sf_tiny}/events.parquet'"
-        ).fetchone()[0]
-        assert int(out["r"].sum() + out["c"].sum()) == n
-        # reference deciles → each reference bin holds ~10%
-        rp = out["r"] / out["r"].sum()
-        assert rp.max() < 0.2 and rp.min() > 0.02
-
-    def test_day_profiles_bounds(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_day_profiles
-
-        out = q_day_profiles(sf_tiny)
-        assert len(out) == 5
-        assert ((out["cosine"] > 0) & (out["cosine"] <= 1.0)).all()
-        assert (out["day_a"] < out["day_b"]).all()
 
 
 class TestRoundingProperties:
@@ -941,284 +662,7 @@ class TestRoundingProperties:
             assert got == want, nd
 
 
-class TestStatsWave14:
-    def test_grouped_regression_matches_numpy(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_grouped_regression
-
-        out = q_grouped_regression(sf_tiny)
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        ev["hr"] = ev["ts"].dt.hour.astype(float)
-        for _, row in out.iterrows():
-            sub = ev[ev["event_type"] == row["event_type"]]
-            slope, intercept = np.polyfit(sub["hr"], sub["value"], 1)
-            assert row["n"] == len(sub)
-            assert abs(row["slope"] - slope) < 1e-4
-            assert abs(row["intercept"] - intercept) < 1e-4
-            r = np.corrcoef(sub["hr"], sub["value"])[0, 1]
-            assert abs(row["r2"] - r * r) < 1e-4
-
-    def test_anova_f_two_group_equals_ttest_sq(self, ray_session, sf_tiny):
-        # with k groups the F stat must be positive and finite; sanity
-        # vs the direct formula on the full frame
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_anova_f
-
-        out = q_anova_f(sf_tiny)
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        g = ev.groupby("event_type")["value"]
-        grand = ev["value"].mean()
-        ssb = float((g.count() * (g.mean() - grand) ** 2).sum())
-        ssw = float((g.apply(lambda s: ((s - s.mean()) ** 2).sum())).sum())
-        k, n = g.ngroups, len(ev)
-        want_f = (ssb / (k - 1)) / (ssw / (n - k))
-        row = out.iloc[0]
-        assert row["k"] == k and row["n"] == n
-        assert abs(row["f_stat"] - want_f) < 1e-3
-
-    def test_kmv_registers_are_k_smallest_distinct(self, ray_session, sf_tiny):
-        import hashlib
-
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import KMV_K, q_kmv_sketch
-
-        out = q_kmv_sketch(sf_tiny)
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        for et, sub in ev.groupby("event_type"):
-            hv = sorted(
-                {
-                    int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:], "little")
-                    for u in sub["user_id"].unique()
-                }
-            )[:KMV_K]
-            got = out[out["event_type"] == et].sort_values("rn")["hv"].map(int).tolist()
-            assert got == hv
-            # estimator within 50% of truth at k=32
-            est = out[out["event_type"] == et]["est_distinct"].iloc[0]
-            truth = sub["user_id"].nunique()
-            if len(hv) == KMV_K:
-                assert 0.5 * truth < est < 2.0 * truth
-
-    def test_rfm_segments_partition_customers(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_rfm_segments
-
-        out = q_rfm_segments(sf_tiny)
-        n_cust = pq.read_table(f"{sf_tiny}/orders.parquet").column("o_custkey")
-        assert out["n_customers"].sum() == len(set(n_cust.to_pylist()))
-        assert ((out["segment"] // 100).between(1, 4)).all()
-        assert ((out["segment"] % 10).between(1, 4)).all()
-
-    def test_event_debounce_matches_pandas(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import DEBOUNCE_US, q_event_debounce
-
-        out = q_event_debounce(sf_tiny)
-        ev = (
-            pq.read_table(f"{sf_tiny}/events.parquet")
-            .to_pandas()
-            .sort_values(["user_id", "event_type", "ts", "event_id"])
-        )
-        ev["us"] = ev["ts"].astype("int64")
-        prev = ev.groupby(["user_id", "event_type"])["us"].shift(1)
-        kept = prev.isna() | ((ev["us"] - prev) > DEBOUNCE_US)
-        want = (
-            pd.DataFrame({"event_type": ev["event_type"], "kept": kept})
-            .groupby("event_type")
-            .agg(n_total=("kept", "size"), n_kept=("kept", "sum"))
-            .reset_index()
-        )
-        merged = out.merge(want, on="event_type", suffixes=("", "_want"))
-        assert (merged["n_total"] == merged["n_total_want"]).all()
-        assert (merged["n_kept"] == merged["n_kept_want"]).all()
-
-    def test_pareto_share_bounds(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_pareto_share
-
-        out = q_pareto_share(sf_tiny).iloc[0]
-        assert 0 < out["top_share"] < 1
-        # top quintile by definition holds >= its population share of revenue
-        assert out["n_top"] <= 0.25 * out["n_cust"]
-        assert out["top_share"] >= out["n_top"] / out["n_cust"]
-
-    def test_acf_daily_pairs_and_range(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_acf_daily
-
-        out = q_acf_daily(sf_tiny)
-        assert (out["acf"].abs() <= 1.0 + 1e-9).all()
-        # longer lags can only have fewer-or-equal overlapping pairs
-        assert (out.sort_values("lag")["n_pairs"].diff().dropna() <= 0).all()
 
 
-class TestStatsWave15:
-    def test_spearman_matches_scipy_free_impl(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_spearman_corr
-
-        out = q_spearman_corr(sf_tiny)
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        ev["v"] = ev["value"].round(3)
-        ev["hr"] = ev["ts"].dt.hour
-        for _, row in out.iterrows():
-            sub = ev[ev["event_type"] == row["event_type"]]
-            rx = sub["v"].rank(method="average")
-            ry = sub["hr"].rank(method="average")
-            want = np.corrcoef(rx, ry)[0, 1]
-            assert abs(row["spearman"] - want) < 1e-6, row["event_type"]
-            assert row["n"] == len(sub)
-
-    def test_ks_matches_bruteforce(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_ks_test
-
-        out = q_ks_test(sf_tiny).iloc[0]
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        a = np.sort(ev[ev["event_type"] == out["t1"]]["value"].round(3).to_numpy())
-        b = np.sort(ev[ev["event_type"] == out["t2"]]["value"].round(3).to_numpy())
-        grid = np.unique(np.concatenate([a, b]))
-        d = np.abs(
-            np.searchsorted(a, grid, side="right") / len(a)
-            - np.searchsorted(b, grid, side="right") / len(b)
-        ).max()
-        assert abs(out["d_stat"] - d) < 1e-6
-        assert out["n1"] == len(a) and out["n2"] == len(b)
-
-    def test_changepoint_score_is_max_over_splits(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_changepoint_day
-
-        out = q_changepoint_day(sf_tiny).iloc[0]
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        daily = (
-            (ev["ts"].astype("int64") // 86_400_000_000)
-            .value_counts()
-            .sort_index()
-            .astype(float)
-        )
-        n = daily.to_numpy()
-        k = len(n)
-        cum = np.cumsum(n)
-        nb = np.arange(1, k + 1, dtype=float)
-        sc = np.abs(cum[:-1] / nb[:-1] - (cum[-1] - cum[:-1]) / (k - nb[:-1])) * np.sqrt(
-            nb[:-1] * (k - nb[:-1]) / k
-        )
-        assert abs(out["score"] - sc.max()) < 1e-6
-        assert out["split_day"] == int(daily.index[int(np.argmax(sc))])
-
-    def test_passage_dedup_consistent_with_chunks(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_passage_chunks, q_passage_dedup
-
-        stats = q_passage_dedup(sf_tiny).iloc[0]
-        chunks = q_passage_chunks(sf_tiny)
-        vc = chunks["text"].value_counts()
-        assert stats["n_chunks"] == len(chunks)
-        assert stats["n_distinct"] == len(vc)
-        assert stats["n_dup_chunks"] == int(vc[vc > 1].sum())
-        assert stats["max_class"] == int(vc.max())
-
-    def test_synonym_search_superset_of_base_or(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            SYNONYM_QUERY,
-            SYNONYMS,
-            _engine,
-            q_synonym_search,
-        )
-
-        out = q_synonym_search(sf_tiny)
-        eng = _engine(sf_tiny)
-        base = set()
-        for t in SYNONYM_QUERY:
-            base |= set(eng.search_keyword(t))
-        got = set(out["doc_id"].tolist())
-        assert base <= got
-        n_terms = len({t for q in SYNONYM_QUERY for t in [q, *SYNONYMS.get(q, [])]})
-        assert out["n_matched"].between(1, n_terms).all()
-
-    def test_search_after_is_global_slice(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            BM25_QUERY,
-            PAGE_OFFSET,
-            PAGE_SIZE,
-            _engine,
-            q_search_after,
-        )
-
-        page = q_search_after(sf_tiny)
-        res = _engine(sf_tiny).search_bm25(BM25_QUERY, topk=None)
-        df = pd.DataFrame(
-            {"doc_id": [d for d, _ in res], "score": [round(s, 6) for _, s in res]}
-        ).sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        want = df.iloc[PAGE_OFFSET : PAGE_OFFSET + PAGE_SIZE]
-        assert page["doc_id"].tolist() == want["doc_id"].tolist()
-        assert page["rank"].tolist() == list(range(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page)))
 
 
-class TestStatsWave16:
-    def test_arrow_roundtrip_preserves_all_rows(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_arrow_roundtrip
-
-        out = q_arrow_roundtrip(sf_tiny)
-        ev = pq.read_table(f"{sf_tiny}/events.parquet").to_pandas()
-        want = ev.groupby("event_type").agg(
-            n=("event_id", "size"), id_sum=("event_id", "sum")
-        )
-        merged = out.merge(want, on="event_type", suffixes=("", "_w"))
-        assert (merged["n"] == merged["n_w"]).all()
-        assert (merged["id_sum"] == merged["id_sum_w"]).all()
-
-    def test_centroid_classify_matches_bruteforce(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_centroid_classify
-
-        out = q_centroid_classify(sf_tiny)
-        emb = pq.read_table(f"{sf_tiny}/embeddings.parquet").to_pandas()
-        mat = np.stack(emb["embedding"].map(lambda v: np.asarray(v, np.float64)))
-        labels = np.sort(emb["label"].unique())
-        cent = np.stack(
-            [np.round(mat[emb["label"].to_numpy() == l].mean(axis=0), 6) for l in labels]
-        )
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assigned = labels[d.argmin(axis=1)]
-        want = (
-            pd.DataFrame({"label": emb["label"].astype("int64"), "assigned": assigned})
-            .groupby(["label", "assigned"])
-            .size()
-            .reset_index(name="n")
-        )
-        pd.testing.assert_frame_equal(
-            out.astype({"assigned": "int64"}),
-            want.astype({"label": "int64", "assigned": "int64", "n": "int64"}),
-        )
-        assert out["n"].sum() == len(emb)
-
-    def test_distinctive_terms_topk_per_source(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import LOGODDS_TOPK, q_distinctive_terms
-
-        out = q_distinctive_terms(sf_tiny)
-        per = out.groupby("source").size()
-        assert (per <= LOGODDS_TOPK).all()
-        # scores are sorted descending within source
-        for _, sub in out.groupby("source"):
-            assert (sub["score"].diff().dropna() <= 1e-12).all()
-
-    def test_hour_dow_heatmap_totals(self, ray_session, sf_tiny):
-        import pyarrow.parquet as pq
-
-        from searchengine_ray.pipelines.queries import q_hour_dow_heatmap
-
-        out = q_hour_dow_heatmap(sf_tiny)
-        n_events = pq.read_metadata(f"{sf_tiny}/events.parquet").num_rows
-        assert out["n"].sum() == n_events
-        assert out["dow"].between(1, 7).all()
-        assert out["hour"].between(0, 23).all()

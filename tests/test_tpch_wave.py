@@ -1,8 +1,7 @@
-"""TPC-H completion wave (q2/q9/q11/q12/q16/q20/q21): each Ray pipeline
-vs its own DuckDB oracle at sf0.001 — the same contract the driver's
-correctness gate enforces at sf0.01, kept in the suite so a refactor
-that breaks the decorrelation patterns (scalar threshold, per-group
-min join-back, exists/not-exists blame aggregation) fails fast."""
+"""TPC-H registry wave: each kept Ray pipeline vs its own DuckDB
+oracle at sf0.001 — the same contract the driver's correctness gate
+enforces at sf0.01, kept in the suite so a refactor that breaks the
+join/aggregation patterns fails fast."""
 
 from __future__ import annotations
 
@@ -12,7 +11,7 @@ import pytest
 
 TABLES = "region nation customer supplier part orders lineitem".split()
 
-WAVE = ["tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21"]
+WAVE = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q18", "custdist"]
 
 
 def _oracle(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -25,7 +24,7 @@ def _oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype(str)
         else:
             df[c] = df[c].astype("float64").round(6)
@@ -44,19 +43,3 @@ def test_matches_duckdb(ray_session, sf_tiny, name):
     pd.testing.assert_frame_equal(_norm(ray_df), _norm(ora_df), check_dtype=False)
 
 
-def test_q21_blames_unique_late_supplier(ray_session, sf_tiny):
-    """Structural invariant: every blamed order has >=2 suppliers and
-    exactly one late one — numwait can never exceed the count of
-    F-status orders."""
-    import duckdb
-
-    from searchengine_ray.pipelines.queries import q_tpch_q21
-
-    out = q_tpch_q21(sf_tiny)
-    con = duckdb.connect()
-    n_f = con.execute(
-        f"SELECT count(*) FROM read_parquet('{sf_tiny}/orders.parquet') "
-        "WHERE o_orderstatus='F'"
-    ).fetchone()[0]
-    assert (out["numwait"] > 0).all()
-    assert out["numwait"].sum() <= n_f

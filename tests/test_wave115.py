@@ -22,41 +22,6 @@ def _tok(text: str, stop) -> list[str]:
     ]
 
 
-class TestMaxSimRank:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.analysis.stopwords import STOP_WORDS
-        from searchengine_ray.pipelines.queries import (
-            EVAL_QUERIES,
-            MAXSIM_DIM,
-            MAXSIM_P,
-            MAXSIM_TOPK,
-            q_maxsim_rank,
-        )
-
-        def vec(t: str) -> np.ndarray:
-            h = _md5_lower64(t) % MAXSIM_P
-            i = np.arange(MAXSIM_DIM, dtype=np.int64)
-            return (h * (2 * i + 3) + i * i) % MAXSIM_P - MAXSIM_P // 2
-
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"]
-        )
-        got = q_maxsim_rank(sf_tiny)
-        for qid, terms in enumerate(EVAL_QUERIES):
-            qv = [vec(t) for t in terms]
-            scores = {}
-            for _, r in docs.iterrows():
-                ts = set(_tok(r["text"], STOP_WORDS))
-                if not (ts & set(terms)):
-                    continue
-                dv = [vec(t) for t in ts]
-                scores[int(r["doc_id"])] = int(
-                    sum(max(int(q @ d) for d in dv) for q in qv)
-                )
-            exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:MAXSIM_TOPK]
-            g = got[got["qid"] == qid]
-            assert list(zip(g["doc_id"], g["score"])) == exp
-            assert list(g["rank"]) == list(range(1, len(exp) + 1))
 
 
 class TestBpeTrain:

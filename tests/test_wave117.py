@@ -10,47 +10,6 @@ import numpy as np
 import pandas as pd
 
 
-class TestSubstringDedup:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            SUBDUP_K,
-            SUBDUP_MAXLEN,
-            q_substring_dedup,
-        )
-
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"]
-        )
-        gram_docs: dict[str, set] = defaultdict(set)
-        per_doc: dict[int, Counter] = {}
-        anchors = {}
-        for _, r in docs.iterrows():
-            t = (r["text"] or "")[:SUBDUP_MAXLEN]
-            n = len(t) - SUBDUP_K + 1
-            if n <= 0:
-                continue
-            did = int(r["doc_id"])
-            anchors[did] = n
-            c = Counter(t[i : i + SUBDUP_K] for i in range(n))
-            per_doc[did] = c
-            for g in c:
-                gram_docs[g].add(did)
-        dup_grams = {g for g, ds in gram_docs.items() if len(ds) >= 2}
-        got = q_substring_dedup(sf_tiny)
-        assert set(got["doc_id"]) == set(anchors)
-        for _, r in got.iterrows():
-            did = int(r["doc_id"])
-            exp_dup = sum(c for g, c in per_doc[did].items() if g in dup_grams)
-            assert r["n_anchors"] == anchors[did]
-            assert r["n_dup"] == exp_dup
-            assert abs(r["dup_share"] - exp_dup / anchors[did]) < 1e-6
-
-    def test_share_bounds(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_substring_dedup
-
-        got = q_substring_dedup(sf_tiny)
-        assert ((got["dup_share"] >= 0) & (got["dup_share"] <= 1)).all()
-        assert (got["n_dup"] <= got["n_anchors"]).all()
 
 
 class TestPermuterm:

@@ -11,67 +11,6 @@ import numpy as np
 import pandas as pd
 
 
-class TestFederatedSearch:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.analysis.stopwords import STOP_WORDS
-        from searchengine_ray.pipelines.queries import (
-            FED_K,
-            FED_QUERY,
-            q_federated_search,
-        )
-
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "text", "lang"]
-        )
-        parts = []
-        for lang, grp in docs.groupby("lang"):
-            tfs = {}
-            for _, r in grp.iterrows():
-                toks = [
-                    t
-                    for t in re.sub(r"[,.;?!]", " ", (r["text"] or "").lower()).split()
-                    if t and t not in STOP_WORDS
-                ]
-                tfs[int(r["doc_id"])] = Counter(toks)
-            N = len(grp)
-            dls = {d: sum(c.values()) for d, c in tfs.items()}
-            avgdl = sum(dls.values()) / N
-            df: Counter = Counter()
-            for c in tfs.values():
-                df.update(c.keys())
-            scored = {}
-            for d, c in tfs.items():
-                s = 0.0
-                for t in FED_QUERY:
-                    if t in c:
-                        idf = math.log((N - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
-                        s += (
-                            (1.2 + 1.0)
-                            * idf
-                            * (c[t] / (c[t] + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl)))
-                        )
-                if s > 0:
-                    scored[d] = round(s, 6)
-            if not scored:
-                continue
-            rank = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
-            mx = rank[0][1]
-            for d, s in rank[:FED_K]:
-                parts.append((lang, d, round(s / mx, 6)))
-        exp = sorted(parts, key=lambda r: (-r[2], r[0], r[1]))[:FED_K]
-        got = q_federated_search(sf_tiny)
-        assert [
-            (r["lang"], r["doc_id"], r["norm_score"]) for _, r in got.iterrows()
-        ] == exp
-        assert list(got["rank"]) == list(range(1, len(exp) + 1))
-
-    def test_per_collection_normalization(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_federated_search
-
-        got = q_federated_search(sf_tiny)
-        assert ((got["norm_score"] > 0) & (got["norm_score"] <= 1.0)).all()
-        # every collection's own top doc normalizes to exactly 1.0
-        assert (got.groupby("lang")["norm_score"].max() == 1.0).any()
 
 
 class TestGraphAnn:

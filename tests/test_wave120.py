@@ -64,7 +64,7 @@ class TestDataMixture:
         assert abs(got["alloc_tokens"].sum() - F * ns.sum()) < 1e-2
 
     def test_clipping_fires_and_conserves(self, ray_session, sf_tiny, monkeypatch):
-        import searchengine_ray.pipelines.queries as Q
+        import searchengine_ray.pipelines.q_training as Q
 
         monkeypatch.setattr(Q, "MIX_MAX_EPOCHS", 0.52)
         per = _source_tokens(sf_tiny)

@@ -18,44 +18,6 @@ def _kept(text: str, stop) -> list[str]:
     ]
 
 
-class TestSiteCollapse:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            SITE_COLLAPSE_K,
-            SITE_COLLAPSE_PER_SITE,
-            SITE_COLLAPSE_QUERY,
-            _engine,
-            q_site_collapse,
-        )
-
-        eng = _engine(sf_tiny)
-        res = eng.search_bm25(SITE_COLLAPSE_QUERY, topk=None)
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "source"]
-        ).set_index("doc_id")["source"]
-        df = pd.DataFrame(
-            {"doc_id": [d for d, _ in res], "score": [round(s, 6) for _, s in res]}
-        )
-        df["source"] = df["doc_id"].map(docs)
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True])
-        df["sr"] = df.groupby("source").cumcount() + 1
-        exp = df[df["sr"] <= SITE_COLLAPSE_PER_SITE].head(SITE_COLLAPSE_K)
-        got = q_site_collapse(sf_tiny)
-        assert list(got["doc_id"]) == list(exp["doc_id"])
-        assert list(got["source"]) == list(exp["source"])
-        assert np.allclose(got["score"], exp["score"])
-
-    def test_collapse_constraint(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            SITE_COLLAPSE_PER_SITE,
-            q_site_collapse,
-        )
-
-        got = q_site_collapse(sf_tiny)
-        assert got.groupby("source").size().max() <= SITE_COLLAPSE_PER_SITE
-        assert got["score"].is_monotonic_decreasing or (
-            got["score"].diff().dropna() <= 1e-9
-        ).all()
 
 
 class TestSplitLeakage:

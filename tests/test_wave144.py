@@ -52,43 +52,3 @@ class TestFilteredAnn:
         assert (got["overfetch_factor"] >= 1.0).all()
 
 
-class TestMatryoshkaRecall:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            FANN_QUERIES,
-            MRL_DIMS,
-            MRL_K,
-            q_matryoshka_recall,
-        )
-        from searchengine_ray.pipelines.queries import round_half_away
-
-        ids, _, mat = _emb(sf_tiny)
-
-        def topk(d):
-            m = mat if d is None else mat[:, :d]
-            n = m / np.linalg.norm(m, axis=1, keepdims=True)
-            out = {}
-            for q in FANN_QUERIES:
-                qv = n[ids == q][0]
-                s = np.asarray(round_half_away(n @ qv, 6))
-                keep = ids != q
-                order = np.lexsort((ids[keep], -s[keep]))[:MRL_K]
-                out[q] = set(ids[keep][order])
-            return out
-
-        truth = topk(None)
-        got = q_matryoshka_recall(sf_tiny)
-        for d in MRL_DIMS:
-            t = topk(d)
-            for q in FANN_QUERIES:
-                row = got[(got["qid"] == q) & (got["dims"] == d)].iloc[0]
-                assert row["hits"] == len(truth[q] & t[q])
-
-    def test_recall_grows_with_dims(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_matryoshka_recall
-
-        got = q_matryoshka_recall(sf_tiny)
-        mean_by_d = got.groupby("dims")["recall"].mean()
-        # more dims never hurt on average (weakly monotone in practice)
-        assert mean_by_d.iloc[-1] >= mean_by_d.iloc[0] - 1e-9
-        assert ((got["recall"] >= 0) & (got["recall"] <= 1)).all()

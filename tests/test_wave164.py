@@ -87,42 +87,3 @@ class TestBetweenness:
         assert np.allclose(got, [0.0, 3.0, 2.0, 1.0, 0.0])
 
 
-class TestHarmonicCloseness:
-    def test_matches_bfs_brute(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            BETW_SOURCES,
-            _doc_graph_edges,
-            q_harmonic_closeness,
-        )
-
-        edges, n = _doc_graph_edges(sf_tiny)
-        adj = _adj(edges, n)
-        score = np.zeros(n, np.int64)
-        reach = np.zeros(n, np.int64)
-        for s in BETW_SOURCES:
-            if s >= n:
-                continue
-            dist = {s: 0}
-            q = collections.deque([s])
-            while q:
-                v = q.popleft()
-                for w in adj[v]:
-                    if w not in dist:
-                        dist[w] = dist[v] + 1
-                        q.append(w)
-            for v, d in dist.items():
-                if d > 0:
-                    score[v] += 1_000_000 // d
-                    reach[v] += 1
-        got = q_harmonic_closeness(sf_tiny)
-        assert (got["harmonic_micro"].to_numpy() == score).all()
-        assert (got["n_sources_reaching"].to_numpy() == reach).all()
-
-    def test_hub_is_central(self, ray_session, sf_tiny):
-        """Nodes 0-9 absorb every id%10 edge — their mean harmonic
-        score should beat the global mean."""
-        from searchengine_ray.pipelines.queries import q_harmonic_closeness
-
-        got = q_harmonic_closeness(sf_tiny)
-        hubs = got[got["doc_id"] < 10]["harmonic_micro"].mean()
-        assert hubs > got["harmonic_micro"].mean()

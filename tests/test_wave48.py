@@ -47,40 +47,3 @@ class TestReadability:
         assert len(re.findall(r"[aeiouy]+", t)) == 3
 
 
-class TestHoltLinear:
-    def test_matches_textbook_recursion(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            HOLT_ALPHA,
-            HOLT_BETA,
-            HOLT_H,
-            q_holt_linear,
-        )
-
-        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["ts"])
-        day = ev["ts"].astype("int64") // 86_400_000_000
-        y = day.value_counts().sort_index().to_numpy(np.float64)
-        lev, tr, ae = y[0], y[1] - y[0], 0.0
-        for obs in y[1:]:
-            ae += abs(obs - (lev + tr))
-            lnew = HOLT_ALPHA * obs + (1 - HOLT_ALPHA) * (lev + tr)
-            tr = HOLT_BETA * (lnew - lev) + (1 - HOLT_BETA) * tr
-            lev = lnew
-        got = q_holt_linear(sf_tiny)
-        assert int(got["n_days"].iloc[0]) == len(y)
-        assert abs(got["level"].iloc[0] - lev) < 1e-6
-        assert abs(got["trend"].iloc[0] - tr) < 1e-6
-        assert abs(got["forecast_h"].iloc[0] - (lev + HOLT_H * tr)) < 1e-5
-        assert abs(got["mean_abs_err"].iloc[0] - ae / (len(y) - 1)) < 1e-6
-
-    def test_constant_series_flat(self, ray_session):
-        from searchengine_ray.pipelines.queries import HOLT_ALPHA, HOLT_BETA
-
-        # invariant check on the recursion itself: constant input keeps
-        # level at the constant and trend at zero
-        y = np.full(10, 42.0)
-        lev, tr = y[0], y[1] - y[0]
-        for obs in y[1:]:
-            lnew = HOLT_ALPHA * obs + (1 - HOLT_ALPHA) * (lev + tr)
-            tr = HOLT_BETA * (lnew - lev) + (1 - HOLT_BETA) * tr
-            lev = lnew
-        assert abs(lev - 42.0) < 1e-12 and abs(tr) < 1e-12

@@ -68,29 +68,3 @@ class TestWordpiece:
         assert got["unk_tokens"].sum() > 0
 
 
-class TestDpCounts:
-    def test_noise_matches_inverse_cdf(self, ray_session, sf_tiny):
-        from searchengine_ray.functions.dedup import _md5_hash_lists
-        from searchengine_ray.pipelines.queries import DP_EPS, q_dp_counts
-
-        got = q_dp_counts(sf_tiny)
-        ev = pd.read_parquet(f"{sf_tiny}/events.parquet", columns=["event_type"])
-        true_n = ev["event_type"].value_counts().sort_index()
-        MOD = 2147483647
-        for _, r in got.iterrows():
-            h = int(_md5_hash_lists(pd.Series([[r["event_type"]]]))[0][0])
-            s0 = h % MOD or 1
-            u = (16807 * s0) % MOD / MOD
-            lap = -(1.0 / DP_EPS) * np.sign(u - 0.5) * np.log(1 - 2 * abs(u - 0.5))
-            assert int(r["n"]) == int(true_n[r["event_type"]])
-            assert abs(r["noise"] - lap) < 1e-5
-            assert int(r["noisy_n"]) == int(r["n"]) + int(
-                np.sign(lap) * np.floor(abs(lap) + 0.5)
-            )
-
-    def test_noise_is_nonzero_somewhere(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_dp_counts
-
-        got = q_dp_counts(sf_tiny)
-        assert (got["noise"] != 0.0).any()
-        assert (got["noisy_n"] != got["n"]).any() or (got["noise"].abs() < 0.5).all()

@@ -11,77 +11,8 @@ import pandas as pd
 import pytest
 
 
-class TestKnnClassify:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import KNN_K, q_knn_classify
-
-        emb = pd.read_parquet(f"{sf_tiny}/embeddings.parquet")
-        mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-        ids = emb["vec_id"].to_numpy(np.int64)
-        lab = emb["label"].to_numpy(np.int64)
-        tr = ids % 2 == 0
-        te = ~tr
-        tn = np.sqrt((mat[tr] ** 2).sum(axis=1))
-        cells: dict[tuple, int] = {}
-        for i in np.flatnonzero(te):
-            x = mat[i]
-            cos = (mat[tr] @ x) / (tn * np.linalg.norm(x))
-            cos_q = np.round(cos, 6)
-            order = np.lexsort((ids[tr], -cos_q))[:KNN_K]
-            votes = np.bincount(lab[tr][order], minlength=int(lab.max()) + 1)
-            pred = int(np.argmax(votes))
-            cells[(int(lab[i]), pred)] = cells.get((int(lab[i]), pred), 0) + 1
-        want = pd.DataFrame(
-            sorted((t, p, n) for (t, p), n in cells.items()),
-            columns=["true_label", "pred_label", "n"],
-        ).astype("int64")
-        got = q_knn_classify(sf_tiny)
-        pd.testing.assert_frame_equal(got, want)
-
-    def test_counts_cover_test_split(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_knn_classify
-
-        emb = pd.read_parquet(f"{sf_tiny}/embeddings.parquet", columns=["vec_id"])
-        n_test = int((emb["vec_id"] % 2 == 1).sum())
-        got = q_knn_classify(sf_tiny)
-        assert got["n"].sum() == n_test
 
 
-class TestJackknifeVariance:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            JACK_BUCKETS,
-            q_jackknife_variance,
-        )
-
-        ev = pd.read_parquet(
-            f"{sf_tiny}/events.parquet", columns=["user_id", "event_type", "value"]
-        )
-        p = ev[ev["event_type"] == "purchase"].copy()
-        p["m"] = (p["value"].round(3) * 1e3).round().astype(np.int64)
-        per_user = p.groupby("user_id")["m"].sum()
-        bucket = per_user.index.to_numpy(np.int64) % JACK_BUCKETS
-        bk = pd.DataFrame({"b": bucket, "v": per_user.to_numpy()})
-        agg = bk.groupby("b").agg(u=("v", "size"), v=("v", "sum"))
-        u, v = agg["u"].to_numpy(np.int64), agg["v"].to_numpy(np.int64)
-        tu, tv, nb = int(u.sum()), int(v.sum()), len(agg)
-        rq = np.round((tv - v) / (tu - u) * 1e6).astype(np.int64)
-        mean = rq.sum() / 1e6 / nb
-        s = int(np.round(((rq / 1e6 - mean) ** 2) * 1e6).sum())
-        se = math.sqrt((nb - 1.0) / nb * (s / 1e6))
-        got = q_jackknife_variance(sf_tiny)
-        assert got["n_buckets"].iloc[0] == nb
-        assert got["users"].iloc[0] == tu
-        assert got["rev_milli"].iloc[0] == tv
-        assert got["theta"].iloc[0] == pytest.approx(tv / tu, abs=1e-6)
-        assert got["jack_se"].iloc[0] == pytest.approx(se, abs=1e-6)
-
-    def test_se_positive(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_jackknife_variance
-
-        got = q_jackknife_variance(sf_tiny)
-        assert got["jack_se"].iloc[0] > 0
-        assert got["theta"].iloc[0] > 0
 
 
 def _winnow_doc(tokens: list[str], k: int, w: int):

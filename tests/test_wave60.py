@@ -8,46 +8,6 @@ import pandas as pd
 import pytest
 
 
-class TestRboRankers:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            RBO_DEPTH,
-            RBO_P,
-            q_bm25_all,
-            q_rbo_rankers,
-            q_tfidf_all_bm25query,
-        )
-
-        a = q_bm25_all(sf_tiny)
-        b = q_tfidf_all_bm25query(sf_tiny)
-        ra = (
-            a.sort_values(["score", "doc_id"], ascending=[False, True])
-            .head(RBO_DEPTH)["doc_id"]
-            .tolist()
-        )
-        rb = (
-            b.sort_values(["score", "doc_id"], ascending=[False, True])
-            .head(RBO_DEPTH)["doc_id"]
-            .tolist()
-        )
-        got = q_rbo_rankers(sf_tiny)
-        s = 0.0
-        for d in range(1, RBO_DEPTH + 1):
-            x = len(set(ra[:d]) & set(rb[:d]))
-            row = got[got["depth"] == d].iloc[0]
-            assert row["overlap"] == x
-            assert row["agreement"] == pytest.approx(x / d, abs=1e-6)
-            s += RBO_P ** (d - 1) * x / d
-        assert got["rbo"].iloc[0] == pytest.approx((1 - RBO_P) * s, abs=1e-5)
-
-    def test_rbo_bounds_and_monotonicity(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_rbo_rankers
-
-        got = q_rbo_rankers(sf_tiny)
-        assert 0.0 <= got["rbo"].iloc[0] <= 1.0
-        # overlap can grow by at most 2 per depth and never shrinks
-        dx = np.diff(got["overlap"].to_numpy())
-        assert ((dx >= 0) & (dx <= 2)).all()
 
 
 class TestMutualKnn:

@@ -85,56 +85,3 @@ def _vb_len(v: int) -> int:
     return 1 if v == 0 else (v.bit_length() + 6) // 7
 
 
-class TestCodecSizeAudit:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_codec_size_audit
-
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"]
-        )
-        postings: dict[str, set[int]] = {}
-        for did, text in zip(docs["doc_id"].astype(int), docs["text"]):
-            for w in set(_punct_tokens(text)):
-                postings.setdefault(w, set()).add(did)
-        buckets: dict[int, list[int]] = {}
-        for t, ids in postings.items():
-            srt = sorted(ids)
-            vals = [srt[0]] + [b - a for a, b in zip(srt, srt[1:])]
-            vb = sum(_vb_len(v) for v in vals)
-            buckets.setdefault(len(str(len(srt))), []).append((len(srt), vb))
-        exp = pd.DataFrame(
-            [
-                {
-                    "df_digits": k,
-                    "n_terms": len(v),
-                    "raw_bytes": 4 * sum(d for d, _ in v),
-                    "vb_bytes": sum(b for _, b in v),
-                }
-                for k, v in sorted(buckets.items())
-            ]
-        )
-        got = q_codec_size_audit(sf_tiny)
-        assert got["df_digits"].tolist() == exp["df_digits"].tolist()
-        assert got["n_terms"].tolist() == exp["n_terms"].tolist()
-        assert got["raw_bytes"].tolist() == exp["raw_bytes"].tolist()
-        assert got["vb_bytes"].tolist() == exp["vb_bytes"].tolist()
-        for g, r, v in zip(got["ratio"], exp["raw_bytes"], exp["vb_bytes"]):
-            assert g == pytest.approx(r / v, abs=5.1e-7)
-
-    def test_real_codec_matches_ladder(self):
-        """The analytic ladder the SQL oracle uses must equal the real
-        encoder's output length, including 128-power boundaries."""
-        from searchengine_ray.codec.varbyte import encode
-
-        for ids in (
-            [0],
-            [0, 1],
-            [127],
-            [128],
-            [16383, 16384 + 16383],
-            [5, 2097152 + 5],
-            [2**40, 2**41],
-        ):
-            arr = np.asarray(ids, np.int64)
-            vals = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
-            assert len(encode(arr)) == sum(_vb_len(v) for v in vals)

@@ -65,81 +65,5 @@ class TestEliasFanoCodec:
             assert len(encode(ids, u)) * 8 <= bound_bits
 
 
-class TestEliasFanoAudit:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.codec.eliasfano import encode
-        from searchengine_ray.pipelines.queries import q_elias_fano_audit
-
-        post, universe = _postings(sf_tiny)
-        exp: dict[int, list[int]] = {}
-        for ids in post.values():
-            dd = len(str(len(ids)))
-            e = exp.setdefault(dd, [0, 0, 0])
-            e[0] += 1
-            e[1] += 4 * len(ids)
-            e[2] += len(encode(np.array(ids, np.int64), universe))
-        got = q_elias_fano_audit(sf_tiny)
-        assert got["df_digits"].tolist() == sorted(exp)
-        for _, row in got.iterrows():
-            n, raw, ef = exp[row["df_digits"]]
-            assert (row["n_terms"], row["raw_bytes"], row["ef_bytes"]) == (
-                n,
-                raw,
-                ef,
-            )
-            assert row["ratio"] == pytest.approx(raw / ef, abs=5.1e-7)
 
 
-class TestRoaringAudit:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import (
-            ROARING_ARRAY_LT,
-            ROARING_SPAN_BITS,
-            q_roaring_audit,
-        )
-
-        post, _ = _postings(sf_tiny)
-        span_bytes = (1 << ROARING_SPAN_BITS) // 8
-        exp: dict[int, list[int]] = {}
-        for ids in post.values():
-            chunks: dict[int, int] = {}
-            for d in ids:
-                c = d >> ROARING_SPAN_BITS
-                chunks[c] = chunks.get(c, 0) + 1
-            rb = na = nb = 0
-            for cnt in chunks.values():
-                if cnt < ROARING_ARRAY_LT:
-                    rb += 4 + 2 * cnt
-                    na += 1
-                else:
-                    rb += 4 + span_bytes
-                    nb += 1
-            dd = len(str(len(ids)))
-            e = exp.setdefault(dd, [0, 0, 0, 0, 0])
-            e[0] += 1
-            e[1] += na
-            e[2] += nb
-            e[3] += 4 * len(ids)
-            e[4] += rb
-        got = q_roaring_audit(sf_tiny)
-        assert got["df_digits"].tolist() == sorted(exp)
-        for _, row in got.iterrows():
-            n, na, nb, raw, rb = exp[row["df_digits"]]
-            assert (
-                row["n_terms"],
-                row["n_array"],
-                row["n_bitmap"],
-                row["raw_bytes"],
-                row["roaring_bytes"],
-            ) == (n, na, nb, raw, rb)
-            assert row["ratio"] == pytest.approx(raw / rb, abs=5.1e-7)
-
-    def test_bitmap_beats_array_when_dense(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_roaring_audit
-
-        got = q_roaring_audit(sf_tiny)
-        # the biggest-df bucket on webtext must flip some containers to
-        # bitmaps and compress below raw int32
-        top = got.iloc[-1]
-        assert top["n_bitmap"] > 0
-        assert top["roaring_bytes"] < top["raw_bytes"]

@@ -21,22 +21,6 @@ def _round_half_away(x: float, nd: int = 6) -> float:
     return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
 
 
-class TestQuantizeDl:
-    def test_spec(self):
-        from searchengine_ray.pipelines.queries import _quantize_dl
-
-        vals = np.array(
-            [0, 1, 15, 16, 17, 31, 32, 33, 100, 255, 256, 1000, 12345],
-            np.int64,
-        )
-        got = _quantize_dl(vals)
-        for v, g in zip(vals, got):
-            if v < 16:
-                assert g == v
-            else:
-                shift = v.item().bit_length() - 4
-                assert g == (v >> shift) << shift
-                assert g <= v < g + (1 << shift)
 
 
 class TestBm25fFielded:
@@ -110,70 +94,3 @@ class TestBm25fFielded:
         assert (got["score"] > 0).all()
 
 
-class TestNormQuantDrift:
-    def test_matches_bruteforce(self, ray_session, sf_tiny):
-        from searchengine_ray.analysis.stopwords import STOP_WORDS
-        from searchengine_ray.pipelines.queries import (
-            EVAL_QUERIES,
-            _quantize_dl,
-            q_norm_quant_drift,
-        )
-
-        docs = pd.read_parquet(
-            f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"]
-        )
-        qset = {t for q in EVAL_QUERIES for t in q}
-        N = len(docs)
-        dls: dict[int, int] = {}
-        tf: dict[str, dict[int, int]] = {t: {} for t in qset}
-        for did, text in zip(docs["doc_id"], docs["text"]):
-            ts = [t for t in _raw_split(text) if t and t not in STOP_WORDS]
-            dls[int(did)] = len(ts)
-            for t in ts:
-                if t in qset:
-                    tf[t][int(did)] = tf[t].get(int(did), 0) + 1
-        avgdl = sum(dls.values()) / N
-        got = q_norm_quant_drift(sf_tiny)
-        for qid, terms in enumerate(EVAL_QUERIES):
-            se: dict[int, float] = {}
-            sq: dict[int, float] = {}
-            for t in terms:
-                df = len(tf[t])
-                if df == 0:
-                    continue
-                idf = 2.2 * math.log((N - df + 0.5) / (df + 0.5) + 1.0)
-                for d, f in tf[t].items():
-                    qd = int(_quantize_dl(np.array([dls[d]], np.int64))[0])
-                    se[d] = se.get(d, 0.0) + idf * f / (
-                        f + 1.2 * (0.25 + 0.75 * dls[d] / avgdl)
-                    )
-                    sq[d] = sq.get(d, 0.0) + idf * f / (
-                        f + 1.2 * (0.25 + 0.75 * qd / avgdl)
-                    )
-            e6 = {
-                d: int(_round_half_away(_round_half_away(v) * 1e6, 0))
-                for d, v in se.items()
-            }
-            q6 = {
-                d: int(_round_half_away(_round_half_away(v) * 1e6, 0))
-                for d, v in sq.items()
-            }
-            te = [d for _, d in sorted(((-v, d) for d, v in e6.items()))[:10]]
-            tq = [d for _, d in sorted(((-v, d) for d, v in q6.items()))[:10]]
-            row = got[got["qid"] == qid].iloc[0]
-            assert row["n_docs"] == len(se)
-            assert row["top10_overlap"] == len(set(te) & set(tq))
-            assert row["top1_match"] == int(te[0] == tq[0])
-            delta = sum(abs(e6[d] - q6[d]) for d in e6)
-            assert row["avg_abs_delta"] == pytest.approx(
-                _round_half_away(delta / 1e6 / len(se)), abs=5.1e-7
-            )
-
-    def test_quantization_is_mild(self, ray_session, sf_tiny):
-        from searchengine_ray.pipelines.queries import q_norm_quant_drift
-
-        got = q_norm_quant_drift(sf_tiny)
-        # 4-bit mantissa keeps dl within 1/16 relative error: rankings
-        # should barely move
-        assert (got["top10_overlap"] >= 7).all()
-        assert (got["avg_abs_delta"] < 0.05).all()
