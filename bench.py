@@ -241,6 +241,30 @@ def run_registry(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ann_recall(sf_dir: str) -> dict[str, float]:
+    """recall@10 of each ANN index vs the exact cosine top-k baseline
+    (``similarity_topk``), same query vector, same corpus — quality
+    reported next to speed so a fast-but-blind index can't hide
+    (round-3 verdict task 9)."""
+    from searchengine_ray.pipelines.queries import (
+        q_ann_topk,
+        q_ivf_topk,
+        q_pq_topk,
+        q_similarity_topk,
+    )
+
+    exact = set(q_similarity_topk(sf_dir)["vec_id"])
+    out = {}
+    for name, fn in (
+        ("lsh", q_ann_topk),
+        ("ivf", q_ivf_topk),
+        ("pq", q_pq_topk),
+    ):
+        got = set(fn(sf_dir)["vec_id"])
+        out[f"recall_at_10_{name}"] = round(len(got & exact) / max(len(exact), 1), 3)
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -279,6 +303,8 @@ def main() -> None:
     for extra in ("bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
         if extra in head:
             result[extra] = head[extra]
+    if not os.environ.get("BENCH_SKIP_REGISTRY"):
+        result["ann_recall"] = ann_recall(SF_DIR)
     ray.shutdown()
     print(json.dumps(result))
 

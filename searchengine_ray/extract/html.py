@@ -19,6 +19,14 @@ Spec (applied in order):
 
 No external parser library — the spec must never drift with a dependency
 version (SURVEY.md §7.4 "byte-identical extraction").
+
+The spec is TOTAL on adversarial input (unclosed tags/comments/scripts,
+``>`` inside attributes, CDATA, non-UTF-8 bytes, charset declarations,
+surrogate numeric entities): each degrades deterministically per the
+rules above — behavior pinned byte-exactly by
+``tests/test_extract.py::TestExtractAdversarial``. Notably a charset
+declaration never switches decoding (rule 1 always applies), and
+``html.unescape`` follows the HTML5 without-semicolon prefix rule.
 """
 
 from __future__ import annotations

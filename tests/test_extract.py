@@ -33,6 +33,93 @@ class TestExtractSpec:
         assert extract_text(b"ok \xff\xfe end") == "ok �� end"
 
 
+class TestExtractAdversarial:
+    """The spec is TOTAL: malformed markup degrades to text
+    deterministically — never an exception, never a hang. These pin the
+    byte-exact outcome of each degradation so the invariant
+    ``extract(html) == text`` can never silently drift on messy crawl
+    input (round-3 verdict task 8)."""
+
+    def test_unclosed_script_is_stripped_as_tag_content_kept(self):
+        # no </script>: the block regex can't fire; the open tag falls
+        # through to generic tag removal and the content stays as text
+        assert extract_text(b"a<script>var x = 1; b") == "a var x = 1; b"
+
+    def test_nested_script_closes_at_first_close(self):
+        html = b"x<script>a<script>b</script>tail</script>y"
+        # non-greedy: block ends at the FIRST </script>; the orphan
+        # close tag is then stripped as a generic tag
+        assert extract_text(html) == "x tail y"
+
+    def test_unclosed_tag_at_eof_stays_as_text(self):
+        assert extract_text(b"ok <p class=") == "ok <p class="
+
+    def test_gt_inside_attribute_splits_tag(self):
+        # the spec tag regex ends at the first '>' — remainder is text
+        assert extract_text(b'<img alt="a>b">c') == 'b">c'
+
+    def test_unclosed_comment_stays_as_text(self):
+        assert extract_text(b"a <!-- lost b") == "a <!-- lost b"
+
+    def test_comment_hiding_script_removed_first(self):
+        # comments are removed BEFORE scripts: a commented-out script
+        # never contributes text
+        assert extract_text(b"a<!--<script>x</script>-->b") == "ab"
+
+    def test_cdata_is_one_tag(self):
+        assert extract_text(b"a<![CDATA[ x<y ]]>b") == "a b"
+
+    def test_charset_declaration_does_not_switch_decoding(self):
+        # spec always decodes UTF-8 (errors=replace) — a latin-1 byte
+        # becomes U+FFFD even when a meta tag claims iso-8859-1
+        html = b'<meta charset="iso-8859-1">caf\xe9'
+        assert extract_text(html) == "caf�"
+
+    def test_close_script_with_space_before_gt(self):
+        assert extract_text(b"a<script>x</script >b") == "a b"
+
+    def test_astral_and_invalid_numeric_entities(self):
+        assert extract_text(b"a &#x1F600; b") == "a \U0001F600 b"
+        # surrogate code point is replaced, not crashed on
+        assert extract_text(b"s &#xD800; e") == "s � e"
+
+    def test_bare_ampersand_unchanged_but_html5_prefix_rule_applies(self):
+        assert extract_text(b"a & b c") == "a & b c"
+        # html.unescape applies the HTML5 without-semicolon rule: '&not'
+        # inside '&notanentity;' decodes to U+00AC — spec-pinned
+        assert extract_text(b"x &notanentity; y") == "x ¬anentity; y"
+
+    def test_null_byte_preserved(self):
+        assert extract_text(b"a\x00b") == "a\x00b"
+
+    def test_vertical_tab_and_formfeed_collapse(self):
+        assert extract_text(b"a\x0b\x0c b") == "a b"
+
+    def test_style_with_braces_and_angle(self):
+        html = b"x<style>p::before{content:'<'}</style>y"
+        assert extract_text(html) == "x y"
+
+    def test_empty_and_tag_only_documents(self):
+        assert extract_text(b"") == ""
+        assert extract_text(b"<p><br/><div></div>") == ""
+
+    def test_batch_path_matches_row_path_on_adversarial(self):
+        import pyarrow as pa
+
+        cases = [
+            b"a<script>var x = 1; b",
+            b'<img alt="a>b">c',
+            b"a <!-- lost b",
+            b'<meta charset="iso-8859-1">caf\xe9',
+            None,
+            b"",
+        ]
+        col = pa.array(cases, pa.binary())
+        got = extract_batch(col).to_pylist()
+        want = [extract_text(c) if c is not None else None for c in cases]
+        assert got == want
+
+
 class TestCorpusInvariant:
     def test_render_roundtrip_goldens(self):
         cases = [
