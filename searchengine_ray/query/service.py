@@ -42,8 +42,15 @@ class _ShardOwner:
             ]
             self.engine.warm_shards(owned)
 
-    def ready(self) -> bool:
-        return True
+    def ready(self):
+        """Readiness + SERIALIZATION handshake: the first Arrow-bearing
+        return from an actor pays Ray's lazy pyarrow-serializer setup
+        (~100-220 ms measured); returning a real table here moves that
+        cost out of the first queries' latency (the round-3 routed-p95
+        tail was exactly 8 actors × this one-time hit)."""
+        import pyarrow as pa
+
+        return pa.table({"ok": pa.array([self.rank], pa.int64())})
 
     def rows_for_shards(self, plan: dict[int, list[str]], positions: bool) -> list:
         out = []
