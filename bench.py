@@ -225,6 +225,10 @@ REGISTRY_BENCH = [
     # round-3 second wave (pruned in round 4 to kept registry entries)
     "query_expansion", "snapshot_diff", "custdist",
     "term_drift", "dataset_split", "autocomplete",
+    # round-4 window entries (first driver verification this round)
+    "ann_topk", "bm25_filtered", "dfr_pl2", "permuterm",
+    "containment_dedup", "graph_ann", "filtered_ann", "data_mixture",
+    "doc_packing", "bpe_train", "multimodal_gif", "eval_ndcg",
 ]
 
 

@@ -162,6 +162,49 @@ class TestEmbeddingOps:
             hits += len(set(got) & want)
         assert hits / 50 >= 0.5  # approximate, but far better than chance
 
+    def test_lsh_multi_table_recall_at_least_single(self, emb_ds):
+        # OR-ing tables can only widen the candidate set per seed family;
+        # verify the multi-table recall beats/equals the single-table one
+        # on the same corpus and that scoring stays exact cosine
+        ds, base = emb_ds
+        f32 = base.astype(np.float32).astype(np.float64)
+        mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+
+        def recall(n_tables):
+            idx = similarity.LshIndex(dim=16, n_planes=6, n_tables=n_tables)
+            idx.build(ds)
+            hits = 0
+            for qi in range(10):
+                got = [i for i, _ in idx.query(f32[qi], k=5, n_probe=2)]
+                sims = mat @ mat[qi]
+                want = set(np.lexsort((np.arange(40), -sims))[:5].tolist())
+                hits += len(set(got) & want)
+            return hits / 50
+
+        assert recall(4) >= recall(1)
+
+    def test_lsh_multi_table_scores_are_exact_cosine(self, emb_ds):
+        ds, base = emb_ds
+        f32 = base.astype(np.float32).astype(np.float64)
+        mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+        idx = similarity.LshIndex(dim=16, n_planes=6, n_tables=3)
+        idx.build(ds)
+        for vid, cos in idx.query(f32[3], k=5, n_probe=2):
+            np.testing.assert_allclose(cos, mat[vid] @ mat[3], rtol=1e-12)
+
+    def test_pq_rerank_full_equals_bruteforce(self, emb_ds):
+        # rerank depth = corpus size -> the shortlist covers everything,
+        # so the result must be the exact cosine top-k
+        ds, base = emb_ds
+        f32 = base.astype(np.float32).astype(np.float64)
+        mat = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+        idx = similarity.PqIndex(m=2, ks=8, iters=2)
+        idx.fit(ds)
+        got = [i for i, _ in idx.query_rerank(f32[5], ds, k=5, rerank=40)]
+        sims = mat @ mat[5]
+        want = np.lexsort((np.arange(40), -sims))[:5].tolist()
+        assert got == want
+
 
 class TestTextStats:
     def test_token_stats(self):
