@@ -96,6 +96,66 @@ class TestCompact:
         # structural: merged dump equals full-rebuild dump
         assert dump_postings(idx) == dump_postings(full)
 
+    def test_compact_interleaved_doc_ids_dirty_path(self, ray_session, tmp_path):
+        # doc ids derive from data (url hashes at scale), so generations
+        # can INTERLEAVE in id space — every term's block ranges then
+        # overlap across generations and the selective compactor must
+        # take the decode→re-encode path, not the carry path. Identity
+        # vs a full rebuild is the contract either way.
+        even = {i: t for i, t in enumerate(
+            ["cat dog toy", "toy pig cat", "cat cat cat",
+             "pizza in summer", "dog pig toy house"]) }
+        evens = {2 * k: v for k, v in even.items()}           # 0,2,4,6,8
+        odds = {2 * k + 1: v + " pizza house" for k, v in even.items()}  # 1,3,..
+        a, b, allp = tmp_path / "a", tmp_path / "b", tmp_path / "all"
+        for d in (a, b, allp):
+            d.mkdir()
+        write_docs_parquet(a / "d.parquet", evens)
+        write_docs_parquet(b / "d.parquet", odds)
+        write_docs_parquet(allp / "d.parquet", {**evens, **odds})
+        idx, full = tmp_path / "idx", tmp_path / "full"
+        build_index(str(a / "d.parquet"), idx, doc_id_column="doc_id",
+                    num_shards=4, block_size=3)
+        build_increment(str(b / "d.parquet"), idx, tmp_path / "delta",
+                        doc_id_column="doc_id")
+        build_index(str(allp / "d.parquet"), full, doc_id_column="doc_id",
+                    num_shards=4, block_size=3)
+        compact(idx)
+        assert_same_results(SearchEngine(idx), SearchEngine(full))
+        assert dump_postings(idx) == dump_postings(full)
+
+    def test_compact_mixed_clean_dirty_with_tombstones(self, ray_session, tmp_path):
+        # disjoint id ranges (carry path eligible) but tombstones hit a
+        # few terms: those terms must re-encode, the rest carry — and
+        # the result must equal a scratch build of the live docs
+        base = {i: t for i, t in enumerate(
+            ["cat dog toy", "cat Dog dog", "toy pig cat",
+             "dog pig toy house", "cat cat cat"])}
+        delta = {10 + i: t for i, t in enumerate(
+            ["pig is not a toy dog", "Summer Pizza House is closed",
+             "pizza in summer pizza house", "the summer house has pizza"])}
+        a, b = tmp_path / "a", tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        write_docs_parquet(a / "d.parquet", base)
+        write_docs_parquet(b / "d.parquet", delta)
+        idx = tmp_path / "idx"
+        build_index(str(a / "d.parquet"), idx, doc_id_column="doc_id",
+                    num_shards=4, block_size=3)
+        build_increment(str(b / "d.parquet"), idx, tmp_path / "delta",
+                        doc_id_column="doc_id")
+        eng = SearchEngine(idx)
+        eng.delete_by_keyword("pig")  # docs 2, 3, 10
+        compact(idx)
+        live = {d: t for d, t in {**base, **delta}.items() if d not in (2, 3, 10)}
+        allp = tmp_path / "all"
+        allp.mkdir()
+        write_docs_parquet(allp / "d.parquet", live)
+        full = tmp_path / "full"
+        build_index(str(allp / "d.parquet"), full, doc_id_column="doc_id",
+                    num_shards=4, block_size=3)
+        assert_same_results(SearchEngine(idx), SearchEngine(full))
+        assert dump_postings(idx) == dump_postings(full)
+
     def test_compact_drops_tombstones(self, grown_index):
         idx, _ = grown_index
         eng = SearchEngine(idx)
