@@ -152,6 +152,43 @@ def run_headline(num_cpus: int) -> dict:
         lat.append((time.perf_counter() - s) * 1000)
     query_sec = time.perf_counter() - t_q0
 
+    # batch THROUGHPUT (qps): the actor-pool query stage answers a
+    # query Dataset in parallel — the serving number a search engine is
+    # sized by, next to the sequential per-query latency above. Query
+    # mix: the 20 bench queries tiled with a per-copy suffix term so
+    # the term caches can't collapse the workload to 20 unique lookups.
+    qps = 0.0
+    if not os.environ.get("BENCH_SKIP_QPS"):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from searchengine_ray.query import QueryEngineStage
+
+        # enough queries that the (fresh) actor pool's spin-up amortizes
+        # — map_batches pools are per-execution, so the timed run pays
+        # its own startup like any real batch job would
+        n_q = int(os.environ.get("BENCH_QPS_QUERIES", "2000"))
+        qs = [
+            f"{BM25_QUERIES[i % len(BM25_QUERIES)]} {BM25_QUERIES[(i * 7 + 3) % len(BM25_QUERIES)].split()[0]}"
+            for i in range(n_q)
+        ]
+        q_tbl = pa.table(
+            {"qid": pa.array(range(n_q), pa.int64()), "query": pa.array(qs)}
+        )
+        stage_kw = dict(
+            fn_constructor_kwargs=dict(index_dir=str(idx_dir), kind="bm25", topk=10),
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=8,
+        )
+        # untimed warm pass (OS page cache for the shard files)
+        rd.from_arrow(q_tbl.slice(0, 64)).map_batches(
+            QueryEngineStage, **stage_kw
+        ).materialize()
+        t_b0 = time.perf_counter()
+        rd.from_arrow(q_tbl).map_batches(QueryEngineStage, **stage_kw).materialize()
+        qps = n_q / (time.perf_counter() - t_b0)
+
     # routed path (multi-node production shape): shard-owner actors hold
     # the shard LRUs, term lookups scatter-gather through them. Measured
     # with its own engine instance so the local term cache doesn't mask
@@ -196,6 +233,8 @@ def run_headline(num_cpus: int) -> dict:
         "phases": phases,
         "phase_steal": phase_steal,
     }
+    if qps:
+        out["bm25_qps"] = round(qps, 1)
     if rlat:
         out["bm25_routed_p50_ms"] = round(statistics.median(rlat), 2)
         out["bm25_routed_p95_ms"] = round(sorted(rlat)[int(len(rlat) * 0.95) - 1], 2)
@@ -304,7 +343,7 @@ def main() -> None:
         "phases": head.get("phases", {}),
         "phase_steal": head.get("phase_steal", {}),
     }
-    for extra in ("bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
+    for extra in ("bm25_qps", "bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
         if extra in head:
             result[extra] = head[extra]
     if not os.environ.get("BENCH_SKIP_REGISTRY"):
