@@ -1307,7 +1307,17 @@ class SearchEngine:
         pivot lands in it, so skipped blocks are never decoded at all
         (north_rule: "block-max WAND pruning over a min-heap"). Scores
         are computed with the exact float-op order of the vectorized
-        scorer — results are bit-identical (tests assert equality)."""
+        scorer — results are bit-identical (tests assert equality).
+
+        Domain note: pivot stepping is per-posting Python, so WAND only
+        wins when the threshold prunes aggressively (selective queries,
+        small k). On dense queries with flat upper bounds it degrades
+        to per-posting iteration (measured 12.8 s on a 2×340k-df query
+        at 4M docs, vs 0.1 s exhaustive / 0.2 s MaxScore) — which is
+        why ``method="auto"`` routes dense queries to the vectorized
+        exhaustive scorer and selective ones to block-max MaxScore,
+        never here; ``method="wand"`` stays available explicitly for
+        the north_rule semantics and identity tests."""
         import heapq
 
         qtf: dict[str, int] = {}
