@@ -885,10 +885,7 @@ class SearchEngine:
             pos = np.searchsorted(uids, p.doc_ids)
             tf_dense[pos] = p.tfs
             scores += qtf[t] * np.log((tf_dense + bg) / denom)
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
-        return [(int(uids[i]), float(scores[i])) for i in order]
+        return self._topk_by_score(uids, scores, topk)
 
     def search_ql_jm(
         self, query: str | list[str], lam: float = 0.5, topk: int | None = None
@@ -933,10 +930,7 @@ class SearchEngine:
             pos = np.searchsorted(uids, p.doc_ids)
             tf_dense[pos] = p.tfs
             scores += qtf[t] * np.log(lam * (tf_dense / dl) + bg)
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
-        return [(int(uids[i]), float(scores[i])) for i in order]
+        return self._topk_by_score(uids, scores, topk)
 
     def search_dfr_pl2(
         self, query: str | list[str], c: float = 1.0, topk: int | None = None
@@ -996,10 +990,7 @@ class SearchEngine:
             )
             pos = np.searchsorted(uids, p.doc_ids[keep])
             np.add.at(scores, pos, gain)
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
-        return [(int(uids[i]), float(scores[i])) for i in order]
+        return self._topk_by_score(uids, scores, topk)
 
     def search_pivoted(
         self, query: str | list[str], s: float = 0.2, topk: int | None = None
@@ -1049,10 +1040,7 @@ class SearchEngine:
             )
             pos = np.searchsorted(uids, p.doc_ids[keep])
             np.add.at(scores, pos, gain)
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
-        return [(int(uids[i]), float(scores[i])) for i in order]
+        return self._topk_by_score(uids, scores, topk)
 
     def search_bm25_filtered(
         self,
@@ -1103,10 +1091,7 @@ class SearchEngine:
         if len(self._tombstones):
             keep = ~np.isin(uids, self._tombstones)
             uids, scores = uids[keep], scores[keep]
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
-        return [(int(uids[i]), float(scores[i])) for i in order]
+        return self._topk_by_score(uids, scores, topk)
 
     def _is_tombstone(self, doc: int) -> bool:
         if len(self._tombstones) == 0:
@@ -1186,14 +1171,29 @@ class SearchEngine:
         all_ids = np.concatenate([posts[t].doc_ids for t in terms])
         all_w = np.concatenate([weights[t] for t in terms])
         uids, inv = np.unique(all_ids, return_inverse=True)
-        scores = np.zeros(len(uids))
-        np.add.at(scores, inv, all_w)
+        # bincount accumulates in input order per bin — the same float-op
+        # order as np.add.at / the per-term oracle loop (bit-identical)
+        scores = np.bincount(inv, weights=all_w, minlength=len(uids))
         if len(self._tombstones):
             keep = ~np.isin(uids, self._tombstones)
             uids, scores = uids[keep], scores[keep]
-        order = np.lexsort((uids, -scores))
-        if topk is not None:
-            order = order[:topk]
+        return self._topk_by_score(uids, scores, topk)
+
+    @staticmethod
+    def _topk_by_score(uids: np.ndarray, scores: np.ndarray, topk: int | None):
+        """Exact top-k by (-score, doc_id). For small k a partition
+        threshold replaces the full lexsort (the dominant cost on
+        head-term queries — 65 ms of a 97 ms exhaustive scan at 4M
+        docs): keep every row scoring >= the kth value (ties included),
+        lexsort only those. Identical output to the full sort."""
+        if topk is not None and 0 < topk < len(scores) // 4:
+            kth = np.partition(scores, len(scores) - topk)[len(scores) - topk]
+            sel = np.flatnonzero(scores >= kth)
+            order = sel[np.lexsort((uids[sel], -scores[sel]))[:topk]]
+        else:
+            order = np.lexsort((uids, -scores))
+            if topk is not None:
+                order = order[:topk]
         return [(int(uids[i]), float(scores[i])) for i in order]
 
     def _gather_term_weights(self, p, cand: np.ndarray, coef: float, qtf_t: int) -> np.ndarray:
