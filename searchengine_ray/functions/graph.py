@@ -146,12 +146,43 @@ def triangle_count(
             }
         )
 
+    # recombine the two half-rows per edge with the partition-bucket
+    # pattern (edge-cardinality groups — native aggregate pays ~5 µs of
+    # Python per group)
+    def add_uv_part(b: pa.Table) -> pa.Table:
+        u_ = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v_ = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((u_ * np.uint64(1000003) + v_) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("_uvb", pa.array(part, pa.int32()))
+
+    def sum_halves(g) -> pa.Table:
+        g = g.combine_chunks()
+        u_ = g["u"].to_numpy(zero_copy_only=False)
+        v_ = g["v"].to_numpy(zero_copy_only=False)
+        dup = g["du_p"].to_numpy(zero_copy_only=False)
+        dvp = g["dv_p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v_, u_))
+        u_, v_, dup, dvp = u_[order], v_[order], dup[order], dvp[order]
+        new = np.ones(len(u_), bool)
+        new[1:] = (u_[1:] != u_[:-1]) | (v_[1:] != v_[:-1])
+        starts = np.flatnonzero(new)
+        empty = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u_[starts], pa.int64()),
+                "v": pa.array(v_[starts], pa.int64()),
+                "du": pa.array(np.add.reduceat(dup, starts) if len(starts) else empty, pa.int64()),
+                "dv": pa.array(np.add.reduceat(dvp, starts) if len(starts) else empty, pa.int64()),
+            }
+        )
+
     with_deg = (
         und.map_batches(directed, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(deg_halves, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Sum("du_p", alias_name="du"), Sum("dv_p", alias_name="dv"))
+        .map_batches(add_uv_part, batch_format="pyarrow")
+        .groupby("_uvb")
+        .map_groups(sum_halves, batch_format="pyarrow")
     )
 
     # --- orient from the (degree, id)-smaller endpoint; keep the head's
@@ -218,19 +249,39 @@ def triangle_count(
         )
 
     tagged = wedges.union(oriented.map_batches(closing_edges, batch_format="pyarrow"))
-    per_pair = tagged.groupby(["p", "q"]).aggregate(
-        Sum("w", alias_name="ws"), Sum("c", alias_name="cs")
-    )
 
-    def tri_partial(b: pa.Table) -> pa.Table:
-        if not all(n in b.column_names for n in ("ws", "cs")):
-            return pa.table({"t": pa.array([0], pa.int64())})
-        ws = b["ws"].to_numpy(zero_copy_only=False)
-        cs = b["cs"].to_numpy(zero_copy_only=False)
+    # (p, q) resolution via the partition-bucket pattern, NOT a native
+    # groupby(["p","q"]).aggregate: wedge-pair cardinality ~ rows, and
+    # Ray's native aggregate pays per-GROUP Python overhead (~5 µs/group
+    # measured — see functions/dedup.py pair counting). Hash each pair
+    # to a partition, then ONE vectorized sorted-run pass per partition
+    # sums w/c per pair and folds the triangle partial immediately.
+    def add_pq_part(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        q = b["q"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((p * np.uint64(1000003) + q) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("_pqb", pa.array(part, pa.int32()))
+
+    def tri_of_partition(g) -> pa.Table:
+        g = g.combine_chunks()
+        p = g["p"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((q, p))
+        p, q, w, c = p[order], q[order], w[order], c[order]
+        new = np.ones(len(p), bool)
+        new[1:] = (p[1:] != p[:-1]) | (q[1:] != q[:-1])
+        starts = np.flatnonzero(new)
+        ws = np.add.reduceat(w, starts) if len(starts) else np.empty(0, np.int64)
+        cs = np.add.reduceat(c, starts) if len(starts) else np.empty(0, np.int64)
         return pa.table({"t": pa.array([int(ws[cs > 0].sum())], pa.int64())})
 
-    out = per_pair.map_batches(tri_partial, batch_format="pyarrow").aggregate(
-        Sum("t", alias_name="t")
+    out = (
+        tagged.map_batches(add_pq_part, batch_format="pyarrow")
+        .groupby("_pqb")
+        .map_groups(tri_of_partition, batch_format="pyarrow")
+        .aggregate(Sum("t", alias_name="t"))
     )
     return int(out["t"] or 0)
 
@@ -293,12 +344,43 @@ def node_triangles(
             }
         )
 
+    # recombine the two half-rows per edge with the partition-bucket
+    # pattern (edge-cardinality groups — native aggregate pays ~5 µs of
+    # Python per group)
+    def add_uv_part(b: pa.Table) -> pa.Table:
+        u_ = b["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v_ = b["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((u_ * np.uint64(1000003) + v_) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("_uvb", pa.array(part, pa.int32()))
+
+    def sum_halves(g) -> pa.Table:
+        g = g.combine_chunks()
+        u_ = g["u"].to_numpy(zero_copy_only=False)
+        v_ = g["v"].to_numpy(zero_copy_only=False)
+        dup = g["du_p"].to_numpy(zero_copy_only=False)
+        dvp = g["dv_p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v_, u_))
+        u_, v_, dup, dvp = u_[order], v_[order], dup[order], dvp[order]
+        new = np.ones(len(u_), bool)
+        new[1:] = (u_[1:] != u_[:-1]) | (v_[1:] != v_[:-1])
+        starts = np.flatnonzero(new)
+        empty = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u_[starts], pa.int64()),
+                "v": pa.array(v_[starts], pa.int64()),
+                "du": pa.array(np.add.reduceat(dup, starts) if len(starts) else empty, pa.int64()),
+                "dv": pa.array(np.add.reduceat(dvp, starts) if len(starts) else empty, pa.int64()),
+            }
+        )
+
     with_deg = (
         und.map_batches(directed, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(deg_halves, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Sum("du_p", alias_name="du"), Sum("dv_p", alias_name="dv"))
+        .map_batches(add_uv_part, batch_format="pyarrow")
+        .groupby("_uvb")
+        .map_groups(sum_halves, batch_format="pyarrow")
     )
 
     def orient(b: pa.Table) -> pa.Table:

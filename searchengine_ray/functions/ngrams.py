@@ -167,8 +167,36 @@ def collocations_pmi(ds, top_k: int = 20, text_column: str = "text") -> pd.DataF
     b_total = int(big_part.sum("n_part") or 0)
     t_total = int(uni_part.sum("n_part") or 0)
 
+    # bigram-cardinality groups — partition-bucket + a pandas (C-hash)
+    # inner groupby instead of the native aggregate's per-group Python
+    # (same pattern as functions/dedup.py pair counting)
+    n_parts = 32
+
+    def add_bpart(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = (
+            pd.util.hash_array(b["t1"].to_numpy(zero_copy_only=False))
+            * np.uint64(31)
+            + pd.util.hash_array(b["t2"].to_numpy(zero_copy_only=False))
+        )
+        return b.append_column(
+            "_bp", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def sum_bigrams(g) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.groupby(["t1", "t2"], sort=False, as_index=False)["n_part"]
+            .sum()
+            .rename(columns={"n_part": "n"})
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     top = (
-        big_part.groupby(["t1", "t2"]).aggregate(Sum("n_part", alias_name="n"))
+        big_part.map_batches(add_bpart, batch_format="pyarrow")
+        .groupby("_bp")
+        .map_groups(sum_bigrams, batch_format="pyarrow")
     )
 
     def block_topk(b: pa.Table) -> pa.Table:
