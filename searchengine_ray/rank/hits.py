@@ -64,12 +64,17 @@ def hits_ray(
     (authority, hub) numpy vectors — broadcast tier, see module doc."""
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Sum
 
     edges_ds = edges_ds.materialize()  # static edge list, reused 2× per iter
+    n_parts = 32
 
     def half_step(vec: np.ndarray, gather_from: str, gather_to: str) -> np.ndarray:
-        """out[t] = Σ vec[f] over edges, f=gather_from col, t=gather_to."""
+        """out[t] = Σ vec[f] over edges, f=gather_from col, t=gather_to.
+
+        Per-batch partial bincount (combiner) → partition-bucket sum
+        (node-cardinality groups; a native groupby(node).aggregate pays
+        per-GROUP Python — see functions/dedup.py) → one vectorized
+        driver scatter (each node lands in exactly one partition)."""
         ref = ray.put(vec)
 
         def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -79,18 +84,33 @@ def hits_ray(
             u, idx = np.unique(t, return_inverse=True)
             sums = np.bincount(idx, weights=v[f])
             return pa.table(
-                {"node": pa.array(u, pa.int64()), "c": pa.array(sums, pa.float64())}
+                {
+                    "_np": pa.array((u % n_parts).astype(np.int32), pa.int32()),
+                    "node": pa.array(u, pa.int64()),
+                    "c": pa.array(sums, pa.float64()),
+                }
             )
 
-        rows = (
+        def comb(g) -> pa.Table:
+            g = g.combine_chunks()
+            node = g["node"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            u, idx = np.unique(node, return_inverse=True)
+            return pa.table(
+                {
+                    "node": pa.array(u, pa.int64()),
+                    "s": pa.array(np.bincount(idx, weights=c), pa.float64()),
+                }
+            )
+
+        df = (
             edges_ds.map_batches(contrib, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Sum("c", alias_name="s"))
-            .take_all()
+            .groupby("_np")
+            .map_groups(comb, batch_format="pyarrow")
+            .to_pandas()
         )
         out = np.zeros(n)
-        for r in rows:
-            out[int(r["node"])] = float(r["s"])
+        out[df["node"].to_numpy(np.int64)] = df["s"].to_numpy(np.float64)
         return out
 
     hub = np.ones(n)

@@ -61,18 +61,46 @@ def pagerank_ray(
     ``src:int64, dst:int64``. Ray must already be initialised."""
     import pyarrow as pa
     import ray
-    from ray.data.aggregate import Sum
+
+    n_parts = 32
+
+    def _bucket_sum(ds_rows, key: str, val: str):
+        """Partition-bucket per-key sum (node-cardinality groups — a
+        native groupby(key).aggregate pays per-GROUP Python; see
+        functions/dedup.py) returning a pandas frame, scattered
+        vectorized on the driver (each key lands in one partition)."""
+
+        def add_part(b: pa.Table) -> pa.Table:
+            k = b[key].to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_np", pa.array((k % n_parts).astype(np.int32), pa.int32())
+            )
+
+        def comb(g) -> pa.Table:
+            g = g.combine_chunks()
+            k = g[key].to_numpy(zero_copy_only=False)
+            c = g[val].to_numpy(zero_copy_only=False)
+            u, idx = np.unique(k, return_inverse=True)
+            return pa.table(
+                {
+                    key: pa.array(u, pa.int64()),
+                    val: pa.array(np.bincount(idx, weights=c), pa.float64()),
+                }
+            )
+
+        return (
+            ds_rows.map_batches(add_part, batch_format="pyarrow")
+            .groupby("_np")
+            .map_groups(comb, batch_format="pyarrow")
+            .to_pandas()
+        )
 
     # out-degree: one aggregation over the edge list
-    deg_rows = (
-        edges_ds.map_batches(_batch_outdeg, batch_format="pyarrow")
-        .groupby("src")
-        .aggregate(Sum("cnt", alias_name="outdeg"))
-        .take_all()
+    deg = _bucket_sum(
+        edges_ds.map_batches(_batch_outdeg, batch_format="pyarrow"), "src", "cnt"
     )
     outdeg = np.zeros(n)
-    for r in deg_rows:
-        outdeg[int(r["src"])] = float(r["outdeg"])
+    outdeg[deg["src"].to_numpy(np.int64)] = deg["cnt"].to_numpy(np.float64)
     inv = np.zeros(n)
     nz = outdeg > 0
     inv[nz] = 1.0 / outdeg[nz]
@@ -94,15 +122,11 @@ def pagerank_ray(
             sums = np.bincount(idx, weights=vals)
             return pa.table({"dst": pa.array(u, pa.int64()), "c": pa.array(sums, pa.float64())})
 
-        rows = (
-            edges_ds.map_batches(contrib_batch, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="contrib"))
-            .take_all()
+        got = _bucket_sum(
+            edges_ds.map_batches(contrib_batch, batch_format="pyarrow"), "dst", "c"
         )
         y = np.full(n, beta)
-        for r in rows:
-            y[int(r["dst"])] += float(r["contrib"])
+        y[got["dst"].to_numpy(np.int64)] += got["c"].to_numpy(np.float64)
         diff = np.abs(x - y).sum()
         x = y
         if tol is not None and diff < tol:
