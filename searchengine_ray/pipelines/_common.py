@@ -109,12 +109,31 @@ def q_term_stats(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    from ray.data.aggregate import Sum
+    # vocab-cardinality groups: partition-bucket + pandas C-hash inner
+    # groupby, not a native aggregate (per-GROUP Python ~5 µs — see
+    # functions/dedup.py pair counting)
+    def add_tpart(b):
+        import pyarrow as pa
+
+        h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_tp", pa.array((h % np.uint64(32)).astype(np.int32), pa.int32())
+        )
+
+    def sum_terms(g):
+        import pyarrow as pa
+
+        df = g.to_pandas()
+        out = df.groupby("term", sort=False, as_index=False).agg(
+            df=("df_part", "sum"), total_tf=("tf_part", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     out = (
         analyzed.map_batches(partial_stats, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"), Sum("tf_part", alias_name="total_tf"))
+        .map_batches(add_tpart, batch_format="pyarrow")
+        .groupby("_tp")
+        .map_groups(sum_terms, batch_format="pyarrow")
         .to_pandas()
     )
     return out[["term", "df", "total_tf"]].astype({"df": "int64", "total_tf": "int64"})
