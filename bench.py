@@ -157,7 +157,7 @@ def run_headline(num_cpus: int) -> dict:
     # sized by, next to the sequential per-query latency above. Query
     # mix: the 20 bench queries tiled with a per-copy suffix term so
     # the term caches can't collapse the workload to 20 unique lookups.
-    qps = 0.0
+    qps = qps_steady = 0.0
     if not os.environ.get("BENCH_SKIP_QPS"):
         import pyarrow as pa
         import ray.data as rd
@@ -188,6 +188,42 @@ def run_headline(num_cpus: int) -> dict:
         t_b0 = time.perf_counter()
         rd.from_arrow(q_tbl).map_batches(QueryEngineStage, **stage_kw).materialize()
         qps = n_q / (time.perf_counter() - t_b0)
+
+        # steady-state serving throughput: a LONG-LIVED pool of warmed
+        # engine actors (the production serving shape — map_batches
+        # pools are per-execution, so the batch-job number above pays
+        # pool spin-up + cold caches; a real search service doesn't)
+        @ray.remote
+        class _QueryActor:
+            def __init__(self, idx: str):
+                from searchengine_ray.query import SearchEngine
+
+                self.eng = SearchEngine(idx)
+                self.eng.warm_shards()
+
+            def search_many(self, queries):
+                return [self.eng.search_bm25(q, topk=10) for q in queries]
+
+            def ready(self):
+                import pyarrow as _pa
+
+                return _pa.table({"ok": _pa.array([1])})
+
+        k_act = 8
+        actors = [_QueryActor.remote(str(idx_dir)) for _ in range(k_act)]
+        ray.get([a.ready.remote() for a in actors])
+        ray.get([a.search_many.remote(qs[:50]) for a in actors])  # warm terms
+        chunk = 25
+        t_s0 = time.perf_counter()
+        ray.get(
+            [
+                actors[i % k_act].search_many.remote(qs[i * chunk : (i + 1) * chunk])
+                for i in range(n_q // chunk)
+            ]
+        )
+        qps_steady = n_q / (time.perf_counter() - t_s0)
+        for a in actors:
+            ray.kill(a)
 
     # routed path (multi-node production shape): shard-owner actors hold
     # the shard LRUs, term lookups scatter-gather through them. Measured
@@ -235,6 +271,8 @@ def run_headline(num_cpus: int) -> dict:
     }
     if qps:
         out["bm25_qps"] = round(qps, 1)
+    if qps_steady:
+        out["bm25_qps_steady"] = round(qps_steady, 1)
     if rlat:
         out["bm25_routed_p50_ms"] = round(statistics.median(rlat), 2)
         out["bm25_routed_p95_ms"] = round(sorted(rlat)[int(len(rlat) * 0.95) - 1], 2)
@@ -343,7 +381,7 @@ def main() -> None:
         "phases": head.get("phases", {}),
         "phase_steal": head.get("phase_steal", {}),
     }
-    for extra in ("bm25_qps", "bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
+    for extra in ("bm25_qps", "bm25_qps_steady", "bm25_routed_p50_ms", "bm25_routed_p95_ms", "spill"):
         if extra in head:
             result[extra] = head[extra]
     if not os.environ.get("BENCH_SKIP_REGISTRY"):
