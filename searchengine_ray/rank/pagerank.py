@@ -199,21 +199,9 @@ def pagerank_ray_partitioned(
                 num_partitions=num_partitions,
                 on=("src",),
             )
-            .map_batches(
-                lambda b: pa.table(
-                    {
-                        "node": b["dst"].cast(pa.int64()),
-                        "c": pa.array(
-                            b["w"].to_numpy(zero_copy_only=False)
-                            * b["rank"].to_numpy(zero_copy_only=False),
-                            pa.float64(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Sum("c", alias_name="contrib"))
+            .map_batches(_partitioned_contrib_partial, batch_format="pyarrow")
+            .groupby("_np")
+            .map_groups(_partitioned_contrib_sum, batch_format="pyarrow")
         )
 
         def step(b: pa.Table) -> pa.Table:
@@ -251,6 +239,43 @@ def _batch_outdeg(batch):
     src = batch["src"].to_numpy(zero_copy_only=False)
     u, counts = np.unique(src, return_counts=True)
     return pa.table({"src": pa.array(u, pa.int64()), "cnt": pa.array(counts, pa.int64())})
+
+
+def _partitioned_contrib_partial(b):
+    """Per-batch partial node sums for the partitioned PageRank tier,
+    bucketed for the vectorized partition-sum below (node-cardinality
+    groups — the native aggregate's per-group Python is the thing the
+    10^12-node path cannot afford)."""
+    import pyarrow as pa
+
+    dst = b["dst"].to_numpy(zero_copy_only=False)
+    vals = b["w"].to_numpy(zero_copy_only=False) * b["rank"].to_numpy(
+        zero_copy_only=False
+    )
+    u, idx = np.unique(dst, return_inverse=True)
+    sums = np.bincount(idx, weights=vals)
+    return pa.table(
+        {
+            "_np": pa.array((u % 64).astype(np.int32), pa.int32()),
+            "node": pa.array(u, pa.int64()),
+            "c": pa.array(sums, pa.float64()),
+        }
+    )
+
+
+def _partitioned_contrib_sum(g):
+    import pyarrow as pa
+
+    g = g.combine_chunks()
+    node = g["node"].to_numpy(zero_copy_only=False)
+    c = g["c"].to_numpy(zero_copy_only=False)
+    u, idx = np.unique(node, return_inverse=True)
+    return pa.table(
+        {
+            "node": pa.array(u, pa.int64()),
+            "contrib": pa.array(np.bincount(idx, weights=c), pa.float64()),
+        }
+    )
 
 
 def pagerank_scores_sorted(scores: np.ndarray) -> list[tuple[int, float]]:
