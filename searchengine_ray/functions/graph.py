@@ -47,35 +47,49 @@ def _bucket_of(ids: np.ndarray, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int32)
 
 
-def _canon_undirected(edges_ds, src: str, dst: str):
-    """Distinct undirected edges as (u, v) with u < v, self-loops dropped."""
-    from ray.data.aggregate import Count
+def _canon_undirected(edges_ds, src: str, dst: str, n_buckets: int = 32):
+    """Distinct undirected edges as (u, v) with u < v, self-loops
+    dropped. Edge-cardinality groups → partition-bucket dedup (hash
+    (u,v) to a bucket, vectorized per-bucket distinct), not a native
+    groupby(["u","v"]) aggregate (per-group Python — the dedup feeds
+    EVERY graph operator, so it must be O(edges) vectorized)."""
 
     def canon(b: pa.Table) -> pa.Table:
         s = b[src].to_numpy(zero_copy_only=False).astype(np.int64)
         d = b[dst].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = s != d
         s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        part = (
+            (u.astype(np.uint64) * np.uint64(1000003) + v.astype(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int32)
         return pa.table(
             {
-                "u": pa.array(np.minimum(s, d), pa.int64()),
-                "v": pa.array(np.maximum(s, d), pa.int64()),
+                "_cb": pa.array(part, pa.int32()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
             }
         )
 
-    def drop_count(b: pa.Table) -> pa.Table:
-        if not all(n in b.column_names for n in ("u", "v")):
-            return pa.table(
-                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
-            )
-        return b.select(["u", "v"])
+    def distinct(g) -> pa.Table:
+        g = g.combine_chunks()
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        return pa.table(
+            {"u": pa.array(u[new], pa.int64()), "v": pa.array(v[new], pa.int64())}
+        )
 
-    dedup = (
+    return (
         edges_ds.map_batches(canon, batch_format="pyarrow")
-        .groupby(["u", "v"])
-        .aggregate(Count(alias_name="_n"))
+        .groupby("_cb")
+        .map_groups(distinct, batch_format="pyarrow")
     )
-    return dedup.map_batches(drop_count, batch_format="pyarrow")
 
 
 def _pairs_within_runs(starts: np.ndarray, lengths: np.ndarray):
@@ -584,10 +598,40 @@ def common_neighbor_scores(edges_ds, src: str = "src", dst: str = "dst",
             }
         )
 
+    # wedge-pair-cardinality groups → partition-bucket sums (see
+    # triangle_count; native aggregate pays per-group Python)
+    def add_pq_part(b: pa.Table) -> pa.Table:
+        p = b["p"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        q = b["q"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((p * np.uint64(1000003) + q) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("_pqb", pa.array(part, pa.int32()))
+
+    def sum_pairs(g) -> pa.Table:
+        g = g.combine_chunks()
+        p = g["p"].to_numpy(zero_copy_only=False)
+        q = g["q"].to_numpy(zero_copy_only=False)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((q, p))
+        p, q, w, c = p[order], q[order], w[order], c[order]
+        new = np.ones(len(p), bool)
+        new[1:] = (p[1:] != p[:-1]) | (q[1:] != q[:-1])
+        starts = np.flatnonzero(new)
+        empty = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "p": pa.array(p[starts], pa.int64()),
+                "q": pa.array(q[starts], pa.int64()),
+                "common": pa.array(np.add.reduceat(w, starts) if len(starts) else empty, pa.int64()),
+                "adj": pa.array(np.add.reduceat(c, starts) if len(starts) else empty, pa.int64()),
+            }
+        )
+
     per_pair = (
         wedges.union(canon.map_batches(blockers, batch_format="pyarrow"))
-        .groupby(["p", "q"])
-        .aggregate(Sum("w", alias_name="common"), Sum("c", alias_name="adj"))
+        .map_batches(add_pq_part, batch_format="pyarrow")
+        .groupby("_pqb")
+        .map_groups(sum_pairs, batch_format="pyarrow")
     )
 
     def partial_topk(b: pa.Table) -> pa.Table:
