@@ -949,7 +949,16 @@ class SearchEngine:
         Docs missing a term contribute nothing for it (no smoothing —
         unlike QL the information content of an unseen term is zero).
         avgdl/N/F all come from the index artifacts; returns
-        (doc_id, score) sorted by (-score, doc_id)."""
+        (doc_id, score) sorted by (-score, doc_id).
+
+        Collection-stats note (shared by every scorer here — QL/DFR/
+        pivoted/BM25 idf): N, avgdl, F_t and df are GENERATION-LEVEL,
+        i.e. tombstone-INCLUSIVE — tombstoned docs are filtered from
+        the candidates but still count in the background statistics.
+        All scorers drift identically after deletes, so cross-scorer
+        rank comparisons stay consistent, and a compaction refreshes
+        every statistic at once (``build/merge.py::compact`` recomputes
+        n_docs/avgdl from live docs and df per merged term)."""
         text = query if isinstance(query, str) else " ".join(query)
         tokens = self.analyze(text)
         if topk is not None and topk == 0:
