@@ -156,6 +156,56 @@ class TestCompact:
         assert_same_results(SearchEngine(idx), SearchEngine(full))
         assert dump_postings(idx) == dump_postings(full)
 
+    def test_compact_fuzz_random_generations_and_deletes(self, ray_session, tmp_path):
+        # seeded fuzz over the selective compactor's decision surface:
+        # random id layouts (sequential / interleaved / sparse), random
+        # generation splits, random delete sets — every scenario must
+        # byte-match a scratch build of the live docs
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        vocab = ["cat", "dog", "toy", "pig", "house", "pizza", "summer",
+                 "winter", "scan", "merge", "query", "fast"]
+        for case in range(4):
+            n = int(rng.integers(12, 30))
+            if case % 2:
+                ids = rng.choice(10_000, size=n, replace=False).astype(int)
+            else:
+                ids = np.arange(n)
+            docs = {
+                int(i): " ".join(rng.choice(vocab, size=rng.integers(3, 9)))
+                for i in ids
+            }
+            items = list(docs.items())
+            rng.shuffle(items)
+            cut = int(rng.integers(3, len(items) - 3))
+            gen_a, gen_b = dict(items[:cut]), dict(items[cut:])
+            del_kw = str(rng.choice(vocab))
+
+            base = tmp_path / f"case{case}"
+            base.mkdir()
+            a, b, allp = base / "a", base / "b", base / "all"
+            for d in (a, b, allp):
+                d.mkdir()
+            write_docs_parquet(a / "d.parquet", gen_a)
+            write_docs_parquet(b / "d.parquet", gen_b)
+            idx = base / "idx"
+            build_index(str(a / "d.parquet"), idx, doc_id_column="doc_id",
+                        num_shards=4, block_size=3)
+            build_increment(str(b / "d.parquet"), idx, base / "delta",
+                            doc_id_column="doc_id")
+            eng = SearchEngine(idx)
+            deleted = set(eng.search_keyword(del_kw).tolist())
+            eng.delete_by_keyword(del_kw)
+            compact(idx)
+
+            live = {d: t for d, t in docs.items() if d not in deleted}
+            write_docs_parquet(allp / "d.parquet", live)
+            full = base / "full"
+            build_index(str(allp / "d.parquet"), full, doc_id_column="doc_id",
+                        num_shards=4, block_size=3)
+            assert dump_postings(idx) == dump_postings(full), (case, del_kw)
+
     def test_compact_drops_tombstones(self, grown_index):
         idx, _ = grown_index
         eng = SearchEngine(idx)
