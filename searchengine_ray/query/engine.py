@@ -417,17 +417,30 @@ class SearchEngine:
         # exactly) and numpy group gathers; no per-block Python loops.
         # The head-term cold-load tail at 2M docs was exactly this path
         # (p95 983 ms → see BASELINE.md round 3).
-        ids_srcs, tf_srcs, dl_srcs, pos_srcs = [], [], [], []
-        for _gen, rows in gen_rows:
+        def _decode_source(item):
+            _gen, rows = item
             counts = rows["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ids_srcs.append(cod.dec_sorted_many(rows["doc_ids"].to_pylist(), counts))
-            tf_srcs.append(cod.dec_plain_many(rows["tfs"].to_pylist(), counts))
-            dl_srcs.append(cod.dec_plain_many(rows["dls"].to_pylist(), counts))
+            ids = cod.dec_sorted_many(rows["doc_ids"].to_pylist(), counts)
+            tfs_ = cod.dec_plain_many(rows["tfs"].to_pylist(), counts)
+            dls_ = cod.dec_plain_many(rows["dls"].to_pylist(), counts)
             if positions and "positions" in rows.column_names:
                 bufs = rows["positions"].to_pylist()
-                pos_srcs.append(None if any(b is None for b in bufs) else bufs)
+                pos = None if any(b is None for b in bufs) else bufs
             else:
-                pos_srcs.append(None)
+                pos = None
+            return ids, tfs_, dls_, pos
+
+        # head terms span many salt subsets / generations — decode the
+        # sources concurrently on the IO pool (numpy varbyte kernels
+        # release the GIL for the bulk of the work); order preserved
+        if len(gen_rows) > 2:
+            decoded = list(self._io_pool.map(_decode_source, gen_rows))
+        else:
+            decoded = [_decode_source(it) for it in gen_rows]
+        ids_srcs = [d[0] for d in decoded]
+        tf_srcs = [d[1] for d in decoded]
+        dl_srcs = [d[2] for d in decoded]
+        pos_srcs = [d[3] for d in decoded]
         doc_ids = np.concatenate(ids_srcs)
         tfs = np.concatenate(tf_srcs).astype(np.int64, copy=False)
         dls = np.concatenate(dl_srcs)
