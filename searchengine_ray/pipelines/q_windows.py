@@ -404,14 +404,39 @@ def q_distinct_users(sf_dir: str) -> pd.DataFrame:
     (event_type, user_id) distinct groupby collapses N rows to the
     distinct-pair cardinality, then a count per event_type. No driver
     sets, no sort."""
+    import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+
+    # user-cardinality groups → partition-bucket distinct (hash user to
+    # a partition, per-partition pandas distinct + count per type), then
+    # one tiny native sum over (partition × type) partials — the native
+    # (type, user) aggregate would pay per-distinct-pair Python
+    def add_upart(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_up", pa.array((u.astype(np.uint64) % np.uint64(32)).astype(np.int32), pa.int32())
+        )
+
+    def count_distinct(g) -> pa.Table:
+        df = g.to_pandas()
+        out = (
+            df.drop_duplicates(["event_type", "user_id"])
+            .groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
     out = (
-        pairs.groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        ds.map_batches(add_upart, batch_format="pyarrow")
+        .groupby("_up")
+        .map_groups(count_distinct, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_part", alias_name="n_users"))
         .to_pandas()
     )
     return out[["event_type", "n_users"]].astype({"n_users": "int64"})
