@@ -138,6 +138,39 @@ def q_term_stats(sf_dir: str) -> pd.DataFrame:
     )
     return out[["term", "df", "total_tf"]].astype({"df": "int64", "total_tf": "int64"})
 
+def bucket_group_agg(ds, key: str, aggs: dict, n_parts: int = 32):
+    """Partition-bucket grouped aggregation for ROW-SCALING group counts
+    (DESIGN.md round-4 rule): hash ``key`` into ``n_parts`` partitions,
+    run a pandas C-hash groupby inside each — identical results to a
+    native ``groupby(key).aggregate(...)`` without its ~5 µs-per-group
+    Python cost. ``aggs``: ``{out_col: (src_col, how)}`` with how in
+    pandas agg vocabulary ('sum', 'min', 'max', 'size'). Returns a
+    Dataset with columns ``[key, *aggs]``."""
+
+    def add_part(b):
+        import pyarrow as pa
+
+        h = pd.util.hash_array(b[key].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_gp", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
+        )
+
+    def combine(g):
+        import pyarrow as pa
+
+        df = g.to_pandas()
+        out = df.groupby(key, sort=False, as_index=False).agg(
+            **{o: (s, how) for o, (s, how) in aggs.items()}
+        )
+        return pa.Table.from_pandas(out[[key, *aggs]], preserve_index=False)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_gp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
 DELETE_KW, SEARCH_KW = "slow", "fast"
 
 BM25_QUERY = "window merge query"

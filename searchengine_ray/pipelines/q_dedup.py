@@ -397,13 +397,15 @@ def q_tokenset_dedup(sf_dir: str) -> pd.DataFrame:
             {"key": pa.array(keys, pa.string()), "doc_id": b["doc_id"].cast(pa.int64())}
         )
 
+    from ._common import bucket_group_agg
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = (
-        ds.map_batches(canon, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="keep_doc"))
-        .to_pandas()
-    )
+    # doc-cardinality groups → partition-bucket (DESIGN.md round-4 rule)
+    out = bucket_group_agg(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        "key",
+        {"n_docs": ("doc_id", "size"), "keep_doc": ("doc_id", "min")},
+    ).to_pandas()
     out = out[out["n_docs"] > 1].sort_values("key").reset_index(drop=True)
     return out[["key", "n_docs", "keep_doc"]].astype(
         {"key": "object", "n_docs": "int64", "keep_doc": "int64"}
@@ -525,13 +527,15 @@ def q_boilerplate_shingles(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    from ._common import bucket_group_agg
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    agg = (
-        ds.map_batches(shingles, batch_format="pyarrow")
-        .groupby("shingle")
-        .aggregate(Sum("df_part", alias_name="df"))
-        .to_pandas()
-    )
+    # shingle-cardinality groups → partition-bucket (DESIGN.md rule)
+    agg = bucket_group_agg(
+        ds.map_batches(shingles, batch_format="pyarrow"),
+        "shingle",
+        {"df": ("df_part", "sum")},
+    ).to_pandas()
     out = agg.sort_values(["df", "shingle"], ascending=[False, True]).head(20)
     return out.reset_index(drop=True).astype({"shingle": "object", "df": "int64"})
 
@@ -580,11 +584,21 @@ def q_passage_dedup(sf_dir: str) -> pd.DataFrame:
             {"hv": pa.array(np.asarray(hv, np.uint64).view(np.int64), pa.int64())}
         )
 
+    from ._common import bucket_group_agg
+
     groups = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(hash_chunks, batch_format="pyarrow")
-        .groupby("hv")
-        .aggregate(Count(alias_name="c"))
+        bucket_group_agg(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(hash_chunks, batch_format="pyarrow")
+            .map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+                ),
+                batch_format="pyarrow",
+            ),
+            "hv",
+            {"c": ("one", "sum")},
+        )
         .map_batches(
             lambda t: pa.table(
                 {
