@@ -138,19 +138,25 @@ def q_term_stats(sf_dir: str) -> pd.DataFrame:
     )
     return out[["term", "df", "total_tf"]].astype({"df": "int64", "total_tf": "int64"})
 
-def bucket_group_agg(ds, key: str, aggs: dict, n_parts: int = 32):
+def bucket_group_agg(ds, key: str | list[str], aggs: dict, n_parts: int = 32):
     """Partition-bucket grouped aggregation for ROW-SCALING group counts
-    (DESIGN.md round-4 rule): hash ``key`` into ``n_parts`` partitions,
-    run a pandas C-hash groupby inside each — identical results to a
-    native ``groupby(key).aggregate(...)`` without its ~5 µs-per-group
-    Python cost. ``aggs``: ``{out_col: (src_col, how)}`` with how in
-    pandas agg vocabulary ('sum', 'min', 'max', 'size'). Returns a
-    Dataset with columns ``[key, *aggs]``."""
+    (DESIGN.md round-4 rule): hash ``key`` (one column or a list) into
+    ``n_parts`` partitions, run a pandas C-hash groupby inside each —
+    identical results to a native ``groupby(key).aggregate(...)``
+    without its ~5 µs-per-group Python cost. ``aggs``:
+    ``{out_col: (src_col, how)}`` with how in pandas agg vocabulary
+    ('sum', 'min', 'max', 'size'). Returns a Dataset with columns
+    ``[*keys, *aggs]``."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def add_part(b):
         import pyarrow as pa
 
-        h = pd.util.hash_array(b[key].to_numpy(zero_copy_only=False))
+        h = pd.util.hash_array(b[keys[0]].to_numpy(zero_copy_only=False))
+        for k in keys[1:]:
+            h = h * np.uint64(31) + pd.util.hash_array(
+                b[k].to_numpy(zero_copy_only=False)
+            )
         return b.append_column(
             "_gp", pa.array((h % np.uint64(n_parts)).astype(np.int32), pa.int32())
         )
@@ -159,10 +165,14 @@ def bucket_group_agg(ds, key: str, aggs: dict, n_parts: int = 32):
         import pyarrow as pa
 
         df = g.to_pandas()
-        out = df.groupby(key, sort=False, as_index=False).agg(
-            **{o: (s, how) for o, (s, how) in aggs.items()}
-        )
-        return pa.Table.from_pandas(out[[key, *aggs]], preserve_index=False)
+        gb = df.groupby(keys, sort=False)
+        parts = []
+        for o, (s, how) in aggs.items():
+            ser = gb[s].size() if how == "size" else gb[s].agg(how)
+            ser.name = o
+            parts.append(ser)
+        out = pd.concat(parts, axis=1).reset_index()
+        return pa.Table.from_pandas(out[[*keys, *aggs]], preserve_index=False)
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow")

@@ -212,11 +212,21 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
 
         return t.filter(pc.not_equal(t["status"], ""))
 
+    from ._common import bucket_group_agg
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # doc-cardinality groups → partition-bucket (DESIGN.md round-4 rule)
     out = (
-        ds.map_batches(sides, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Sum("in_a"), Sum("in_b"), Max("fp_a"), Max("fp_b"))
+        bucket_group_agg(
+            ds.map_batches(sides, batch_format="pyarrow"),
+            "doc_id",
+            {
+                "sum(in_a)": ("in_a", "sum"),
+                "sum(in_b)": ("in_b", "sum"),
+                "max(fp_a)": ("fp_a", "max"),
+                "max(fp_b)": ("fp_b", "max"),
+            },
+        )
         .map_batches(classify, batch_format="pyarrow")
         .to_pandas()
     )
@@ -270,13 +280,15 @@ def q_term_drift(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    agg = (
+    from ._common import bucket_group_agg
+
+    # vocab-cardinality groups → partition-bucket (DESIGN.md round-4 rule)
+    agg = bucket_group_agg(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(halves, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("n0", alias_name="n0"), Sum("n1", alias_name="n1"))
-        .to_pandas()
-    )
+        .map_batches(halves, batch_format="pyarrow"),
+        "term",
+        {"n0": ("n0", "sum"), "n1": ("n1", "sum")},
+    ).to_pandas()
     v = float(len(agg))
     tot0, tot1 = float(agg["n0"].sum()), float(agg["n1"].sum())
     agg["lr"] = np.round(
@@ -343,25 +355,45 @@ def q_posting_gaps(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    # vocab-cardinality groups → partition-bucket (DESIGN.md round-4
+    # rule): hash terms to partitions; inside each, ONE vectorized
+    # sorted-run pass computes df / sum-gap / max-gap for every term
+    def add_tpart(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["term"].to_numpy(zero_copy_only=False))
+        return b.append_column(
+            "_gp", pa.array((h % np.uint64(32)).astype(np.int32), pa.int32())
+        )
+
+    def gap_stats(g) -> pa.Table:
+        g = g.combine_chunks()
+        term = g["term"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        tcodes, tuniq = pd.factorize(term)
+        order = np.lexsort((doc, tcodes))
+        tc, dc = tcodes[order], doc[order]
+        gap = np.empty(len(tc), np.float64)
+        gap[0] = np.nan
+        gap[1:] = np.where(tc[1:] != tc[:-1], np.nan, (dc[1:] - dc[:-1]).astype(np.float64))
+        df = pd.DataFrame({"t": tc, "gap": gap})
+        grp = df.groupby("t", sort=False)["gap"]
+        agg = pd.DataFrame(
+            {"df": grp.size(), "sum_gap": grp.sum(), "max_gap": grp.max()}
+        ).reset_index()
+        return pa.table(
+            {
+                "term": pa.array(tuniq[agg["t"].to_numpy(np.int64)], pa.string()),
+                "df": pa.array(agg["df"].to_numpy(np.int64), pa.int64()),
+                "sum_gap": pa.array(agg["sum_gap"].fillna(0).to_numpy(np.int64), pa.int64()),
+                "max_gap": pa.array(agg["max_gap"].fillna(0).to_numpy(np.int64), pa.int64()),
+            }
+        )
+
     rows = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(pairs, batch_format="pyarrow")
-        .groupby("term")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "term": [g["term"].iloc[0]],
-                    "df": [len(g)],
-                    "sum_gap": [int(np.diff(np.sort(g["doc_id"].to_numpy())).sum())],
-                    "max_gap": [
-                        int(np.diff(np.sort(g["doc_id"].to_numpy())).max())
-                        if len(g) > 1
-                        else 0
-                    ],
-                }
-            ),
-            batch_format="pandas",
-        )
+        .map_batches(add_tpart, batch_format="pyarrow")
+        .groupby("_gp")
+        .map_groups(gap_stats, batch_format="pyarrow")
         .to_pandas()
     )
     rows["mean_gap"] = round_half_away(
@@ -410,10 +442,13 @@ def q_index_audit(sf_dir: str) -> pd.DataFrame:
 
     idx = documents_index(sf_dir)
     eng = _engine(sf_dir)
-    per_term = (
-        rd.read_parquet(f"{idx}/postings", columns=["term", "n"])
-        .groupby("term")
-        .aggregate(Sum("n", alias_name="postings"))
+    from ._common import bucket_group_agg
+
+    # vocab-cardinality groups → partition-bucket (DESIGN.md round-4 rule)
+    per_term = bucket_group_agg(
+        rd.read_parquet(f"{idx}/postings", columns=["term", "n"]),
+        "term",
+        {"postings": ("n", "sum")},
     )
     agg = per_term.aggregate(Count(alias_name="n_terms"), Sum("postings", alias_name="n_postings"))
     return pd.DataFrame(
