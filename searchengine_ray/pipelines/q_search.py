@@ -720,11 +720,16 @@ def q_substring_search(sf_dir: str) -> pd.DataFrame:
             {"doc_id": pa.array(ids[pairs >> np.int64(24)], pa.int64())}
         )
 
+    from ._common import bucket_group_agg
+
+    # candidate-doc-cardinality groups → partition-bucket (DESIGN.md rule)
     cands = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(gram_hits, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="ng"))
+        bucket_group_agg(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(gram_hits, batch_format="pyarrow"),
+            "doc_id",
+            {"ng": ("doc_id", "size")},
+        )
         .filter(expr=f"ng == {n_q}")
         .to_pandas()
     )
@@ -766,11 +771,14 @@ def q_permuterm(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    vocab = (
+    from ._common import bucket_group_agg
+
+    # vocab-cardinality groups → partition-bucket (DESIGN.md rule)
+    vocab = bucket_group_agg(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_docterm_batch, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df_part", alias_name="df"))
+        .map_batches(_docterm_batch, batch_format="pyarrow"),
+        "term",
+        {"df": ("df_part", "sum")},
     )
 
     rot_prefix = []

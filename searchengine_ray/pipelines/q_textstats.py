@@ -119,13 +119,12 @@ def q_curation(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(group["doc_id"].min())]})
+    from ._common import bucket_group_agg
 
+    # distinct-text-cardinality groups → partition-bucket (DESIGN.md rule)
     out = (
-        filtered.groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-        .to_pandas()
+        bucket_group_agg(filtered, "content_hash", {"doc_id": ("doc_id", "min")})
+        .to_pandas()[["doc_id"]]
     )
     return out.astype({"doc_id": "int64"}).sort_values("doc_id").reset_index(drop=True)
 

@@ -530,11 +530,16 @@ def q_wordpiece_tokens(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    from ._common import bucket_group_agg
+
+    # (source, word)-cardinality groups → partition-bucket (DESIGN.md rule)
     per_src = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
-        .map_batches(rows, batch_format="pyarrow")
-        .groupby(["source", "word"])
-        .aggregate(Count(alias_name="c"))
+        bucket_group_agg(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+            .map_batches(rows, batch_format="pyarrow"),
+            ["source", "word"],
+            {"c": ("word", "size")},
+        )
         .map_batches(encode, batch_format="pyarrow")
         .groupby("source")
         .aggregate(
@@ -651,13 +656,15 @@ def q_bpe_train(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    counts = (
+    from ._common import bucket_group_agg
+
+    # vocab-cardinality groups → partition-bucket (DESIGN.md rule)
+    counts = bucket_group_agg(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(_toks_tf_batch, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("tf", alias_name="n"))
-        .to_pandas()
-    )
+        .map_batches(_toks_tf_batch, batch_format="pyarrow"),
+        "term",
+        {"n": ("tf", "sum")},
+    ).to_pandas()
     counts = counts[counts["term"].str.fullmatch("[a-z]+")]
     counts = counts.sort_values(["n", "term"], ascending=[False, True]).head(
         BPE_TOP_WORDS
