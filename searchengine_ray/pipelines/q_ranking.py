@@ -653,13 +653,15 @@ def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g.rename(columns={"size": "c"}), preserve_index=False)
 
-    vocab = (
+    from ._common import bucket_group_agg
+
+    # (source, term)-cardinality groups → partition-bucket (DESIGN.md rule)
+    vocab = bucket_group_agg(
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
-        .map_batches(pairs, batch_format="pyarrow")
-        .groupby(["source", "term"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-    )
+        .map_batches(pairs, batch_format="pyarrow"),
+        ["source", "term"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
     tot_s = vocab.groupby("source")["c"].sum()
     tot_all = int(vocab["c"].sum())
     term_all = vocab.groupby("term")["c"].sum()
