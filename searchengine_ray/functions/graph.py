@@ -5,12 +5,13 @@
 "Counting Triangles and the Curse of the Last Reducer", WWW'11 — public
 literature):
 
-1. canonicalize + dedup the undirected edge set (one native groupby),
+1. canonicalize + dedup the undirected edge set (partition-bucket
+   distinct — edge-cardinality groups, DESIGN.md round-4 rule),
 2. compute degrees and attach them to both edge endpoints — degree is
    computed per endpoint-hash bucket (the repo's partition-bucket
    pattern: vectorized ``np.unique`` inside ``groupby(bucket)``
-   ``map_groups``) and combined per edge with one native Sum aggregate,
-   so nothing is joined or broadcast,
+   ``map_groups``) and the two half-rows per edge recombined by a
+   bucketed vectorized sum, so nothing is joined or broadcast,
 3. orient every edge from its (degree, id)-smaller endpoint to the
    larger — after orientation every vertex has out-degree O(√m) on any
    graph, so the wedge fan-out below is bounded even on power-law

@@ -21,7 +21,9 @@ Two implementations with identical results (pytest-asserted):
 - :func:`hits_ray` — Ray-Data-native broadcast tier: the edge list stays
   a ``Dataset``; per half-iteration the current vector is ``ray.put``
   once and each ``map_batches`` task pre-aggregates per-destination
-  contributions (partial combine) before a small ``groupby().sum``.
+  contributions (partial combine); partials are summed with the
+  partition-bucket pattern (node-cardinality groups — DESIGN.md
+  round-4 rule) and scattered vectorized on the driver.
   The O(n) score vectors live on the driver (8 bytes/node — fine to
   ~10^9 nodes); past that, the fully partitioned pattern of
   ``pagerank_ray_partitioned`` applies verbatim (vector as a Dataset,

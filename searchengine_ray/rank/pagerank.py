@@ -14,9 +14,11 @@ Two implementations with identical results:
   and the oracle for tests),
 - :func:`pagerank_ray` — Ray-Data-native: the edge list stays a
   ``Dataset``; each iteration broadcasts the rank vector via ``ray.put``
-  (classic broadcast join, no shuffle of the big side) and pre-aggregates
-  per-destination contributions inside ``map_batches`` (partial combine)
-  before a small ``groupby(dst).sum`` — SURVEY.md §2.5 A7.
+  (classic broadcast join, no shuffle of the big side), pre-aggregates
+  per-destination contributions inside ``map_batches`` (partial
+  combine), and sums the partials with the partition-bucket pattern
+  (node-cardinality groups — DESIGN.md round-4 rule) before one
+  vectorized driver scatter — SURVEY.md §2.5 A7.
 """
 
 from __future__ import annotations
