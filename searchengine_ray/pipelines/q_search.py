@@ -83,8 +83,16 @@ def q_delete_search(sf_dir: str, tmp_suffix: str = "del") -> pd.DataFrame:
 def q_wordbreak(sf_dir: str) -> pd.DataFrame:
     """M6/T1: dictionary word-break of space-less text via an actor-pool
     stage holding the frequency dictionary (loaded once per actor).
-    Input: each doc's first 8 tokens concatenated without spaces;
-    dictionary: corpus token frequencies. Non-SQL → rows-only."""
+    Input: each doc's first 8 non-stopword tokens concatenated without
+    spaces; dictionary: corpus token frequencies.
+
+    The Viterbi DP itself is non-SQL, but its character-preservation
+    invariant IS checkable: the output carries the squashed input and
+    ``rejoin_ok = (retokenized minus spaces == squashed)``. The DuckDB
+    oracle recomputes ``squashed`` from the raw text and asserts
+    ``rejoin_ok`` is TRUE for every doc, so a DP that drops, reorders or
+    invents characters — or a stage that skips docs — hash-mismatches.
+    The token choices themselves are golden-tested in pytest."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -116,9 +124,32 @@ def q_wordbreak(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    out["n_tokens"] = out["tokens"].map(len).astype("int64")
-    out["retokenized"] = out["tokens"].map(" ".join)
-    return out[["doc_id", "n_tokens", "retokenized"]].astype({"doc_id": "int64"})
+    out["squashed"] = out["text"]  # the stage's input column, carried through
+    out["rejoin_ok"] = out["tokens"].map("".join) == out["squashed"]
+    return out[["doc_id", "squashed", "rejoin_ok"]].astype({"doc_id": "int64"})
+
+def sql_wordbreak() -> str:
+    return rf"""
+WITH raw AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                     '[ \t\n\x0b\f\r]+')) AS t,
+           generate_subscripts(string_split_regex(lower(regexp_replace(text, '[,.;?!]', ' ', 'g')),
+                                                  '[ \t\n\x0b\f\r]+'), 1) AS pos
+    FROM documents
+), kept AS (
+    SELECT doc_id, t, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM raw
+    WHERE t <> '' AND t NOT IN ({_stoplist_sql()})
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.t, '' ORDER BY k.rn), '') AS squashed,
+       TRUE AS rejoin_ok
+FROM documents d
+LEFT JOIN (SELECT * FROM kept WHERE rn <= 8) k USING (doc_id)
+GROUP BY d.doc_id
+"""
 
 def q_fetch_topk(sf_dir: str) -> pd.DataFrame:
     """J4: doc_id → document fetch join for the BM25 top-5."""

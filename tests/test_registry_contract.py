@@ -14,30 +14,32 @@ def test_registry_shape_and_window():
     assert len(names) == 154
     assert len(set(names)) == 154
 
-    # round-4 window: the first 50 are the never-driver-verified
-    # mission entries (search/ranking/dedup/ANN/training/multimodal)
-    assert names[0] == "boolean_query"
-    assert names[49] == "multimodal_gif"
+    # round-5 window: positions 1-23 are the entries that had never
+    # earned a driver hash row (r4 queue + wordbreak with its new
+    # rejoin-identity oracle); 24-27 the engine-path entries changed
+    # in r4; 28-50 re-verify the oldest (r2) rows.
+    assert names[0] == "unigram_logppl"
+    assert names[21] == "jsonl_roundtrip"
+    assert names[22] == "wordbreak"
+    assert names[23:27] == [
+        "bm25_all", "phrase_search", "increment_compact", "dedup_minhash",
+    ]
     window = set(names[:50])
     for must in (
-        "snippets", "rrf_hybrid", "permuterm", "dfr_pl2", "bm25f_fielded",
-        "containment_dedup", "winnowing_fingerprints", "pq_topk",
-        "graph_ann", "bpe_train", "doc_packing", "data_mixture",
-        "multimodal_png",
+        "readability", "retention", "tpch_q5", "tpch_q10", "tpch_q18",
+        "anti_join", "custdist", "winsorize", "snapshot_diff",
+        "heavy_hitters", "hll_sketch", "hits_scores", "k_core",
+        "link_prediction", "sessionize", "range_join", "fetch_topk",
+        "delete_search", "embedding_neardup", "multimodal_wav",
     ):
         assert must in window, must
 
-    # the 82 r1-r3 hash-green entries close the rotation
-    assert names[72] == "and_search"
-    assert names[-1] == "wordbreak"
-
-    # shape: every value is (callable, sql-or-None); only wordbreak
-    # lacks an oracle
-    no_sql = [n for n, (fn, sql) in reg.items() if sql is None]
-    assert no_sql == ["wordbreak"]
+    # shape: every value is (callable, sql) — as of round 5 EVERY
+    # entry has an oracle (wordbreak's verifies the DP's
+    # character-preservation invariant)
     for n, (fn, sql) in reg.items():
         assert callable(fn), n
-        assert sql is None or isinstance(sql, str), n
+        assert isinstance(sql, str) and sql.strip(), n
 
 
 def test_driver_contract_surface():
@@ -46,4 +48,4 @@ def test_driver_contract_surface():
     q = e.queries()
     o = e.oracle_sql()
     assert len(q) == 154
-    assert set(o) == set(q) - {"wordbreak"}
+    assert set(o) == set(q)
