@@ -152,13 +152,62 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
         self.n_perm = n_perm
 
+    @staticmethod
+    def _mod_mersenne(h: np.ndarray) -> np.ndarray:
+        """Bit-exact ``h % (2**61 - 1)`` for uint64 via the Mersenne fold
+        (2^61 ≡ 1 mod M, high 3 bits ≤ 7 so one conditional subtract
+        suffices) — same values as ``%`` without uint64 division, and
+        done in place to keep the segment-min memory-bandwidth bound low.
+        MUTATES ``h`` and returns it."""
+        m = np.uint64(_MERSENNE)
+        lo = h & m
+        h >>= np.uint64(61)
+        h += lo
+        np.subtract(h, m, out=h, where=h >= m)
+        return h
+
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
         if len(shingle_hashes) == 0:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         # (n_perm, n_shingles) universal hashing mod Mersenne prime
         x = shingle_hashes.astype(np.uint64)[None, :]
-        h = (self.a[:, None] * x + self.b[:, None]) % np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash design
+            h = self._mod_mersenne(self.a[:, None] * x + self.b[:, None])
         return h.min(axis=1)
+
+    def signature_many(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, n_perm) signatures in one pass: concatenate the batch's
+        shingle sets, hash the flat array once per chunk, and segment-min
+        with ``np.minimum.reduceat`` — identical arithmetic (uint64 wrap
+        then mod Mersenne) to ``signature``, without the per-doc Python
+        loop that dominated the old signature stage at thousands of small
+        docs per batch. Chunked so the (n_perm, n_shingles) work matrix
+        stays ~64 MB regardless of batch size."""
+        big = np.iinfo(np.uint64).max
+        n_docs = len(shingle_sets)
+        out = np.full((n_docs, self.n_perm), big, dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shingle_sets), np.int64, n_docs)
+        idx = np.flatnonzero(lens)
+        if len(idx) == 0:
+            return out
+        budget = 1 << 14  # flat shingle hashes per chunk (keeps h in cache)
+        start = 0
+        while start < len(idx):
+            end, tot = start, 0
+            while end < len(idx) and (tot == 0 or tot + lens[idx[end]] <= budget):
+                tot += lens[idx[end]]
+                end += 1
+            run = idx[start:end]
+            cat = np.concatenate([shingle_sets[i] for i in run]).astype(np.uint64)
+            starts = np.zeros(len(run), np.int64)
+            np.cumsum(lens[run[:-1]], out=starts[1:])
+            with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash design
+                h = self.a[:, None] * cat[None, :]
+                h += self.b[:, None]
+                self._mod_mersenne(h)
+            out[run] = np.minimum.reduceat(h, starts, axis=1).T
+            start = end
+        return out
 
 
 def minhash_signature_batch(
@@ -166,14 +215,17 @@ def minhash_signature_batch(
 ) -> pa.Table:
     texts = batch[text_column].to_pandas()
     toks = _token_lists(texts)
-    sigs = [
-        hasher.signature(_shingle_hash_set(th, shingle_k))
-        for th in _token_hash_lists(toks)
-    ]
+    sets = [_shingle_hash_set(th, shingle_k) for th in _token_hash_lists(toks)]
+    sigs = hasher.signature_many(sets)  # (n_docs, n_perm), one segment-min
+    n_docs, n_perm = sigs.shape
+    offsets = np.arange(0, (n_docs + 1) * n_perm, n_perm, dtype=np.int32)
+    sig_col = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(sigs.reshape(-1), pa.uint64())
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            "sig": sig_col,
         }
     )
 
