@@ -147,8 +147,11 @@ class LshIndex:
       boundaries a true neighbour most likely crosses), instead of
       arbitrary low-index bits.
 
-    Composite bucket id = ``table << n_planes | bits`` so one scan
-    serves all tables."""
+    Composite bucket id = ``table << n_planes | bits``. Vectors are
+    stored ONCE per row with a ``buckets: list<int64>`` column holding
+    all n_tables composite ids — the OR-construction costs n_tables
+    extra int64s per vector, NOT n_tables copies of the vector (the
+    round-4 layout's memory multiplier, since removed)."""
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, n_tables: int = 1):
         self.planes = np.stack(
@@ -159,7 +162,7 @@ class LshIndex:
         )  # (n_tables, n_planes, dim)
         self.n_planes = n_planes
         self.n_tables = n_tables
-        self._bucketed = None  # ray Dataset: (bucket, vec_id, nemb)
+        self._bucketed = None  # ray Dataset: (vec_id, nemb, buckets)
 
     def _buckets_of(self, mat: np.ndarray) -> np.ndarray:
         """(n_rows, n_tables) composite bucket ids."""
@@ -172,23 +175,21 @@ class LshIndex:
         return out
 
     def build(self, ds, id_column="vec_id", emb_column="embedding") -> None:
-        planes, n_planes, n_tables = self.planes, self.n_planes, self.n_tables
+        buckets_of = self._buckets_of
+        n_tables = self.n_tables
 
         def assign(batch: pa.Table) -> pa.Table:
             ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             mat = _normalize(np.stack(batch[emb_column].to_pandas().to_numpy()).astype(np.float64))
-            buckets = np.empty((len(mat), n_tables), np.int64)
-            for t in range(n_tables):
-                bits = (mat @ planes[t].T) > 0
-                buckets[:, t] = (bits.astype(np.int64) << np.arange(n_planes)).sum(
-                    axis=1
-                ) | (t << n_planes)
-            nemb = mat.tolist()
+            buckets = buckets_of(mat)  # (n_rows, n_tables)
+            offsets = np.arange(0, (len(ids) + 1) * n_tables, n_tables, dtype=np.int32)
             return pa.table(
                 {
-                    "bucket": pa.array(buckets.T.ravel(), pa.int64()),
-                    "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
-                    "nemb": pa.array(nemb * n_tables, pa.list_(pa.float64())),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "nemb": pa.array(mat.tolist(), pa.list_(pa.float64())),
+                    "buckets": pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(buckets.reshape(-1), pa.int64())
+                    ),
                 }
             )
 
@@ -198,7 +199,14 @@ class LshIndex:
         self, query_vecs: np.ndarray, k: int = 10, n_probe: int = 4
     ) -> list[list[tuple[int, float]]]:
         """Top-k per query row; one scan answers the whole batch.
-        Per table: own bucket + ``n_probe`` margin-ranked bit flips."""
+        Per table: own bucket + ``n_probe`` margin-ranked bit flips.
+        A block scores a row for query ``qi`` iff ANY of the row's
+        per-table buckets is in ``qi``'s probe set; duplicates across
+        tables are deduped in the q×k driver merge."""
+        import heapq
+
+        import ray
+
         if self._bucketed is None:
             raise RuntimeError("build() the index first")
         q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
@@ -218,7 +226,47 @@ class LshIndex:
                 ]
                 for b in bs:
                     probes.setdefault(b, []).append(qi)
-        return _scan_probes(self._bucketed, q, probes, k)
+
+        n_tables = self.n_tables
+        ref = ray.put((q, probes))
+
+        def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+            qm, pr = ray.get(_ref)
+            bmat = (
+                batch["buckets"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, n_tables)
+            )
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            mat = None
+            out_q, out_id, out_s = [], [], []
+            for b, qids in pr.items():
+                rows = np.flatnonzero((bmat == b).any(axis=1))
+                if not len(rows):
+                    continue
+                if mat is None:
+                    mat = np.stack(batch["nemb"].to_pandas().to_numpy())
+                sims = qm[qids] @ mat[rows].T  # (n_q_probing, n_rows)
+                for row_qi, qi in enumerate(qids):
+                    out_q.extend([qi] * len(rows))
+                    out_id.extend(ids[rows].tolist())
+                    out_s.extend(sims[row_qi].tolist())
+            return pa.table(
+                {
+                    "qid": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_s, pa.float64()),
+                }
+            )
+
+        parts = self._bucketed.map_batches(scan, batch_format="pyarrow").to_pandas()
+        results: list[list[tuple[int, float]]] = [[] for _ in range(len(q))]
+        for qi, grp in parts.groupby("qid"):
+            grp = grp.drop_duplicates("vec_id")
+            top = heapq.nsmallest(
+                k, grp.itertuples(index=False), key=lambda r: (-r.cosine, r.vec_id)
+            )
+            results[int(qi)] = [(int(r.vec_id), float(r.cosine)) for r in top]
+        return results
 
     def query(self, vec: np.ndarray, k: int = 10, n_probe: int = 4) -> list[tuple[int, float]]:
         return self.query_batch(np.asarray(vec)[None, :], k=k, n_probe=n_probe)[0]

@@ -25,17 +25,20 @@ def q_similarity_topk(sf_dir: str) -> pd.DataFrame:
     out = cosine_topk(ds, qvec, k=10)
     return out[["vec_id", "cosine"]].astype({"vec_id": "int64"})
 
-LSH_TABLES, LSH_PLANES, LSH_PROBE = 4, 6, 2
+LSH_TABLES, LSH_PLANES, LSH_PROBE = 8, 6, 2
 
 def q_ann_topk(sf_dir: str) -> pd.DataFrame:
     """Approximate nearest neighbours via the Dataset-native
     multi-table LSH index (the scale path next to the exact
-    ``similarity_topk`` baseline). Four 6-plane tables OR-ed together
+    ``similarity_topk`` baseline). Eight 6-plane tables OR-ed together
     with margin-ranked multi-probe (2 flips/table) — the recall shape
     this corpus needs: neighbour cosines are weak (~0.31-0.41), so a
-    single table's near buckets miss them (recall 0.1 in round 3;
-    ~0.6 with this configuration, reported per-run by ``bench.py``'s
-    ``ann_recall`` block). The planes are a pure function of
+    single table's near buckets miss them (recall 0.1 in round 3, 0.6
+    with four tables in round 4, 0.9 with this configuration at ~29%
+    candidate fraction, reported per-run by ``bench.py``'s
+    ``ann_recall`` block). Since round 5 the index stores each vector
+    once with a per-table bucket-list column, so the extra tables cost
+    int64s, not vector copies. The planes are a pure function of
     (seed+table, n_planes, dim), so the whole path — bucketing, probe
     set, within-bucket exact cosine — is deterministic and mirrored
     exactly by ``sql_ann_topk``."""
