@@ -303,25 +303,45 @@ def minhash_candidates(ds, n_perm=128, n_bands=16, shingle_k=3, text_column="tex
         lambda b: explode_bands(b, n_bands, n_parts), batch_format="pyarrow"
     )
 
-    def bucket_pairs_bulk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group.duplicated(["band_id", "band_key"], keep=False)]
-        if g.empty:
-            return _EMPTY_PAIRS_PD.copy()
+    _EMPTY_PAIRS = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs_bulk(group: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): one lexsort per partition,
+        # then only the collision runs (≥2 rows sharing a band bucket)
+        # are looped — the near-dup clusters, a tiny fraction of rows.
+        bid = group["band_id"].to_numpy(zero_copy_only=False)
+        bkey = group["band_key"].to_numpy(zero_copy_only=False)
+        did = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([did, bkey, bid])
+        bid, bkey, did = bid[order], bkey[order], did[order]
+        n = len(bid)
+        if n == 0:
+            return _EMPTY_PAIRS
+        boundary = np.r_[True, (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n)
         out_a, out_b = [], []
-        for _, grp in g.groupby(["band_id", "band_key"], sort=False):
-            ids = np.unique(grp["doc_id"].to_numpy())
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = np.unique(did[s:e])
             if len(ids) < 2:
                 continue
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.append(ids[iu])
             out_b.append(ids[ju])
         if not out_a:
-            return _EMPTY_PAIRS_PD.copy()
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            return _EMPTY_PAIRS
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
-    return bands.groupby("part").map_groups(bucket_pairs_bulk, batch_format="pandas")
+    return bands.groupby("part").map_groups(bucket_pairs_bulk, batch_format="pyarrow")
 
 
 def jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
@@ -852,25 +872,44 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column: str = "text") -> pd.Dat
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].tolist()
-        sigs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
-        rows = []
+    _EMPTY_HAM = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): dedup+sort by doc_id in numpy
+        # (one simhash per doc, so keep-first equals keep-any), then the
+        # same upper-triangle vectorized Hamming verify.
+        ids0 = group["doc_id"].to_numpy(zero_copy_only=False)
+        sig0 = group["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids0, kind="stable")
+        ids_s, sig_s = ids0[order], sig0[order]
+        keep = np.r_[True, ids_s[1:] != ids_s[:-1]] if len(ids_s) else np.zeros(0, bool)
+        ids, sigs = ids_s[keep], sig_s[keep].astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
         for i in range(len(ids)):
             x = np.bitwise_xor(sigs[i + 1 :], sigs[i])
             ham = _popcount64(x)
-            for j in np.flatnonzero(ham <= max_hamming):
-                rows.append((ids[i], ids[i + 1 + j], int(ham[j])))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) if rows else pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
-             "hamming": pd.Series([], dtype="int64")}
+            hits = np.flatnonzero(ham <= max_hamming)
+            if len(hits):
+                out_a.append(np.full(len(hits), ids[i], np.int64))
+                out_b.append(ids[i + 1 + hits])
+                out_h.append(ham[hits].astype(np.int64))
+        if not out_a:
+            return _EMPTY_HAM
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
         )
 
     pairs = (
         sig_ds.map_batches(explode, batch_format="pyarrow")
         .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     return pairs.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -105,42 +105,39 @@ def range_join(
         return pa.table(cols)
 
     out_cols = left_cols + r_out
-    out_dtypes = {
-        **{c: l_schema[c].to_pandas_dtype() for c in left_cols},
-        **{cr: r_schema[c].to_pandas_dtype() for c, cr in zip(right_cols, r_out)},
-    }
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == 0]
-        rf = g[g["_side"] == 1]
-        if not len(lf) or not len(rf):
-            return (
-                lf.iloc[0:0][out_cols].astype(out_dtypes, copy=False)
-                if len(lf.columns)
-                else pd.DataFrame({c: pd.Series([], dtype=out_dtypes[c]) for c in out_cols})
-            )
-        lf = lf.sort_values("_t", kind="mergesort").reset_index(drop=True)
-        t = lf["_t"].to_numpy()
-        lo = np.searchsorted(t, rf["_s"].to_numpy(), side="left")
-        hi = np.searchsorted(t, rf["_e"].to_numpy(), side="left")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): the slice-match kernel was
+        # already two searchsorted calls; row materialization is now
+        # ``Table.take`` (any column type, no pandas dtype round-trip).
+        import pyarrow.compute as pc
+
+        mask_l = pc.equal(g["_side"], 0)
+        lf = g.filter(mask_l)
+        rf = g.filter(pc.invert(mask_l))
+        if lf.num_rows == 0 or rf.num_rows == 0:
+            return g.select(out_cols).schema.empty_table()
+        t0 = lf["_t"].to_numpy(zero_copy_only=False)
+        order = np.argsort(t0, kind="stable")
+        t = t0[order]
+        lo = np.searchsorted(t, rf["_s"].to_numpy(zero_copy_only=False), side="left")
+        hi = np.searchsorted(t, rf["_e"].to_numpy(zero_copy_only=False), side="left")
         n_match = hi - lo
-        r_idx = np.repeat(np.arange(len(rf)), n_match)
+        r_idx = np.repeat(np.arange(rf.num_rows), n_match)
         l_idx = np.arange(n_match.sum(), dtype=np.int64) - np.repeat(
             np.cumsum(n_match) - n_match, n_match
         ) + np.repeat(lo, n_match)
-        out = pd.concat(
-            [
-                lf.iloc[l_idx][left_cols].reset_index(drop=True),
-                rf.iloc[r_idx][r_out].reset_index(drop=True),
-            ],
-            axis=1,
+        left_part = lf.select(left_cols).take(pa.array(order[l_idx]))
+        right_part = rf.select(r_out).take(pa.array(r_idx))
+        return pa.table(
+            {**{c: left_part[c] for c in left_cols},
+             **{c: right_part[c] for c in r_out}}
         )
-        return out[out_cols].astype(out_dtypes, copy=False)
 
     unioned = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(replicate_right, batch_format="pyarrow")
     )
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(
@@ -187,31 +184,34 @@ def asof_join(
         right_ds.map_batches(unify(1), batch_format="pyarrow")
     )
 
-    # exact output dtypes: the union null-pads each side's payload, so a
-    # pandas block sees float64 + NaN — restore the true types after the
-    # match filter (and emit empty buckets with the same schema)
+    # ``pd.merge_asof`` is the load-bearing per-bucket kernel (a
+    # vectorized per-key backward/forward match numpy has no primitive
+    # for) — but the GROUP boundary is Arrow: each side is filtered and
+    # column-pruned BEFORE its pandas conversion, so the typed-null
+    # union padding never round-trips through float64/NaN.
     out_dtypes = {
-        by: l_schema[by].to_pandas_dtype(),
-        on: l_schema[on].to_pandas_dtype(),
         **{c: t.to_pandas_dtype() for c, t in l_types.items()},
         **{cr: r_types[c].to_pandas_dtype() for c, cr in zip(right_cols, r_out)},
     }
     out_cols = [by, on] + left_cols + r_out
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["_side"] == 0].sort_values(on, kind="mergesort")[[by, on] + left_cols]
-        rf = g[g["_side"] == 1].sort_values(on, kind="mergesort")[[by, on] + r_out]
-        rf = rf.assign(_m=np.int8(1))
-        if not len(lf) or not len(rf):
-            out = lf.iloc[0:0].assign(**{c: None for c in r_out})
-        else:
-            out = pd.merge_asof(lf, rf, on=on, by=by, direction=direction)
-            out = out[out["_m"].notna()]
-        return (
-            out[out_cols].astype(out_dtypes, copy=False).reset_index(drop=True)
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask_l = pc.equal(g["_side"], 0)
+        lf_t = g.filter(mask_l).select([by, on] + left_cols)
+        rf_t = g.filter(pc.invert(mask_l)).select([by, on] + r_out)
+        if lf_t.num_rows == 0 or rf_t.num_rows == 0:
+            return g.select(out_cols).schema.empty_table()
+        lf = lf_t.to_pandas().sort_values(on, kind="mergesort")
+        rf = rf_t.to_pandas().sort_values(on, kind="mergesort").assign(_m=np.int8(1))
+        out = pd.merge_asof(lf, rf, on=on, by=by, direction=direction)
+        out = out[out["_m"].notna()][out_cols].astype(out_dtypes, copy=False)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            g.select(out_cols).schema
         )
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def semi_anti_join(
@@ -294,11 +294,16 @@ def semi_anti_join(
         keys_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rk = g.loc[g["_side"] == 1, left_key].to_numpy()
-        lf = g[g["_side"] == 0]
-        member = np.isin(lf[left_key].to_numpy(), rk)
-        out = lf[~member if anti else member]
-        return out.drop(columns=["_bkt", "_side"])
+    def probe_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): same vectorized isin, no
+        # per-group pandas conversion of the left payload columns.
+        import pyarrow.compute as pc
 
-    return tagged.groupby("_bkt").map_groups(probe_bucket, batch_format="pandas")
+        mask_l = pc.equal(g["_side"], 0)
+        rk = g.filter(pc.invert(mask_l))[left_key].to_numpy(zero_copy_only=False)
+        lf = g.filter(mask_l)
+        member = np.isin(lf[left_key].to_numpy(zero_copy_only=False), rk)
+        out = lf.filter(pa.array(~member if anti else member))
+        return out.drop_columns(["_bkt", "_side"])
+
+    return tagged.groupby("_bkt").map_groups(probe_bucket, batch_format="pyarrow")

@@ -73,43 +73,58 @@ def group_topk(
     """Top-k rows per group by (order_col, tie_col), with a 1-based
     ``rank`` column. Per-batch partial top-k first (combiner), then one
     shuffle for the exact cut."""
-    sort_cols = [group_col, order_col, tie_col]
-    sort_asc = [True, ascending, True]
-    # typed empty frame so empty blocks/groups keep the output schema
-    # (Arrow-block schemas carry pyarrow types, pandas-block schemas
-    # carry numpy dtypes — accept both)
+    # Arrow-native combiner + reducer (round-5): ``Table.sort_by``
+    # handles any key type natively; the per-group head is a run-length
+    # position mask over the sorted group column. The typed empty table
+    # keeps empty blocks/groups schema-consistent for Ray's concat.
+    import pyarrow.compute as pc
+
+    sort_keys = [
+        (group_col, "ascending"),
+        (order_col, "ascending" if ascending else "descending"),
+        (tie_col, "ascending"),
+    ]
     schema = ds.schema()
-    empty = pd.DataFrame(
-        {
-            n: pd.Series([], dtype=t.to_pandas_dtype() if hasattr(t, "to_pandas_dtype") else t)
-            for n, t in zip(schema.names, schema.types)
-        }
-    )
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        empty = base.empty_table()
+    else:  # pandas-block dataset: a mix of numpy dtypes / pyarrow types
+        def _pa_type(t):
+            if isinstance(t, pa.DataType):
+                return t
+            dt = np.dtype(t)
+            return pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return empty.copy()
-        return (
-            df.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-            .groupby(group_col, sort=False)
-            .head(k)
+        empty = pa.table(
+            {n: pa.array([], _pa_type(t)) for n, t in zip(schema.names, schema.types)}
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            out = empty.copy()
-            out["rank"] = pd.Series([], dtype="int64")
-            return out
-        out = (
-            g.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-            .head(k)
-            .reset_index(drop=True)
+    def _head_mask(col, limit: int) -> np.ndarray:
+        """pos-within-contiguous-run < limit, for an already-sorted col."""
+        n = len(col)
+        a = col.combine_chunks()
+        neq = pc.not_equal(a.slice(1), a.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
         )
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+        starts = np.flatnonzero(np.r_[True, neq])
+        counts = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+        return pos < limit
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(sort_keys)
+        return t.filter(pa.array(_head_mask(t[group_col], k)))
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.sort_by(sort_keys).slice(0, k)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        )
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(group_col)
-        .map_groups(final, batch_format="pandas")
+        .map_groups(final, batch_format="pyarrow")
     )

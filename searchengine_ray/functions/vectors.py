@@ -85,22 +85,26 @@ def group_centroids(
     def partial(b: pa.Table) -> pa.Table:
         return _batch_partial(b, key, vector_column)
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        total = np.sum(np.stack(g["sums"].to_numpy()), axis=0)
-        n = int(g["n_part"].sum())
+    def combine(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): flatten the list column once
+        # (zero-copy) instead of stacking per-row Python objects.
+        lv = g["sums"].combine_chunks()
+        mat = lv.flatten().to_numpy(zero_copy_only=False).reshape(g.num_rows, -1)
+        total = np.sum(mat, axis=0)
+        n = int(g["n_part"].to_numpy(zero_copy_only=False).sum())
         c = np.round(total / n, ndigits)
-        return pd.DataFrame(
+        return pa.table(
             {
-                key: np.repeat(g[key].iloc[0], len(c)),
-                "dim": np.arange(1, len(c) + 1, dtype=np.int64),
-                "c": c,
+                key: pa.array([g[key][0].as_py()] * len(c), g[key].type),
+                "dim": pa.array(np.arange(1, len(c) + 1, dtype=np.int64)),
+                "c": pa.array(c, pa.float64()),
             }
         )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key)
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values([key, "dim"]).reset_index(drop=True)

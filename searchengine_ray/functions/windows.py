@@ -105,66 +105,75 @@ def sessionize(
             cols["_id"] = b[id_col]
         return pa.table(cols)
 
-    def sessions_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        order = [user_col, "_ts"] + (["_id"] if "_id" in g.columns else [])
-        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
-        u = g[user_col].to_numpy()
-        t = g["_ts"].to_numpy()
-        new_user = np.empty(len(g), dtype=bool)
+    _EMPTY = pa.table(
+        {
+            user_col: pa.array([], pa.int64()),
+            "session": pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "sum_value": pa.array([], pa.float64()),
+        }
+    )
+
+    def sessions_of_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): zero-copy numpy views, stable
+        # lexsort, and segment ops over contiguous sessions — same
+        # accumulation order as the former pandas groupby, so values
+        # (and oracle hashes) are unchanged.
+        if g.num_rows == 0:
+            return _EMPTY
+        u = g[user_col].to_numpy(zero_copy_only=False)
+        t = g["_ts"].to_numpy(zero_copy_only=False)
+        v = g["_val"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        sort_keys = [t, u] if "_id" not in g.column_names else [
+            g["_id"].to_numpy(zero_copy_only=False), t, u,
+        ]
+        order = np.lexsort(sort_keys)  # last key is primary → (user, ts[, id])
+        u, t, v = u[order], t[order], v[order]
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
         new_user[0] = True
         new_user[1:] = u[1:] != u[:-1]
-        gap_break = np.empty(len(g), dtype=bool)
-        gap_break[0] = True
-        gap_break[1:] = (t[1:] - t[:-1]) > gap_us
-        boundary = new_user | gap_break
+        boundary = new_user.copy()
+        boundary[1:] |= (t[1:] - t[:-1]) > gap_us
         sess_global = np.cumsum(boundary)
         # per-user 1-based session number: subtract the user's first
         # global session id (sessions are contiguous within a user)
         first_of_user = np.where(new_user, sess_global, 0)
         np.maximum.accumulate(first_of_user, out=first_of_user)
-        g2 = pd.DataFrame(
+        starts = np.flatnonzero(boundary)
+        return pa.table(
             {
-                user_col: u,
-                "session": (sess_global - first_of_user + 1).astype(np.int64),
-                "_gsess": sess_global,
-                "_ts": t,
-                "_val": g["_val"].to_numpy(),
+                user_col: pa.array(u[starts].astype(np.int64), pa.int64()),
+                "session": pa.array(
+                    (sess_global - first_of_user + 1)[starts].astype(np.int64),
+                    pa.int64(),
+                ),
+                "session_start": pa.array(t[starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, n)).astype(np.int64), pa.int64()
+                ),
+                "sum_value": pa.array(np.add.reduceat(v, starts), pa.float64()),
             }
         )
-        out = (
-            g2.groupby("_gsess", sort=True)
-            .agg(
-                **{
-                    user_col: (user_col, "first"),
-                    "session": ("session", "first"),
-                    "session_start": ("_ts", "min"),
-                    "n_events": ("_val", "size"),
-                    "sum_value": ("_val", "sum"),
-                }
-            )
-            .reset_index(drop=True)
-        )
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
-
-    def empty_safe(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    user_col: pd.Series([], dtype="int64"),
-                    "session": pd.Series([], dtype="int64"),
-                    "session_start": pd.Series([], dtype="int64"),
-                    "n_events": pd.Series([], dtype="int64"),
-                    "sum_value": pd.Series([], dtype="float64"),
-                }
-            )
-        return sessions_of_bucket(g.drop(columns=["_bucket"]))
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(empty_safe, batch_format="pandas")
+        .map_groups(sessions_of_bucket, batch_format="pyarrow")
     )
+
+
+def _segment_cumsum(v: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Sequential cumulative sum per contiguous segment — same float
+    accumulation order as a pandas per-group cumsum. One C-speed
+    ``np.add.accumulate`` per segment; the Python loop is over KEYS in
+    the bucket (tiny), not rows."""
+    out = v.copy()
+    ends = np.append(starts[1:], len(v))
+    for s, e in zip(starts, ends):
+        np.add.accumulate(out[s:e], out=out[s:e])
+    return out
 
 
 def running_total(
@@ -201,31 +210,46 @@ def running_total(
             }
         )
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    user_col: pd.Series([], dtype="int64"),
-                    "running": pd.Series([], dtype="float64"),
-                }
-            )
-        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(
-            drop=True
-        )
-        run = g.groupby(user_col, sort=False)["_val"].cumsum().round(ndigits)
-        return pd.DataFrame(
+    _EMPTY = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            user_col: pa.array([], pa.int64()),
+            "running": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5). The per-key cumulative sum
+        # keeps pandas' EXACT accumulation order: one sequential
+        # accumulate per contiguous key segment (start value re-seeded
+        # at each boundary), not a global-cumsum-minus-prefix trick
+        # whose float association differs.
+        if g.num_rows == 0:
+            return _EMPTY
+        u = g[user_col].to_numpy(zero_copy_only=False)
+        t = g["_ts"].to_numpy(zero_copy_only=False)
+        v = g["_val"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        i = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([i, t, u])
+        u, v, i = u[order], v[order], i[order]
+        n = len(u)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        run = _segment_cumsum(v, starts)
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64"),
-                user_col: g[user_col].astype("int64"),
-                "running": run.astype("float64"),
+                id_col: pa.array(i.astype(np.int64), pa.int64()),
+                user_col: pa.array(u.astype(np.int64), pa.int64()),
+                "running": pa.array(np.round(run, ndigits), pa.float64()),
             }
         )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
 
@@ -261,34 +285,46 @@ def lag_delta(
             }
         )
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype="int64"),
-                    user_col: pd.Series([], dtype="int64"),
-                    "prev": pd.Series([], dtype="float64"),
-                    "delta": pd.Series([], dtype="float64"),
-                }
-            )
-        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(
-            drop=True
-        )
-        prev = g.groupby(user_col, sort=False)["_val"].shift(1)
-        delta = (g["_val"] - prev).round(ndigits)
-        return pd.DataFrame(
+    _EMPTY = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            user_col: pa.array([], pa.int64()),
+            "prev": pa.array([], pa.float64()),
+            "delta": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): LAG is an exact shift-by-one
+        # within contiguous key segments — no accumulation, so the
+        # numpy rewrite is bit-identical to the pandas groupby shift.
+        if g.num_rows == 0:
+            return _EMPTY
+        u = g[user_col].to_numpy(zero_copy_only=False)
+        t = g["_ts"].to_numpy(zero_copy_only=False)
+        v = g["_val"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        i = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([i, t, u])
+        u, v, i = u[order], v[order], i[order]
+        n = len(u)
+        prev = np.empty(n, np.float64)
+        prev[0] = np.nan
+        prev[1:] = np.where(u[1:] == u[:-1], v[:-1], np.nan)
+        delta = np.round(v - prev, ndigits)
+        null_mask = np.isnan(prev)
+        return pa.table(
             {
-                id_col: g[id_col].astype("int64"),
-                user_col: g[user_col].astype("int64"),
-                "prev": prev.round(ndigits).astype("float64"),
-                "delta": delta.astype("float64"),
+                id_col: pa.array(i.astype(np.int64), pa.int64()),
+                user_col: pa.array(u.astype(np.int64), pa.int64()),
+                "prev": pa.array(np.round(prev, ndigits), mask=null_mask),
+                "delta": pa.array(delta, mask=null_mask),
             }
         )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
 
@@ -316,22 +352,36 @@ def first_last_by_key(
             cols[c] = b[c]
         return pa.table(cols)
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # works for empty buckets too: every step below preserves the
-        # input dtypes, so group schemas stay consistent for Ray's concat
-        g = g.sort_values([key_col, "_ts", id_col], kind="mergesort")
-        first = g.drop_duplicates(key_col, keep="first").set_index(key_col)
-        last = g.drop_duplicates(key_col, keep="last").set_index(key_col)
-        out = pd.DataFrame({key_col: first.index.to_numpy()})
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): after the stable lexsort,
+        # each key's first/last rows sit at its segment boundaries;
+        # ``take`` at those indices preserves the input value-column
+        # types exactly (including for empty buckets, so group schemas
+        # stay consistent for Ray's concat).
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        t = g["_ts"].to_numpy(zero_copy_only=False)
+        i = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([i, t, k])
+        k = k[order]
+        n = len(k)
+        boundary = np.empty(n, dtype=bool)
+        if n:
+            boundary[0] = True
+            boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], n) - 1
+        cols = {key_col: pa.array(k[starts])}
+        first_idx = pa.array(order[starts], pa.int64())
+        last_idx = pa.array(order[ends], pa.int64())
         for c in value_cols:
-            out[f"first_{c}"] = first[c].to_numpy()
-            out[f"last_{c}"] = last[c].to_numpy()
-        return out
+            cols[f"first_{c}"] = g[c].take(first_idx)
+            cols[f"last_{c}"] = g[c].take(last_idx)
+        return pa.table(cols)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
 
@@ -365,42 +415,48 @@ def time_weighted_avg(
             }
         )
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    key_col: pd.Series([], dtype="int64"),
-                    "twa": pd.Series([], dtype="float64"),
-                }
-            )
-        g = g.sort_values([key_col, "_ts", id_col], kind="mergesort").reset_index(
-            drop=True
-        )
-        keys = g[key_col].to_numpy()
-        ts = g["_ts"].to_numpy(np.float64)
-        val = g["_val"].to_numpy(np.float64)
+    _EMPTY = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "twa": pa.array([], pa.float64()),
+        }
+    )
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): the kernel was already numpy
+        # after the sort; only the sort + boundary conversion changed.
+        if g.num_rows == 0:
+            return _EMPTY
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ts0 = g["_ts"].to_numpy(zero_copy_only=False)
+        val0 = g["_val"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([ids, ts0, keys])
+        keys = keys[order]
+        ts = ts0[order].astype(np.float64)
+        val = val0[order].astype(np.float64)
         nxt = np.empty_like(ts)
         nxt[:-1] = ts[1:]
         nxt[-1] = ts[-1]
-        same = np.empty(len(g), bool)
+        same = np.empty(len(keys), bool)
         same[:-1] = keys[1:] == keys[:-1]
         same[-1] = False
         w = np.where(same, nxt - ts, 0.0)
         uniq, start = np.unique(keys, return_index=True)
         num = np.add.reduceat(val * w, start)
         den = np.add.reduceat(w, start)
-        twa = np.where(den > 0, num / np.maximum(den, 1.0), np.nan)
-        return pd.DataFrame(
+        twa = np.round(np.where(den > 0, num / np.maximum(den, 1.0), np.nan), ndigits)
+        return pa.table(
             {
-                key_col: pd.Series(uniq, dtype="int64"),
-                "twa": pd.Series(np.round(twa, ndigits), dtype="float64"),
+                key_col: pa.array(uniq.astype(np.int64), pa.int64()),
+                "twa": pa.array(twa, mask=np.isnan(twa)),
             }
         )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )
 
 
@@ -437,30 +493,48 @@ def funnel_counts(
             }
         )
 
-    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {f"n_step{i+1}": pd.Series([0], dtype="int64") for i in range(len(steps))}
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): step membership is computed
+        # with a pyarrow string-equal kernel (no Python strings), the
+        # greedy per-key state is a sorted (keys, pos) array pair
+        # probed with searchsorted, and "earliest qualifying event per
+        # key" is the first occurrence in the (user, ts, id) sort.
+        import pyarrow.compute as pc
+
+        if g.num_rows == 0:
+            return pa.table(
+                {f"n_step{i+1}": pa.array([0], pa.int64()) for i in range(len(steps))}
             )
-        g = g.sort_values([user_col, "_ts", id_col], kind="mergesort").reset_index(drop=True)
-        uid = g[user_col].to_numpy()
+        uid0 = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g["_ts"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort([ids, ts, uid0])
+        uid = uid0[order]
         # per-key position in (ts, id) order
         _, starts, counts = np.unique(uid, return_index=True, return_counts=True)
-        pos = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts)
-        g = g.assign(_pos=pos)
-        reached = None  # Series: key -> position of the matched step event
+        pos = np.arange(len(uid), dtype=np.int64) - np.repeat(starts, counts)
+        r_keys = r_pos = None  # sorted key -> position of matched step event
         out = {}
         for i, step in enumerate(steps):
-            sub = g[g["_et"] == step]
-            if reached is not None:
-                prev = sub[user_col].map(reached)
-                sub = sub[prev.notna() & (sub["_pos"] > prev)]
-            reached = sub.groupby(user_col)["_pos"].min()
-            out[f"n_step{i+1}"] = pd.Series([len(reached)], dtype="int64")
-        return pd.DataFrame(out)
+            sel = pc.equal(g["_et"], step).to_numpy(zero_copy_only=False)[order]
+            sel_idx = np.flatnonzero(sel)
+            if r_keys is not None:
+                at = np.searchsorted(r_keys, uid[sel_idx])
+                at_c = np.minimum(at, max(len(r_keys) - 1, 0))
+                valid = (at < len(r_keys)) & (
+                    r_keys[at_c] == uid[sel_idx] if len(r_keys) else False
+                )
+                keep = valid & (pos[sel_idx] > np.where(valid, r_pos[at_c], -1))
+                sel_idx = sel_idx[keep]
+            # rows are (user, ts, id)-sorted, so the first row per key
+            # in sel_idx carries that key's minimum position
+            r_keys, first = np.unique(uid[sel_idx], return_index=True)
+            r_pos = pos[sel_idx][first]
+            out[f"n_step{i+1}"] = pa.array([len(r_keys)], pa.int64())
+        return pa.table(out)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(scan_bucket, batch_format="pandas")
+        .map_groups(scan_bucket, batch_format="pyarrow")
     )

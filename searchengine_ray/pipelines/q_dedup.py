@@ -452,24 +452,31 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def pair(g: pd.DataFrame) -> pd.DataFrame:
-        old = g[g["is_new"] == 0]
-        new = g[g["is_new"] == 1]
+    import pyarrow as pa
+
+    _EMPTY = pa.table(
+        {"new_doc": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+    )
+
+    def pair(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5)
+        isn = g["is_new"].to_numpy(zero_copy_only=False)
+        dids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        old, new = dids[isn == 0], dids[isn == 1]
         if not len(old) or not len(new):
-            return pd.DataFrame(
-                {"new_doc": pd.Series([], dtype="int64"),
-                 "dup_of": pd.Series([], dtype="int64")}
-            )
-        keep = int(old["doc_id"].min())
-        return pd.DataFrame(
-            {"new_doc": np.sort(new["doc_id"].to_numpy(np.int64)), "dup_of": keep}
+            return _EMPTY
+        return pa.table(
+            {
+                "new_doc": pa.array(np.sort(new), pa.int64()),
+                "dup_of": pa.array(np.full(len(new), old.min(), np.int64)),
+            }
         )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     out = (
         ds.map_batches(canon, batch_format="pyarrow")
         .groupby("key")
-        .map_groups(pair, batch_format="pandas")
+        .map_groups(pair, batch_format="pyarrow")
         .to_pandas()
     )
     return (

@@ -511,17 +511,17 @@ def q_champion_lists(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def topm(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tf", "doc_id"], ascending=[False, True]).head(
-            CHAMPION_M
+    def topm(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("tf", "descending"), ("doc_id", "ascending")]).slice(
+            0, CHAMPION_M
         )
-        return g[["term", "doc_id"]]
+        return g.select(["term", "doc_id"])
 
     champ_rows = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(pairs, batch_format="pyarrow")
         .groupby("term")
-        .map_groups(topm, batch_format="pandas")
+        .map_groups(topm, batch_format="pyarrow")
         .to_pandas()
     )
     champ: dict[str, set[int]] = {

@@ -952,11 +952,16 @@ def q_bm25f_fielded(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["s", "doc_id"], ascending=[False, True]).head(10)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["qid", "rank", "doc_id", "s"]]
+    def topk(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("s", "descending"), ("doc_id", "ascending")]).slice(0, 10)
+        return pa.table(
+            {
+                "qid": g["qid"],
+                "rank": pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64)),
+                "doc_id": g["doc_id"],
+                "s": g["s"],
+            }
+        )
 
     def round_s(b: pa.Table) -> pa.Table:
         return b.set_column(
@@ -971,7 +976,7 @@ def q_bm25f_fielded(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("c", alias_name="s"))
         .map_batches(round_s, batch_format="pyarrow")
         .groupby("qid")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
         .to_pandas()
         .sort_values(["qid", "rank"])
         .reset_index(drop=True)

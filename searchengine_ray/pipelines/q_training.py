@@ -355,9 +355,13 @@ def q_doc_packing(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        tks = g["tk"].to_numpy(np.int64)
+    def pack(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): the greedy first-fit scan is
+        # inherently sequential (each bin depends on the previous), so
+        # the per-doc loop stays — over doc COUNTS per source, driven
+        # from a numpy view, no pandas conversion.
+        dids = g["doc_id"].to_numpy(zero_copy_only=False)
+        tks = g["tk"].to_numpy(zero_copy_only=False)[np.argsort(dids, kind="stable")]
         fill = bins = over = 0
         for t in tks:
             t = int(t)
@@ -372,18 +376,18 @@ def q_doc_packing(sf_dir: str) -> pd.DataFrame:
                 fill = t
         nb = bins + (1 if fill > 0 else 0)
         tot = int(tks.sum())
-        return pd.DataFrame(
+        return pa.table(
             {
-                "source": [str(g["source"].iloc[0])],
-                "n_docs": pd.Series([len(tks)], dtype="int64"),
-                "total_tokens": pd.Series([tot], dtype="int64"),
-                "n_bins": pd.Series([nb], dtype="int64"),
-                "n_oversize": pd.Series([over], dtype="int64"),
-                "util": pd.Series(
+                "source": pa.array([str(g["source"][0].as_py())], pa.string()),
+                "n_docs": pa.array([len(tks)], pa.int64()),
+                "total_tokens": pa.array([tot], pa.int64()),
+                "n_bins": pa.array([nb], pa.int64()),
+                "n_oversize": pa.array([over], pa.int64()),
+                "util": pa.array(
                     [float(round_half_away(tot / (nb * float(PACK_CAP)), 6))]
                     if nb
                     else [0.0],
-                    dtype="float64",
+                    pa.float64(),
                 ),
             }
         )
@@ -394,7 +398,7 @@ def q_doc_packing(sf_dir: str) -> pd.DataFrame:
         )
         .map_batches(tok, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(pack, batch_format="pandas")
+        .map_groups(pack, batch_format="pyarrow")
         .to_pandas()
         .sort_values("source")
         .reset_index(drop=True)

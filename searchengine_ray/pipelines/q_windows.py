@@ -733,26 +733,36 @@ def q_event_paths(sf_dir: str) -> pd.DataFrame:
 
     GAP_US = 1_800_000_000
 
-    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "t", "event_id"], kind="mergesort")
-        t = g["t"].to_numpy(np.int64)
-        u = g["user_id"].to_numpy(np.int64)
-        et = g["event_type"].to_numpy(object)
-        new_run = np.ones(len(g), bool)
-        if len(g) > 1:
+    _EMPTY = pa.table(
+        {"path": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+    )
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        # Arrow-native reducer (round-5): path strings are built with
+        # one vectorized object-array concat over the qualifying
+        # trigram positions, counted with np.unique.
+        t0 = g["t"].to_numpy(zero_copy_only=False)
+        u0 = g["user_id"].to_numpy(zero_copy_only=False)
+        e0 = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort([e0, t0, u0])
+        t, u = t0[order], u0[order]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[order]
+        n = len(t)
+        new_run = np.ones(n, bool)
+        if n > 1:
             new_run[1:] = (u[1:] != u[:-1]) | (t[1:] - t[:-1] > GAP_US)
         sess = np.cumsum(new_run)
-        ok = np.zeros(max(len(g) - 2, 0), bool)
-        if len(g) > 2:
-            ok = sess[2:] == sess[:-2]  # all three events in one session
-        paths = [
-            f"{et[i]}>{et[i+1]}>{et[i+2]}" for i in np.flatnonzero(ok)
-        ]
-        if not paths:
-            return pd.DataFrame({"path": pd.Series([], dtype=object),
-                                 "n_part": pd.Series([], dtype="int64")})
-        s = pd.Series(paths).value_counts()
-        return pd.DataFrame({"path": s.index, "n_part": s.to_numpy(np.int64)})
+        sel = np.flatnonzero(sess[2:] == sess[:-2]) if n > 2 else np.empty(0, np.int64)
+        if not len(sel):
+            return _EMPTY
+        paths = et[sel] + ">" + et[sel + 1] + ">" + et[sel + 2]
+        uniq, counts = np.unique(paths.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "path": pa.array(uniq, pa.string()),
+                "n_part": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -769,7 +779,7 @@ def q_event_paths(sf_dir: str) -> pd.DataFrame:
     ).map_batches(prep, batch_format="pyarrow")
     out = (
         ds.groupby("user_id")
-        .map_groups(trigrams, batch_format="pandas")
+        .map_groups(trigrams, batch_format="pyarrow")
         .groupby("path")
         .aggregate(Sum("n_part", alias_name="n"))
         .to_pandas()
