@@ -480,4 +480,3 @@ def _compact_shard(
     )
     pq.write_table(blocks, out_dir / f"shard={shard:05d}.parquet")
     return blocks.num_rows
-    return blocks.num_rows

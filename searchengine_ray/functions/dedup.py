@@ -48,10 +48,14 @@ def exact_dedup(ds, text_column: str = "text"):
     which at 10^9 distinct docs is hours. Hash each content_hash into
     a partition; inside each, a pandas C-hash groupby does min/count
     vectorized. Same results, aggregate-partial shuffle volume."""
+    # partition count scales with corpus size (fixed fan-out would grow
+    # per-partition volume linearly and OOM a worker at the 10^9-group
+    # scale this pattern exists for); count() on the pre-transform input
+    # is metadata-cheap for parquet reads
+    n_parts = _npartitions(ds.count())
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_column), batch_format="pyarrow"
     )
-    n_parts = 64
 
     def add_hpart(b: pa.Table) -> pa.Table:
         import pandas as pd

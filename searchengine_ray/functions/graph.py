@@ -1715,11 +1715,16 @@ def betweenness_sampled(
             new = contrib > 0
             if not new.any():
                 break
+            # σ grows multiplicatively per level on path-rich graphs;
+            # int64 wraps silently — check headroom BEFORE the add (a
+            # wrapped negative would still pass a post-add max bound),
+            # and reject negative contrib (evidence accumulation
+            # already wrapped inside add.at)
+            assert contrib.min() >= 0 and contrib.max() <= (1 << 62) - max(
+                int(sig.max()), 0
+            ), "σ overflow — path counts exceed int64"
             d[new] = lev + 1
             sig[new] += contrib[new]
-            # σ grows multiplicatively per level on path-rich graphs;
-            # int64 wraps silently — fail loud before it can
-            assert sig.max() < (1 << 62), "σ overflow — path counts exceed int64"
             lev += 1
         if lev >= max_depth:
             m = (d[src] == lev) & (d[dst] == -1)

@@ -352,20 +352,28 @@ class SearchEngine:
         survives LRU eviction longest. Returns tables cached."""
         if shards is None:
             shards = list(range(self.manifest.num_shards))
-        warmed = 0
+        # collect candidates oldest→newest, then budget the LRU cap
+        # from the NEW side: when capacity binds, the newest
+        # generations win the slots (and are still inserted last, so
+        # they are most-recently-used and survive eviction longest)
+        candidates = []
         for gen in list(self.manifest.generations):
             for shard in shards:
-                if len(self._shard_cache) >= self._shard_cache_cap:
-                    return warmed
                 path = self.index_dir / gen / f"shard={shard:05d}.parquet"
                 if not path.exists() or (gen, shard) in self._shard_cache:
                     continue
                 if path.stat().st_size > self._shard_cache_max_bytes:
                     continue
-                tbl = pq.read_table(path)
-                with self._shard_cache_lock:
-                    self._shard_cache[(gen, shard)] = tbl
-                warmed += 1
+                candidates.append((gen, shard, path))
+        cap_left = self._shard_cache_cap - len(self._shard_cache)
+        if cap_left <= 0:
+            return 0
+        warmed = 0
+        for gen, shard, path in candidates[-cap_left:]:
+            tbl = pq.read_table(path)
+            with self._shard_cache_lock:
+                self._shard_cache[(gen, shard)] = tbl
+            warmed += 1
         return warmed
 
     def _gen_bmw_scale(self, gen: str) -> float:
