@@ -519,13 +519,14 @@ def funnel_counts(
             sel = pc.equal(g["_et"], step).to_numpy(zero_copy_only=False)[order]
             sel_idx = np.flatnonzero(sel)
             if r_keys is not None:
-                at = np.searchsorted(r_keys, uid[sel_idx])
-                at_c = np.minimum(at, max(len(r_keys) - 1, 0))
-                valid = (at < len(r_keys)) & (
-                    r_keys[at_c] == uid[sel_idx] if len(r_keys) else False
-                )
-                keep = valid & (pos[sel_idx] > np.where(valid, r_pos[at_c], -1))
-                sel_idx = sel_idx[keep]
+                if len(r_keys) == 0:
+                    sel_idx = sel_idx[:0]  # nothing reached the prior step
+                else:
+                    at = np.searchsorted(r_keys, uid[sel_idx])
+                    at_c = np.minimum(at, len(r_keys) - 1)
+                    valid = (at < len(r_keys)) & (r_keys[at_c] == uid[sel_idx])
+                    keep = valid & (pos[sel_idx] > np.where(valid, r_pos[at_c], -1))
+                    sel_idx = sel_idx[keep]
             # rows are (user, ts, id)-sorted, so the first row per key
             # in sel_idx carries that key's minimum position
             r_keys, first = np.unique(uid[sel_idx], return_index=True)

@@ -390,3 +390,28 @@ class TestEventPaths:
         out = Q.q_event_paths(str(tmp_path))
         got = dict(zip(out["path"], out["n"]))
         assert got == {"a>b>c": 1, "d>e>f": 1}  # no cross-gap trigrams
+
+
+class TestFunnelEmptyStep:
+    def test_no_step1_matches_yields_zero_counts(self, ray_session):
+        """Regression (round 5): a bucket with zero step-1 events but
+        later-step rows must short-circuit, not index an empty reached
+        array inside np.where."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from searchengine_ray.functions.windows import funnel_counts
+
+        df = pd.DataFrame(
+            {
+                "user_id": np.repeat(np.arange(50), 2).astype(np.int64),
+                "ts": pd.to_datetime(np.arange(100), unit="s"),
+                "event_type": ["click", "purchase"] * 50,
+                "event_id": np.arange(100, dtype=np.int64),
+            }
+        )
+        out = funnel_counts(
+            rd.from_pandas(df), "user_id", "ts", "event_type", "event_id"
+        ).to_pandas()
+        assert out[["n_step1", "n_step2", "n_step3"]].sum().sum() == 0
