@@ -75,8 +75,10 @@ def group_topk(
     shuffle for the exact cut."""
     # Arrow-native combiner + reducer (round-5): ``Table.sort_by``
     # handles any key type natively; the per-group head is a run-length
-    # position mask over the sorted group column. The typed empty table
-    # keeps empty blocks/groups schema-consistent for Ray's concat.
+    # position mask over the sorted group column. Arrow blocks keep
+    # their schema when empty, so no eager ``ds.schema()`` is needed
+    # (the old pandas version's typed-empty-frame workaround triggered
+    # partial upstream execution just to learn dtypes).
     import pyarrow.compute as pc
 
     sort_keys = [
@@ -84,20 +86,6 @@ def group_topk(
         (order_col, "ascending" if ascending else "descending"),
         (tie_col, "ascending"),
     ]
-    schema = ds.schema()
-    base = getattr(schema, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        empty = base.empty_table()
-    else:  # pandas-block dataset: a mix of numpy dtypes / pyarrow types
-        def _pa_type(t):
-            if isinstance(t, pa.DataType):
-                return t
-            dt = np.dtype(t)
-            return pa.string() if dt == np.dtype(object) else pa.from_numpy_dtype(dt)
-
-        empty = pa.table(
-            {n: pa.array([], _pa_type(t)) for n, t in zip(schema.names, schema.types)}
-        )
 
     def _head_mask(col, limit: int) -> np.ndarray:
         """pos-within-contiguous-run < limit, for an already-sorted col."""
@@ -113,7 +101,7 @@ def group_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return empty
+            return t  # an empty Arrow block keeps its typed schema
         t = t.sort_by(sort_keys)
         return t.filter(pa.array(_head_mask(t[group_col], k)))
 
