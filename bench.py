@@ -306,6 +306,16 @@ REGISTRY_BENCH = [
     "ann_topk", "bm25_filtered", "dfr_pl2", "permuterm",
     "containment_dedup", "graph_ann", "filtered_ann", "data_mixture",
     "doc_packing", "bpe_train", "multimodal_gif", "eval_ndcg",
+    # round-5: the full driver window is bench-visible — the remaining
+    # first-verification entries plus the re-verified r2 cohort
+    "readability", "sentence_stats", "session_lengths", "event_paths",
+    "tpch_q18", "k_core", "jsonl_roundtrip", "wordbreak",
+    "increment_compact", "batch_queries", "broadcast_join",
+    "dedup_ngram", "dedup_simhash", "delete_search",
+    "distinct_segments", "doc_lengths", "embedding_neardup",
+    "fetch_topk", "group_topk", "hash_join", "kmeans",
+    "multimodal_decode", "multimodal_frames", "multimodal_wav",
+    "not_search", "or_search", "orders_topk", "term_prefix",
 ]
 
 

@@ -560,11 +560,16 @@ SELECT c_count, count(*) AS custdist FROM j GROUP BY c_count
 
 def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q18 shape (large-volume customers): order-grain quantity
-    rollup → HAVING filter (big orders are rare, so everything after
-    the first groupby is small) → co-partition joins back to orders and
-    customer → per-block partial top-20 before the driver merge."""
+    rollup (the ONE fact-scale shuffle) → HAVING filter. Big orders are
+    rare by construction, so the surviving key set is broadcast
+    (``ray.put`` once) and orders/customer are reduced by shuffle-free
+    ``np.isin`` filters inside ``map_batches``; the final small×small
+    joins happen on the driver. A size gate (500k surviving orders)
+    falls back to distributed hash joins if the HAVING filter ever
+    stops being selective — same values either way."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -581,16 +586,45 @@ def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    joined = big.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
-    ).join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
 
-    def block_topk(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        df = df.sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True])
-        return pa.Table.from_pandas(df.head(20), preserve_index=False)
+    big_pd = big.to_pandas()  # HAVING-filtered: rare orders only
+    if len(big_pd) <= 500_000:
+        keys = np.sort(big_pd["l_orderkey"].to_numpy(np.int64))
+        keys_ref = ray.put(keys)
 
-    out = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+        def probe(b: pa.Table, col: str, _r=keys_ref) -> pa.Table:
+            member = np.isin(
+                b[col].to_numpy(zero_copy_only=False), ray.get(_r)
+            )
+            return b.filter(pa.array(member))
+
+        of = orders.map_batches(
+            lambda b: probe(b, "o_orderkey"), batch_format="pyarrow"
+        ).to_pandas()  # ≤ |keys| rows
+        ck = np.sort(of["o_custkey"].unique().astype(np.int64))
+        ck_ref = ray.put(ck)
+        cf = cust.map_batches(
+            lambda b: probe(b, "c_custkey", _r=ck_ref), batch_format="pyarrow"
+        ).to_pandas()
+        out = (
+            big_pd.merge(of, left_on="l_orderkey", right_on="o_orderkey")
+            .merge(cf, left_on="o_custkey", right_on="c_custkey")
+            .drop(columns=["o_orderkey", "c_custkey"])
+        )
+    else:  # non-selective HAVING: keep everything distributed
+        joined = big.join(
+            orders, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        ).join(cust, join_type="inner", num_partitions=8,
+               on=("o_custkey",), right_on=("c_custkey",))
+
+        def block_topk(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df = df.sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True])
+            return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+        out = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+
     out = out.sort_values(["o_totalprice", "l_orderkey"], ascending=[False, True]).head(20)
     out["o_totalprice"] = out["o_totalprice"].round(4)
     out["sum_qty"] = out["sum_qty"].round(4)
