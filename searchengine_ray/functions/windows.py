@@ -358,6 +358,14 @@ def first_last_by_key(
         # ``take`` at those indices preserves the input value-column
         # types exactly (including for empty buckets, so group schemas
         # stay consistent for Ray's concat).
+        if g.num_rows == 0:
+            # slice(0,0) keeps each value column's input type, so empty
+            # buckets stay schema-consistent for Ray's concat
+            cols = {key_col: g[key_col].slice(0, 0)}
+            for c in value_cols:
+                cols[f"first_{c}"] = g[c].slice(0, 0)
+                cols[f"last_{c}"] = g[c].slice(0, 0)
+            return pa.table(cols)
         k = g[key_col].to_numpy(zero_copy_only=False)
         t = g["_ts"].to_numpy(zero_copy_only=False)
         i = g[id_col].to_numpy(zero_copy_only=False)
@@ -365,9 +373,8 @@ def first_last_by_key(
         k = k[order]
         n = len(k)
         boundary = np.empty(n, dtype=bool)
-        if n:
-            boundary[0] = True
-            boundary[1:] = k[1:] != k[:-1]
+        boundary[0] = True
+        boundary[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], n) - 1
         cols = {key_col: pa.array(k[starts])}
