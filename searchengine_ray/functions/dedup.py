@@ -284,11 +284,6 @@ def explode_bands(batch: pa.Table, n_bands: int, n_parts: int) -> pa.Table:
     )
 
 
-_EMPTY_PAIRS_PD = pd.DataFrame(
-    {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
-)
-
-
 def minhash_candidates(ds, n_perm=128, n_bands=16, shingle_k=3, text_column="text", n_parts=None):
     """Dataset of candidate pairs ``doc_a < doc_b`` from LSH buckets (a
     pair recurs once per agreeing band — callers dedup downstream).

@@ -1716,12 +1716,14 @@ def betweenness_sampled(
             if not new.any():
                 break
             # σ grows multiplicatively per level on path-rich graphs;
-            # int64 wraps silently — check headroom BEFORE the add (a
-            # wrapped negative would still pass a post-add max bound),
-            # and reject negative contrib (evidence accumulation
-            # already wrapped inside add.at)
-            assert contrib.min() >= 0 and contrib.max() <= (1 << 62) - max(
-                int(sig.max()), 0
+            # int64 wraps silently — check BEFORE the add (a wrapped
+            # negative would still pass a post-add max bound). contrib
+            # only flows to unvisited nodes, whose sig is still 0, so
+            # the bound is on contrib alone (not sig.max(), which would
+            # falsely abort valid runs); negative contrib means the
+            # add.at accumulation itself wrapped.
+            assert contrib.min() >= 0 and contrib.max() < (
+                1 << 62
             ), "σ overflow — path counts exceed int64"
             d[new] = lev + 1
             sig[new] += contrib[new]

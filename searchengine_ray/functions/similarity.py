@@ -230,31 +230,52 @@ class LshIndex:
         n_tables = self.n_tables
         ref = ray.put((q, probes))
 
+        _EMPTY_SCAN = pa.table(
+            {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+
         def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+            # One np.isin pass over the flattened per-table bucket ids,
+            # then hits grouped by bucket — O(rows·tables + hits), not
+            # O(probe-buckets · rows · tables) as a per-bucket
+            # full-block equality scan would be. Composite bucket ids
+            # are unique per table, so a row matches a given bucket in
+            # at most one column; cross-bucket duplicates for the same
+            # query are deduped in the q×k driver merge.
             qm, pr = ray.get(_ref)
-            bmat = (
+            if batch.num_rows == 0:
+                return _EMPTY_SCAN
+            flat = (
                 batch["buckets"].combine_chunks().flatten()
-                .to_numpy(zero_copy_only=False).reshape(-1, n_tables)
+                .to_numpy(zero_copy_only=False)
             )
+            pr_keys = np.fromiter(pr.keys(), np.int64, len(pr))
+            pos = np.flatnonzero(np.isin(flat, pr_keys))
+            if not len(pos):
+                return _EMPTY_SCAN
+            rows = pos // n_tables
+            bks = flat[pos]
+            order = np.argsort(bks, kind="stable")
+            rows, bks = rows[order], bks[order]
+            starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+            ends = np.append(starts[1:], len(bks))
             ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            mat = None
+            mat = np.stack(batch["nemb"].to_pandas().to_numpy())
             out_q, out_id, out_s = [], [], []
-            for b, qids in pr.items():
-                rows = np.flatnonzero((bmat == b).any(axis=1))
-                if not len(rows):
-                    continue
-                if mat is None:
-                    mat = np.stack(batch["nemb"].to_pandas().to_numpy())
-                sims = qm[qids] @ mat[rows].T  # (n_q_probing, n_rows)
+            for s, e in zip(starts, ends):
+                qids = pr[int(bks[s])]
+                r = rows[s:e]
+                sims = qm[qids] @ mat[r].T  # (n_q_probing, |r|)
                 for row_qi, qi in enumerate(qids):
-                    out_q.extend([qi] * len(rows))
-                    out_id.extend(ids[rows].tolist())
-                    out_s.extend(sims[row_qi].tolist())
+                    out_q.append(np.full(len(r), qi, np.int64))
+                    out_id.append(ids[r].astype(np.int64))
+                    out_s.append(sims[row_qi])
             return pa.table(
                 {
-                    "qid": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_id, pa.int64()),
-                    "cosine": pa.array(out_s, pa.float64()),
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
                 }
             )
 

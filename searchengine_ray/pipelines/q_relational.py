@@ -587,8 +587,12 @@ def q_tpch_q18(sf_dir: str) -> pd.DataFrame:
     )
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
 
-    big_pd = big.to_pandas()  # HAVING-filtered: rare orders only
-    if len(big_pd) <= 500_000:
+    # gate BEFORE collecting: count() on the materialized rollup is
+    # driver-safe at any scale, and the fallback reuses the same
+    # materialized Dataset instead of re-running the lineitem groupby
+    big = big.materialize()
+    if big.count() <= 500_000:
+        big_pd = big.to_pandas()  # HAVING-filtered: rare orders only
         keys = np.sort(big_pd["l_orderkey"].to_numpy(np.int64))
         keys_ref = ray.put(keys)
 

@@ -370,8 +370,16 @@ class SearchEngine:
             return 0
         warmed = 0
         for gen, shard, path in candidates[-cap_left:]:
+            # re-check under the lock: concurrent _read_shard inserts
+            # (or a racing warm_shards) must not push the cache
+            # persistently past its cap
+            with self._shard_cache_lock:
+                if len(self._shard_cache) >= self._shard_cache_cap:
+                    break
             tbl = pq.read_table(path)
             with self._shard_cache_lock:
+                if len(self._shard_cache) >= self._shard_cache_cap:
+                    break
                 self._shard_cache[(gen, shard)] = tbl
             warmed += 1
         return warmed
