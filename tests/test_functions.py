@@ -162,6 +162,27 @@ class TestEmbeddingOps:
             hits += len(set(got) & want)
         assert hits / 50 >= 0.5  # approximate, but far better than chance
 
+    def test_lsh_large_query_batch_matches_sequential(self, emb_ds):
+        """Round-5 grouped-hit scan: a large query batch (many distinct
+        probe buckets in one scan) must return exactly what per-query
+        calls return."""
+        ds, base = emb_ds
+        idx = similarity.LshIndex(dim=16, n_planes=6, n_tables=4)
+        idx.build(ds)
+        f32 = base.astype(np.float32).astype(np.float64)
+        queries = np.vstack([f32, f32[:10] * 2.0])  # 50 queries, some scaled
+        batch = idx.query_batch(queries, k=5, n_probe=3)
+        for qi in range(len(queries)):
+            seq = idx.query(queries[qi], k=5, n_probe=3)
+            # GEMM blocking differs between batch shapes → last-ULP
+            # score wiggle; candidates and scores must still agree
+            assert {i for i, _ in batch[qi]} == {i for i, _ in seq}, qi
+            np.testing.assert_allclose(
+                sorted(s for _, s in batch[qi]),
+                sorted(s for _, s in seq),
+                rtol=1e-12,
+            )
+
     def test_lsh_multi_table_recall_at_least_single(self, emb_ds):
         # OR-ing tables can only widen the candidate set per seed family;
         # verify the multi-table recall beats/equals the single-table one
