@@ -27,7 +27,17 @@ SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderk
 """
 
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
-    """Generic grouped aggregation (pre-aggregation pattern demo)."""
+    """Generic grouped aggregation (pre-aggregation pattern demo).
+
+    ``sum_revenue`` is aggregated in EXACT fixed point: price and
+    discount carry exactly 2 decimals each, so per-row revenue is
+    exact in 10^-4 units and the group sum is an order-independent
+    int64 (≈5·10^13 per group at sf0.1 — nowhere near the 9.2·10^18
+    ceiling even at 10^5× that). Float summation of 600k+ terms
+    differs from the oracle's own order by ~1 ulp at the 13th
+    significant digit, which flips the 4-digit rounding of a 5·10^9
+    total — observed once at sf0.1, never at sf0.01. Fixed point makes
+    the value identical at ANY scale and summation order."""
     import ray.data as rd
     from ray.data.aggregate import Count, Mean, Sum
 
@@ -38,32 +48,40 @@ def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
 
     def revenue(batch):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
-        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
-        return batch.append_column("rev", rev)
+        ep = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dm = np.round(
+            (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)) * 100.0
+        ).astype(np.int64)
+        return batch.append_column("rev4", pa.array(ep * dm, pa.int64()))
 
     out = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="sum_revenue"),
+            Sum("rev4", alias_name="rev4_total"),
             Mean("l_discount", alias_name="avg_disc"),
             Count(alias_name="n_rows"),
         )
         .to_pandas()
     )
     out["sum_qty"] = out["sum_qty"].round(4)
-    out["sum_revenue"] = out["sum_revenue"].round(4)
+    out["sum_revenue"] = (out["rev4_total"] / 10_000.0).round(4)
     out["avg_disc"] = out["avg_disc"].round(6)
-    return out.astype({"n_rows": "int64"})
+    return out.drop(columns=["rev4_total"]).astype({"n_rows": "int64"})[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "avg_disc", "n_rows"]
+    ]
 
 def sql_tpch_q1() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_revenue,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1.0 - l_discount) * 100) AS BIGINT)) / 10000.0,
+             4) AS sum_revenue,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
